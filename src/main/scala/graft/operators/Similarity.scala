@@ -1,0 +1,80 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.VectorFunctions._
+
+/** Approximate/exact nearest-neighbor search over an embedding column
+  * (`array<float>`).
+  *
+  * Two tiers:
+  *  - [[bruteForceTopK]]: exact all-pairs cosine top-k — the O(n²)
+  *    baseline, correct at any n but only viable when one side fits a
+  *    broadcast (the classic "score corpus against a small query set"
+  *    shape).
+  *  - [[ivfTopK]]: IVF-flat — deterministic coarse quantizer (every
+  *    `centroidStride`-th vector as a centroid), assign each vector to
+  *    its nearest centroid, then search only within the cell. Turns
+  *    O(n²) into O(n·C + Σ cell²); at 100 TB the cell join is an
+  *    equi-join on cent_id, i.e. shuffle-partitionable, and the
+  *    centroid table broadcasts.
+  *
+  * All cosine math follows VectorFunctions' fixed-fold determinism
+  * contract, so ranks are reproducible across partitionings/engines.
+  */
+object Similarity {
+
+  /** Rows (vec_id, embedding, nrm) with precomputed L2 norm. */
+  private def withNorm(em: DataFrame, idCol: String, vecCol: String): DataFrame =
+    em.select(col(idCol).as("vec_id"), col(vecCol).as("embedding"),
+      l2Norm(col(vecCol)).as("nrm"))
+
+  /** Exact cosine top-k neighbors for every vector (self excluded).
+    * Output: (vec_id, nbr_id, rnk) — ids and rank only; ranking is by
+    * (cos DESC, nbr_id) so it is total and deterministic. */
+  def bruteForceTopK(em: DataFrame, idCol: String, vecCol: String, k: Int): DataFrame = {
+    val e = withNorm(em, idCol, vecCol)
+    val scored = e.as("a").join(e.as("b"), col("a.vec_id") =!= col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_id"), col("b.vec_id").as("nbr_id"),
+        cosineWithNorms(col("a.embedding"), col("b.embedding"),
+          col("a.nrm"), col("b.nrm")).as("cos"))
+    val w = Window.partitionBy(col("vec_id")).orderBy(col("cos").desc, col("nbr_id"))
+    scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("vec_id"), col("nbr_id"), col("rnk").cast("long").as("rnk"))
+  }
+
+  /** IVF-flat top-k: deterministic centroids (vec_id % stride == 0),
+    * nearest-centroid assignment (ties → lowest cent_id), in-cell
+    * exact search. */
+  def ivfTopK(
+      em: DataFrame, idCol: String, vecCol: String,
+      k: Int, centroidStride: Int = 40): DataFrame = {
+    val e = withNorm(em, idCol, vecCol)
+    val cents = broadcast(
+      e.filter(col("vec_id") % centroidStride === 0)
+        .select(col("vec_id").as("cent_id"), col("embedding").as("cemb"),
+          col("nrm").as("cnrm")))
+    val wAssign = Window.partitionBy(col("vec_id"))
+      .orderBy(col("ccos").desc, col("cent_id"))
+    val assign = e.join(cents)
+      .select(col("vec_id"), col("cent_id"),
+        cosineWithNorms(col("embedding"), col("cemb"), col("nrm"), col("cnrm"))
+          .as("ccos"))
+      .withColumn("rn", row_number().over(wAssign))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("cent_id"))
+    val cell = e.join(assign, Seq("vec_id"))
+    val scored = cell.as("p")
+      .join(cell.as("q"),
+        col("p.cent_id") === col("q.cent_id") && col("p.vec_id") =!= col("q.vec_id"))
+      .select(col("p.vec_id").as("vec_id"), col("q.vec_id").as("nbr_id"),
+        cosineWithNorms(col("p.embedding"), col("q.embedding"),
+          col("p.nrm"), col("q.nrm")).as("cos"))
+    val w = Window.partitionBy(col("vec_id")).orderBy(col("cos").desc, col("nbr_id"))
+    scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("vec_id"), col("nbr_id"), col("rnk").cast("long").as("rnk"))
+  }
+}

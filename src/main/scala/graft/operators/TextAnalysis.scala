@@ -1,0 +1,76 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for corpus curation: language ID, quality
+  * scoring, token counting, fingerprinting. All pure column
+  * expressions (codegen'd, narrow, no shuffle) — they scan-transform
+  * each document independently, the embarrassingly-parallel shape that
+  * scales linearly with executors.
+  */
+object TextAnalysis {
+
+  /** Stopword marker lists per language for the n-gram/stopword
+    * language-ID heuristic. Deliberately tiny and deterministic. */
+  val stopwords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "of", "and", "to", "in"),
+    "es" -> Seq("el", "la", "de", "los", "en", "que"),
+    "fr" -> Seq("le", "la", "les", "de", "et", "en"),
+    "de" -> Seq("der", "die", "das", "und", "ein", "zu"))
+
+  private def countIn(words: Column, vocab: Seq[String]): Column =
+    size(filter(words, w => w.isInCollection(vocab))).cast("long")
+
+  /** Language-ID: CJK codepoint presence → zh; otherwise argmax of
+    * per-language stopword counts with fixed tiebreak order
+    * en > es > fr > de. Returns (pred_lang, cnt_en, cnt_es, cnt_fr, cnt_de). */
+  def langIdColumns(text: Column): Seq[Column] = {
+    val w = split(text, " ")
+    val cnt = Seq("en", "es", "fr", "de").map(l => l -> countIn(w, stopwords(l))).toMap
+    val pred = when(text.rlike("[\\u4e00-\\u9fff]"), lit("zh"))
+      .when(cnt("en") >= cnt("es") && cnt("en") >= cnt("fr") && cnt("en") >= cnt("de"), lit("en"))
+      .when(cnt("es") >= cnt("fr") && cnt("es") >= cnt("de"), lit("es"))
+      .when(cnt("fr") >= cnt("de"), lit("fr"))
+      .otherwise(lit("de"))
+    Seq(pred.as("pred_lang"), cnt("en").as("cnt_en"), cnt("es").as("cnt_es"),
+      cnt("fr").as("cnt_fr"), cnt("de").as("cnt_de"))
+  }
+
+  /** Quality signals: token/type counts, punctuation density, type-token
+    * ratio, mean token length, and a composite keep/drop flag. Ratios
+    * are single exact divisions of integer counts → deterministic. */
+  def qualityColumns(text: Column): Seq[Column] = {
+    val w = split(text, " ")
+    val nTokens = size(w).cast("long")
+    val nTypes = size(array_distinct(w)).cast("long")
+    val nPunct = size(regexp_extract_all(text, lit("[.,;:!?]"), lit(0))).cast("long")
+    val sumLen = aggregate(transform(w, t => length(t)), lit(0), (acc, x) => acc + x)
+      .cast("long")
+    val ttr = nTypes.cast("double") / nTokens.cast("double")
+    val meanLen = sumLen.cast("double") / nTokens.cast("double")
+    val keep = nTokens >= 20 && nTokens <= 100000 && ttr >= 0.15
+    Seq(nTokens.as("n_tokens"), nTypes.as("n_types"), nPunct.as("n_punct"),
+      ttr.as("ttr"), meanLen.as("mean_token_len"), keep.as("keep"))
+  }
+
+  /** Token counting: whitespace tokens and a BPE-ish regex token count
+    * (letter runs / digit runs / single punctuation marks). */
+  def tokenCountColumns(text: Column): Seq[Column] = Seq(
+    size(split(trim(text), "\\s+")).cast("long").as("n_ws_tokens"),
+    size(regexp_extract_all(text, lit("[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"), lit(0)))
+      .cast("long").as("n_regex_tokens"),
+    length(text).cast("long").as("n_chars_measured"))
+
+  /** Document fingerprints: exact content hash, an order-insensitive
+    * bag-of-words hash, and a rolling-shingle minimizer (the min
+    * 60-bit hash over 3-word shingles — the winnowing primitive). */
+  def fingerprintColumns(text: Column): Seq[Column] = {
+    val sorted = array_join(array_sort(array_distinct(split(lower(text), " "))), " ")
+    val sh = Dedup.wordShingles(split(text, " "), 3)
+    Seq(
+      md5(text.cast("binary")).as("fp_content"),
+      md5(sorted.cast("binary")).as("fp_bow"),
+      array_min(transform(sh, s => Dedup.hash60(s))).as("fp_minimizer"))
+  }
+}

@@ -1,0 +1,411 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+import graft.expr.Exprs
+import graft.expr.Exprs.{exactAvg, exactSum}
+
+/** Relational operator inventory (SURVEY.md §2.1–§2.9) exercised on the
+  * driver's TPC-H-ish tables. Each query is the Spark-first expression
+  * of one operator family the reference implements in pandas.
+  *
+  * Scale notes are inline: broadcasts are explicit where a side is a
+  * dimension table by construction; aggregation uses exact decimal sums
+  * so results are reproducible under any partitioning.
+  */
+object RelationalQueries {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  val all: Seq[Q] = Seq(
+    Q(
+      "q01_group_agg",
+      "A5/A6-style grouped aggregation (TPC-H Q1 shape): filter + hash " +
+        "aggregate with exact decimal sums; partial (map-side) agg then " +
+        "one shuffle on the 6-value group key.",
+      (s, dir) => {
+        val li = t(s, dir, "lineitem")
+        li.filter(col("l_shipdate") <= lit("2000-12-31 00:00:00").cast("timestamp"))
+          .groupBy(col("l_returnflag"), col("l_linestatus"))
+          .agg(
+            exactSum(col("l_quantity")).as("sum_qty"),
+            exactSum(col("l_extendedprice")).as("sum_base_price"),
+            exactSum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+              .as("sum_disc_price"),
+            exactSum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+              * (lit(1.0) + col("l_tax"))).as("sum_charge"),
+            exactAvg(col("l_quantity")).as("avg_qty"),
+            exactAvg(col("l_discount")).as("avg_disc"),
+            count(lit(1)).as("count_order"))
+      },
+      Some("""SELECT l_returnflag, l_linestatus,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(30,6))) AS DOUBLE) AS sum_qty,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(30,6))) AS DOUBLE) AS sum_base_price,
+        |  CAST(sum(CAST(l_extendedprice*(1.0-l_discount) AS DECIMAL(30,6))) AS DOUBLE) AS sum_disc_price,
+        |  CAST(sum(CAST(l_extendedprice*(1.0-l_discount)*(1.0+l_tax) AS DECIMAL(30,6))) AS DOUBLE) AS sum_charge,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(30,6))) AS DOUBLE)/CAST(count(*) AS DOUBLE) AS avg_qty,
+        |  CAST(sum(CAST(l_discount AS DECIMAL(30,6))) AS DOUBLE)/CAST(count(*) AS DOUBLE) AS avg_disc,
+        |  count(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '2000-12-31 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus""".stripMargin)),
+
+    Q(
+      "q02_select_rename",
+      "P1 reindex-rename projection (`world_bank_wdi.py:78-87`): exact " +
+        "column list in order, missing columns created as typed nulls. " +
+        "One narrow select — Catalyst prunes the parquet scan to 3 columns.",
+      (s, dir) =>
+        Exprs.selectRenamed(
+          t(s, dir, "part"),
+          Seq("p_partkey" -> "part_id", "p_name" -> "part_name",
+            "p_brand" -> "brand", "p_unit" -> "unit")),
+      Some("""SELECT p_partkey AS part_id, p_name AS part_name,
+        |  p_brand AS brand, CAST(NULL AS VARCHAR) AS unit
+        |FROM part""".stripMargin)),
+
+    Q(
+      "q03_year_filter",
+      "P2 global year-range filter (`_pipeline.py:98-104`) on an " +
+        "extracted year; predicate is partition-prunable when data is " +
+        "laid out by year at scale.",
+      (s, dir) =>
+        t(s, dir, "orders")
+          .select(col("o_orderkey"),
+            year(col("o_orderdate")).cast("long").as("o_year"))
+          .filter(col("o_year").between(1996, 1999)),
+      Some("""SELECT o_orderkey, CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS o_year
+        |FROM orders
+        |WHERE EXTRACT(YEAR FROM o_orderdate) BETWEEN 1996 AND 1999""".stripMargin)),
+
+    Q(
+      "q04_semi_join",
+      "J3/P3 membership filter as a broadcast left-semi join " +
+        "(`_base.py:215-217` M49 filter): no row duplication, no shuffle " +
+        "of the big side.",
+      (s, dir) => {
+        val nations = t(s, dir, "nation")
+          .filter(col("n_name").isin("NATION_1", "NATION_7", "NATION_19"))
+        t(s, dir, "customer")
+          .join(broadcast(nations),
+            col("c_nationkey") === col("n_nationkey"), "left_semi")
+          .select(col("c_custkey"), col("c_name"))
+      },
+      Some("""SELECT c_custkey, c_name FROM customer
+        |WHERE c_nationkey IN (
+        |  SELECT n_nationkey FROM nation
+        |  WHERE n_name IN ('NATION_1','NATION_7','NATION_19'))""".stripMargin)),
+
+    Q(
+      "q05_star_join",
+      "J1 FK-resolution star join (`database.ipynb` cell 12): fact " +
+        "joins small dims — nation/region broadcast so the lineitem side " +
+        "never shuffles for them; revenue via exact sums.",
+      (s, dir) => {
+        val li = t(s, dir, "lineitem")
+        val ord = t(s, dir, "orders")
+        val cust = t(s, dir, "customer")
+        val nat = broadcast(t(s, dir, "nation"))
+        val reg = broadcast(t(s, dir, "region"))
+        li.join(ord, col("l_orderkey") === col("o_orderkey"))
+          .join(cust, col("o_custkey") === col("c_custkey"))
+          .join(nat, col("c_nationkey") === col("n_nationkey"))
+          .join(reg, col("n_regionkey") === col("r_regionkey"))
+          .groupBy(col("r_name"), col("n_name"))
+          .agg(
+            exactSum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+              .as("revenue"),
+            count(lit(1)).as("n_items"))
+      },
+      Some("""SELECT r_name, n_name,
+        |  CAST(sum(CAST(l_extendedprice*(1.0-l_discount) AS DECIMAL(30,6))) AS DOUBLE) AS revenue,
+        |  count(*) AS n_items
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name, n_name""".stripMargin)),
+
+    Q(
+      "q06_left_outer",
+      "J2 left-outer denormalising join (`entities.py:124-128` " +
+        "observation view shape): preserved-side rows survive with null " +
+        "counts collapsing to 0 via count(col).",
+      (s, dir) => {
+        val cust = t(s, dir, "customer")
+        val ord = t(s, dir, "orders")
+        cust.join(ord, col("c_custkey") === col("o_custkey"), "left_outer")
+          .groupBy(col("c_custkey"))
+          .agg(count(col("o_orderkey")).as("n_orders"))
+      },
+      Some("""SELECT c_custkey, count(o_orderkey) AS n_orders
+        |FROM customer LEFT OUTER JOIN orders ON c_custkey = o_custkey
+        |GROUP BY c_custkey""".stripMargin)),
+
+    Q(
+      "q07_dedup_keep_first",
+      "A3 deterministic keep-first dedup (`who_gho_api.py:182-190`): " +
+        "row_number over an ordered window — NOT dropDuplicates, which " +
+        "is partition-order-dependent and irreproducible at scale.",
+      (s, dir) => {
+        val w = Window.partitionBy(col("l_orderkey"))
+          .orderBy(col("l_linenumber"), col("l_partkey"))
+        t(s, dir, "lineitem")
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .select(col("l_orderkey"), col("l_partkey").as("first_part"),
+            col("l_linenumber").as("first_line"))
+      },
+      Some("""SELECT l_orderkey, l_partkey AS first_part, l_linenumber AS first_line
+        |FROM lineitem
+        |QUALIFY row_number() OVER (
+        |  PARTITION BY l_orderkey ORDER BY l_linenumber, l_partkey) = 1""".stripMargin)),
+
+    Q(
+      "q08_dedup_keep_none",
+      "A4 keep-none dedup (`unaids_kpatlas.py:85-91`): eliminate every " +
+        "member of any duplicated key — count-over-window = 1, not " +
+        "distinct.",
+      (s, dir) => {
+        val w = Window.partitionBy(col("l_partkey"), col("l_suppkey"))
+        t(s, dir, "lineitem")
+          .withColumn("key_n", count(lit(1)).over(w))
+          .filter(col("key_n") === 1)
+          .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"))
+      },
+      Some("""SELECT l_orderkey, l_partkey, l_suppkey FROM lineitem
+        |QUALIFY count(*) OVER (PARTITION BY l_partkey, l_suppkey) = 1""".stripMargin)),
+
+    Q(
+      "q09_distinct",
+      "A2 full-row distinct (`unstats_sdg_database.py:126-127`): " +
+        "hash-aggregate on all columns, map-side partials first.",
+      (s, dir) =>
+        t(s, dir, "lineitem").select(col("l_returnflag"), col("l_linestatus")).distinct(),
+      Some("SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem")),
+
+    Q(
+      "q10_grouped_nunique",
+      "A1 grouped distinct-count broadcast back to rows " +
+        "(`unaids_kpatlas.py:78-79` transform('nunique')): " +
+        "size(collect_set) over a window — bounded because priorities " +
+        "have 5 distinct values; a true high-cardinality case would use " +
+        "a groupBy+join instead.",
+      (s, dir) => {
+        val w = Window.partitionBy(col("o_custkey"))
+        t(s, dir, "orders")
+          .withColumn("n_priorities",
+            size(collect_set(col("o_orderpriority")).over(w)).cast("long"))
+          .select(col("o_orderkey"), col("n_priorities"))
+      },
+      Some("""SELECT o_orderkey,
+        |  CAST(count(DISTINCT o_orderpriority) OVER (PARTITION BY o_custkey) AS BIGINT) AS n_priorities
+        |FROM orders""".stripMargin)),
+
+    Q(
+      "q11_unpivot",
+      "R1 melt/unpivot wide→long (`world_bank_wdi.py:84`, " +
+        "`sipri_milex.py:117-120`): Spark 3.4+ native unpivot — a " +
+        "narrow (no-shuffle) Generate.",
+      (s, dir) =>
+        t(s, dir, "part").unpivot(
+          Array(col("p_partkey")),
+          Array(col("p_size").cast("double").as("p_size"), col("p_retailprice")),
+          "attr", "val"),
+      Some("""SELECT p_partkey, 'p_size' AS attr, CAST(p_size AS DOUBLE) AS val FROM part
+        |UNION ALL
+        |SELECT p_partkey, 'p_retailprice' AS attr, p_retailprice AS val FROM part""".stripMargin)),
+
+    Q(
+      "q12_union_by_name",
+      "R3 heterogeneous-batch union (`pd.concat` across sources, e.g. " +
+        "`unstats_sdg_database.py:55-60`): unionByName with " +
+        "allowMissingColumns — positional union would silently misalign.",
+      (s, dir) => {
+        val c = t(s, dir, "customer").select(
+          col("c_custkey").as("id"), col("c_name").as("name"),
+          col("c_mktsegment").as("segment"), lit("customer").as("kind"))
+        val sup = t(s, dir, "supplier").select(
+          col("s_suppkey").as("id"), col("s_name").as("name"),
+          lit("supplier").as("kind"))
+        c.unionByName(sup, allowMissingColumns = true)
+      },
+      Some("""SELECT c_custkey AS id, c_name AS name, c_mktsegment AS segment, 'customer' AS kind FROM customer
+        |UNION ALL
+        |SELECT s_suppkey, s_name, CAST(NULL AS VARCHAR), 'supplier' FROM supplier""".stripMargin)),
+
+    Q(
+      "q13_string_funcs",
+      "C1/C2/C4/C5 scalar string functions: trim+snake_case " +
+        "(`utils.py:158-188`), indicator-name synthesis " +
+        "(`world_bank_wdi.py:88-90`), prefix strip (`who_gho_api.py:163`). " +
+        "All codegen'd built-ins, no UDFs.",
+      (s, dir) =>
+        t(s, dir, "part").select(
+          col("p_partkey"),
+          Exprs.toSnakeCase(col("p_name")).as("snake_name"),
+          Exprs.indicatorName(col("p_name"), col("p_type"), col("p_brand"))
+            .as("indicator_name"),
+          regexp_replace(col("p_brand"), "^Brand#", "").as("brand_code")),
+      Some("""SELECT p_partkey,
+        |  regexp_replace(lower(trim(p_name)), '\s+', '_', 'g') AS snake_name,
+        |  concat(p_name, ', ', p_type, ' [', p_brand, ']') AS indicator_name,
+        |  regexp_replace(p_brand, '^Brand#', '') AS brand_code
+        |FROM part""".stripMargin)),
+
+    Q(
+      "q14_extract_cast",
+      "C6-adjacent regex extract + coercing cast (S13-lite JSON-ish " +
+        "field pull from `events.props`).",
+      (s, dir) =>
+        t(s, dir, "events").select(
+          col("event_id"),
+          regexp_extract(col("props"), "([0-9]+)", 1).cast("long").as("k_val")),
+      Some("""SELECT event_id,
+        |  CAST(regexp_extract(props, '([0-9]+)', 1) AS BIGINT) AS k_val
+        |FROM events""".stripMargin)),
+
+    Q(
+      "q15_coalesce_nullif",
+      "C8 coalesce chain + F10 sentinel→null (`world_bank_api.py:176,182-183`).",
+      (s, dir) =>
+        t(s, dir, "orders").select(
+          col("o_orderkey"),
+          coalesce(expr("nullif(o_orderstatus, 'O')"), col("o_orderpriority"))
+            .as("status_or_priority")),
+      Some("""SELECT o_orderkey,
+        |  coalesce(nullif(o_orderstatus, 'O'), o_orderpriority) AS status_or_priority
+        |FROM orders""".stripMargin)),
+
+    Q(
+      "q16_window_ffill",
+      "W1 forward-fill (`energydata_info.py:74`): last(ignoreNulls) over " +
+        "an explicitly pinned row order — order-sensitivity made explicit " +
+        "via (user_id, event_id) instead of relying on file order.",
+      (s, dir) => {
+        val w = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        t(s, dir, "events").select(
+          col("event_id"), col("user_id"),
+          last(when(col("event_type") === "click", col("value")), ignoreNulls = true)
+            .over(w).as("last_click_value"))
+      },
+      Some("""SELECT event_id, user_id,
+        |  last_value(CASE WHEN event_type = 'click' THEN value END IGNORE NULLS) OVER (
+        |    PARTITION BY user_id ORDER BY event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_click_value
+        |FROM events""".stripMargin)),
+
+    Q(
+      "q17_uniqueness_check",
+      "A7 composite-key uniqueness violation report (`validation.py:107` " +
+        "pandera unique=): one hash-aggregate pass, the validation gate " +
+        "of §2.12.",
+      (s, dir) =>
+        t(s, dir, "lineitem")
+          .groupBy(col("l_partkey"), col("l_suppkey"))
+          .agg(count(lit(1)).as("n"))
+          .filter(col("n") > 1),
+      Some("""SELECT l_partkey, l_suppkey, count(*) AS n
+        |FROM lineitem GROUP BY l_partkey, l_suppkey HAVING count(*) > 1""".stripMargin)),
+
+    Q(
+      "q18_contains_null_keep",
+      "F5 contains-filter with null-passes semantics " +
+        "(`ilo_sdmx_api.py:179-183` na=True — load-bearing).",
+      (s, dir) => {
+        val prio = expr("nullif(o_orderpriority, '3-MEDIUM')")
+        t(s, dir, "orders")
+          .select(col("o_orderkey"), prio.as("prio"))
+          .filter(Exprs.containsOrNull(col("prio"), "H"))
+      },
+      Some("""SELECT o_orderkey, nullif(o_orderpriority, '3-MEDIUM') AS prio
+        |FROM orders
+        |WHERE nullif(o_orderpriority, '3-MEDIUM') IS NULL
+        |   OR contains(nullif(o_orderpriority, '3-MEDIUM'), 'H')""".stripMargin)),
+
+    Q(
+      "q19_anti_join",
+      "Anti-join (beyond-reference but essential at scale): preserved " +
+        "rows with no match, as a broadcast-able left_anti.",
+      (s, dir) =>
+        t(s, dir, "customer")
+          .join(t(s, dir, "orders"), col("c_custkey") === col("o_custkey"), "left_anti")
+          .select(col("c_custkey"), col("c_name")),
+      Some("""SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""".stripMargin)),
+
+    Q(
+      "q20_events_hourly",
+      "Tumbling-window batch aggregation over the event stream table " +
+        "(streaming §2.10 greenfield — batch equivalent of the " +
+        "readStream window agg; same plan shape).",
+      (s, dir) =>
+        t(s, dir, "events")
+          .groupBy(
+            date_format(col("ts"), "yyyy-MM-dd HH:00:00").as("hour"),
+            col("event_type"))
+          .agg(count(lit(1)).as("n"), exactSum(col("value")).as("total_value")),
+      Some("""SELECT strftime(ts, '%Y-%m-%d %H:00:00') AS hour, event_type,
+        |  count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS total_value
+        |FROM events GROUP BY 1, 2""".stripMargin)),
+
+    Q(
+      "q21_dim_build",
+      "A5 + J1: dimension-table build (project→distinct→stable surrogate " +
+        "id) and FK resolution back onto the fact table " +
+        "(`database.ipynb` cells 8-12). dense_rank over a 6-row distinct " +
+        "set — the single-partition window is safe only because dims are " +
+        "small by definition.",
+      (s, dir) => {
+        val li = t(s, dir, "lineitem")
+        val dim = li.select(col("l_returnflag"), col("l_linestatus")).distinct()
+          .withColumn("flag_id",
+            dense_rank().over(
+              Window.orderBy(col("l_returnflag"), col("l_linestatus"))).cast("long"))
+        li.join(broadcast(dim), Seq("l_returnflag", "l_linestatus"))
+          .groupBy(col("flag_id"))
+          .agg(count(lit(1)).as("n_rows"))
+      },
+      Some("""WITH dim AS (
+        |  SELECT l_returnflag, l_linestatus,
+        |    CAST(dense_rank() OVER (ORDER BY l_returnflag, l_linestatus) AS BIGINT) AS flag_id
+        |  FROM (SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem))
+        |SELECT flag_id, count(*) AS n_rows
+        |FROM lineitem JOIN dim USING (l_returnflag, l_linestatus)
+        |GROUP BY flag_id""".stripMargin)),
+
+    Q(
+      "q22_sessionize",
+      "Sessionization with a 30-minute inactivity gap (batch shape of " +
+        "the streaming mapGroupsWithState operator): lag + cumulative " +
+        "flag-sum, all integer microsecond math so both engines agree " +
+        "exactly.",
+      (s, dir) => {
+        val ord = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        val cum = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        t(s, dir, "events")
+          .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(ord))
+          .withColumn("new_sess",
+            when(col("prev_us").isNull ||
+              unix_micros(col("ts")) - col("prev_us") > 1800L * 1000000L, 1L)
+              .otherwise(0L))
+          .withColumn("session_id", sum(col("new_sess")).over(cum))
+          .select(col("event_id"), col("user_id"), col("session_id"))
+      },
+      Some("""SELECT event_id, user_id,
+        |  CAST(sum(CASE WHEN prev IS NULL OR epoch_us(CAST(ts AS TIMESTAMP)) - prev > 1800000000
+        |                THEN 1 ELSE 0 END) OVER (
+        |    PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+        |FROM (
+        |  SELECT *, lag(epoch_us(CAST(ts AS TIMESTAMP))) OVER (
+        |    PARTITION BY user_id ORDER BY ts, event_id) AS prev
+        |  FROM events)""".stripMargin))
+  )
+}

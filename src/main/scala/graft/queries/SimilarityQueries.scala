@@ -1,0 +1,69 @@
+package graft.queries
+
+import graft.core.Tables
+import graft.operators.Similarity
+
+/** ANN over the `embeddings` table. Outputs are (vec_id, nbr_id, rnk)
+  * id-triples only — the cosine values themselves are bit-identical
+  * across engines (fixed-fold math) but keeping floats out of the
+  * output removes any residual hash risk.
+  */
+object SimilarityQueries {
+
+  // DuckDB rendition of the fixed-fold double dot product
+  private def dkDot(a: String, b: String): String =
+    s"list_reduce(list_transform(list_zip($a, $b), " +
+      s"s -> CAST(s[1] AS DOUBLE) * CAST(s[2] AS DOUBLE)), (x, y) -> x + y)"
+  private def dkNorm(a: String): String =
+    s"sqrt(list_reduce(list_transform($a, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (x, y) -> x + y))"
+
+  val all: Seq[Q] = Seq(
+    Q(
+      "qs01_cosine_topk",
+      "Brute-force exact cosine top-10 (self excluded): the O(n²) " +
+        "baseline; viable when one side broadcasts. Rank by " +
+        "(cos DESC, nbr_id) — total order, deterministic.",
+      (s, dir) =>
+        Similarity.bruteForceTopK(Tables.load(s, dir, "embeddings"),
+          "vec_id", "embedding", k = 10),
+      Some(s"""WITH e AS (
+        |  SELECT vec_id, embedding, ${dkNorm("embedding")} AS nrm
+        |  FROM embeddings)
+        |SELECT vec_id, nbr_id, rnk FROM (
+        |  SELECT a.vec_id AS vec_id, b.vec_id AS nbr_id,
+        |    row_number() OVER (PARTITION BY a.vec_id ORDER BY
+        |      ${dkDot("a.embedding", "b.embedding")} / (a.nrm * b.nrm) DESC,
+        |      b.vec_id) AS rnk
+        |  FROM e a JOIN e b ON a.vec_id <> b.vec_id)
+        |WHERE rnk <= 10""".stripMargin)),
+
+    Q(
+      "qs02_ivf_ann",
+      "IVF-flat ANN: deterministic centroids (vec_id % 40 = 0), " +
+        "nearest-centroid assignment, exact in-cell top-5. The cell " +
+        "self-join is an equi-join on cent_id — shuffle-partitionable " +
+        "at scale, centroids broadcast.",
+      (s, dir) =>
+        Similarity.ivfTopK(Tables.load(s, dir, "embeddings"),
+          "vec_id", "embedding", k = 5, centroidStride = 40),
+      Some(s"""WITH e AS (
+        |  SELECT vec_id, embedding, ${dkNorm("embedding")} AS nrm
+        |  FROM embeddings),
+        |c AS (SELECT vec_id AS cent_id, embedding AS cemb, nrm AS cnrm FROM e WHERE vec_id % 40 = 0),
+        |assign AS (
+        |  SELECT vec_id, cent_id FROM (
+        |    SELECT e.vec_id, c.cent_id,
+        |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+        |        ${dkDot("e.embedding", "c.cemb")} / (e.nrm * c.cnrm) DESC,
+        |        c.cent_id) AS rn
+        |    FROM e, c) WHERE rn = 1),
+        |b AS (SELECT e.vec_id, e.embedding, e.nrm, a.cent_id FROM e JOIN assign a USING (vec_id))
+        |SELECT vec_id, nbr_id, rnk FROM (
+        |  SELECT p.vec_id AS vec_id, q.vec_id AS nbr_id,
+        |    row_number() OVER (PARTITION BY p.vec_id ORDER BY
+        |      ${dkDot("p.embedding", "q.embedding")} / (p.nrm * q.nrm) DESC,
+        |      q.vec_id) AS rnk
+        |  FROM b p JOIN b q ON p.cent_id = q.cent_id AND p.vec_id <> q.vec_id)
+        |WHERE rnk <= 5""".stripMargin))
+  )
+}

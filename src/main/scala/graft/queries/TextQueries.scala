@@ -1,0 +1,185 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+import graft.operators.{Dedup, TextAnalysis}
+
+/** Dedup + text-analysis operators over the `documents` table — the
+  * beyond-reference training-data-pipeline surface. Every oracle
+  * mirrors the Spark algorithm exactly (same md5-derived 60-bit base
+  * hash, same fold orders) so outputs hash-match bit-for-bit.
+  */
+object TextQueries {
+
+  // DuckDB rendition of Dedup.hash60
+  private def dkHash60(e: String): String =
+    s"CAST(concat('0x', substr(md5($e), 1, 15)) AS BIGINT)"
+
+  val all: Seq[Q] = Seq(
+    Q(
+      "qd01_exact_dedup",
+      "Exact dedup via content-hash groupBy: one shuffle on the hash, " +
+        "representative = min id. The 100 TB version is identical — " +
+        "hash partitioning spreads uniformly by construction.",
+      (s, dir) =>
+        Dedup.exactDupGroups(Tables.load(s, dir, "documents"), "doc_id", "text"),
+      Some("""SELECT md5(text) AS content_hash, min(doc_id) AS keep_id, count(*) AS n_copies
+        |FROM documents GROUP BY md5(text)""".stripMargin)),
+
+    Q(
+      "qd02_minhash_lsh",
+      "MinHash+LSH near-dup pairs (16 hashes, 4 bands × 4 rows, verify " +
+        "jaccard ≥ 0.5 on 3-word shingles). Candidate generation is " +
+        "linear; the band self-join is the only shuffle.",
+      (s, dir) =>
+        Dedup.lshNearDupPairs(Tables.load(s, dir, "documents"), "doc_id", "text",
+          nShingle = 3, k = 16, bands = 4, threshold = 0.5),
+      Some(s"""WITH sh AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(range(1, len(w)-1),
+        |      i -> concat(w[i], ' ', w[i+1], ' ', w[i+2]))) AS shingles
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+        |  WHERE len(w) >= 3),
+        |sigs AS (
+        |  SELECT doc_id,
+        |    list_transform(range(0, 16), j ->
+        |      list_min(list_transform(shingles, x ->
+        |        ${dkHash60("concat(CAST(j AS VARCHAR), ':', x)")}))) AS sig
+        |  FROM sh),
+        |bands AS (
+        |  SELECT doc_id, b.band AS band,
+        |    concat(CAST(sig[4*b.band+1] AS VARCHAR), ',', CAST(sig[4*b.band+2] AS VARCHAR), ',',
+        |           CAST(sig[4*b.band+3] AS VARCHAR), ',', CAST(sig[4*b.band+4] AS VARCHAR)) AS bkey
+        |  FROM sigs, (SELECT unnest(range(0, 4)) AS band) b),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS a_id, b2.doc_id AS b_id
+        |  FROM bands a JOIN bands b2
+        |    ON a.band = b2.band AND a.bkey = b2.bkey AND a.doc_id < b2.doc_id)
+        |SELECT c.a_id, c.b_id,
+        |  CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE) /
+        |  CAST(len(list_distinct(sa.shingles || sb.shingles)) AS DOUBLE) AS jaccard
+        |FROM cand c
+        |JOIN sh sa ON sa.doc_id = c.a_id
+        |JOIN sh sb ON sb.doc_id = c.b_id
+        |WHERE CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE) /
+        |      CAST(len(list_distinct(sa.shingles || sb.shingles)) AS DOUBLE) >= 0.5""".stripMargin)),
+
+    Q(
+      "qd03_simhash",
+      "SimHash signatures (60-bit majority vote over distinct-token " +
+        "hashes): narrow scan-transform, no shuffle; near-dup search is " +
+        "then hamming distance over the signature.",
+      (s, dir) =>
+        Dedup.withSimhash(Tables.load(s, dir, "documents"), "text", "simhash")
+          .select(col("doc_id"), col("simhash")),
+      Some(s"""SELECT doc_id,
+        |  CAST(list_sum(list_transform(range(0, 60), j ->
+        |    CASE WHEN 2 * len(list_filter(hs, h -> (h & (CAST(1 AS BIGINT) << j)) <> 0)) > len(hs)
+        |         THEN (CAST(1 AS BIGINT) << j) ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS simhash
+        |FROM (
+        |  SELECT doc_id,
+        |    list_transform(list_distinct(string_split(text, ' ')), x -> ${dkHash60("x")}) AS hs
+        |  FROM documents)""".stripMargin)),
+
+    Q(
+      "qd04_shingle_jaccard",
+      "Blocked exact n-gram jaccard near-dup pairs: block on " +
+        "(lang, n_chars÷100), probe ±1 bucket via exploded equi-join — " +
+        "the scale-safe form of a length-band range join.",
+      (s, dir) =>
+        Dedup.blockedJaccardPairs(Tables.load(s, dir, "documents"),
+          "doc_id", "text", "lang", "n_chars",
+          bucketWidth = 100, nShingle = 3, threshold = 0.4),
+      Some("""WITH s AS (
+        |  SELECT doc_id, lang, n_chars // 100 AS bkt,
+        |    list_distinct(list_transform(range(1, len(w)-1),
+        |      i -> concat(w[i], ' ', w[i+1], ' ', w[i+2]))) AS sh
+        |  FROM (SELECT doc_id, lang, n_chars, string_split(text, ' ') AS w FROM documents)
+        |  WHERE len(w) >= 3),
+        |probe AS (
+        |  SELECT doc_id, lang, sh, unnest([bkt-1, bkt, bkt+1]) AS jbkt FROM s)
+        |SELECT p.doc_id AS a_id, q.doc_id AS b_id,
+        |  CAST(len(list_intersect(p.sh, q.sh)) AS DOUBLE) /
+        |  CAST(len(list_distinct(p.sh || q.sh)) AS DOUBLE) AS jaccard
+        |FROM probe p JOIN s q
+        |  ON p.jbkt = q.bkt AND p.lang = q.lang AND p.doc_id < q.doc_id
+        |WHERE CAST(len(list_intersect(p.sh, q.sh)) AS DOUBLE) /
+        |      CAST(len(list_distinct(p.sh || q.sh)) AS DOUBLE) >= 0.4""".stripMargin)),
+
+    Q(
+      "qt01_lang_id",
+      "Language-ID heuristic: CJK codepoint check then stopword-count " +
+        "argmax with fixed tiebreak. Pure narrow transform.",
+      (s, dir) =>
+        Tables.load(s, dir, "documents")
+          .select((col("doc_id") +: TextAnalysis.langIdColumns(col("text"))): _*),
+      Some("""WITH c AS (
+        |  SELECT doc_id, text,
+        |    len(list_filter(string_split(text,' '), t -> t IN ('the','a','of','and','to','in'))) AS cnt_en,
+        |    len(list_filter(string_split(text,' '), t -> t IN ('el','la','de','los','en','que'))) AS cnt_es,
+        |    len(list_filter(string_split(text,' '), t -> t IN ('le','la','les','de','et','en'))) AS cnt_fr,
+        |    len(list_filter(string_split(text,' '), t -> t IN ('der','die','das','und','ein','zu'))) AS cnt_de
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CASE WHEN regexp_matches(text, '[\x{4e00}-\x{9fff}]') THEN 'zh'
+        |       WHEN cnt_en >= cnt_es AND cnt_en >= cnt_fr AND cnt_en >= cnt_de THEN 'en'
+        |       WHEN cnt_es >= cnt_fr AND cnt_es >= cnt_de THEN 'es'
+        |       WHEN cnt_fr >= cnt_de THEN 'fr'
+        |       ELSE 'de' END AS pred_lang,
+        |  cnt_en, cnt_es, cnt_fr, cnt_de
+        |FROM c""".stripMargin)),
+
+    Q(
+      "qt02_quality_score",
+      "Quality scoring: token/type/punct counts, type-token ratio, mean " +
+        "token length, keep flag. Ratios are single divisions of exact " +
+        "ints — deterministic.",
+      (s, dir) =>
+        Tables.load(s, dir, "documents")
+          .select((col("doc_id") +: TextAnalysis.qualityColumns(col("text"))): _*),
+      Some("""SELECT doc_id,
+        |  CAST(len(string_split(text,' ')) AS BIGINT) AS n_tokens,
+        |  CAST(len(list_distinct(string_split(text,' '))) AS BIGINT) AS n_types,
+        |  CAST(len(regexp_extract_all(text, '[.,;:!?]', 0)) AS BIGINT) AS n_punct,
+        |  CAST(len(list_distinct(string_split(text,' '))) AS DOUBLE) /
+        |    CAST(len(string_split(text,' ')) AS DOUBLE) AS ttr,
+        |  CAST(list_sum(list_transform(string_split(text,' '), t -> len(t))) AS DOUBLE) /
+        |    CAST(len(string_split(text,' ')) AS DOUBLE) AS mean_token_len,
+        |  (len(string_split(text,' ')) >= 20 AND len(string_split(text,' ')) <= 100000
+        |   AND CAST(len(list_distinct(string_split(text,' '))) AS DOUBLE) /
+        |       CAST(len(string_split(text,' ')) AS DOUBLE) >= 0.15) AS keep
+        |FROM documents""".stripMargin)),
+
+    Q(
+      "qt03_token_count",
+      "Token counting: whitespace tokens + BPE-ish regex tokens " +
+        "(letter runs / digit runs / punctuation marks) + char length.",
+      (s, dir) =>
+        Tables.load(s, dir, "documents")
+          .select((col("doc_id") +: TextAnalysis.tokenCountColumns(col("text"))): _*),
+      Some("""SELECT doc_id,
+        |  CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_ws_tokens,
+        |  CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]', 0)) AS BIGINT) AS n_regex_tokens,
+        |  CAST(length(text) AS BIGINT) AS n_chars_measured
+        |FROM documents""".stripMargin)),
+
+    Q(
+      "qt04_fingerprint",
+      "Document fingerprints: content md5, order-insensitive " +
+        "bag-of-words md5, and the 3-shingle minimizer hash (winnowing " +
+        "primitive).",
+      (s, dir) =>
+        Tables.load(s, dir, "documents")
+          .filter(size(split(col("text"), " ")) >= 3)
+          .select((col("doc_id") +: TextAnalysis.fingerprintColumns(col("text"))): _*),
+      Some(s"""SELECT doc_id,
+        |  md5(text) AS fp_content,
+        |  md5(array_to_string(list_sort(list_distinct(string_split(lower(text), ' '))), ' ')) AS fp_bow,
+        |  list_min(list_transform(
+        |    list_distinct(list_transform(range(1, len(w)-1),
+        |      i -> concat(w[i], ' ', w[i+1], ' ', w[i+2]))),
+        |    s -> ${dkHash60("s")})) AS fp_minimizer
+        |FROM (SELECT doc_id, text, string_split(text, ' ') AS w FROM documents)
+        |WHERE len(w) >= 3""".stripMargin))
+  )
+}
