@@ -16,19 +16,16 @@ import org.apache.spark.sql.functions._
 object VectorFunctions {
 
   /** Dot product of two float-array columns, accumulated in double,
-    * ascending index order. */
+    * ascending index order — the native codegen'd kernel
+    * ([[FloatVecDot]]); bit-identical to the higher-order-function
+    * fold it replaces. Requires [[GraftFunctions.register]] on the
+    * session (queries call it; it is idempotent). */
   def dotProduct(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0),
-      (acc, x) => acc + x)
+    call_function("graft_vec_dot", a, b)
 
   /** L2 norm (same fold discipline). */
   def l2Norm(a: Column): Column =
-    sqrt(aggregate(
-      transform(a, x => x.cast("double") * x.cast("double")),
-      lit(0.0),
-      (acc, x) => acc + x))
+    sqrt(call_function("graft_vec_dot", a, a))
 
   /** Cosine similarity given precomputed norms: dot / (na * nb) —
     * keep this exact expression shape on both engine and oracle side. */

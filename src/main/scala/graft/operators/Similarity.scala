@@ -26,9 +26,12 @@ import graft.functions.VectorFunctions._
 object Similarity {
 
   /** Rows (vec_id, embedding, nrm) with precomputed L2 norm. */
-  private def withNorm(em: DataFrame, idCol: String, vecCol: String): DataFrame =
-    em.select(col(idCol).as("vec_id"), col(vecCol).as("embedding"),
-      l2Norm(col(vecCol)).as("nrm"))
+  private def withNorm(em: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    graft.functions.GraftFunctions.register(em.sparkSession)
+    graft.core.Partitioning.parallelize(em, col(idCol))
+      .select(col(idCol).as("vec_id"), col(vecCol).as("embedding"),
+        l2Norm(col(vecCol)).as("nrm"))
+  }
 
   /** Exact cosine top-k neighbors for every vector (self excluded).
     * Output: (vec_id, nbr_id, rnk) — ids and rank only; ranking is by

@@ -43,9 +43,13 @@ object TextQueries {
         |sigs AS (
         |  SELECT doc_id,
         |    list_transform(range(0, 16), j ->
-        |      list_min(list_transform(shingles, x ->
-        |        ${dkHash60("concat(CAST(j AS VARCHAR), ':', x)")}))) AS sig
-        |  FROM sh),
+        |      list_min(list_transform(prs, p -> (p[1] + j * p[2]) % 2305843009213693951))) AS sig
+        |  FROM (
+        |    SELECT doc_id,
+        |      list_transform(list_transform(shingles, x -> md5(x)), h ->
+        |        [CAST(concat('0x', substr(h, 1, 14)) AS BIGINT),
+        |         CAST(concat('0x', substr(h, 15, 14)) AS BIGINT)]) AS prs
+        |    FROM sh)),
         |bands AS (
         |  SELECT doc_id, b.band AS band,
         |    concat(CAST(sig[4*b.band+1] AS VARCHAR), ',', CAST(sig[4*b.band+2] AS VARCHAR), ',',
@@ -90,10 +94,12 @@ object TextQueries {
         Dedup.blockedJaccardPairs(Tables.load(s, dir, "documents"),
           "doc_id", "text", "lang", "n_chars",
           bucketWidth = 100, nShingle = 3, threshold = 0.4),
-      Some("""WITH s AS (
+      Some(s"""WITH s AS (
         |  SELECT doc_id, lang, n_chars // 100 AS bkt,
-        |    list_distinct(list_transform(range(1, len(w)-1),
-        |      i -> concat(w[i], ' ', w[i+1], ' ', w[i+2]))) AS sh
+        |    list_transform(
+        |      list_distinct(list_transform(range(1, len(w)-1),
+        |        i -> concat(w[i], ' ', w[i+1], ' ', w[i+2]))),
+        |      g -> ${dkHash60("g")}) AS sh
         |  FROM (SELECT doc_id, lang, n_chars, string_split(text, ' ') AS w FROM documents)
         |  WHERE len(w) >= 3),
         |probe AS (
@@ -103,6 +109,8 @@ object TextQueries {
         |  CAST(len(list_distinct(p.sh || q.sh)) AS DOUBLE) AS jaccard
         |FROM probe p JOIN s q
         |  ON p.jbkt = q.bkt AND p.lang = q.lang AND p.doc_id < q.doc_id
+        | AND CAST(least(len(p.sh), len(q.sh)) AS DOUBLE) /
+        |     CAST(greatest(len(p.sh), len(q.sh)) AS DOUBLE) >= 0.4
         |WHERE CAST(len(list_intersect(p.sh, q.sh)) AS DOUBLE) /
         |      CAST(len(list_distinct(p.sh || q.sh)) AS DOUBLE) >= 0.4""".stripMargin)),
 
