@@ -11,9 +11,11 @@ import graft.queries.Registry
   */
 object SparkEntry {
 
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+  /** Flagship on /root/testdata/sf0.001 (driver smoke-checks rows>0):
+    * the full R→T→L pipeline — retrieve, transform, validate against
+    * the canonical schema, year-window — over the TPC-H tables. */
   def entry(spark: SparkSession): DataFrame =
-    Registry.byName("q05_star_join").run(spark, "/root/testdata/sf0.001")
+    Registry.byName("qw01_etl_pipeline").run(spark, "/root/testdata/sf0.001")
 
   /** One per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -58,11 +58,11 @@ object Exprs {
 
   /** C6 bound-marker strip + coercing numeric cast
     * (`unstats_sdg_database.py:121-124`, `unicef_sdmx_api.py:190-194`):
-    * `<2.5` / `>95%` lose their marker; a failed cast yields null
-    * (Spark's double cast of a bad string is null — same as pandas
-    * `to_numeric(errors="coerce")`). */
+    * `<2.5` / `>95%` lose their marker; a failed cast yields null —
+    * pandas `to_numeric(errors="coerce")`. Spark 4 runs ANSI mode, so
+    * coerce-to-null must be `try_cast`, never `cast`. */
   def boundedNumeric(c: Column): Column =
-    regexp_replace(c, "^[<>]+|%$", "").cast(DoubleType)
+    regexp_replace(c, "^[<>]+|%$", "").try_cast(DoubleType)
 
   /** F5 contains-with-null-passes (`ilo_sdmx_api.py:179-183`): pandas
     * `str.contains(pat, na=True)` keeps null rows — load-bearing. */

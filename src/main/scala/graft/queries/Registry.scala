@@ -17,7 +17,8 @@ final case class Q(
 object Registry {
   /** All queries, in SURVEY.md §2 inventory order then beyond-reference ops. */
   lazy val all: Seq[Q] =
-    RelationalQueries.all ++ TextQueries.all ++ SimilarityQueries.all
+    RelationalQueries.all ++ WarehouseQueries.all ++
+      TextQueries.all ++ SimilarityQueries.all
 
   lazy val byName: Map[String, Q] = all.map(q => q.name -> q).toMap
 }

@@ -1,0 +1,81 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.expr.Exprs
+import graft.pipeline.demo.TpchShipments
+import graft.warehouse.StarSchema
+
+/** End-to-end lifecycle queries: the full R→T→L pipeline (§3.1-3.2)
+  * and the star-schema/observation-view serving layer (§3.3). Oracles
+  * embed the packaged nationkey→country mapping as VALUES rows so
+  * DuckDB replays the same joins.
+  */
+object WarehouseQueries {
+
+  private def cmapValues: String =
+    TpchShipments.nationIso3.toSeq.sorted
+      .map { case (nk, iso3) => s"($nk, '$iso3')" }.mkString(", ")
+
+  private def cmapRegionValues: String = {
+    val byIso3 = graft.core.Countries.all.map(c => c.iso3 -> c.region).toMap
+    TpchShipments.nationIso3.toSeq.sorted
+      .map { case (nk, iso3) => s"($nk, '$iso3', '${byIso3(iso3)}')" }.mkString(", ")
+  }
+
+  /** Shared oracle CTE computing the canonical observations. */
+  private def obsSql(cmap: String): String =
+    s"""obs AS (
+       |  SELECT c.country_code,
+       |    CAST(EXTRACT(YEAR FROM l_shipdate) AS INTEGER) AS year,
+       |    l_returnflag AS dimension,
+       |    CAST(sum(CAST(l_quantity AS DECIMAL(30,6))) AS DOUBLE) AS value
+       |  FROM lineitem
+       |  JOIN supplier ON l_suppkey = s_suppkey
+       |  JOIN nation ON s_nationkey = n_nationkey
+       |  JOIN $cmap c ON n_nationkey = c.nk
+       |  GROUP BY c.country_code, EXTRACT(YEAR FROM l_shipdate), l_returnflag)""".stripMargin
+
+  val all: Seq[Q] = Seq(
+    Q(
+      "qw01_etl_pipeline",
+      "Full R→T→L lifecycle (§3.1): retrieve (joins over broadcast " +
+        "dims) → transform (country mapping, exact-sum agg, indicator " +
+        "synthesis, dimension fold) → provider stamp → membership " +
+        "filter → validation (§2.12) → year window. Output = the " +
+        "canonical observation table.",
+      (s, dir) => TpchShipments.run(s, dir),
+      Some(s"""WITH cmap(nk, country_code) AS (VALUES $cmapValues),
+        |${obsSql("cmap")}
+        |SELECT 'tpch_shipments' AS provider,
+        |  'Shipped quantity, units [QTY]' AS indicator_name,
+        |  country_code, year, dimension, value,
+        |  CAST(NULL AS VARCHAR) AS source
+        |FROM obs""".stripMargin)),
+
+    Q(
+      "qw02_observation_view",
+      "Star-schema build + observation view (§3.3): dim tables with " +
+        "stable surrogate ids, FK resolution via broadcast joins (J1), " +
+        "denormalising left-outer view (J2), and the reference's own " +
+        "serving query shape (A6 group-count) extended with exact sums. " +
+        "value round-trips the warehouse's float32, mirrored in the " +
+        "oracle.",
+      (s, dir) => {
+        val obs = TpchShipments.run(s, dir)
+        val w = StarSchema.build(s, obs)
+        StarSchema.observationView(w)
+          .groupBy(col("indicator_provider"), col("region"),
+            col("dimension_name"))
+          .agg(count(lit(1)).as("n_obs"),
+            Exprs.exactSum(col("value").cast("double")).as("total_value"))
+      },
+      Some(s"""WITH cmap(nk, country_code, region) AS (VALUES $cmapRegionValues),
+        |${obsSql("cmap")}
+        |SELECT 'tpch_shipments' AS indicator_provider, c2.region,
+        |  dimension AS dimension_name,
+        |  count(*) AS n_obs,
+        |  CAST(sum(CAST(CAST(CAST(value AS FLOAT) AS DOUBLE) AS DECIMAL(30,6))) AS DOUBLE) AS total_value
+        |FROM obs JOIN cmap c2 USING (country_code)
+        |GROUP BY c2.region, dimension""".stripMargin))
+  )
+}

@@ -1,0 +1,68 @@
+package graft.storage
+
+import java.time.LocalDate
+import java.time.format.DateTimeFormatter
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Versioned dataset storage (reference: `storage/_base.py:27-109`).
+  *
+  * Datasets live at `{root}/{version}/{name}.{fmt}` with
+  * `version = v{yy-MM-dd}` stamped from the clock at construction
+  * (K1). Reads dispatch on extension (S1/S2/S3); an extension-less
+  * path is parquet — and in Spark a parquet *directory* unions its
+  * part-files natively, which is the reference's folder-concat
+  * behaviour (S2) for free.
+  */
+trait Storage {
+  def root: String
+  def version: String
+
+  def pathFor(name: String, fmt: String = "parquet"): String =
+    s"$root/$version/$name.$fmt"
+
+  /** K1/K3: versioned write; parent dirs come from the Hadoop
+    * committer (mkdir -p semantics). Returns the written path. */
+  def write(df: DataFrame, name: String, fmt: String = "parquet"): String = {
+    val p = pathFor(name, fmt)
+    fmt match {
+      case "parquet" => df.write.mode("overwrite").parquet(p)
+      case "csv" => df.write.mode("overwrite")
+        .option("header", "true").csv(p)
+      case other => throw new IllegalArgumentException(s"unsupported format $other")
+    }
+    p
+  }
+
+  /** S1/S2 read dispatch on extension. `keepNA=true` preserves literal
+    * "NA" strings (the Namibia trap — Spark's CSV reader nulls only
+    * empty strings by default, but we pin it explicitly). */
+  def read(spark: SparkSession, path: String): DataFrame =
+    path.split('.').lastOption match {
+      case Some("csv") => spark.read
+        .option("header", "true")
+        .option("nullValue", "")      // "" -> null; "NA" survives
+        .csv(path)
+      case Some("parquet") | None => spark.read.parquet(path)
+      case Some(_) if !path.substring(path.lastIndexOf('/') + 1).contains('.') =>
+        spark.read.parquet(path)      // extension-less name
+      case Some(other) =>
+        throw new IllegalArgumentException(s"unsupported extension $other")
+    }
+
+  /** Read a named dataset of this version. */
+  def readName(spark: SparkSession, name: String, fmt: String = "parquet"): DataFrame =
+    read(spark, pathFor(name, fmt))
+}
+
+object Storage {
+  /** Reference version-stamp format (`storage/_base.py:29-38`). */
+  def stamp(date: LocalDate = LocalDate.now()): String =
+    "v" + date.format(DateTimeFormatter.ofPattern("yy-MM-dd"))
+}
+
+/** Local-filesystem backend (reference `storage/local.py`). An ABFS/
+  * cloud backend is the same code with a different root URI — path
+  * translation is Hadoop-connector config, not engine code (K2). */
+final case class LocalStorage(
+    root: String,
+    version: String = Storage.stamp()) extends Storage

@@ -1,0 +1,98 @@
+package graft.streaming
+
+import java.sql.Timestamp
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming operators over the event stream (greenfield —
+  * the reference is batch-only, §2.10; this is the streaming face of
+  * the same engine, sharing the batch operators' semantics).
+  *
+  * Input contract = the `events` table schema: (event_id, ts, user_id,
+  * event_type, value, props). Batch/stream parity: `q20_events_hourly`
+  * and `q22_sessionize` in the registry are the batch twins of
+  * [[hourlyCounts]] and [[sessionize]], oracle-checked there.
+  */
+object EventStreams {
+
+  /** Watermarked tumbling-window aggregation (`readStream` →
+    * `groupBy(window(...))` → `writeStream`): late data beyond the
+    * watermark is dropped, state is bounded. */
+  def hourlyCounts(events: DataFrame, watermark: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 hour").as("win"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("total_value"))
+      .select(col("win.start").as("hour"), col("event_type"),
+        col("n"), col("total_value"))
+
+  final case class Event(
+      event_id: Long, ts: Timestamp, user_id: Long,
+      event_type: String, value: Double)
+
+  final case class SessionState(
+      sessionStart: Long, lastSeen: Long, count: Long, sum: Double)
+
+  final case class Session(
+      user_id: Long, session_start: Timestamp, session_end: Timestamp,
+      n_events: Long, total_value: Double)
+
+  /** Custom stateful sessionization (gap-based) via
+    * flatMapGroupsWithState — the operator Spark's built-in windows
+    * can't express (per-key mutable session state with inactivity
+    * timeout).
+    *
+    * Event-time timeouts against the watermark, NOT processing-time:
+    * wall-clock timeouts make results machine/timing-dependent and the
+    * rescheduled trigger batches mean the stream never drains in
+    * replay/backfill. With the watermark, a session closes either on an
+    * in-batch gap break or when the watermark passes lastSeen+gap —
+    * deterministic given the same input, which is the property every
+    * other operator in this engine guarantees.
+    */
+  def sessionize(
+      events: Dataset[Event],
+      gapMillis: Long = 30L * 60 * 1000): Dataset[Session] = {
+    import events.sparkSession.implicits._
+
+    def fn(userId: Long, batch: Iterator[Event],
+        state: GroupState[SessionState]): Iterator[Session] = {
+      val sorted = batch.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+      var cur = state.getOption
+      val out = Seq.newBuilder[Session]
+      def close(s: SessionState): Unit =
+        out += Session(userId, new Timestamp(s.sessionStart),
+          new Timestamp(s.lastSeen), s.count, s.sum)
+      if (state.hasTimedOut && sorted.isEmpty) {
+        cur.foreach(close)
+        state.remove()
+        cur = None
+      } else {
+        sorted.foreach { e =>
+          val t = e.ts.getTime
+          cur match {
+            case Some(s) if t - s.lastSeen <= gapMillis =>
+              cur = Some(s.copy(lastSeen = t, count = s.count + 1, sum = s.sum + e.value))
+            case Some(s) =>
+              close(s)
+              cur = Some(SessionState(t, t, 1, e.value))
+            case None =>
+              cur = Some(SessionState(t, t, 1, e.value))
+          }
+        }
+        cur.foreach { s =>
+          state.update(s)
+          state.setTimeoutTimestamp(s.lastSeen + gapMillis)
+        }
+      }
+      out.result().iterator
+    }
+
+    events
+      .withWatermark("ts", s"$gapMillis milliseconds")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout())(fn)
+  }
+}

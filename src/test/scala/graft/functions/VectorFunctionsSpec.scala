@@ -1,0 +1,37 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+import graft.SparkSuite
+
+class VectorFunctionsSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("FloatVecDot is bit-identical to the higher-order-function fold") {
+    GraftFunctions.register(spark)
+    val vs = (0 until 50).map { i =>
+      (Array.tabulate(64)(j => (math.sin(i + j) * 3).toFloat),
+        Array.tabulate(64)(j => (math.cos(i * j + 1) * 2).toFloat))
+    }
+    val df = vs.toDF("a", "b")
+    val rows = df.select(
+      VectorFunctions.dotProduct($"a", $"b").as("fast"),
+      aggregate(zip_with($"a", $"b", (x, y) => x.cast("double") * y.cast("double")),
+        lit(0.0), (acc, x) => acc + x).as("ref")).collect()
+    rows.foreach { r =>
+      assert(java.lang.Double.doubleToLongBits(r.getDouble(0)) ==
+        java.lang.Double.doubleToLongBits(r.getDouble(1)))
+    }
+  }
+
+  test("FloatVecDot interpreted eval agrees with codegen path") {
+    GraftFunctions.register(spark)
+    val df = Seq((Array(1.5f, 2.5f), Array(2.0f, -1.0f))).toDF("a", "b")
+    val v = df.select(VectorFunctions.dotProduct($"a", $"b")).collect()(0).getDouble(0)
+    assert(v == 1.5 * 2.0 + 2.5 * -1.0)
+    // direct expression eval (interpreted)
+    val e = FloatVecDot(
+      org.apache.spark.sql.catalyst.expressions.Literal.create(Array(1.5f, 2.5f)),
+      org.apache.spark.sql.catalyst.expressions.Literal.create(Array(2.0f, -1.0f)))
+    assert(e.eval(null) == 0.5)
+  }
+}

@@ -1,0 +1,71 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.SparkSuite
+
+class DedupSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("wordShingles builds distinct n-grams in order") {
+    val df = Seq("a b c d b c d").toDF("t")
+      .select(Dedup.wordShingles(split($"t", " "), 3).as("sh"))
+    val sh = df.collect()(0).getSeq[String](0)
+    assert(sh == Seq("a b c", "b c d", "c d b", "d b c"))
+  }
+
+  test("exactDupGroups groups identical content with min-id representative") {
+    val docs = Seq((1L, "same text"), (2L, "same text"), (3L, "other"))
+      .toDF("doc_id", "text")
+    val groups = Dedup.exactDupGroups(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(1), r.getLong(2))).toSet
+    assert(groups == Set((1L, 2L), (3L, 1L)))
+  }
+
+  test("lshNearDupPairs finds a planted near-duplicate and skips unrelated docs") {
+    val base = (0 until 60).map(i => s"w${i % 13} t$i").mkString(" ")
+    val nearDup = base.replace("t7", "t999") // tiny edit
+    val other = (0 until 60).map(i => s"z$i q${i * 3}").mkString(" ")
+    val docs = Seq((1L, base), (2L, nearDup), (3L, other)).toDF("doc_id", "text")
+    val pairs = Dedup.lshNearDupPairs(docs, "doc_id", "text",
+      nShingle = 3, k = 16, bands = 4, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.toSeq == Seq((1L, 2L)))
+  }
+
+  test("simhash: identical texts agree, near texts close in hamming, different far") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "alpha beta gamma delta epsilon zeta eta iota"),
+      (3L, "one two three four five six seven eight"))
+      .toDF("doc_id", "text")
+    val sig = Dedup.withSimhash(docs, "text", "sh")
+      .select($"doc_id", $"sh").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(sig(1L), sig(2L)) < ham(sig(1L), sig(3L)))
+  }
+
+  test("blockedJaccardPairs respects lang blocking and threshold") {
+    val t1 = (0 until 40).map(i => s"w$i").mkString(" ")
+    val t2 = (0 until 40).map(i => if (i == 5) "X" else s"w$i").mkString(" ")
+    val docs = Seq(
+      (1L, t1, "en", t1.length.toLong),
+      (2L, t2, "en", t2.length.toLong),
+      (3L, t1, "fr", t1.length.toLong)) // same text, different lang: blocked
+      .toDF("doc_id", "text", "lang", "n_chars")
+    val pairs = Dedup.blockedJaccardPairs(docs, "doc_id", "text", "lang", "n_chars",
+      bucketWidth = 100, nShingle = 3, threshold = 0.4)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.toSeq == Seq((1L, 2L)))
+  }
+
+  test("minhashSignature matches the explode-aggregate construction") {
+    // library API (expression form) must agree with the query-path math
+    val df = Seq("a b c d e f g").toDF("t")
+      .select(Dedup.wordShingles(split($"t", " "), 3).as("sh"))
+      .select(Dedup.minhashSignature($"sh", 4).as("sig"))
+    val sig = df.collect()(0).getSeq[Long](0)
+    assert(sig.length == 4)
+    assert(sig.forall(v => v >= 0 && v < Dedup.MinhashP))
+  }
+}

@@ -1,0 +1,51 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.SparkSuite
+
+class MultimodalSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def media = {
+    val png = Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a, 1, 2, 3)
+    val jpg = Array[Byte](0xff.toByte, 0xd8.toByte, 0xff.toByte, 0xe0.toByte, 9, 9)
+    val other = "plain text bytes".getBytes("UTF-8")
+    Seq((1L, png), (2L, jpg), (3L, other)).toDF("media_id", "bytes")
+      .withColumn("mime", lit("application/octet-stream"))
+      .withColumn("meta", map(lit("k"), lit("v")))
+  }
+
+  test("format sniffing from magic bytes") {
+    assert(Multimodal.sniffFormat(Array(0x89.toByte, 'P', 'N', 'G', 1, 2, 3, 4)) == "png")
+    assert(Multimodal.sniffFormat(Array(0xff.toByte, 0xd8.toByte, 0x00)) == "jpeg")
+    assert(Multimodal.sniffFormat("RIFF....".getBytes) == "riff")
+  }
+
+  test("feature extraction runs batched per partition with stable schema") {
+    val feats = Multimodal.extractFeatures(media)
+    assert(feats.columns.toSeq == Seq("media_id", "format", "n_bytes",
+      "entropy", "mean_byte", "width", "height"))
+    val byId = feats.collect().map(f => f.media_id -> f).toMap
+    assert(byId(1L).format == "png")
+    assert(byId(2L).format == "jpeg")
+    assert(byId(3L).n_bytes == 16)
+    assert(byId(3L).entropy > 0)
+    // determinism: same bytes, same features
+    val again = Multimodal.extractFeatures(media).collect()
+      .map(f => f.media_id -> f).toMap
+    assert(again == byId)
+  }
+
+  test("frame sampling emits the expected cadence") {
+    val frames = Multimodal.sampleFrames(media, everyN = 30, maxFrames = 4)
+    val f1 = frames.filter("media_id = 1").collect().map(_.getLong(1))
+    assert(f1.toSeq == Seq(0L, 30L, 60L, 90L))
+  }
+
+  test("asMedia wraps arbitrary binary-able columns into the contract") {
+    val df = Seq((7L, "hello")).toDF("id", "payload")
+    val m = Multimodal.asMedia(df, "id", "payload", "text/plain")
+    assert(m.schema.fieldNames.toSeq == Seq("media_id", "bytes", "mime", "meta"))
+    assert(m.collect()(0).getAs[Array[Byte]]("bytes").toSeq == "hello".getBytes.toSeq)
+  }
+}

@@ -1,0 +1,52 @@
+package graft.operators
+
+import graft.SparkSuite
+
+class SimilaritySpec extends SparkSuite {
+  import spark.implicits._
+
+  // deterministic pseudo-random unit-ish vectors
+  private val dim = 8
+  private val vecs: Seq[(Long, Array[Float])] = (0L until 20L).map { id =>
+    val arr = Array.tabulate(dim)(j =>
+      (math.sin(id * 31 + j * 7).toFloat + (if (id % 5 == j % 5) 1.5f else 0f)))
+    id -> arr
+  }
+
+  private def cosine(a: Array[Float], b: Array[Float]): Double = {
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    (0 until dim).foreach { i =>
+      dot += a(i).toDouble * b(i).toDouble
+      na += a(i).toDouble * a(i).toDouble
+      nb += b(i).toDouble * b(i).toDouble
+    }
+    dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  test("bruteForceTopK matches a naive driver-side computation") {
+    val df = vecs.toDF("vec_id", "embedding")
+    val got = Similarity.bruteForceTopK(df, "vec_id", "embedding", k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .groupBy(_._1).view.mapValues(_.sortBy(_._3).map(_._2).toSeq).toMap
+    val byId = vecs.toMap
+    vecs.foreach { case (id, a) =>
+      val want = vecs.filter(_._1 != id)
+        .map { case (oid, b) => (oid, cosine(a, b)) }
+        .sortBy { case (oid, c) => (-c, oid) }
+        .take(3).map(_._1)
+      assert(got(id) == want, s"query $id")
+    }
+  }
+
+  test("ivfTopK returns neighbors only from the query's cell, ranked") {
+    val df = vecs.toDF("vec_id", "embedding")
+    val got = Similarity.ivfTopK(df, "vec_id", "embedding", k = 3, centroidStride = 7)
+    val rows = got.collect()
+    assert(rows.nonEmpty)
+    // ranks are 1..k, no self pairs
+    rows.foreach { r =>
+      assert(r.getLong(2) >= 1 && r.getLong(2) <= 3)
+      assert(r.getLong(0) != r.getLong(1))
+    }
+  }
+}

@@ -1,0 +1,50 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.SparkSuite
+
+class TextAnalysisSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("langId: stopword argmax with en-first tiebreak") {
+    val df = Seq(
+      (1L, "the cat sat on the mat and a dog"),
+      (2L, "el perro y la casa de los gatos que ladran"),
+      (3L, "xyzzy plugh")) // no stopwords at all -> en by tiebreak
+      .toDF("doc_id", "text")
+    val out = df.select(col("doc_id") +: TextAnalysis.langIdColumns(col("text")): _*)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) == "en")
+    assert(out(2L) == "es")
+    assert(out(3L) == "en")
+  }
+
+  test("quality columns: counts, ttr, mean length, keep flag") {
+    val text = (1 to 30).map(i => s"tok$i").mkString(" ") // 30 distinct tokens
+    val out = Seq((1L, text)).toDF("doc_id", "text")
+      .select(col("doc_id") +: TextAnalysis.qualityColumns(col("text")): _*)
+      .collect()(0)
+    assert(out.getLong(1) == 30) // n_tokens
+    assert(out.getLong(2) == 30) // n_types
+    assert(out.getDouble(4) == 1.0) // ttr
+    assert(out.getBoolean(6)) // keep
+  }
+
+  test("tokenCount: whitespace vs regex tokens") {
+    val out = Seq((1L, "Hello, world 42!")).toDF("doc_id", "text")
+      .select(col("doc_id") +: TextAnalysis.tokenCountColumns(col("text")): _*)
+      .collect()(0)
+    assert(out.getLong(1) == 3) // ws tokens
+    // Hello , world 42 ! -> 5 regex tokens
+    assert(out.getLong(2) == 5)
+    assert(out.getLong(3) == 16)
+  }
+
+  test("fingerprints: content hash differs on order, bow hash does not") {
+    val df = Seq((1L, "b a c x y"), (2L, "a b c y x")).toDF("doc_id", "text")
+    val out = df.select(col("doc_id") +: TextAnalysis.fingerprintColumns(col("text")): _*)
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getString(2))).toMap
+    assert(out(1L)._1 != out(2L)._1)
+    assert(out(1L)._2 == out(2L)._2)
+  }
+}

@@ -1,0 +1,72 @@
+package graft.streaming
+
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+import graft.SparkSuite
+import graft.streaming.EventStreams.{Event, Session}
+
+class EventStreamsSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def ts(min: Long): Timestamp = new Timestamp(1700000000000L + min * 60000)
+
+  test("watermarked hourly aggregation over a memory stream") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val agg = EventStreams.hourlyCounts(input.toDF(), watermark = "2 hours")
+    val q = agg.writeStream.format("memory").queryName("hourly_test")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      input.addData(
+        Event(1, ts(0), 10, "click", 1.0),
+        Event(2, ts(5), 10, "click", 2.0),
+        Event(3, ts(70), 11, "view", 3.0))
+      q.processAllAvailable()
+      val rows = spark.table("hourly_test")
+        .collect().map(r => (r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+      assert(rows == Set(("click", 2L, 3.0), ("view", 1L, 3.0)))
+    } finally q.stop()
+  }
+
+  test("stateful sessionization: gap break emits closed session") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val sessions = EventStreams.sessionize(input.toDS(), gapMillis = 10 * 60000)
+    val q = sessions.writeStream.format("memory").queryName("sess_test")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // user 10: two events 5 min apart, then a 30-min gap, then one more
+      input.addData(
+        Event(1, ts(0), 10, "click", 1.0),
+        Event(2, ts(5), 10, "click", 2.0),
+        Event(3, ts(35), 10, "view", 5.0))
+      q.processAllAvailable()
+      // a far-future event advances the watermark past 35min+gap,
+      // firing the event-time timeout for the open session
+      input.addData(Event(4, ts(500), 99, "click", 0.0))
+      q.processAllAvailable()
+      input.addData(Event(5, ts(501), 99, "click", 0.0))
+      q.processAllAvailable()
+      val closed = spark.table("sess_test").as[Session].collect()
+        .sortBy(_.session_start.getTime)
+      assert(closed.nonEmpty)
+      assert(closed(0).user_id == 10)
+      assert(closed(0).n_events == 2)
+      assert(closed(0).total_value == 3.0)
+      assert(closed(0).session_start == ts(0) && closed(0).session_end == ts(5))
+      // the gap-broken second session eventually closed via timeout
+      assert(closed.exists(s => s.user_id == 10 && s.session_start == ts(35)))
+    } finally q.stop()
+  }
+
+  test("batch/stream parity: hourlyCounts on a static frame matches groupBy") {
+    val df = Seq(
+      Event(1, ts(0), 10, "click", 1.0),
+      Event(2, ts(5), 10, "click", 2.0)).toDF()
+    // on a batch frame the same transform is legal and gives the same numbers
+    val out = EventStreams.hourlyCounts(df).collect()
+    assert(out.length == 1)
+    assert(out(0).getLong(2) == 2L)
+  }
+}
