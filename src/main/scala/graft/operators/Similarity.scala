@@ -48,6 +48,22 @@ object Similarity {
       .select(col("vec_id"), col("nbr_id"), col("rnk").cast("long").as("rnk"))
   }
 
+  /** Embedding-cosine near-duplicate pairs: every unordered pair with
+    * cosine ≥ threshold (the dedup-flavoured use of similarity — for
+    * corpus-scale runs swap the n² pair source for the IVF cell join
+    * of [[ivfTopK]]; the scoring/filter stage is identical). */
+  def cosineNearDupPairs(
+      em: DataFrame, idCol: String, vecCol: String,
+      threshold: Double): DataFrame = {
+    val e = withNorm(em, idCol, vecCol)
+    e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("a_id"), col("b.vec_id").as("b_id"),
+        cosineWithNorms(col("a.embedding"), col("b.embedding"),
+          col("a.nrm"), col("b.nrm")).as("cos"))
+      .filter(col("cos") >= threshold)
+      .select(col("a_id"), col("b_id"))
+  }
+
   /** IVF-flat top-k: deterministic centroids (vec_id % stride == 0),
     * nearest-centroid assignment (ties → lowest cent_id), in-cell
     * exact search. */

@@ -18,7 +18,7 @@ object Registry {
   /** All queries, in SURVEY.md §2 inventory order then beyond-reference ops. */
   lazy val all: Seq[Q] =
     RelationalQueries.all ++ WarehouseQueries.all ++
-      TextQueries.all ++ SimilarityQueries.all
+      TextQueries.all ++ SimilarityQueries.all ++ StreamingQueries.all
 
   lazy val byName: Map[String, Q] = all.map(q => q.name -> q).toMap
 }

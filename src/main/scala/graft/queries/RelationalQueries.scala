@@ -381,6 +381,60 @@ object RelationalQueries {
         |GROUP BY flag_id""".stripMargin)),
 
     Q(
+      "q23_grouped_cardinality",
+      "F6 negated startsWith + F7 grouped-cardinality predicate " +
+        "(`unaids_kpatlas.py:76-80`): drop a category prefix, then keep " +
+        "rows whose group has exactly one distinct subgroup OR a " +
+        "designated subgroup — the window runs after the row filter " +
+        "(order is load-bearing).",
+      (s, dir) => {
+        val w = Window.partitionBy(col("o_custkey"))
+        t(s, dir, "orders")
+          .filter(!col("o_orderpriority").startsWith("4"))
+          .withColumn("n_prio",
+            size(collect_set(col("o_orderpriority")).over(w)))
+          .filter(col("n_prio") === 1 || col("o_orderpriority") === "1-URGENT")
+          .select(col("o_orderkey"), col("o_custkey"), col("o_orderpriority"))
+      },
+      Some("""SELECT o_orderkey, o_custkey, o_orderpriority FROM (
+        |  SELECT o_orderkey, o_custkey, o_orderpriority,
+        |    count(DISTINCT o_orderpriority) OVER (PARTITION BY o_custkey) AS n
+        |  FROM orders WHERE NOT starts_with(o_orderpriority, '4'))
+        |WHERE n = 1 OR o_orderpriority = '1-URGENT'""".stripMargin)),
+
+    Q(
+      "q24_json_expand",
+      "J6/S13 struct expansion: parse a JSON column with from_json and " +
+        "flatten the struct to sibling columns (the reference's " +
+        "index-aligned dict flatten, `world_bank_api.py:168-175`).",
+      (s, dir) =>
+        t(s, dir, "events")
+          .select(col("event_id"),
+            from_json(col("props"),
+              org.apache.spark.sql.types.StructType.fromDDL("k INT")).as("j"))
+          .select(col("event_id"), col("j.k").cast("long").as("k")),
+      Some("""SELECT event_id, CAST(json_extract(props, '$.k') AS BIGINT) AS k
+        |FROM events""".stripMargin)),
+
+    Q(
+      "q25_array_guard",
+      "C10 split + slice + set-membership guard " +
+        "(`ilo_sdmx_api.py:75-83`): keep rows whose code's middle " +
+        "segments all belong to a whitelist — array functions, no UDF.",
+      (s, dir) => {
+        val parts = split(col("p_name"), " ")
+        val middle = slice(parts, lit(1), size(parts) - 1)
+        t(s, dir, "part")
+          .filter(forall(middle,
+            x => x.isInCollection(Seq("small", "red", "blue", "hot", "large", "green"))))
+          .select(col("p_partkey"), col("p_name"))
+      },
+      Some("""SELECT p_partkey, p_name FROM (
+        |  SELECT p_partkey, p_name, string_split(p_name, ' ') AS w FROM part)
+        |WHERE len(list_filter(list_slice(w, 1, len(w) - 1),
+        |  x -> x NOT IN ('small', 'red', 'blue', 'hot', 'large', 'green'))) = 0""".stripMargin)),
+
+    Q(
       "q22_sessionize",
       "Sessionization with a 30-minute inactivity gap (batch shape of " +
         "the streaming mapGroupsWithState operator): lag + cumulative " +

@@ -38,6 +38,22 @@ object SimilarityQueries {
         |WHERE rnk <= 10""".stripMargin)),
 
     Q(
+      "qs03_cosine_neardup",
+      "Embedding-cosine near-duplicate pairs (dedup flavour): all " +
+        "unordered pairs with cosine ≥ 0.45, ids only. The pair source " +
+        "swaps for the IVF cell join at corpus scale; scoring/filter " +
+        "identical.",
+      (s, dir) =>
+        Similarity.cosineNearDupPairs(Tables.load(s, dir, "embeddings"),
+          "vec_id", "embedding", threshold = 0.45),
+      Some(s"""WITH e AS (
+        |  SELECT vec_id, embedding, ${dkNorm("embedding")} AS nrm
+        |  FROM embeddings)
+        |SELECT a.vec_id AS a_id, b.vec_id AS b_id
+        |FROM e a JOIN e b ON a.vec_id < b.vec_id
+        |WHERE ${dkDot("a.embedding", "b.embedding")} / (a.nrm * b.nrm) >= 0.45""".stripMargin)),
+
+    Q(
       "qs02_ivf_ann",
       "IVF-flat ANN: deterministic centroids (vec_id % 40 = 0), " +
         "nearest-centroid assignment, exact in-cell top-5. The cell " +

@@ -1,0 +1,62 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+import graft.operators.Multimodal
+import graft.streaming.EventStreams
+
+/** Streaming + multimodal entries. qst01 actually RUNS a Structured
+  * Streaming job (readStream → watermarked window agg → memory sink,
+  * AvailableNow trigger) and is checked against the same SQL oracle a
+  * batch aggregation would use — stream/batch parity is the assertion.
+  * qm01 exercises the multimodal batch plumbing; its features are
+  * byte-level (stub decode) and not SQL-expressible, so it takes the
+  * weaker rows-only check.
+  */
+object StreamingQueries {
+
+  val all: Seq[Q] = Seq(
+    Q(
+      "qst01_stream_hourly",
+      "Structured Streaming watermarked tumbling-window aggregation " +
+        "executed as a real stream (AvailableNow) into a memory sink; " +
+        "result must equal the batch computation — verified against " +
+        "the batch SQL oracle.",
+      (s, dir) => {
+        s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        val schema = StructType.fromDDL(
+          "event_id BIGINT, ts BIGINT, user_id BIGINT, " +
+            "event_type STRING, value DOUBLE, props STRING")
+        // streaming file source takes a glob, not a bare file path
+        val stream = s.readStream.schema(schema)
+          .parquet(s"$dir/events.parque*")
+          .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        val agg = EventStreams.hourlyCounts(stream, watermark = "1 hour")
+          .select(date_format(col("hour"), "yyyy-MM-dd HH:00:00").as("hour"),
+            col("event_type"), col("n"), col("total_value"))
+        val name = "graft_stream_hourly"
+        val q = agg.writeStream.format("memory").queryName(name)
+          .outputMode("complete")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        s.table(name)
+      },
+      Some("""SELECT strftime(date_trunc('hour', CAST(ts AS TIMESTAMP)), '%Y-%m-%d %H:00:00') AS hour,
+        |  event_type, count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS total_value
+        |FROM events GROUP BY 1, 2""".stripMargin)),
+
+    Q(
+      "qm01_media_features",
+      "Multimodal plumbing: wrap document text bytes as media rows, " +
+        "extract per-partition batched byte-level features (stub " +
+        "decode). Rows-only check — features are not SQL-expressible.",
+      (s, dir) => {
+        val docs = graft.core.Tables.load(s, dir, "documents")
+        val media = Multimodal.asMedia(docs, "doc_id", "text", "text/plain")
+        Multimodal.extractFeatures(media).toDF()
+      },
+      None)
+  )
+}

@@ -18,12 +18,16 @@ object EventStreams {
 
   /** Watermarked tumbling-window aggregation (`readStream` →
     * `groupBy(window(...))` → `writeStream`): late data beyond the
-    * watermark is dropped, state is bounded. */
+    * watermark is dropped, state is bounded. The measure sum goes
+    * through DECIMAL so the result is identical whatever the batch
+    * arrival order — the same determinism contract as the batch ops. */
   def hourlyCounts(events: DataFrame, watermark: String = "1 hour"): DataFrame =
     events
       .withWatermark("ts", watermark)
       .groupBy(window(col("ts"), "1 hour").as("win"), col("event_type"))
-      .agg(count(lit(1)).as("n"), sum(col("value")).as("total_value"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(org.apache.spark.sql.types.DecimalType(30, 6)))
+          .cast("double").as("total_value"))
       .select(col("win.start").as("hour"), col("event_type"),
         col("n"), col("total_value"))
 
