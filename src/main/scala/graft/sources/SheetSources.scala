@@ -72,7 +72,8 @@ object SheetOps {
       spark: SparkSession,
       rows: Seq[Seq[String]],
       headerRow: Int,
-      naValues: Set[String] = Set("xxx", "...", "..")): DataFrame = {
+      naValues: Set[String] = Set("xxx", "...", ".."),
+      withIndex: Boolean = false): DataFrame = {
     val header = rows(headerRow)
     val names = header.zipWithIndex.map { case (h, i) =>
       if (h == null || h.trim.isEmpty) s"_c$i" else h.trim
@@ -80,15 +81,19 @@ object SheetOps {
     val uniq = names.zipWithIndex.map { case (n, i) =>
       if (names.indexOf(n) == i) n else s"${n}_$i"
     }
-    val data = rows.drop(headerRow + 1).map { r =>
-      Row.fromSeq(uniq.indices.map { i =>
+    val data = rows.drop(headerRow + 1).zipWithIndex.map { case (r, idx) =>
+      val cells = uniq.indices.map { i =>
         val v = if (i < r.length) r(i) else null
         if (v == null || v.isEmpty || naValues(v)) null else v
-      })
+      }
+      // `_row_idx` pins the sheet's physical row order for
+      // order-sensitive operators (W1 forward-fill)
+      Row.fromSeq(if (withIndex) cells :+ idx.toLong else cells)
     }
-    val schema = StructType(uniq.map(StructField(_, StringType, nullable = true)))
+    val fields = uniq.map(StructField(_, StringType, nullable = true)) ++
+      (if (withIndex) Seq(StructField("_row_idx", LongType, nullable = false)) else Nil)
     spark.createDataFrame(
-      spark.sparkContext.parallelize(data.toList), schema)
+      spark.sparkContext.parallelize(data.toList), StructType(fields))
   }
 
   /** S5 — multi-sheet union (reference `sipri_milex.py:32-71`): read
