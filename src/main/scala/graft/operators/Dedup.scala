@@ -91,10 +91,13 @@ object Dedup {
     val r = k / bands
     require(bands * r == k, "k must be divisible by bands")
     require(k <= 64, "j*hi must stay below 2^63")
+    // shingle sets feed three consumers (signature build + both sides
+    // of the verification join) — persist so shingling runs once
     val sh = graft.core.Partitioning.parallelize(docs, col(idCol))
       .select(col(idCol).as("doc_id"), split(col(textCol), " ").as("w"))
       .filter(size(col("w")) >= nShingle)
       .select(col("doc_id"), wordShingles(col("w"), nShingle).as("shingles"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // (doc, shingle) → (doc, lo, hi): md5 once per shingle
     val hashed = sh
       .select(col("doc_id"), explode(col("shingles")).as("s"))
@@ -197,8 +200,11 @@ object Dedup {
     // Inverted index: one row per (doc, shingle-hash). Intersection
     // sizes come from a pair-count aggregate over the shingle join —
     // no per-pair array operations anywhere, everything codegen'd.
+    // the inverted index is both join sides (probe + build): persist so
+    // shingling+hashing executes once
     val inv = base.select(col("doc_id"), col("lang"), col("bkt"),
       size(col("sh")).as("n_sh"), explode(col("sh")).as("shh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val probeInv = inv.select(col("doc_id"), col("lang"), col("shh"),
       col("n_sh"), explode(array(col("bkt") - 1, col("bkt"), col("bkt") + 1)).as("jbkt"))
     val inter = probeInv.as("p")

@@ -94,7 +94,10 @@ object Validation {
   /** Validate and return the aligned frame; throws [[ValidationError]]
     * listing every failed check with its violation count. */
   def validate(df: DataFrame, schema: TableSchema): DataFrame = {
+    // validation scans the frame (violation counts + uniqueness) before
+    // the caller's own action — persist so the upstream plan runs once
     val aligned = align(schema.preParse(df), schema)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val checks: Seq[Check] =
       schema.columns.flatMap { spec =>
         val nn =

@@ -29,7 +29,10 @@ object StarSchema {
       col("m49").as("id"), col("iso2"), col("iso3"), col("name"),
       col("region"), col("subregion"), col("ldc"), col("lldc"), col("sids"))
 
-  def build(spark: SparkSession, obs: DataFrame): Warehouse = {
+  def build(spark: SparkSession, obs0: DataFrame): Warehouse = {
+    // obs feeds three derivations (two dim distincts + the fact join):
+    // persist so its upstream pipeline executes once, not three times
+    val obs = obs0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val country = countryTable(spark)
     val indicator = obs
       .select(col("indicator_name").as("name"), col("provider")).distinct()
