@@ -1,0 +1,29 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** Session-extension registration of graft's native expressions, the
+  * deployment-grade alternative to the per-session
+  * [[GraftFunctions.register]] call:
+  *
+  * {{{
+  * spark-submit --conf spark.sql.extensions=graft.functions.GraftExtensions ...
+  * // or
+  * SparkSession.builder().withExtensions(new GraftExtensions)
+  * }}}
+  *
+  * makes `graft_vec_dot` available to every session (including pure
+  * SQL users) without application code.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier("graft_vec_dot"),
+      new ExpressionInfo(classOf[FloatVecDot].getName, "graft_vec_dot"),
+      (exprs: Seq[Expression]) => FloatVecDot(exprs(0), exprs(1)))
+      : (FunctionIdentifier, ExpressionInfo, FunctionRegistry.FunctionBuilder))
+  }
+}

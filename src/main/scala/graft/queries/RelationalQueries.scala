@@ -331,13 +331,17 @@ object RelationalQueries {
     Q(
       "q19_anti_join",
       "Anti-join (beyond-reference but essential at scale): preserved " +
-        "rows with no match, as a broadcast-able left_anti.",
-      (s, dir) =>
+        "rows with no match in a filtered build side, as a " +
+        "broadcast-able left_anti.",
+      (s, dir) => {
+        val pending = t(s, dir, "orders").filter(col("o_orderstatus") === "P")
         t(s, dir, "customer")
-          .join(t(s, dir, "orders"), col("c_custkey") === col("o_custkey"), "left_anti")
-          .select(col("c_custkey"), col("c_name")),
+          .join(pending, col("c_custkey") === col("o_custkey"), "left_anti")
+          .select(col("c_custkey"), col("c_name"))
+      },
       Some("""SELECT c_custkey, c_name FROM customer
-        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""".stripMargin)),
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderstatus = 'P')""".stripMargin)),
 
     Q(
       "q20_events_hourly",

@@ -23,6 +23,11 @@ class VectorFunctionsSpec extends SparkSuite {
     }
   }
 
+  test("GraftExtensions registers the function builder without error") {
+    val ext = new org.apache.spark.sql.SparkSessionExtensions
+    new GraftExtensions().apply(ext)
+  }
+
   test("FloatVecDot interpreted eval agrees with codegen path") {
     GraftFunctions.register(spark)
     val df = Seq((Array(1.5f, 2.5f), Array(2.0f, -1.0f))).toDF("a", "b")
