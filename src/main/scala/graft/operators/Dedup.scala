@@ -181,6 +181,12 @@ object Dedup {
     *    min(|A|,|B|)/max(|A|,|B|), so pairs failing that bound on the
     *    cheap cardinalities never pay for the set operation.
     */
+  /** @param maxDocFreq optional df-cut: drop shingles appearing in more
+    *                    than this many documents before pair counting —
+    *                    the hot-shingle (stop-phrase) skew mitigation
+    *                    for corpus-scale runs. NOTE: changes which
+    *                    pairs can reach the threshold; keep None when
+    *                    an external oracle replays the exact semantics. */
   def blockedJaccardPairs(
       docs: DataFrame,
       idCol: String,
@@ -189,7 +195,8 @@ object Dedup {
       lenCol: String,
       bucketWidth: Int = 100,
       nShingle: Int = 3,
-      threshold: Double = 0.4): DataFrame = {
+      threshold: Double = 0.4,
+      maxDocFreq: Option[Long] = None): DataFrame = {
     val base = graft.core.Partitioning.parallelize(docs, col(idCol)).select(
       col(idCol).as("doc_id"), col(langCol).as("lang"),
       (col(lenCol).cast("long") / bucketWidth).cast("long").as("bkt"),
@@ -202,9 +209,16 @@ object Dedup {
     // no per-pair array operations anywhere, everything codegen'd.
     // the inverted index is both join sides (probe + build): persist so
     // shingling+hashing executes once
-    val inv = base.select(col("doc_id"), col("lang"), col("bkt"),
+    val invAll = base.select(col("doc_id"), col("lang"), col("bkt"),
       size(col("sh")).as("n_sh"), explode(col("sh")).as("shh"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val inv = maxDocFreq match {
+      case None => invAll
+      case Some(cut) =>
+        val hot = invAll.groupBy(col("shh")).agg(count(lit(1)).as("df"))
+          .filter(col("df") > cut).select(col("shh"))
+        invAll.join(broadcast(hot), Seq("shh"), "left_anti")
+    }
     val probeInv = inv.select(col("doc_id"), col("lang"), col("shh"),
       col("n_sh"), explode(array(col("bkt") - 1, col("bkt"), col("bkt") + 1)).as("jbkt"))
     val inter = probeInv.as("p")

@@ -65,11 +65,15 @@ object Similarity {
   }
 
   /** IVF-flat top-k: deterministic centroids (vec_id % stride == 0),
-    * nearest-centroid assignment (ties → lowest cent_id), in-cell
-    * exact search. */
+    * nearest-centroid assignment (ties → lowest cent_id), exact search
+    * over the query's `nProbe` nearest cells. Index membership is
+    * always the single nearest cell; probing more cells is the
+    * standard recall dial (each probed cell is one more equi-join
+    * partition's worth of candidates — cost grows linearly in nProbe,
+    * never quadratically). */
   def ivfTopK(
       em: DataFrame, idCol: String, vecCol: String,
-      k: Int, centroidStride: Int = 40): DataFrame = {
+      k: Int, centroidStride: Int = 40, nProbe: Int = 1): DataFrame = {
     val e = withNorm(em, idCol, vecCol)
     val cents = broadcast(
       e.filter(col("vec_id") % centroidStride === 0)
@@ -77,15 +81,16 @@ object Similarity {
           col("nrm").as("cnrm")))
     val wAssign = Window.partitionBy(col("vec_id"))
       .orderBy(col("ccos").desc, col("cent_id"))
-    val assign = e.join(cents)
+    val ranked = e.join(cents)
       .select(col("vec_id"), col("cent_id"),
         cosineWithNorms(col("embedding"), col("cemb"), col("nrm"), col("cnrm"))
           .as("ccos"))
       .withColumn("rn", row_number().over(wAssign))
-      .filter(col("rn") === 1)
-      .select(col("vec_id"), col("cent_id"))
+    val assign = ranked.filter(col("rn") === 1).select(col("vec_id"), col("cent_id"))
+    val probes = ranked.filter(col("rn") <= nProbe).select(col("vec_id"), col("cent_id"))
     val cell = e.join(assign, Seq("vec_id"))
-    val scored = cell.as("p")
+    val probe = e.join(probes, Seq("vec_id"))
+    val scored = probe.as("p")
       .join(cell.as("q"),
         col("p.cent_id") === col("q.cent_id") && col("p.vec_id") =!= col("q.vec_id"))
       .select(col("p.vec_id").as("vec_id"), col("q.vec_id").as("nbr_id"),

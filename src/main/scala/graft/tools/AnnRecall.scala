@@ -1,0 +1,38 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+import graft.operators.Similarity
+
+/** Measure IVF-flat recall against the exact brute-force baseline:
+  * recall@k = |IVF top-k ∩ exact top-k| / (n·k). The accuracy/cost
+  * dial of the ANN scale path, measured instead of guessed.
+  *
+  * sbt -batch "runMain graft.tools.AnnRecall [sfDir] [k] [stride]"
+  */
+object AnnRecall {
+  def main(args: Array[String]): Unit = {
+    val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.01"
+    val k = if (args.length > 1) args(1).toInt else 5
+    val stride = if (args.length > 2) args(2).toInt else 40
+    val nProbe = if (args.length > 3) args(3).toInt else 1
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val em = Tables.load(spark, sfDir, "embeddings")
+    val exact = Similarity.bruteForceTopK(em, "vec_id", "embedding", k)
+      .select(col("vec_id"), col("nbr_id"))
+    val ivf = Similarity.ivfTopK(em, "vec_id", "embedding", k, stride, nProbe)
+      .select(col("vec_id"), col("nbr_id"))
+    val n = em.count()
+    val hit = exact.intersect(ivf).count()
+    val recall = hit.toDouble / (n * k)
+    println(f"""{"metric":"ann_recall@$k","value":$recall%.4f,"n":$n,"stride":$stride,"nprobe":$nProbe,"sf":"$sfDir"}""")
+    spark.stop()
+  }
+}
