@@ -59,7 +59,22 @@ case class FloatVecDot(left: Expression, right: Expression)
 
 /** Session registration for graft's native expressions; idempotent. */
 object GraftFunctions {
-  def register(spark: SparkSession): Unit =
+  def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_vec_dot", exprs => FloatVecDot(exprs(0), exprs(1)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_bottom_k",
+      exprs => {
+        val k = exprs(1) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v, _) =>
+            v.toString.toInt
+          case other => throw new IllegalArgumentException(
+            s"graft_bottom_k k must be a literal, got $other")
+        }
+        // raw AggregateFunction: the analyzer wraps it in an
+        // AggregateExpression during function resolution
+        BottomKSketch(exprs(0), k)
+      },
+      "built-in")
+  }
 }

@@ -48,6 +48,41 @@ object StreamingQueries {
         |FROM events GROUP BY 1, 2""".stripMargin)),
 
     Q(
+      "qst02_stream_sessions",
+      "Stateful streaming sessionization (flatMapGroupsWithState, " +
+        "event-time timeouts) run as a real stream over the event file; " +
+        "emits gap-closed sessions. Rows-only check (Append-mode state " +
+        "semantics aren't a SQL expression).",
+      (s, dir) => {
+        import s.implicits._
+        s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        val schema = StructType.fromDDL(
+          "event_id BIGINT, ts BIGINT, user_id BIGINT, " +
+            "event_type STRING, value DOUBLE, props STRING")
+        val stream = s.readStream.schema(schema)
+          .parquet(s"$dir/events.parque*")
+          .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+          .select(col("event_id"), col("ts"), col("user_id"),
+            col("event_type"), col("value"))
+          .as[EventStreams.Event]
+        val sessions = EventStreams.sessionize(stream, gapMillis = 30L * 60 * 1000)
+        val name = "graft_stream_sessions"
+        val q = sessions.toDF()
+          .select(col("user_id"),
+            date_format(col("session_start"), "yyyy-MM-dd HH:mm:ss").as("session_start"),
+            date_format(col("session_end"), "yyyy-MM-dd HH:mm:ss").as("session_end"),
+            col("n_events"),
+            round(col("total_value"), 6).as("total_value"))
+          .writeStream.format("memory").queryName(name)
+          .outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        if (!q.awaitTermination(180000)) q.stop()
+        s.table(name)
+      },
+      None),
+
+    Q(
       "qm01_media_features",
       "Multimodal plumbing: wrap document text bytes as media rows, " +
         "extract per-partition batched byte-level features (stub " +

@@ -115,6 +115,51 @@ object TextQueries {
         |      CAST(len(list_distinct(p.sh || q.sh)) AS DOUBLE) >= 0.4""".stripMargin)),
 
     Q(
+      "qd05_kmv_distinct",
+      "KMV bottom-k sketch (custom TypedImperativeAggregate): per-lang " +
+        "distinct-shingle estimation from the 32 minimum hashes — the " +
+        "mergeable sketch shape (map-side partials, order-invariant) " +
+        "that replaces exact countDistinct when groups stop fitting " +
+        "memory. Output carries estimate AND exact for the error to be " +
+        "visible.",
+      (s, dir) => {
+        import org.apache.spark.sql.functions._
+        graft.functions.GraftFunctions.register(s)
+        val k = 32
+        val docs = Tables.load(s, dir, "documents")
+        val sh = graft.core.Partitioning.parallelize(docs, col("doc_id"))
+          .select(col("lang"), split(col("text"), " ").as("w"))
+          .filter(size(col("w")) >= 3)
+          .select(col("lang"),
+            explode(graft.operators.Dedup.wordShingles(col("w"), 3)).as("sg"))
+          .select(col("lang"), graft.operators.Dedup.hash60(col("sg")).as("h"))
+        sh.groupBy(col("lang"))
+          .agg(call_function("graft_bottom_k", col("h"), lit(k)).as("sk"),
+            countDistinct(col("h")).as("exact_distinct"))
+          .select(col("lang"),
+            element_at(col("sk"), k).as("kth_min"),
+            (lit((k - 1).toDouble) * pow(lit(2.0), lit(60.0)) /
+              element_at(col("sk"), k).cast("double")).as("est_distinct"),
+            col("exact_distinct"))
+      },
+      Some(s"""WITH sh AS (
+        |  SELECT lang,
+        |    unnest(list_distinct(list_transform(range(1, len(w)-1),
+        |      i -> concat(w[i], ' ', w[i+1], ' ', w[i+2])))) AS sg
+        |  FROM (SELECT doc_id, lang, string_split(text, ' ') AS w FROM documents)
+        |  WHERE len(w) >= 3),
+        |h AS (SELECT lang, ${dkHash60("sg")} AS hv FROM sh),
+        |agg AS (
+        |  SELECT lang, list_sort(list(DISTINCT hv)) AS sorted,
+        |    count(DISTINCT hv) AS exact_distinct
+        |  FROM h GROUP BY lang)
+        |SELECT lang, sorted[32] AS kth_min,
+        |  CAST(31 AS DOUBLE) * power(CAST(2 AS DOUBLE), CAST(60 AS DOUBLE))
+        |    / CAST(sorted[32] AS DOUBLE) AS est_distinct,
+        |  exact_distinct
+        |FROM agg""".stripMargin)),
+
+    Q(
       "qt01_lang_id",
       "Language-ID heuristic: CJK codepoint check then stopword-count " +
         "argmax with fixed tiebreak. Pure narrow transform.",

@@ -36,6 +36,15 @@ def main(sf_dir, out_dir):
     for t in TABLES:
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    # guard against a stale outDir silently shrinking the check set
+    import os
+    dumped = {d for d in os.listdir(out_dir) if not d.endswith(".json")}
+    extra = dumped - set(oracle)
+    if extra:
+        print(f"note: {len(extra)} rows-only outputs (no oracle): {sorted(extra)}")
+    missing = set(oracle) - dumped
+    if missing:
+        print(f"WARNING: oracle declared but no engine output: {sorted(missing)}")
     n_pass = n_fail = 0
     for name, sql in sorted(oracle.items()):
         try:
