@@ -162,6 +162,52 @@ object Dedup {
       .withColumn(out, simhashOfHashes(col("__hs")))
       .drop("__hs")
 
+  /** SimHash near-duplicate pairs: band the 60-bit signature into four
+    * 15-bit keys (any shared band → candidate), then verify exact
+    * hamming distance. Same scale shape as MinHash-LSH: linear banding,
+    * bucket-local candidate generation, per-pair verification only on
+    * candidates.
+    *
+    * The signature is computed over word SHINGLES, not the token set:
+    * on small-vocabulary corpora every long document contains the whole
+    * vocabulary, so set-based signatures collide into mega-cliques —
+    * order-sensitive shingles keep the signature discriminative.
+    */
+  def simhashNearDupPairs(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      maxHamming: Int = 8,
+      nShingle: Int = 3): DataFrame = {
+    val sigs = graft.core.Partitioning.parallelize(docs, col(idCol))
+      .select(col(idCol).as("doc_id"), split(col(textCol), " ").as("w"))
+      .filter(size(col("w")) >= nShingle)
+      .withColumn("__hs",
+        transform(wordShingles(col("w"), nShingle), s => hash60(s)))
+      .select(col("doc_id"), simhashOfHashes(col("__hs")).as("sh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bandStructs = (0 until 4).map(b => struct(
+      lit(b).as("band"),
+      shiftright(col("sh"), 15 * b).bitwiseAND(lit(32767L)).as("bval")))
+    val ids = col("ids")
+    val pairs = sigs
+      .select(col("doc_id"), explode(array(bandStructs: _*)).as("bk"))
+      .groupBy(col("bk.band"), col("bk.bval"))
+      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+      .filter(size(ids) > 1)
+      .select(explode(flatten(transform(ids, (x, i) =>
+        transform(slice(ids, i + lit(2), size(ids)),
+          y => struct(x.as("a"), y.as("b")))))).as("pr"))
+      .select(col("pr.a").as("a_id"), col("pr.b").as("b_id"))
+      .distinct()
+    pairs
+      .join(sigs.as("sa"), col("a_id") === col("sa.doc_id"))
+      .join(sigs.as("sb"), col("b_id") === col("sb.doc_id"))
+      .select(col("a_id"), col("b_id"),
+        bit_count(col("sa.sh").bitwiseXOR(col("sb.sh"))).cast("long").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+  }
+
   /** Exact duplicate groups: hash-groupBy on content hash. Returns one
     * row per content hash with the representative (min id) and group
     * size; a semi-join against `keep_id` dedups the corpus. */

@@ -98,6 +98,19 @@ object Multimodal {
       explode(sequence(lit(0L), lit(((maxFrames - 1) * everyN).toLong), lit(everyN.toLong)))
         .as("frame_no"))
 
+  /** Resize plumbing: emit (media_id, target_w, target_h, scale) rows
+    * for a batch resize pass. STUB: the pixel work is the decode
+    * kernel's job; the aspect-preserving geometry (the part a pipeline
+    * plans around) is real. */
+  def resizePlan(features: Dataset[MediaFeatures], maxSide: Int = 256): DataFrame = {
+    import features.sparkSession.implicits._
+    features.map { f =>
+      val scale = math.min(1.0, maxSide.toDouble / math.max(f.width, f.height))
+      (f.media_id, math.max(1, math.round(f.width * scale).toInt),
+        math.max(1, math.round(f.height * scale).toInt), scale)
+    }.toDF("media_id", "target_w", "target_h", "scale")
+  }
+
   /** Wrap a raw binary column into the media contract from any table
     * (used by tests to fabricate media rows from text bytes). */
   def asMedia(df: DataFrame, idCol: String, binCol: String, mime: String): DataFrame =

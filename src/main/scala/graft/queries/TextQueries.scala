@@ -86,6 +86,42 @@ object TextQueries {
         |  FROM documents)""".stripMargin)),
 
     Q(
+      "qd06_simhash_pairs",
+      "SimHash near-dup pairs: shingle-based 60-bit signatures, banded " +
+        "into four 15-bit keys for candidate generation, exact hamming " +
+        "verification (≤ 8). LSH-shaped plan: linear banding, bucket " +
+        "combinations, verify only candidates.",
+      (s, dir) =>
+        Dedup.simhashNearDupPairs(Tables.load(s, dir, "documents"),
+          "doc_id", "text", maxHamming = 8, nShingle = 3),
+      Some(s"""WITH sigs AS (
+        |  SELECT doc_id,
+        |    CAST(list_sum(list_transform(range(0, 60), j ->
+        |      CASE WHEN 2 * len(list_filter(hs, h2 -> (h2 & (CAST(1 AS BIGINT) << j)) <> 0)) > len(hs)
+        |           THEN (CAST(1 AS BIGINT) << j) ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS sh
+        |  FROM (
+        |    SELECT doc_id,
+        |      list_transform(
+        |        list_distinct(list_transform(range(1, len(w)-1),
+        |          i -> concat(w[i], ' ', w[i+1], ' ', w[i+2]))),
+        |        g -> ${dkHash60("g")}) AS hs
+        |    FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+        |    WHERE len(w) >= 3)),
+        |banded AS (
+        |  SELECT doc_id, b.band AS band, (sh >> (15 * b.band)) & 32767 AS bval
+        |  FROM sigs, (SELECT unnest(range(0, 4)) AS band) b),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS a_id, c.doc_id AS b_id
+        |  FROM banded a JOIN banded c
+        |    ON a.band = c.band AND a.bval = c.bval AND a.doc_id < c.doc_id)
+        |SELECT c.a_id, c.b_id,
+        |  CAST(bit_count(xor(sa.sh, sb.sh)) AS BIGINT) AS hamming
+        |FROM cand c
+        |JOIN sigs sa ON sa.doc_id = c.a_id
+        |JOIN sigs sb ON sb.doc_id = c.b_id
+        |WHERE bit_count(xor(sa.sh, sb.sh)) <= 8""".stripMargin)),
+
+    Q(
       "qd04_shingle_jaccard",
       "Blocked exact n-gram jaccard near-dup pairs: block on " +
         "(lang, n_chars÷100), probe ±1 bucket via exploded equi-join — " +
