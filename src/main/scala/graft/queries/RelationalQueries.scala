@@ -439,6 +439,73 @@ object RelationalQueries {
         |  x -> x NOT IN ('small', 'red', 'blue', 'hot', 'large', 'green'))) = 0""".stripMargin)),
 
     Q(
+      "q26_rollup",
+      "Multi-level aggregation via ROLLUP (beyond-reference; the " +
+        "grouping-sets shape serving dashboards at scale in one pass " +
+        "instead of N groupBys): region → nation → grand total with " +
+        "exact sums.",
+      (s, dir) => {
+        val li = t(s, dir, "lineitem")
+        val ord = t(s, dir, "orders")
+        val cust = t(s, dir, "customer")
+        val nat = broadcast(t(s, dir, "nation"))
+        val reg = broadcast(t(s, dir, "region"))
+        li.join(ord, col("l_orderkey") === col("o_orderkey"))
+          .join(cust, col("o_custkey") === col("c_custkey"))
+          .join(nat, col("c_nationkey") === col("n_nationkey"))
+          .join(reg, col("n_regionkey") === col("r_regionkey"))
+          .rollup(col("r_name"), col("n_name"))
+          .agg(exactSum(col("l_quantity")).as("sum_qty"),
+            count(lit(1)).as("n_items"))
+      },
+      Some("""SELECT r_name, n_name,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(30,6))) AS DOUBLE) AS sum_qty,
+        |  count(*) AS n_items
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY ROLLUP(r_name, n_name)""".stripMargin)),
+
+    Q(
+      "q27_topk_per_group",
+      "Top-k per group (beyond-reference; the sort-limit-per-key " +
+        "pattern): 3 highest-value orders per customer via a ranked " +
+        "window — per-partition sort bounded by group size, no global " +
+        "sort.",
+      (s, dir) => {
+        val w = Window.partitionBy(col("o_custkey"))
+          .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        t(s, dir, "orders")
+          .withColumn("rnk", row_number().over(w))
+          .filter(col("rnk") <= 3)
+          .select(col("o_custkey"), col("o_orderkey"),
+            col("o_totalprice"), col("rnk").cast("long").as("rnk"))
+      },
+      Some("""SELECT o_custkey, o_orderkey, o_totalprice,
+        |  CAST(row_number() OVER (
+        |    PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rnk
+        |FROM orders
+        |QUALIFY row_number() OVER (
+        |  PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) <= 3""".stripMargin)),
+
+    Q(
+      "q28_median",
+      "Exact continuous-interpolation median per group " +
+        "(beyond-reference): both engines interpolate (1−g)·a + g·b over " +
+        "the sorted values — same doubles in, same double out.",
+      (s, dir) =>
+        t(s, dir, "lineitem")
+          .groupBy(col("l_returnflag"))
+          .agg(expr("percentile(l_extendedprice, 0.5)").as("median_price"),
+            count(lit(1)).as("n")),
+      Some("""SELECT l_returnflag,
+        |  quantile_cont(l_extendedprice, 0.5) AS median_price,
+        |  count(*) AS n
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin)),
+
+    Q(
       "q22_sessionize",
       "Sessionization with a 30-minute inactivity gap (batch shape of " +
         "the streaming mapGroupsWithState operator): lag + cumulative " +
