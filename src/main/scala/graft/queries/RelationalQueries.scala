@@ -506,6 +506,57 @@ object RelationalQueries {
         |FROM lineitem GROUP BY l_returnflag""".stripMargin)),
 
     Q(
+      "q29_pivot",
+      "Pivot wide (beyond-reference; the inverse of R1's melt): event " +
+        "counts per user × type with an EXPLICIT pivot value list — " +
+        "open-ended pivots need a driver-side distinct pass and produce " +
+        "unstable schemas at scale.",
+      (s, dir) => {
+        val types = Seq("click", "view", "purchase", "signup", "error")
+        val p = t(s, dir, "events")
+          .groupBy(col("user_id"))
+          .pivot("event_type", types)
+          .agg(count(lit(1)))
+        p.select(col("user_id") +:
+          types.map(tp => coalesce(col(s"`$tp`"), lit(0L)).as(s"n_$tp")): _*)
+      },
+      Some("""SELECT user_id,
+        |  count(CASE WHEN event_type = 'click' THEN 1 END) AS n_click,
+        |  count(CASE WHEN event_type = 'view' THEN 1 END) AS n_view,
+        |  count(CASE WHEN event_type = 'purchase' THEN 1 END) AS n_purchase,
+        |  count(CASE WHEN event_type = 'signup' THEN 1 END) AS n_signup,
+        |  count(CASE WHEN event_type = 'error' THEN 1 END) AS n_error
+        |FROM events GROUP BY user_id""".stripMargin)),
+
+    Q(
+      "q30_setops",
+      "Set operations (beyond-reference): customers with both pending " +
+        "and finished orders (INTERSECT) tagged apart from " +
+        "finished-only (EXCEPT) — hash-aggregate distinct semantics on " +
+        "both engines.",
+      (s, dir) => {
+        val ord = t(s, dir, "orders")
+        val pending = ord.filter(col("o_orderstatus") === "P")
+          .select(col("o_custkey"))
+        val finished = ord.filter(col("o_orderstatus") === "F")
+          .select(col("o_custkey"))
+        val both = pending.intersect(finished)
+          .withColumn("segment", lit("both"))
+        val finishedOnly = finished.except(pending)
+          .withColumn("segment", lit("finished_only"))
+        both.unionByName(finishedOnly)
+      },
+      Some("""SELECT o_custkey, 'both' AS segment FROM (
+        |  SELECT o_custkey FROM orders WHERE o_orderstatus = 'P'
+        |  INTERSECT
+        |  SELECT o_custkey FROM orders WHERE o_orderstatus = 'F')
+        |UNION ALL
+        |SELECT o_custkey, 'finished_only' AS segment FROM (
+        |  SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+        |  EXCEPT
+        |  SELECT o_custkey FROM orders WHERE o_orderstatus = 'P')""".stripMargin)),
+
+    Q(
       "q22_sessionize",
       "Sessionization with a 30-minute inactivity gap (batch shape of " +
         "the streaming mapGroupsWithState operator): lag + cumulative " +
