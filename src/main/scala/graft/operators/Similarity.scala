@@ -48,6 +48,44 @@ object Similarity {
       .select(col("vec_id"), col("nbr_id"), col("rnk").cast("long").as("rnk"))
   }
 
+  /** Deterministic ±1 random-hyperplane set for sign-LSH: the sign of
+    * plane j, dimension d is the parity of the first byte of
+    * md5("j:d") — reproducible by any engine (and embedded as literals
+    * into oracle SQL, so both sides share the exact floats). */
+  def signPlanes(nPlanes: Int, dim: Int): Array[Array[Float]] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    Array.tabulate(nPlanes, dim) { (j, d) =>
+      val h = md.digest(s"$j:$d".getBytes("UTF-8"))
+      if ((h(0) & 1) == 0) 1.0f else -1.0f
+    }
+  }
+
+  /** Sign-LSH bucketed near-duplicate pairs (the LSH-flavoured ANN
+    * scale path, sibling of [[ivfTopK]]): bucket = the sign bits of
+    * `nPlanes` hyperplane projections (cosine-similar vectors collide
+    * with probability 1 − θ/π per plane), pairs searched only within a
+    * bucket. The bucket join is an equi-join on an int key — linear
+    * shuffle, no cartesian; recall dials with fewer planes (bigger
+    * buckets) or multi-table LSH (union over several plane sets). */
+  def lshBucketedNearDup(
+      em: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, nPlanes: Int = 8, dim: Int = 64): DataFrame = {
+    val e = withNorm(em, idCol, vecCol)
+    val planes = signPlanes(nPlanes, dim)
+    val bucket = planes.zipWithIndex.map { case (p, j) =>
+      when(call_function("graft_vec_dot", col("embedding"),
+        typedLit(p)) > 0.0, lit(1 << j)).otherwise(lit(0))
+    }.reduce(_ + _)
+    val b = e.withColumn("bucket", bucket)
+    b.as("a").join(b.as("b"),
+        col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("a_id"), col("b.vec_id").as("b_id"),
+        cosineWithNorms(col("a.embedding"), col("b.embedding"),
+          col("a.nrm"), col("b.nrm")).as("cos"))
+      .filter(col("cos") >= threshold)
+      .select(col("a_id"), col("b_id"))
+  }
+
   /** Embedding-cosine near-duplicate pairs: every unordered pair with
     * cosine ≥ threshold (the dedup-flavoured use of similarity — for
     * corpus-scale runs swap the n² pair source for the IVF cell join

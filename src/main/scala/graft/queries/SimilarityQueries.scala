@@ -54,6 +54,32 @@ object SimilarityQueries {
         |WHERE ${dkDot("a.embedding", "b.embedding")} / (a.nrm * b.nrm) >= 0.45""".stripMargin)),
 
     Q(
+      "qs04_lsh_bucketed_neardup",
+      "Sign-LSH bucketed near-dup pairs (the LSH ANN scale path, " +
+        "sibling of IVF): bucket = 8 hyperplane sign bits, pairs " +
+        "searched within buckets only — equi-join shuffle, no " +
+        "cartesian. Plane literals are generated from one source into " +
+        "both engines.",
+      (s, dir) =>
+        Similarity.lshBucketedNearDup(Tables.load(s, dir, "embeddings"),
+          "vec_id", "embedding", threshold = 0.4),
+      Some {
+        def planeList(p: Array[Float]): String =
+          p.map(v => if (v > 0) "1.0" else "-1.0").mkString("[", ", ", "]")
+        val planes = Similarity.signPlanes(8, 64)
+        val bucketExpr = planes.zipWithIndex.map { case (p, j) =>
+          s"CASE WHEN ${dkDot("embedding", planeList(p))} > 0.0 THEN ${1 << j} ELSE 0 END"
+        }.mkString(" + ")
+        s"""WITH e AS (
+           |  SELECT vec_id, embedding, ${dkNorm("embedding")} AS nrm,
+           |    ($bucketExpr) AS bucket
+           |  FROM embeddings)
+           |SELECT a.vec_id AS a_id, b.vec_id AS b_id
+           |FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+           |WHERE ${dkDot("a.embedding", "b.embedding")} / (a.nrm * b.nrm) >= 0.4""".stripMargin
+      }),
+
+    Q(
       "qs02_ivf_ann",
       "IVF-flat ANN: deterministic centroids (vec_id % 40 = 0), " +
         "nearest-centroid assignment, exact in-cell top-5. The cell " +

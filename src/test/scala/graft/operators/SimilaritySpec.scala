@@ -38,6 +38,15 @@ class SimilaritySpec extends SparkSuite {
     }
   }
 
+  test("lshBucketedNearDup: identical vectors share a bucket and pair up") {
+    val v = Array.tabulate(dim)(i => i.toFloat + 1)
+    val df = (vecs :+ (100L -> v) :+ (101L -> v)).toDF("vec_id", "embedding")
+    val pairs = Similarity.lshBucketedNearDup(df, "vec_id", "embedding",
+      threshold = 0.99, nPlanes = 4, dim = dim)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.contains((100L, 101L)))
+  }
+
   test("ivfTopK returns neighbors only from the query's cell, ranked") {
     val df = vecs.toDF("vec_id", "embedding")
     val got = Similarity.ivfTopK(df, "vec_id", "embedding", k = 3, centroidStride = 7)
