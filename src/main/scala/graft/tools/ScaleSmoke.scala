@@ -1,0 +1,93 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+import graft.expr.Exprs.exactSum
+import graft.operators.Dedup
+
+/** Scale-behavior smoke: multiply the sf tables by a factor (keys
+  * remapped so join cardinalities scale honestly, documents duplicated
+  * so dedup meets real duplicate mass), stage as multi-file parquet in
+  * /tmp, and time the representative operators. The point is the
+  * *slope*: if sf0.1→×N runtimes grow ~linearly the 100 TB argument in
+  * SCALING.md has evidence; superlinear growth flags a shuffle or skew
+  * problem to fix now.
+  *
+  * sbt -batch "runMain graft.tools.ScaleSmoke [factor] [baseSfDir]"
+  */
+object ScaleSmoke {
+  def main(args: Array[String]): Unit = {
+    val factor = if (args.length > 0) args(0).toInt else 10
+    val base = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
+    val out = s"/tmp/graft_scale_x$factor"
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
+    def scaled(name: String, keyCols: Seq[String]): DataFrame = {
+      val df = Tables.load(spark, base, name)
+      val copies = spark.range(factor.toLong).toDF("__copy")
+      val multiplied = df.crossJoin(copies)
+      keyCols.foldLeft(multiplied)((d, k) =>
+        d.withColumn(k, col(k) * factor + col("__copy"))).drop("__copy")
+    }
+
+    // stage multi-file parquet (the realistic input shape)
+    Seq(
+      ("lineitem", Seq("l_orderkey")),
+      ("orders", Seq("o_orderkey", "o_custkey")),
+      ("customer", Seq("c_custkey")),
+      ("documents", Seq("doc_id"))
+    ).foreach { case (n, keys) =>
+      scaled(n, keys).repartition(cpus.toInt)
+        .write.mode("overwrite").parquet(s"$out/$n.parquet")
+    }
+
+    def time(name: String)(thunk: => Long): (String, Double, Long) = {
+      val t0 = System.nanoTime()
+      val n = thunk
+      (name, (System.nanoTime() - t0) / 1e9, n)
+    }
+
+    val li = spark.read.parquet(s"$out/lineitem.parquet")
+    val ord = spark.read.parquet(s"$out/orders.parquet")
+    val cust = spark.read.parquet(s"$out/customer.parquet")
+    val docs = spark.read.parquet(s"$out/documents.parquet")
+
+    val results = Seq(
+      time("group_agg") {
+        li.groupBy($"l_returnflag", $"l_linestatus")
+          .agg(exactSum($"l_extendedprice").as("s"), count(lit(1)).as("n"))
+          .count()
+      },
+      time("fact_join_agg") {
+        li.join(ord, $"l_orderkey" === $"o_orderkey")
+          .join(cust, $"o_custkey" === $"c_custkey")
+          .groupBy($"c_mktsegment")
+          .agg(exactSum($"l_quantity").as("q")).count()
+      },
+      time("window_dedup") {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy($"l_orderkey").orderBy($"l_linenumber", $"l_partkey")
+        li.withColumn("rn", row_number().over(w)).filter($"rn" === 1).count()
+      },
+      time("exact_dedup") {
+        Dedup.exactDupGroups(docs, "doc_id", "text").filter($"n_copies" > 1).count()
+      },
+      time("minhash_lsh") {
+        Dedup.lshNearDupPairs(docs, "doc_id", "text").count()
+      })
+
+    val total = results.map(_._2).sum
+    val qs = results.map { case (k, v, n) => s""""$k":{"sec":$v,"rows":$n}""" }
+      .mkString("{", ",", "}")
+    println(s"""{"metric":"scale_smoke","factor":$factor,"total_sec":$total,"ops":$qs}""")
+    spark.stop()
+  }
+}
