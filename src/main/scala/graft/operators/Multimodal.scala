@@ -46,7 +46,6 @@ object Multimodal {
       (b(0) & 0xff) == 0x89 && b(1) == 'P' && b(2) == 'N' && b(3) == 'G') "png"
     else if (b.length >= 3 && (b(0) & 0xff) == 0xff && (b(1) & 0xff) == 0xd8) "jpeg"
     else if (b.length >= 4 && b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F') "riff"
-    else if (b.length >= 4 && b(4 min (b.length - 1)) == 't') "unknown"
     else "unknown"
 
   /** Decode + feature-extract one image payload.

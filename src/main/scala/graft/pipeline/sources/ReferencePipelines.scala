@@ -54,7 +54,8 @@ object ReferencePipelines {
           .withColumn("indicator_name",
             concat(lit(name), lit(" ["), lit(code), lit("]"))))
       }
-      frames.reduceLeft(_.unionByName(_, allowMissingColumns = true))
+      if (frames.isEmpty) spark.emptyDataFrame
+      else frames.reduceLeft(_.unionByName(_, allowMissingColumns = true))
     }
   }
 
