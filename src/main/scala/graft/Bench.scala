@@ -16,7 +16,11 @@ object Bench {
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val dt = (System.nanoTime() - t0) / 1e9
+      // operators persist multiply-consumed frames; drop them between
+      // queries so cache residency doesn't accumulate across the run
+      try spark.catalog.clearCache() catch { case _: Throwable => () }
+      name -> dt
     }.toMap
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

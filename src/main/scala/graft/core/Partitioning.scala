@@ -35,7 +35,12 @@ object Partitioning {
     * input split, which would serialize hashing/shingling/vector math
     * onto one core; at real scale inputs arrive in many splits and this
     * is a no-op (it never *reduces* partitioning). The repartition key
-    * keeps co-location meaningful for downstream aggregates. */
+    * keeps co-location meaningful for downstream aggregates.
+    *
+    * Cost note: reading `rdd.getNumPartitions` plans the frame once
+    * without executing it. Call this on scan-level inputs (as the
+    * operators do), not on deep plans, so the extra planning pass is
+    * file-listing only. */
   def parallelize(df: DataFrame, key: Column): DataFrame = {
     val target = df.sparkSession.sessionState.conf.numShufflePartitions
     if (df.rdd.getNumPartitions < target) df.repartition(target, key) else df

@@ -25,5 +25,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[FloatVecDot].getName, "graft_vec_dot"),
       (exprs: Seq[Expression]) => FloatVecDot(exprs(0), exprs(1)))
       : (FunctionIdentifier, ExpressionInfo, FunctionRegistry.FunctionBuilder))
+    ext.injectFunction((
+      FunctionIdentifier("graft_bottom_k"),
+      new ExpressionInfo(classOf[BottomKSketch].getName, "graft_bottom_k"),
+      (exprs: Seq[Expression]) => {
+        val k = exprs(1) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v, _) =>
+            v.toString.toInt
+          case other => throw new IllegalArgumentException(
+            s"graft_bottom_k k must be a literal, got $other")
+        }
+        BottomKSketch(exprs(0), k)
+      }): (FunctionIdentifier, ExpressionInfo, FunctionRegistry.FunctionBuilder))
   }
 }

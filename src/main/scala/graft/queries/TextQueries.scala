@@ -173,9 +173,12 @@ object TextQueries {
           .agg(call_function("graft_bottom_k", col("h"), lit(k)).as("sk"),
             countDistinct(col("h")).as("exact_distinct"))
           .select(col("lang"),
-            element_at(col("sk"), k).as("kth_min"),
+            // try_element_at: a group with < k distinct hashes yields
+            // null (ANSI element_at would throw), matching the oracle's
+            // out-of-range list index -> NULL
+            try_element_at(col("sk"), lit(k)).as("kth_min"),
             (lit((k - 1).toDouble) * pow(lit(2.0), lit(60.0)) /
-              element_at(col("sk"), k).cast("double")).as("est_distinct"),
+              try_element_at(col("sk"), lit(k)).cast("double")).as("est_distinct"),
             col("exact_distinct"))
       },
       Some(s"""WITH sh AS (

@@ -105,7 +105,8 @@ object JsonSources {
     * instead of post-filtering rows. */
   def odataFilter(kwargs: Map[String, Any]): String = {
     def render(v: Any): String = v match {
-      case s: String => s"'$s'"
+      // OData escapes a single quote by doubling it
+      case s: String => "'" + s.replace("'", "''") + "'"
       case other => other.toString
     }
     val parts = "NumericValue ne null" +: kwargs.toSeq.sortBy(_._1).map {

@@ -104,7 +104,8 @@ object ODataFilters {
   }
 
   private def renderValue(v: Any): String = v match {
-    case s: String => s"'$s'"
+    // OData escapes a single quote by doubling it
+    case s: String => "'" + s.replace("'", "''") + "'"
     case other => String.valueOf(other)
   }
 
@@ -129,29 +130,43 @@ object ODataFilters {
     * re-check filters a source accepted — and real OData endpoints
     * silently ignore `$filter` fields they don't know — so the reader
     * applies them again as a safety net (cheap row predicate, still
-    * server-side data reduction when the endpoint cooperates). */
+    * server-side data reduction when the endpoint cooperates).
+    *
+    * Three-valued: a comparison the reader cannot decide locally
+    * (missing field is decidable; a JSON/filter TYPE mismatch, e.g. a
+    * numeric filter against a string-serialized number, is not) must
+    * PASS the row — dropping it would turn a type quirk into silent
+    * data loss. Unknown ≠ false.
+    */
   def evalLocally(obj: JValue, f: Filter): Boolean = {
     def field(a: String): JValue = obj \ a
+    def isNull(jv: JValue): Boolean = jv == JNothing || jv == JNull
+    // None = locally undecidable (type mismatch) → caller passes the row
     def cmp(jv: JValue, v: Any): Option[Int] = (jv, v) match {
-      case (JNothing | JNull, _) => None
-      case (JString(s), x) => Some(s.compareTo(String.valueOf(x)))
+      case (JString(s), x: String) => Some(s.compareTo(x))
       case (JInt(i), x: Number) => Some(i.toDouble.compareTo(x.doubleValue()))
       case (JDouble(d), x: Number) => Some(d.compareTo(x.doubleValue()))
       case (JDecimal(d), x: Number) => Some(d.toDouble.compareTo(x.doubleValue()))
       case (JBool(b), x: Boolean) => Some(b.compareTo(x))
       case _ => None
     }
+    def decide(jv: JValue, v: Any)(p: Int => Boolean): Boolean =
+      if (isNull(jv)) false // null never satisfies a comparison
+      else cmp(jv, v).forall(p) // undecidable → pass
     f match {
-      case EqualTo(a, v) => cmp(field(a), v).contains(0)
-      case In(a, vs) => vs.exists(v => cmp(field(a), v).contains(0))
-      case GreaterThan(a, v) => cmp(field(a), v).exists(_ > 0)
-      case GreaterThanOrEqual(a, v) => cmp(field(a), v).exists(_ >= 0)
-      case LessThan(a, v) => cmp(field(a), v).exists(_ < 0)
-      case LessThanOrEqual(a, v) => cmp(field(a), v).exists(_ <= 0)
-      case IsNotNull(a) => field(a) match {
-        case JNothing | JNull => false
-        case _ => true
-      }
+      case EqualTo(a, v) => decide(field(a), v)(_ == 0)
+      case In(a, vs) =>
+        if (isNull(field(a))) false
+        else {
+          val results = vs.map(v => cmp(field(a), v))
+          if (results.exists(_.isEmpty)) true // any undecidable → pass
+          else results.exists(_.contains(0))
+        }
+      case GreaterThan(a, v) => decide(field(a), v)(_ > 0)
+      case GreaterThanOrEqual(a, v) => decide(field(a), v)(_ >= 0)
+      case LessThan(a, v) => decide(field(a), v)(_ < 0)
+      case LessThanOrEqual(a, v) => decide(field(a), v)(_ <= 0)
+      case IsNotNull(a) => !isNull(field(a))
       case And(l, r) => evalLocally(obj, l) && evalLocally(obj, r)
       case _ => true
     }

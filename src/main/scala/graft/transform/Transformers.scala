@@ -71,10 +71,14 @@ final case class ODataObservationsTransformer(
     val dimEntries = (1 to dims).flatMap { i =>
       val t = col(s"Dim${i}Type")
       val v = col(s"Dim$i")
+      // build the strip pattern from the category value: anchor it and
+      // escape regex metacharacters so "AGE(GROUP)" strips literally
+      val pattern = concat(lit("^"),
+        regexp_replace(t, "([^A-Za-z0-9])", "\\\\$1"), lit("_"))
       Seq(
         coalesce(lower(t), lit(s"__absent$i")),
         when(t.isNotNull && v.isNotNull,
-          regexp_replace(v, concat(t, lit("_")), lit(""))).otherwise(lit(null)))
+          regexp_replace(v, pattern, lit(""))).otherwise(lit(null)))
     }
     val shaped = df
       .withColumn("dimension", Exprs.resolveDimensions(map(dimEntries: _*)))

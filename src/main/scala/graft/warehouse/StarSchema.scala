@@ -34,8 +34,13 @@ object StarSchema {
     // persist so its upstream pipeline executes once, not three times
     val obs = obs0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val country = countryTable(spark)
+    // indicator.name is the UNIQUE key (reference `entities.py:55`
+    // declares name unique; provider is an attribute). min(provider)
+    // resolves the pathological case of two providers emitting the same
+    // name — one dim row per name, so the FK join below cannot fan out.
     val indicator = obs
-      .select(col("indicator_name").as("name"), col("provider")).distinct()
+      .select(col("indicator_name").as("name"), col("provider"))
+      .groupBy(col("name")).agg(min(col("provider")).as("provider"))
       .withColumn("id", dense_rank().over(Window.orderBy(col("name"))).cast("long"))
     val dimension = obs
       .select(col("dimension").as("name")).distinct()
