@@ -23,9 +23,15 @@ class VectorFunctionsSpec extends SparkSuite {
     }
   }
 
-  test("GraftExtensions registers the function builder without error") {
+  test("GraftExtensions registers both native functions") {
     val ext = new org.apache.spark.sql.SparkSessionExtensions
     new GraftExtensions().apply(ext)
+    // parity with GraftFunctions.register: both functions resolvable
+    GraftFunctions.register(spark)
+    assert(spark.sql("SELECT graft_vec_dot(array(cast(1.0 as float)), array(cast(2.0 as float)))")
+      .collect()(0).getDouble(0) == 2.0)
+    assert(spark.sql("SELECT graft_bottom_k(h, 2) FROM (SELECT explode(array(3L, 1L, 2L)) AS h)")
+      .collect()(0).getSeq[Long](0) == Seq(1L, 2L))
   }
 
   test("FloatVecDot interpreted eval agrees with codegen path") {

@@ -92,4 +92,24 @@ class ODataSourceSpec extends SparkSuite {
     TestODataTransportFactory.responses = Map("/IND_A" -> bodyA) // IND_B missing
     assert(readOData().count() == 2)
   }
+
+  test("local re-check passes rows on type-undecidable comparisons") {
+    import org.apache.spark.sql.sources.{EqualTo, GreaterThan}
+    import org.json4s.jackson.JsonMethods
+    // numeric filter vs string-serialized number: undecidable -> pass
+    val row = JsonMethods.parse("""{"TimeDim":"1000","SpatialDim":"AFG"}""")
+    assert(ODataFilters.evalLocally(row, GreaterThan("TimeDim", 999)))
+    // matching types still filter
+    assert(!ODataFilters.evalLocally(row, EqualTo("SpatialDim", "NAM")))
+    // null field fails comparisons (the value-guard semantics)
+    assert(!ODataFilters.evalLocally(row, EqualTo("Missing", "x")))
+  }
+
+  test("string literals double embedded single quotes") {
+    import org.apache.spark.sql.sources.EqualTo
+    assert(ODataFilters.render(EqualTo("DataSourceDim", "L'OMS")) ==
+      "DataSourceDim eq 'L''OMS'")
+    assert(graft.sources.JsonSources.odataFilter(Map("k" -> "a'b")) ==
+      "NumericValue ne null and k eq 'a''b'")
+  }
 }
