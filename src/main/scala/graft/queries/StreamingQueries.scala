@@ -50,9 +50,11 @@ object StreamingQueries {
     Q(
       "qst02_stream_sessions",
       "Stateful streaming sessionization (flatMapGroupsWithState, " +
-        "event-time timeouts) run as a real stream over the event file; " +
-        "emits gap-closed sessions. Rows-only check (Append-mode state " +
-        "semantics aren't a SQL expression).",
+        "event-time timeouts) run as a real stream over the event file. " +
+        "Oracle-checked: the emitted set is exactly the batch-SQL " +
+        "sessions minus each user's final session UNLESS that session " +
+        "timed out against the final watermark (end + 2·gap < max ts) — " +
+        "streaming state semantics replayed as SQL.",
       (s, dir) => {
         import s.implicits._
         s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -80,7 +82,33 @@ object StreamingQueries {
         if (!q.awaitTermination(180000)) q.stop()
         s.table(name)
       },
-      None),
+      Some("""WITH ev AS (
+        |  SELECT *, lag(epoch_us(CAST(ts AS TIMESTAMP))) OVER (
+        |    PARTITION BY user_id ORDER BY ts, event_id) AS prev
+        |  FROM events),
+        |flagged AS (
+        |  SELECT *, CASE WHEN prev IS NULL
+        |      OR epoch_us(CAST(ts AS TIMESTAMP)) - prev > 1800000000
+        |    THEN 1 ELSE 0 END AS brk FROM ev),
+        |sess AS (
+        |  SELECT *, sum(brk) OVER (
+        |    PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS UNBOUNDED PRECEDING) AS sid FROM flagged),
+        |agg AS (
+        |  SELECT user_id, sid,
+        |    min(epoch_us(CAST(ts AS TIMESTAMP))) AS start_us,
+        |    max(epoch_us(CAST(ts AS TIMESTAMP))) AS end_us,
+        |    count(*) AS n_events, round(sum(value), 6) AS total_value
+        |  FROM sess GROUP BY user_id, sid),
+        |mx AS (SELECT max(epoch_us(CAST(ts AS TIMESTAMP))) AS maxts FROM events)
+        |SELECT user_id,
+        |  strftime(make_timestamp(start_us), '%Y-%m-%d %H:%M:%S') AS session_start,
+        |  strftime(make_timestamp(end_us), '%Y-%m-%d %H:%M:%S') AS session_end,
+        |  n_events, total_value
+        |FROM (
+        |  SELECT a.*, row_number() OVER (
+        |    PARTITION BY user_id ORDER BY sid DESC) AS rn FROM agg a), mx
+        |WHERE rn > 1 OR end_us + CAST(3600000000 AS BIGINT) < maxts""".stripMargin)),
 
     Q(
       "qm01_media_features",
