@@ -12,6 +12,12 @@ import org.apache.spark.sql.functions._
   * survives 100 TB (candidate generation stays linear in n, the join
   * shuffles only band keys, and verification touches candidate pairs
   * only).
+  *
+  * Caching contract: the pair operators persist intermediate frames
+  * (shingle sets, inverted index, signatures) for the session lifetime
+  * — Spark's LRU evicts under pressure, but a long-lived session
+  * running many corpora should call `spark.catalog.clearCache()` (or
+  * unpersist by plan) between corpora.
   */
 object Dedup {
 
