@@ -256,6 +256,27 @@ object TextQueries {
         |FROM documents""".stripMargin)),
 
     Q(
+      "qt05_normalize",
+      "Text normalization (curation preprocessing): lowercase, strip " +
+        "punctuation, collapse whitespace runs — plus the length delta " +
+        "as a cheap cleanliness signal. Narrow codegen'd transform.",
+      (s, dir) => {
+        val norm = trim(regexp_replace(
+          regexp_replace(lower(col("text")), "[^a-z0-9\\s]", " "),
+          "\\s+", " "))
+        Tables.load(s, dir, "documents").select(
+          col("doc_id"), norm.as("norm_text"),
+          (length(col("text")) - length(norm)).cast("long").as("len_delta"))
+      },
+      Some("""SELECT doc_id,
+        |  trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'),
+        |       '\s+', ' ', 'g')) AS norm_text,
+        |  CAST(length(text) - length(trim(regexp_replace(
+        |    regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'),
+        |    '\s+', ' ', 'g'))) AS BIGINT) AS len_delta
+        |FROM documents""".stripMargin)),
+
+    Q(
       "qt04_fingerprint",
       "Document fingerprints: content md5, order-insensitive " +
         "bag-of-words md5, and the 3-shingle minimizer hash (winnowing " +
