@@ -82,6 +82,14 @@ object ScaleSmoke {
       },
       time("minhash_lsh") {
         Dedup.lshNearDupPairs(docs, "doc_id", "text").count()
+      },
+      time("minhash_after_exact_collapse") {
+        // the documented production order: collapse exact duplicates
+        // first so LSH pair generation sees near-dup mass only
+        val reps = Dedup.exactDupGroups(docs, "doc_id", "text")
+          .select($"keep_id".as("doc_id"))
+        val collapsed = docs.join(reps, Seq("doc_id"), "left_semi")
+        Dedup.lshNearDupPairs(collapsed, "doc_id", "text").count()
       })
 
     val total = results.map(_._2).sum
