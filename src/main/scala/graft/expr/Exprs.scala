@@ -111,6 +111,28 @@ object Exprs {
     }
   }
 
+  /** Build a map column from an `array<struct<key,value>>` with
+    * Python-dict duplicate-key semantics: the key keeps its FIRST
+    * insertion position but carries the LAST value written
+    * (`d[k]=v1; d[k]=v2` leaves k where it was, holding v2). Spark's
+    * default `spark.sql.mapKeyDedupPolicy=EXCEPTION` makes a plain
+    * `map()`/`transform_keys` throw RUNTIME_ERROR on a collision at
+    * execution time — e.g. two `DimType` slots carrying the same type
+    * (`who_gho_api.py:152-190`'s dict fold silently last-wins), so the
+    * dedup must happen BEFORE the map is built. O(k²) per row — fine
+    * for the ≤dozen-entry dimension maps this serves. */
+  def mapLastWins(entries: Column): Column = {
+    val lastValued = transform(entries, e =>
+      struct(
+        e.getField("key").as("key"),
+        element_at(
+          filter(entries, e2 => e2.getField("key") === e.getField("key")), -1)
+          .getField("value").as("value")))
+    map_from_entries(filter(lastValued, (e, i) =>
+      !exists(slice(entries, lit(1), i),
+        prior => prior.getField("key") === e.getField("key"))))
+  }
+
   /** Exact-sum of a double measure: cast each value to DECIMAL(30,6)
     * (exact for data with ≤6 decimal digits), sum exactly (decimal sums
     * are order-independent — safe under any shuffle/partial-agg order),

@@ -55,8 +55,10 @@ trait Storage {
 }
 
 object Storage {
-  /** Reference version-stamp format (`storage/_base.py:29-38`). */
-  def stamp(date: LocalDate = LocalDate.now()): String =
+  /** Reference version-stamp format (`storage/_base.py:29-38`): the
+    * reference stamps in UTC (`datetime.now(UTC)`), so the default must
+    * be UTC too — a local-zone clock diverges near midnight. */
+  def stamp(date: LocalDate = LocalDate.now(java.time.ZoneOffset.UTC)): String =
     "v" + date.format(DateTimeFormatter.ofPattern("yy-MM-dd"))
 }
 

@@ -77,7 +77,15 @@ object EventStreams {
           val t = e.ts.getTime
           cur match {
             case Some(s) if t - s.lastSeen <= gapMillis =>
-              cur = Some(s.copy(lastSeen = t, count = s.count + 1, sum = s.sum + e.value))
+              // Out-of-order but within-watermark events must never move
+              // the session window backwards: a t < lastSeen arrival would
+              // otherwise shrink the session end across micro-batches,
+              // fire the event-time timeout early, and split a session
+              // that a single-batch replay keeps whole.
+              cur = Some(s.copy(
+                sessionStart = math.min(s.sessionStart, t),
+                lastSeen = math.max(s.lastSeen, t),
+                count = s.count + 1, sum = s.sum + e.value))
             case Some(s) =>
               close(s)
               cur = Some(SessionState(t, t, 1, e.value))

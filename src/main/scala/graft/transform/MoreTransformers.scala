@@ -52,13 +52,19 @@ object UnstatsSdgApiTransformer extends Transformer {
           col("series")))
       .na.drop(Seq("value", "country_code"))
     // dimensions arrive as a JSON object (inferred struct); re-read as a
-    // map so dynamic per-series keys survive, then snake_case and fold
-    val dims = transform_keys(
-      from_json(to_json(col("dimensions")),
-        org.apache.spark.sql.types.MapType(
-          org.apache.spark.sql.types.StringType,
-          org.apache.spark.sql.types.StringType)),
-      (k, _) => regexp_replace(lower(trim(k)), "\\s+", "_"))
+    // map so dynamic per-series keys survive, then snake_case and fold.
+    // Snake-casing can collide distinct raw keys ("Age Group" vs
+    // "age  group") — transform_keys would throw under
+    // mapKeyDedupPolicy=EXCEPTION, so rebuild via mapLastWins (dict parity).
+    val rawMap = from_json(to_json(col("dimensions")),
+      org.apache.spark.sql.types.MapType(
+        org.apache.spark.sql.types.StringType,
+        org.apache.spark.sql.types.StringType))
+    val snakeEntries = transform(map_entries(rawMap), e =>
+      struct(
+        regexp_replace(lower(trim(e.getField("key"))), "\\s+", "_").as("key"),
+        e.getField("value").as("value")))
+    val dims = Exprs.mapLastWins(snakeEntries)
     cleaned
       .withColumn("dimension", Exprs.resolveDimensions(dims))
       .select(col("indicator_name"), col("country_code"), col("year"),

@@ -68,20 +68,24 @@ final case class ODataObservationsTransformer(
     dims: Int = 3) extends Transformer {
 
   override def transform(df: DataFrame): DataFrame = {
-    val dimEntries = (1 to dims).flatMap { i =>
+    val dimEntries = (1 to dims).map { i =>
       val t = col(s"Dim${i}Type")
       val v = col(s"Dim$i")
       // build the strip pattern from the category value: anchor it and
       // escape regex metacharacters so "AGE(GROUP)" strips literally
       val pattern = concat(lit("^"),
         regexp_replace(t, "([^A-Za-z0-9])", "\\\\$1"), lit("_"))
-      Seq(
-        coalesce(lower(t), lit(s"__absent$i")),
+      struct(
+        coalesce(lower(t), lit(s"__absent$i")).as("key"),
         when(t.isNotNull && v.isNotNull,
-          regexp_replace(v, pattern, lit(""))).otherwise(lit(null)))
+          regexp_replace(v, pattern, lit(""))).otherwise(lit(null)).as("value"))
     }
+    // mapLastWins, not map(): two Dim slots carrying the same DimType
+    // would make a plain map() throw under mapKeyDedupPolicy=EXCEPTION,
+    // where the reference's Python dict silently last-wins.
     val shaped = df
-      .withColumn("dimension", Exprs.resolveDimensions(map(dimEntries: _*)))
+      .withColumn("dimension",
+        Exprs.resolveDimensions(Exprs.mapLastWins(array(dimEntries: _*))))
       .withColumn("source",
         regexp_replace(col("DataSourceDim"), "^DATASOURCE_", ""))
       .select(
