@@ -60,7 +60,7 @@ object UnstatsSdgApiTransformer extends Transformer {
       org.apache.spark.sql.types.MapType(
         org.apache.spark.sql.types.StringType,
         org.apache.spark.sql.types.StringType))
-    val snakeEntries = transform(map_entries(rawMap), e =>
+    val snakeEntries = org.apache.spark.sql.functions.transform(map_entries(rawMap), e =>
       struct(
         regexp_replace(lower(trim(e.getField("key"))), "\\s+", "_").as("key"),
         e.getField("value").as("value")))
