@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deduplication operators for large text corpora — the beyond-reference
@@ -69,6 +70,30 @@ object Dedup {
           transform(slice(sig, b * lit(r) + lit(1), lit(r)), _.cast("string")),
           ",").as("bkey")))
 
+  /** Default in-bucket membership cap for the banded near-dup joins.
+    * A mega-cluster of near-identical documents lands every member in
+    * the same LSH bucket; uncapped, that bucket materializes one giant
+    * array on a single reducer and emits O(m²) pairs. 256 members
+    * (≤32640 pairs per bucket) keeps the reducer bounded while leaving
+    * real near-dup buckets — tens of members at most — untouched. */
+  val DefaultMaxBucketSize: Int = 256
+
+  /** Bound bucket membership BEFORE the collect_list: keep the first
+    * `cap` members of each (band, key) bucket in ascending id order.
+    * The window partitions on the same keys as the downstream groupBy,
+    * so the exchange is reused; buckets at or under the cap are
+    * untouched (identical pair set), oversized buckets emit pairs among
+    * their cap lowest ids only — truncation, not silent OOM. Members of
+    * a truncated mega-bucket are still mutually reachable through the
+    * kept representatives' pairs (connected-component closure), which
+    * is the SCALING.md prescription for duplicate-mass clusters. */
+  private def capBuckets(banded: DataFrame, band: Column, key: Column, cap: Int): DataFrame =
+    banded
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(band, key).orderBy(col("doc_id"))))
+      .filter(col("__rn") <= cap)
+      .drop("__rn")
+
   /** Set jaccard of two distinct-element arrays (single exact double
     * division of two int counts — deterministic). */
   def jaccard(a: Column, b: Column): Column =
@@ -93,7 +118,8 @@ object Dedup {
       nShingle: Int = 3,
       k: Int = 16,
       bands: Int = 4,
-      threshold: Double = 0.5): DataFrame = {
+      threshold: Double = 0.5,
+      maxBucketSize: Int = DefaultMaxBucketSize): DataFrame = {
     val r = k / bands
     require(bands * r == k, "k must be divisible by bands")
     require(k <= 64, "j*hi must stay below 2^63")
@@ -124,11 +150,10 @@ object Dedup {
     // Candidate pairs: group each LSH bucket's members and emit the
     // in-bucket combinations — ONE pass over the signatures, instead of
     // a self-join that would evaluate the whole minhash pipeline twice.
-    // Buckets are near-dup clusters, so member lists stay small; a
-    // pathological mega-cluster would surface here as skew (by design —
-    // it IS the duplicate mass you're hunting).
+    // Buckets are near-dup clusters, so member lists stay small; the
+    // capBuckets guard bounds the pathological mega-cluster case.
     val ids = col("ids")
-    val pairs = banded
+    val pairs = capBuckets(banded, col("band"), col("bkey"), maxBucketSize)
       .groupBy(col("band"), col("bkey"))
       .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
       .filter(size(ids) > 1)
@@ -184,7 +209,8 @@ object Dedup {
       idCol: String,
       textCol: String,
       maxHamming: Int = 8,
-      nShingle: Int = 3): DataFrame = {
+      nShingle: Int = 3,
+      maxBucketSize: Int = DefaultMaxBucketSize): DataFrame = {
     val sigs = graft.core.Partitioning.parallelize(docs, col(idCol))
       .select(col(idCol).as("doc_id"), split(col(textCol), " ").as("w"))
       .filter(size(col("w")) >= nShingle)
@@ -196,9 +222,11 @@ object Dedup {
       lit(b).as("band"),
       shiftright(col("sh"), 15 * b).bitwiseAND(lit(32767L)).as("bval")))
     val ids = col("ids")
-    val pairs = sigs
+    val banded = sigs
       .select(col("doc_id"), explode(array(bandStructs: _*)).as("bk"))
-      .groupBy(col("bk.band"), col("bk.bval"))
+      .select(col("doc_id"), col("bk.band").as("band"), col("bk.bval").as("bval"))
+    val pairs = capBuckets(banded, col("band"), col("bval"), maxBucketSize)
+      .groupBy(col("band"), col("bval"))
       .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
       .filter(size(ids) > 1)
       .select(explode(flatten(transform(ids, (x, i) =>

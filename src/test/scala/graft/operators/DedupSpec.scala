@@ -59,6 +59,38 @@ class DedupSpec extends SparkSuite {
     assert(pairs.toSeq == Seq((1L, 2L)))
   }
 
+  test("mega-bucket cap bounds pair emission for a 1000-member near-dup cluster") {
+    // 1000 identical docs: every member lands in the same LSH bucket in
+    // every band. Uncapped, that emits C(1000,2) = 499500 pairs from one
+    // reducer; with the cap only the `cap` lowest ids per bucket pair up.
+    val base = (0 until 60).map(i => s"w${i % 13} t$i").mkString(" ")
+    val cluster = (1L to 1000L).map(i => (i, base))
+    val docs = cluster.toDF("doc_id", "text")
+
+    val lshPairs = Dedup.lshNearDupPairs(docs, "doc_id", "text",
+      nShingle = 3, k = 16, bands = 4, threshold = 0.5, maxBucketSize = 50)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(lshPairs.length == 50 * 49 / 2)
+    assert(lshPairs.forall { case (a, b) => a <= 50 && b <= 50 })
+
+    val shPairs = Dedup.simhashNearDupPairs(docs, "doc_id", "text",
+      maxHamming = 8, nShingle = 3, maxBucketSize = 50)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(shPairs.length == 50 * 49 / 2)
+    assert(shPairs.forall { case (a, b) => a <= 50 && b <= 50 })
+  }
+
+  test("bucket cap leaves small buckets untouched (same pairs as uncapped)") {
+    val base = (0 until 60).map(i => s"w${i % 13} t$i").mkString(" ")
+    val nearDup = base.replace("t7", "t999")
+    val other = (0 until 60).map(i => s"z$i q${i * 3}").mkString(" ")
+    val docs = Seq((1L, base), (2L, nearDup), (3L, other)).toDF("doc_id", "text")
+    def run(cap: Int) = Dedup.lshNearDupPairs(docs, "doc_id", "text",
+      nShingle = 3, k = 16, bands = 4, threshold = 0.5, maxBucketSize = cap)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(run(Dedup.DefaultMaxBucketSize) == run(1000000))
+  }
+
   test("minhashSignature matches the explode-aggregate construction") {
     // library API (expression form) must agree with the query-path math
     val df = Seq("a b c d e f g").toDF("t")
