@@ -114,12 +114,33 @@ object StreamingQueries {
       "qm01_media_features",
       "Multimodal plumbing: wrap document text bytes as media rows, " +
         "extract per-partition batched byte-level features (stub " +
-        "decode). Rows-only check — features are not SQL-expressible.",
+        "decode). Oracle-checked: n_bytes/entropy/mean_byte/format are " +
+        "replayed in SQL over the text bytes (6-decimal rounding " +
+        "absorbs libm log ulp differences); the stub-derived " +
+        "width/height stay library-only.",
       (s, dir) => {
         val docs = graft.core.Tables.load(s, dir, "documents")
         val media = Multimodal.asMedia(docs, "doc_id", "text", "text/plain")
         Multimodal.extractFeatures(media).toDF()
+          .select(col("media_id"), col("format"), col("n_bytes"),
+            round(col("entropy"), 6).as("entropy"),
+            round(col("mean_byte"), 6).as("mean_byte"))
       },
-      None)
+      Some("""WITH b AS (
+        |  SELECT doc_id, unicode(substring(text, CAST(t.i AS INT), 1)) AS code
+        |  FROM documents, unnest(range(1, length(text)+1)) AS t(i)),
+        |h AS (SELECT doc_id, code, CAST(count(*) AS DOUBLE) AS c FROM b GROUP BY 1, 2),
+        |n AS (SELECT doc_id, CAST(length(text) AS DOUBLE) AS n FROM documents),
+        |e AS (
+        |  SELECT h.doc_id,
+        |    sum(-(c/n.n)*log2(c/n.n)) AS ent,
+        |    sum(code*(c/n.n)) AS mb
+        |  FROM h JOIN n ON h.doc_id = n.doc_id GROUP BY 1)
+        |SELECT d.doc_id AS media_id,
+        |  CASE WHEN substring(d.text,1,4)='RIFF' THEN 'riff' ELSE 'unknown' END AS format,
+        |  CAST(length(d.text) AS BIGINT) AS n_bytes,
+        |  round(e.ent, 6) AS entropy,
+        |  round(e.mb, 6) AS mean_byte
+        |FROM documents d JOIN e ON d.doc_id = e.doc_id""".stripMargin))
   )
 }
