@@ -30,6 +30,21 @@ object Partitioning {
       .agg(merge.head, merge.tail: _*)
   }
 
+  /** Dense surrogate ids 1..n in `order`-sorted order for a DIM-SIZED
+    * frame, without a global window. `dense_rank().over(Window.orderBy)`
+    * plans a partitionless WindowExec — same single reducer, plus a
+    * planner warning in every run. Instead: coalesce to one partition,
+    * sort within it, and number rows with monotonically_increasing_id
+    * (partition 0 ⇒ ids 0,1,2,…). Equal to dense_rank when the sort
+    * keys are distinct (dim builds always are — they follow a
+    * distinct/groupBy). The nondeterministic id expression cannot be
+    * reordered past the sort by Catalyst, and the sorted single
+    * partition makes the numbering deterministic. Dim-sized frames
+    * only: the coalesce serializes the tail of the plan. */
+  def denseIds(df: DataFrame, idCol: String, order: Column*): DataFrame =
+    df.coalesce(1).sortWithinPartitions(order: _*)
+      .withColumn(idCol, (monotonically_increasing_id() + 1).cast("long"))
+
   /** Ensure a CPU-heavy narrow pipeline gets the session's full
     * shuffle parallelism. A small single-file parquet scan yields one
     * input split, which would serialize hashing/shingling/vector math

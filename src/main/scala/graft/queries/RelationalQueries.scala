@@ -363,15 +363,14 @@ object RelationalQueries {
       "q21_dim_build",
       "A5 + J1: dimension-table build (project→distinct→stable surrogate " +
         "id) and FK resolution back onto the fact table " +
-        "(`database.ipynb` cells 8-12). dense_rank over a 6-row distinct " +
-        "set — the single-partition window is safe only because dims are " +
-        "small by definition.",
+        "(`database.ipynb` cells 8-12). Dense ids over a 6-row distinct " +
+        "set via single-partition numbering (Partitioning.denseIds) — " +
+        "no global window, safe only because dims are small by definition.",
       (s, dir) => {
         val li = t(s, dir, "lineitem")
-        val dim = li.select(col("l_returnflag"), col("l_linestatus")).distinct()
-          .withColumn("flag_id",
-            dense_rank().over(
-              Window.orderBy(col("l_returnflag"), col("l_linestatus"))).cast("long"))
+        val dim = graft.core.Partitioning.denseIds(
+          li.select(col("l_returnflag"), col("l_linestatus")).distinct(),
+          "flag_id", col("l_returnflag"), col("l_linestatus"))
         li.join(broadcast(dim), Seq("l_returnflag", "l_linestatus"))
           .groupBy(col("flag_id"))
           .agg(count(lit(1)).as("n_rows"))

@@ -174,7 +174,11 @@ final case class EnergydataInfoTransformer(
     fillCols: Seq[String] = Seq("Country", "Technology", "Grid")) extends Transformer {
 
   override def transform(df: DataFrame): DataFrame = {
-    val w = Window.orderBy(col("_row_idx"))
+    // one sheet = one fill domain: the constant partition key keeps the
+    // total order the fill needs while giving WindowExec a non-empty
+    // partition spec (a partitionless window logs a planner warning on
+    // every run)
+    val w = Window.partitionBy(lit(0)).orderBy(col("_row_idx"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val filled = fillCols.filter(df.columns.contains).foldLeft(df)((d, c) =>
       d.withColumn(c, last(col(c), ignoreNulls = true).over(w)))

@@ -1,7 +1,6 @@
 package graft.warehouse
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.core.Countries
 
@@ -38,13 +37,13 @@ object StarSchema {
     // declares name unique; provider is an attribute). min(provider)
     // resolves the pathological case of two providers emitting the same
     // name — one dim row per name, so the FK join below cannot fan out.
-    val indicator = obs
-      .select(col("indicator_name").as("name"), col("provider"))
-      .groupBy(col("name")).agg(min(col("provider")).as("provider"))
-      .withColumn("id", dense_rank().over(Window.orderBy(col("name"))).cast("long"))
-    val dimension = obs
-      .select(col("dimension").as("name")).distinct()
-      .withColumn("id", dense_rank().over(Window.orderBy(col("name"))).cast("long"))
+    val indicator = graft.core.Partitioning.denseIds(
+      obs.select(col("indicator_name").as("name"), col("provider"))
+        .groupBy(col("name")).agg(min(col("provider")).as("provider")),
+      "id", col("name"))
+    val dimension = graft.core.Partitioning.denseIds(
+      obs.select(col("dimension").as("name")).distinct(),
+      "id", col("name"))
     val series = obs
       .join(broadcast(country.select(col("id").as("country_id"),
         col("iso3").as("country_code"))), Seq("country_code"))
