@@ -250,8 +250,10 @@ object Dedup {
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
 
   /** Blocked exact n-gram-jaccard near-dup pairs: block on
-    * (lang, length-bucket), probe ±1 bucket via an exploded equi-join
-    * (the scale-safe form of the |lenA−lenB|≤width range join).
+    * (lang, length-bucket), probe the ±1-bucket window via an exploded
+    * equi-join (the scale-safe form of the |lenA−lenB|≤width range
+    * join), with pair ownership oriented so only the upward bucket is
+    * probed.
     *
     * Two scale tricks, both semantics-preserving:
     *  - shingles are compared as 60-bit hashes, not strings — the
@@ -299,14 +301,27 @@ object Dedup {
           .filter(col("df") > cut).select(col("shh"))
         invAll.join(broadcast(hot), Seq("shh"), "left_anti")
     }
+    // Pair ownership is oriented by (bucket, doc_id), not doc_id alone:
+    // the lower-bucket side owns cross-bucket pairs, so the probe only
+    // has to look UP — explode ×2 ({bkt, bkt+1}) instead of ×3
+    // ({bkt-1, bkt, bkt+1}) for an identical pair set, cutting the
+    // biggest join's probe volume by a third. Output ids re-normalize
+    // to a_id < b_id (jaccard is symmetric in na/nb).
     val probeInv = inv.select(col("doc_id"), col("lang"), col("shh"),
-      col("n_sh"), explode(array(col("bkt") - 1, col("bkt"), col("bkt") + 1)).as("jbkt"))
+      col("n_sh"), col("bkt"), explode(array(col("bkt"), col("bkt") + 1)).as("jbkt"))
     val inter = probeInv.as("p")
       .join(inv.as("q"),
         col("p.shh") === col("q.shh") && col("p.jbkt") === col("q.bkt") &&
-          col("p.lang") === col("q.lang") && col("p.doc_id") < col("q.doc_id"))
-      .groupBy(col("p.doc_id").as("a_id"), col("q.doc_id").as("b_id"),
-        col("p.n_sh").as("na"), col("q.n_sh").as("nb"))
+          col("p.lang") === col("q.lang") &&
+          (col("p.bkt") < col("q.bkt") ||
+            (col("p.bkt") === col("q.bkt") && col("p.doc_id") < col("q.doc_id"))))
+      .groupBy(
+        least(col("p.doc_id"), col("q.doc_id")).as("a_id"),
+        greatest(col("p.doc_id"), col("q.doc_id")).as("b_id"),
+        when(col("p.doc_id") < col("q.doc_id"), col("p.n_sh"))
+          .otherwise(col("q.n_sh")).as("na"),
+        when(col("p.doc_id") < col("q.doc_id"), col("q.n_sh"))
+          .otherwise(col("p.n_sh")).as("nb"))
       .agg(count(lit(1)).as("inter"))
     // |A∪B| = |A|+|B|−|A∩B|; same integers as an array-union size,
     // so the jaccard double is bit-identical to the set-op form.
