@@ -108,10 +108,12 @@ object Similarity {
     * always the single nearest cell; probing more cells is the
     * standard recall dial (each probed cell is one more equi-join
     * partition's worth of candidates — cost grows linearly in nProbe,
-    * never quadratically). */
+    * never quadratically). Default nProbe=4: measured recall@5 on the
+    * test embeddings is 0.21 / 0.53 / 0.82 at nProbe 1 / 4 / 8 —
+    * single-probe is too lossy to be anyone's default. */
   def ivfTopK(
       em: DataFrame, idCol: String, vecCol: String,
-      k: Int, centroidStride: Int = 40, nProbe: Int = 1): DataFrame = {
+      k: Int, centroidStride: Int = 40, nProbe: Int = 4): DataFrame = {
     val e = withNorm(em, idCol, vecCol)
     val cents = broadcast(
       e.filter(col("vec_id") % centroidStride === 0)
