@@ -29,26 +29,49 @@ object CountryCodes {
   lazy val m49ToIso3: Map[String, String] =
     Countries.all.map(c => c.m49.toString -> c.iso3).toMap
 
-  /** Normalised-name key: lower, drop parentheticals, strip
-    * non-letters, collapse runs. */
+  /** Accent-folding table applied identically on the Scala (map-key)
+    * and Spark (column) sides — one source of truth so "Türkiye",
+    * "Mexico"/"México", "Perú" all land on the same key. 1:1
+    * char↔char, so it works through both `translate` and a char map. */
+  private val accentFrom = "àáâãäåçèéêëìíîïñòóôõöøùúûüýÿ"
+  private val accentTo = "aaaaaaceeeeiiiinoooooouuuuyy"
+  private val accentMap: Map[Char, Char] = accentFrom.zip(accentTo).toMap
+
+  /** Normalised-name key: lower, fold accents, drop parentheticals,
+    * strip non-letters, collapse runs. */
   def normalizeName(c: Column): Column =
     trim(regexp_replace(
-      regexp_replace(lower(c), "\\(.*?\\)", " "),
+      regexp_replace(translate(lower(c), accentFrom, accentTo), "\\(.*?\\)", " "),
       "[^a-z]+", " "))
 
   private def normalize(s: String): String =
-    s.toLowerCase.replaceAll("\\(.*?\\)", " ").replaceAll("[^a-z]+", " ").trim
+    s.toLowerCase.map(c => accentMap.getOrElse(c, c))
+      .replaceAll("\\(.*?\\)", " ").replaceAll("[^a-z]+", " ").trim
 
   /** Curated aliases beyond the packaged names (the hand-maintained
-    * core of the fuzzy matcher). */
+    * core of the fuzzy matcher), keyed in normalized form. Covers the
+    * name styles the reference's sources actually emit: World Bank API
+    * short forms ("Korea, Rep.", "Venezuela, RB"), WHO/UN official
+    * long forms without parentheses ("Iran, Islamic Republic of"),
+    * SIPRI compass forms ("Korea, South"), and common informal names.
+    * Parenthetical official forms ("Bolivia (Plurinational State of)")
+    * need no alias — the normalizer strips parentheticals, so they
+    * collapse onto the packaged short key. */
   val aliases: Map[String, String] = Map(
-    "united states" -> "USA", "usa" -> "USA",
+    "united states" -> "USA", "usa" -> "USA", "us" -> "USA", "u s" -> "USA",
     "united kingdom" -> "GBR", "uk" -> "GBR", "great britain" -> "GBR",
     "south korea" -> "KOR", "korea rep" -> "KOR", "republic of korea" -> "KOR",
+    "korea south" -> "KOR", "korea" -> "KOR",
     "russia" -> "RUS", "vietnam" -> "VNM", "viet nam" -> "VNM",
     "bolivia" -> "BOL", "venezuela" -> "VEN", "iran" -> "IRN",
-    "tanzania" -> "TZA", "laos" -> "LAO", "lao pdr" -> "LAO",
+    "iran islamic rep" -> "IRN", "iran islamic republic of" -> "IRN",
+    "venezuela rb" -> "VEN", "venezuela bolivarian republic of" -> "VEN",
+    "bolivia plurinational state of" -> "BOL",
+    "tanzania" -> "TZA", "tanzania united rep" -> "TZA",
+    "united rep of tanzania" -> "TZA",
+    "laos" -> "LAO", "lao pdr" -> "LAO",
     "turkey" -> "TUR", "turkiye" -> "TUR", "czech republic" -> "CZE",
+    "slovak republic" -> "SVK", "holland" -> "NLD", "brasil" -> "BRA",
     "egypt arab rep" -> "EGY", "myanmar burma" -> "MMR", "burma" -> "MMR")
 
   lazy val nameToIso3: Map[String, String] =
