@@ -38,6 +38,61 @@ class WarehouseSpec extends SparkSuite {
     assert(regions.toSeq == Seq("Africa"))
   }
 
+  test("executed staged-merge upsert against embedded Derby (K5/K6)") {
+    // Derby ships on the Spark classpath (Hive metastore dependency) —
+    // a real database the foreachPartition writer path can run against
+    System.setProperty("derby.system.home",
+      java.nio.file.Files.createTempDirectory("graft-derby").toString)
+    val url = "jdbc:derby:memory:graftwh;create=true"
+    val conn = java.sql.DriverManager.getConnection(url)
+    conn.createStatement().execute(
+      """CREATE TABLE series (
+        |  country_id INT NOT NULL, yr INT NOT NULL, value DOUBLE,
+        |  PRIMARY KEY (country_id, yr))""".stripMargin)
+    conn.close()
+    def readBack(): Map[(Int, Int), Double] = {
+      val c = java.sql.DriverManager.getConnection(url)
+      try {
+        val rs = c.createStatement()
+          .executeQuery("SELECT country_id, yr, value FROM series")
+        Iterator.continually(rs)
+          .takeWhile(_.next())
+          .map(r => (r.getInt(1), r.getInt(2)) -> r.getDouble(3))
+          .toMap
+      } finally c.close()
+    }
+
+    // initial load (multi-partition: each partition stages and merges)
+    val df1 = Seq((1, 2019, 1.0), (2, 2019, 2.0), (2, 2020, 2.5))
+      .toDF("country_id", "yr", "value").repartition(2)
+    JdbcUpsert.writeViaStage(df1, url, "series", Seq("country_id", "yr"))
+    assert(readBack() == Map((1, 2019) -> 1.0, (2, 2019) -> 2.0, (2, 2020) -> 2.5))
+
+    // K5 upsert: one key updates, one inserts
+    val df2 = Seq((1, 2019, 10.0), (3, 2019, 3.0))
+      .toDF("country_id", "yr", "value")
+    JdbcUpsert.writeViaStage(df2, url, "series", Seq("country_id", "yr"))
+    assert(readBack() == Map((1, 2019) -> 10.0, (2, 2019) -> 2.0,
+      (2, 2020) -> 2.5, (3, 2019) -> 3.0))
+
+    // K6 insert-ignore: existing key untouched, new key lands
+    val df3 = Seq((1, 2019, 99.0), (4, 2019, 4.0))
+      .toDF("country_id", "yr", "value")
+    JdbcUpsert.writeViaStage(df3, url, "series", Seq("country_id", "yr"),
+      insertOnly = true)
+    assert(readBack() == Map((1, 2019) -> 10.0, (2, 2019) -> 2.0,
+      (2, 2020) -> 2.5, (3, 2019) -> 3.0, (4, 2019) -> 4.0))
+
+    // failure rolls the partition's transaction back (null into NOT
+    // NULL pk) and leaves previously committed rows intact
+    val dfBad = Seq((null.asInstanceOf[Integer], 2019, 5.0))
+      .toDF("country_id", "yr", "value")
+    intercept[org.apache.spark.SparkException] {
+      JdbcUpsert.writeViaStage(dfBad, url, "series", Seq("country_id", "yr"))
+    }
+    assert(readBack().size == 5)
+  }
+
   test("upsert SQL generation (K5/K6)") {
     assert(JdbcUpsert.upsertSql("series",
       Seq("country_id", "indicator_id", "year", "value"),
