@@ -33,6 +33,24 @@ trait Storage {
     p
   }
 
+  /** K1 at warehouse scale: versioned write with a Hive-style
+    * partition layout (`.../name.parquet/provider=X/year=2019/…`).
+    * This is the 100 TB serving layout — queries filtering on the
+    * partition columns prune directories at planning time instead of
+    * scanning the corpus (PartitionFilters in the scan node), and
+    * per-provider reloads overwrite only their own subtree. Choose
+    * low-cardinality columns (provider, year): 12 providers × ~25
+    * years ≈ 300 partitions, each still large enough for fat parquet
+    * files. */
+  def writePartitioned(
+      df: DataFrame, name: String, partitionCols: Seq[String],
+      fmt: String = "parquet"): String = {
+    require(fmt == "parquet", s"partitioned writes are parquet-only, got $fmt")
+    val p = pathFor(name, fmt)
+    df.write.mode("overwrite").partitionBy(partitionCols: _*).parquet(p)
+    p
+  }
+
   /** S1/S2 read dispatch on extension. `keepNA=true` preserves literal
     * "NA" strings (the Namibia trap — Spark's CSV reader nulls only
     * empty strings by default, but we pin it explicitly). */

@@ -34,6 +34,37 @@ class StorageSpec extends SparkSuite {
     assert(df.filter("name = 'Empty'").collect()(0).isNullAt(0))
   }
 
+  test("partitioned layout prunes at planning time (provider/year)") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val tmp = Files.createTempDirectory("graft-part").toString
+    val st = LocalStorage(tmp, "v99-01-01")
+    val obs = Seq(
+      ("p1", 2019, "AFG", 1.0), ("p1", 2020, "AFG", 2.0),
+      ("p2", 2019, "NAM", 3.0), ("p2", 2020, "NAM", 4.0),
+      ("p3", 2021, "KEN", 5.0))
+      .toDF("provider", "year", "country_code", "value")
+    val p = st.writePartitioned(obs, "observations", Seq("provider", "year"))
+
+    val q = st.read(spark, p)
+      .filter("provider = 'p1' AND year = 2019 AND value > 0")
+    // the filter must land in PartitionFilters (directory pruning),
+    // not survive only as a post-scan data filter
+    val scan = q.queryExecution.executedPlan.collect {
+      case s: FileSourceScanExec => s
+    }.head
+    val pf = scan.metadata("PartitionFilters")
+    assert(pf.contains("provider") && pf.contains("year"), s"no partition filters: $pf")
+    // and the pruned listing must touch exactly the one matching
+    // partition directory out of five
+    val pruned = scan.relation.location.listFiles(
+      scan.partitionFilters.filter(_.references.nonEmpty), scan.dataFilters)
+    assert(pruned.length == 1, s"expected 1 pruned partition, got ${pruned.length}")
+    // partition columns relocate to the end of the read schema
+    assert(q.collect().map(_.getAs[Double]("value")).toSeq == Seq(1.0))
+    // the non-partition predicate still reaches the parquet reader
+    assert(scan.metadata("PushedFilters").contains("GreaterThan(value,0.0)"))
+  }
+
   test("unsupported write format rejected") {
     val st = LocalStorage("/tmp/none")
     intercept[IllegalArgumentException](
