@@ -259,9 +259,12 @@ object Dedup {
     *  - shingles are compared as 60-bit hashes, not strings — the
     *    set-intersection works over longs (8B, primitive equality)
     *    instead of variable-length strings;
-    *  - a size-ratio prune runs before the intersection: jaccard ≤
-    *    min(|A|,|B|)/max(|A|,|B|), so pairs failing that bound on the
-    *    cheap cardinalities never pay for the set operation.
+    *  - a size-ratio prune runs inside the join predicate: jaccard ≤
+    *    min(|A|,|B|)/max(|A|,|B|), so pairs whose cardinality ratio
+    *    already falls below the threshold are dropped at the join —
+    *    their shingle matches never reach the pair-count aggregate.
+    *    Output-neutral: every pruned pair's jaccard is provably under
+    *    the threshold.
     */
   /** @param maxDocFreq optional df-cut: drop shingles appearing in more
     *                    than this many documents before pair counting —
@@ -314,7 +317,11 @@ object Dedup {
         col("p.shh") === col("q.shh") && col("p.jbkt") === col("q.bkt") &&
           col("p.lang") === col("q.lang") &&
           (col("p.bkt") < col("q.bkt") ||
-            (col("p.bkt") === col("q.bkt") && col("p.doc_id") < col("q.doc_id"))))
+            (col("p.bkt") === col("q.bkt") && col("p.doc_id") < col("q.doc_id"))) &&
+          // size-ratio prune: jaccard ≤ min/max, so ratio < threshold
+          // can never qualify — drop before the aggregate
+          least(col("p.n_sh"), col("q.n_sh")).cast("double") >=
+            lit(threshold) * greatest(col("p.n_sh"), col("q.n_sh")).cast("double"))
       .groupBy(
         least(col("p.doc_id"), col("q.doc_id")).as("a_id"),
         greatest(col("p.doc_id"), col("q.doc_id")).as("b_id"),
