@@ -25,6 +25,27 @@ import graft.functions.VectorFunctions._
   */
 object Similarity {
 
+  /** Scale-safe default entry point for top-k neighbor search: IVF
+    * multi-probe unless `exact = true` is explicitly requested. The
+    * exact path is an O(n²) nested-loop join — correct at any n,
+    * viable only for small corpora or broadcast-sized query sets, and
+    * deliberately opt-in so corpus-scale callers land on the bucketed
+    * plan by default. */
+  def topK(
+      em: DataFrame, idCol: String, vecCol: String, k: Int,
+      exact: Boolean = false): DataFrame =
+    if (exact) bruteForceTopK(em, idCol, vecCol, k)
+    else ivfTopK(em, idCol, vecCol, k)
+
+  /** Scale-safe default entry point for embedding near-dup pairs:
+    * sign-LSH bucketed unless `exact = true` (all-pairs) is explicitly
+    * requested. */
+  def nearDupPairs(
+      em: DataFrame, idCol: String, vecCol: String, threshold: Double,
+      exact: Boolean = false): DataFrame =
+    if (exact) cosineNearDupPairs(em, idCol, vecCol, threshold)
+    else lshBucketedNearDup(em, idCol, vecCol, threshold)
+
   /** Rows (vec_id, embedding, nrm) with precomputed L2 norm. */
   private def withNorm(em: DataFrame, idCol: String, vecCol: String): DataFrame = {
     graft.functions.GraftFunctions.register(em.sparkSession)

@@ -47,6 +47,24 @@ class SimilaritySpec extends SparkSuite {
     assert(pairs.contains((100L, 101L)))
   }
 
+  test("default entry points dispatch to bucketed plans; exact is opt-in") {
+    val df = vecs.toDF("vec_id", "embedding")
+    // default = IVF multi-probe, exact = brute force — dispatch identity
+    assert(rowsOf(Similarity.topK(df, "vec_id", "embedding", k = 3)) ==
+      rowsOf(Similarity.ivfTopK(df, "vec_id", "embedding", k = 3)))
+    assert(rowsOf(Similarity.topK(df, "vec_id", "embedding", k = 3, exact = true)) ==
+      rowsOf(Similarity.bruteForceTopK(df, "vec_id", "embedding", k = 3)))
+    // the default near-dup path must not plan a corpus×corpus
+    // nested-loop join (the LSH bucket join is an equi-join; the only
+    // acceptable nested-loop anywhere is against a broadcast
+    // centroid/plane table, which this path doesn't use)
+    val ndPlan = Similarity.nearDupPairs(df, "vec_id", "embedding", 0.99)
+      .queryExecution.executedPlan.toString
+    assert(!ndPlan.contains("BroadcastNestedLoopJoin"), ndPlan.take(500))
+    assert(rowsOf(Similarity.nearDupPairs(df, "vec_id", "embedding", 0.99, exact = true)) ==
+      rowsOf(Similarity.cosineNearDupPairs(df, "vec_id", "embedding", 0.99)))
+  }
+
   test("ivfTopK returns neighbors only from the query's cell, ranked") {
     val df = vecs.toDF("vec_id", "embedding")
     val got = Similarity.ivfTopK(df, "vec_id", "embedding", k = 3, centroidStride = 7)
