@@ -3,7 +3,7 @@ package graft.pipeline
 import java.nio.file.Files
 import graft.SparkSuite
 import graft.pipeline.sources.ReferencePipelines
-import graft.sources.{CannedTransport, CsvWorkbook, JsonSources, SdmxSources, Transport}
+import graft.sources.{CannedTransport, CsvWorkbook, JsonSources, SdmxSources, Transport, Workbook, XlsxTestWriter, XlsxWorkbook}
 import graft.storage.LocalStorage
 
 /** End-to-end fixture runs of all twelve reference pipelines
@@ -16,8 +16,8 @@ class ReferencePipelinesSpec extends SparkSuite {
     Files.createTempDirectory("graft-ref-pipelines").toString)
 
   private def pipelineNamed(name: String, transport: Transport,
-      sipri: CsvWorkbook = CsvWorkbook(Map.empty),
-      eleccap: CsvWorkbook = CsvWorkbook(Map.empty)): Pipeline =
+      sipri: Workbook = CsvWorkbook(Map.empty),
+      eleccap: Workbook = CsvWorkbook(Map.empty)): Pipeline =
     ReferencePipelines.all(transport,
       sipriWorkbook = sipri, eleccapWorkbook = eleccap)
       .find(_.provider == name).get
@@ -194,6 +194,31 @@ class ReferencePipelinesSpec extends SparkSuite {
     val wb = CsvWorkbook(Map(
       "Constant (2023) US$" -> sheet1, "Share of GDP" -> sheet2))
     val out = pipelineNamed("sipri_milex", noTransport, sipri = wb).run(spark)
+    val rows = out.select("indicator_name", "country_code", "year", "value")
+      .collect().map(_.toSeq).toSet
+    assert(rows == Set(
+      Seq("Military expenditure, constant US$m [MILEX_USD]", "AFG", 2019, 1.9),
+      Seq("Military expenditure, constant US$m [MILEX_USD]", "NAM", 2019, 3.1),
+      Seq("Military expenditure, constant US$m [MILEX_USD]", "NAM", 2020, 3.3),
+      Seq("Military expenditure, % of GDP [MILEX_GDP]", "AFG", 2019, 0.011)))
+  }
+
+  test("sipri_milex end-to-end from a real .xlsx file (S3 through S4/S5)") {
+    // the same pipeline as above, fed a genuine OOXML file instead of
+    // CSV-staged sheets — real XLSX decode through the full transform
+    val f = java.io.File.createTempFile("graft-sipri", ".xlsx")
+    f.deleteOnExit()
+    XlsxTestWriter.write(f, Seq(
+      "Constant (2023) US$" -> Seq(
+        Seq("SIPRI military expenditure database", null),
+        Seq("Country", 2019, 2020),
+        Seq("Afghanistan", 1.9, "xxx"),
+        Seq("Namibia", 3.1, 3.3)),
+      "Share of GDP" -> Seq(
+        Seq("Country", 2019, 2020),
+        Seq("Afghanistan", 0.011, "..."))))
+    val out = pipelineNamed("sipri_milex", noTransport,
+      sipri = XlsxWorkbook(f)).run(spark)
     val rows = out.select("indicator_name", "country_code", "year", "value")
       .collect().map(_.toSeq).toSet
     assert(rows == Set(
