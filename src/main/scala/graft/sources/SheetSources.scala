@@ -8,10 +8,10 @@ import org.apache.spark.sql.types._
   *
   * The engine's spreadsheet semantics — header-row inference,
   * fixed header offsets, sentinel NAs, multi-sheet union — operate on
-  * a [[Workbook]] abstraction of raw cell rows. The packaged backend
-  * reads CSV-staged sheets (this container has no XLSX codec); a POI
-  * `Workbook` implementation drops in behind the same trait without
-  * touching any operator. Sheets are driver-side small by nature
+  * a [[Workbook]] abstraction of raw cell rows. Two backends:
+  * [[XlsxWorkbook]] reads real OOXML files directly; [[CsvWorkbook]]
+  * stages sheets as CSV strings (test fixtures, pre-converted
+  * inputs). Sheets are driver-side small by nature
   * (they're hand-maintained spreadsheets); everything after
   * [[SheetOps.toDataFrame]] is a normal distributed frame.
   */
