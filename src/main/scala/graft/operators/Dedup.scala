@@ -249,6 +249,39 @@ object Dedup {
     docs.groupBy(md5(col(textCol).cast("binary")).as("content_hash"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
 
+  /** End-to-end corpus dedup — the production pipeline order SCALING.md
+    * prescribes, as one operator:
+    *
+    *  1. collapse exact duplicates (one hash shuffle; keeps the min-id
+    *     representative per content hash) — this also removes the
+    *     dominant mega-bucket source before LSH ever runs;
+    *  2. MinHash-LSH near-dup pairs among representatives only;
+    *  3. greedy keep: drop every representative that appears as the
+    *     higher id of a verified pair (pairs are oriented a < b, so
+    *     the kept set is deterministic and one pass — no iterative
+    *     connected components, the standard corpus-dedup choice).
+    *
+    * Returns the kept ids (one `keep_id` column). Documents shorter
+    * than `nShingle` words never enter LSH and are always kept. */
+  def dedupCorpus(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      nShingle: Int = 3,
+      k: Int = 16,
+      bands: Int = 4,
+      threshold: Double = 0.5,
+      maxBucketSize: Int = DefaultMaxBucketSize): DataFrame = {
+    val reps = docs.join(
+      exactDupGroups(docs, idCol, textCol).select(col("keep_id").as(idCol)),
+      Seq(idCol), "left_semi")
+    val dropped = lshNearDupPairs(reps, idCol, textCol,
+      nShingle, k, bands, threshold, maxBucketSize)
+      .select(col("b_id").as(idCol)).distinct()
+    reps.join(dropped, Seq(idCol), "left_anti")
+      .select(col(idCol).as("keep_id"))
+  }
+
   /** Blocked exact n-gram-jaccard near-dup pairs: block on
     * (lang, length-bucket), probe the ±1-bucket window via an exploded
     * equi-join (the scale-safe form of the |lenA−lenB|≤width range

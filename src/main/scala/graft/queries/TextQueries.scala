@@ -122,6 +122,54 @@ object TextQueries {
         |WHERE bit_count(xor(sa.sh, sb.sh)) <= 8""".stripMargin)),
 
     Q(
+      "qd07_dedup_corpus",
+      "End-to-end corpus dedup in production order: collapse exact " +
+        "duplicates (hash shuffle, min-id representative), MinHash-LSH " +
+        "near-dup pairs among representatives only, greedy keep (drop " +
+        "the higher id of every verified pair). Output = kept ids.",
+      (s, dir) =>
+        Dedup.dedupCorpus(Tables.load(s, dir, "documents"), "doc_id", "text",
+          nShingle = 3, k = 16, bands = 4, threshold = 0.5),
+      Some(s"""WITH reps AS (
+        |  SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+        |d2 AS (
+        |  SELECT d.doc_id, d.text FROM documents d JOIN reps r ON d.doc_id = r.doc_id),
+        |sh AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(range(1, len(w)-1),
+        |      i -> concat(w[i], ' ', w[i+1], ' ', w[i+2]))) AS shingles
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM d2)
+        |  WHERE len(w) >= 3),
+        |sigs AS (
+        |  SELECT doc_id,
+        |    list_transform(range(0, 16), j ->
+        |      list_min(list_transform(prs, p -> (p[1] + j * p[2]) % 2305843009213693951))) AS sig
+        |  FROM (
+        |    SELECT doc_id,
+        |      list_transform(list_transform(shingles, x -> md5(x)), h ->
+        |        [CAST(concat('0x', substr(h, 1, 14)) AS BIGINT),
+        |         CAST(concat('0x', substr(h, 15, 14)) AS BIGINT)]) AS prs
+        |    FROM sh)),
+        |bands AS (
+        |  SELECT doc_id, b.band AS band,
+        |    concat(CAST(sig[4*b.band+1] AS VARCHAR), ',', CAST(sig[4*b.band+2] AS VARCHAR), ',',
+        |           CAST(sig[4*b.band+3] AS VARCHAR), ',', CAST(sig[4*b.band+4] AS VARCHAR)) AS bkey
+        |  FROM sigs, (SELECT unnest(range(0, 4)) AS band) b),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS a_id, b2.doc_id AS b_id
+        |  FROM bands a JOIN bands b2
+        |    ON a.band = b2.band AND a.bkey = b2.bkey AND a.doc_id < b2.doc_id),
+        |dropped AS (
+        |  SELECT DISTINCT c.b_id AS doc_id
+        |  FROM cand c
+        |  JOIN sh sa ON sa.doc_id = c.a_id
+        |  JOIN sh sb ON sb.doc_id = c.b_id
+        |  WHERE CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE) /
+        |        CAST(len(list_distinct(sa.shingles || sb.shingles)) AS DOUBLE) >= 0.5)
+        |SELECT r.doc_id AS keep_id FROM reps r
+        |WHERE r.doc_id NOT IN (SELECT doc_id FROM dropped)""".stripMargin)),
+
+    Q(
       "qd04_shingle_jaccard",
       "Blocked exact n-gram jaccard near-dup pairs: block on " +
         "(lang, n_chars÷100), probe ±1 bucket via exploded equi-join — " +

@@ -91,6 +91,22 @@ class DedupSpec extends SparkSuite {
     assert(run(Dedup.DefaultMaxBucketSize) == run(1000000))
   }
 
+  test("dedupCorpus: exact dups collapse, near-dups drop, short docs survive") {
+    val base = (0 until 60).map(i => s"w${i % 13} t$i").mkString(" ")
+    val nearDup = base.replace("t7", "t999")
+    val other = (0 until 60).map(i => s"z$i q${i * 3}").mkString(" ")
+    val docs = Seq(
+      (1L, base),
+      (2L, base),      // exact dup of 1 → collapsed, rep = 1
+      (3L, nearDup),   // near-dup of 1 → dropped (higher id)
+      (4L, other),     // unrelated → kept
+      (5L, "hi"))      // < nShingle words → never enters LSH, kept
+      .toDF("doc_id", "text")
+    val kept = Dedup.dedupCorpus(docs, "doc_id", "text")
+      .collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 4L, 5L))
+  }
+
   test("minhashSignature matches the explode-aggregate construction") {
     // library API (expression form) must agree with the query-path math
     val df = Seq("a b c d e f g").toDF("t")
