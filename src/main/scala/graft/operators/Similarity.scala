@@ -46,6 +46,20 @@ object Similarity {
     if (exact) cosineNearDupPairs(em, idCol, vecCol, threshold)
     else lshBucketedNearDup(em, idCol, vecCol, threshold)
 
+  /** End-to-end embedding dedup (the [[graft.operators.Dedup.dedupCorpus]]
+    * analogue for vectors): sign-LSH bucketed near-dup pairs, then
+    * greedy keep — drop the higher id of every verified pair. Returns
+    * the kept ids (one `keep_id` column). One bucket equi-join + one
+    * anti join; no cartesian anywhere. */
+  def dedupEmbeddings(
+      em: DataFrame, idCol: String, vecCol: String, threshold: Double,
+      nPlanes: Int = 8, dim: Int = 64): DataFrame = {
+    val dropped = lshBucketedNearDup(em, idCol, vecCol, threshold, nPlanes, dim)
+      .select(col("b_id").as(idCol)).distinct()
+    em.join(dropped, Seq(idCol), "left_anti")
+      .select(col(idCol).as("keep_id"))
+  }
+
   /** Rows (vec_id, embedding, nrm) with precomputed L2 norm. */
   private def withNorm(em: DataFrame, idCol: String, vecCol: String): DataFrame = {
     graft.functions.GraftFunctions.register(em.sparkSession)

@@ -80,6 +80,33 @@ object SimilarityQueries {
       }),
 
     Q(
+      "qs05_dedup_embeddings",
+      "End-to-end embedding dedup: sign-LSH bucketed near-dup pairs " +
+        "(cos ≥ 0.4), greedy keep of the lower id per verified pair. " +
+        "Output = kept ids.",
+      (s, dir) =>
+        Similarity.dedupEmbeddings(Tables.load(s, dir, "embeddings"),
+          "vec_id", "embedding", threshold = 0.4),
+      Some {
+        def planeList(p: Array[Float]): String =
+          p.map(v => if (v > 0) "1.0" else "-1.0").mkString("[", ", ", "]")
+        val planes = Similarity.signPlanes(8, 64)
+        val bucketExpr = planes.zipWithIndex.map { case (p, j) =>
+          s"CASE WHEN ${dkDot("embedding", planeList(p))} > 0.0 THEN ${1 << j} ELSE 0 END"
+        }.mkString(" + ")
+        s"""WITH e AS (
+           |  SELECT vec_id, embedding, ${dkNorm("embedding")} AS nrm,
+           |    ($bucketExpr) AS bucket
+           |  FROM embeddings),
+           |dropped AS (
+           |  SELECT DISTINCT b.vec_id AS vec_id
+           |  FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+           |  WHERE ${dkDot("a.embedding", "b.embedding")} / (a.nrm * b.nrm) >= 0.4)
+           |SELECT vec_id AS keep_id FROM embeddings
+           |WHERE vec_id NOT IN (SELECT vec_id FROM dropped)""".stripMargin
+      }),
+
+    Q(
       "qs02_ivf_ann",
       "IVF-flat ANN: deterministic centroids (vec_id % 40 = 0), " +
         "nearest-centroid assignment, multi-probe (nProbe=4, the " +

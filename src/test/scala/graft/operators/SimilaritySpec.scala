@@ -65,6 +65,21 @@ class SimilaritySpec extends SparkSuite {
       rowsOf(Similarity.cosineNearDupPairs(df, "vec_id", "embedding", 0.99)))
   }
 
+  test("dedupEmbeddings keeps the lower id of colliding near-identical vectors") {
+    val v = Array.tabulate(dim)(i => i.toFloat + 1)
+    val df = (vecs :+ (100L -> v) :+ (101L -> v)).toDF("vec_id", "embedding")
+    val kept = Similarity.dedupEmbeddings(df, "vec_id", "embedding",
+      threshold = 0.99, nPlanes = 4, dim = dim)
+      .collect().map(_.getLong(0)).toSet
+    assert(kept.contains(100L) && !kept.contains(101L))
+    // every dropped id is the higher member of some verified pair
+    val pairs = Similarity.lshBucketedNearDup(df, "vec_id", "embedding",
+      threshold = 0.99, nPlanes = 4, dim = dim)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val allIds = vecs.map(_._1).toSet + 100L + 101L
+    assert(allIds -- kept == pairs.map(_._2).toSet)
+  }
+
   test("ivfTopK returns neighbors only from the query's cell, ranked") {
     val df = vecs.toDF("vec_id", "embedding")
     val got = Similarity.ivfTopK(df, "vec_id", "embedding", k = 3, centroidStride = 7)
