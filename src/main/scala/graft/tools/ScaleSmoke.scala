@@ -90,6 +90,10 @@ object ScaleSmoke {
           .select($"keep_id".as("doc_id"))
         val collapsed = docs.join(reps, Seq("doc_id"), "left_semi")
         Dedup.lshNearDupPairs(collapsed, "doc_id", "text").count()
+      },
+      time("dedup_corpus") {
+        // the packaged end-to-end operator (collapse → LSH → keep)
+        Dedup.dedupCorpus(docs, "doc_id", "text").count()
       })
 
     val total = results.map(_._2).sum
