@@ -111,6 +111,34 @@ object StreamingQueries {
         |WHERE rn > 1 OR end_us + CAST(3600000000 AS BIGINT) < maxts""".stripMargin)),
 
     Q(
+      "qst03_stream_dedup",
+      "Streaming exact dedup within the watermark " +
+        "(dropDuplicatesWithinWatermark): the event file is delivered " +
+        "TWICE (two unioned file streams — at-least-once upstream), the " +
+        "operator must emit each event exactly once with state bounded " +
+        "by the watermark. Oracle = the original event set.",
+      (s, dir) => {
+        s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        val schema = StructType.fromDDL(
+          "event_id BIGINT, ts BIGINT, user_id BIGINT, " +
+            "event_type STRING, value DOUBLE, props STRING")
+        def fileStream() = s.readStream.schema(schema)
+          .parquet(s"$dir/events.parque*")
+          .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        val doubled = fileStream().union(fileStream())
+        val deduped = EventStreams.dedupEvents(doubled, watermark = "1 hour")
+          .select(col("event_id"), col("event_type"), col("value"))
+        val name = "graft_stream_dedup"
+        val q = deduped.writeStream.format("memory").queryName(name)
+          .outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        s.table(name)
+      },
+      Some("SELECT event_id, event_type, value FROM events")),
+
+    Q(
       "qm01_media_features",
       "Multimodal plumbing: wrap document text bytes as media rows, " +
         "extract per-partition batched byte-level features (stub " +

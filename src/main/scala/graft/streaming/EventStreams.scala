@@ -31,6 +31,17 @@ object EventStreams {
       .select(col("win.start").as("hour"), col("event_type"),
         col("n"), col("total_value"))
 
+  /** Streaming exact deduplication by event id within the watermark
+    * (`dropDuplicatesWithinWatermark`): the event-dedup stage of a
+    * streaming ingest — at-least-once upstream delivery becomes
+    * exactly-once downstream, with state bounded by the watermark
+    * horizon instead of growing with the stream (the unbounded-state
+    * trap of plain `dropDuplicates` on a stream). */
+  def dedupEvents(events: DataFrame, watermark: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("event_id")
+
   final case class Event(
       event_id: Long, ts: Timestamp, user_id: Long,
       event_type: String, value: Double)

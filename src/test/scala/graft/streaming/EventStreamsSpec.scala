@@ -29,6 +29,32 @@ class EventStreamsSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("streaming dedup drops duplicate event ids across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val deduped = EventStreams.dedupEvents(input.toDF(), watermark = "1 hour")
+      .select($"event_id", $"value")
+    val q = deduped.writeStream.format("memory").queryName("dedup_test")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // batch 1: two events, one in-batch duplicate
+      input.addData(
+        Event(1, ts(0), 10, "click", 1.0),
+        Event(1, ts(0), 10, "click", 1.0),
+        Event(2, ts(1), 10, "view", 2.0))
+      q.processAllAvailable()
+      // batch 2: redelivery of event 1 (cross-batch, inside watermark)
+      // plus one new event
+      input.addData(
+        Event(1, ts(0), 10, "click", 1.0),
+        Event(3, ts(2), 11, "click", 3.0))
+      q.processAllAvailable()
+      val rows = spark.table("dedup_test")
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+      assert(rows == Set((1L, 1.0), (2L, 2.0), (3L, 3.0)))
+    } finally q.stop()
+  }
+
   test("stateful sessionization: gap break emits closed session") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Event]
