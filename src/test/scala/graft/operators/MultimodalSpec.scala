@@ -42,6 +42,22 @@ class MultimodalSpec extends SparkSuite {
     assert(f1.toSeq == Seq(0L, 30L, 60L, 90L))
   }
 
+  test("resize plan preserves aspect ratio and never upscales") {
+    val feats = Multimodal.extractFeatures(media)
+    val plans = Multimodal.resizePlan(feats, maxSide = 256)
+      .collect().map(r => r.getLong(0) ->
+        (r.getInt(1), r.getInt(2), r.getDouble(3))).toMap
+    val dims = feats.collect().map(f => f.media_id -> (f.width, f.height)).toMap
+    dims.foreach { case (id, (w, h)) =>
+      val (tw, th, scale) = plans(id)
+      assert(scale <= 1.0) // never upscale
+      assert(math.max(tw, th) <= 256)
+      assert(tw == math.max(1, math.round(w * scale).toInt))
+      assert(th == math.max(1, math.round(h * scale).toInt))
+      if (math.max(w, h) <= 256) assert((tw, th) == (w, h)) // small stays
+    }
+  }
+
   test("asMedia wraps arbitrary binary-able columns into the contract") {
     val df = Seq((7L, "hello")).toDF("id", "payload")
     val m = Multimodal.asMedia(df, "id", "payload", "text/plain")
