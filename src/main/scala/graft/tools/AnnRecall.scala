@@ -16,7 +16,7 @@ object AnnRecall {
     val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.01"
     val k = if (args.length > 1) args(1).toInt else 5
     val stride = if (args.length > 2) args(2).toInt else 40
-    val nProbe = if (args.length > 3) args(3).toInt else 1
+    val nProbe = if (args.length > 3) args(3).toInt else 4 // library default
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
