@@ -1,0 +1,31 @@
+package graft.queries
+
+import graft.SparkSuite
+
+/** Plan-shape guardrail over the whole registry: no query may plan a
+  * cartesian or nested-loop join unless it is one of the named exact
+  * baselines — the scale property the engine is built around, enforced
+  * as a test so a future edit cannot silently regress a bucketed plan
+  * back to O(n²). Planning only (executedPlan), no execution. */
+class PlanAuditSpec extends SparkSuite {
+
+  /** Queries allowed to contain a nested-loop join:
+    *  - qs01/qs03: deliberate exact all-pairs baselines (docs say so);
+    *  - qs02: the n×C centroid-scoring cross join against the
+    *    BROADCAST centroid table — linear in n, not a pair join. */
+  private val allowedNestedLoop =
+    Set("qs01_cosine_topk", "qs03_cosine_neardup", "qs02_ivf_ann")
+
+  test("no unexpected cartesian/nested-loop joins anywhere in the registry") {
+    val dir = "/root/testdata/sf0.001"
+    val offenders = Registry.all
+      .filterNot(_.name.startsWith("qst")) // streaming queries execute on build
+      .flatMap { q =>
+        val plan = q.run(spark, dir).queryExecution.executedPlan.toString
+        val bad = plan.contains("CartesianProduct") ||
+          plan.contains("BroadcastNestedLoopJoin")
+        if (bad && !allowedNestedLoop(q.name)) Some(q.name) else None
+      }
+    assert(offenders.isEmpty, s"unexpected cartesian-shaped plans: $offenders")
+  }
+}
