@@ -28,4 +28,17 @@ class PlanAuditSpec extends SparkSuite {
       }
     assert(offenders.isEmpty, s"unexpected cartesian-shaped plans: $offenders")
   }
+
+  test("every window in the registry has a partition spec") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    val dir = "/root/testdata/sf0.001"
+    val offenders = Registry.all
+      .filterNot(_.name.startsWith("qst"))
+      .flatMap { q =>
+        q.run(spark, dir).queryExecution.optimizedPlan.collect {
+          case w: LWindow if w.partitionSpec.isEmpty => q.name
+        }
+      }
+    assert(offenders.isEmpty, s"partitionless windows (single-reducer sort): $offenders")
+  }
 }
