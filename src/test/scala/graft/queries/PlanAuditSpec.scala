@@ -41,4 +41,23 @@ class PlanAuditSpec extends SparkSuite {
       }
     assert(offenders.isEmpty, s"partitionless windows (single-reducer sort): $offenders")
   }
+
+  test("column pruning reaches the parquet scan (narrow projections)") {
+    import org.apache.spark.sql.functions.col
+    val li = graft.core.Tables.load(spark, "/root/testdata/sf0.001", "lineitem")
+    val q = li.filter(col("l_quantity") > 10)
+      .select(col("l_returnflag"), col("l_quantity"))
+    val scanMeta = q.queryExecution.executedPlan.toString
+    // the 16-column lineitem scan must read only the two referenced
+    // columns — ReadSchema in the scan node is the proof
+    val readSchema = scanMeta.linesIterator
+      .find(_.contains("ReadSchema"))
+      .getOrElse(fail(s"no parquet scan in plan:\n$scanMeta"))
+    assert(readSchema.contains("l_returnflag") && readSchema.contains("l_quantity"))
+    assert(!readSchema.contains("l_extendedprice") && !readSchema.contains("l_comment"),
+      readSchema)
+    // and the predicate is pushed to the reader
+    assert(scanMeta.contains("PushedFilters") &&
+      scanMeta.contains("GreaterThan(l_quantity"), scanMeta.take(800))
+  }
 }
