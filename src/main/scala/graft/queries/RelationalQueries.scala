@@ -556,6 +556,29 @@ object RelationalQueries {
         |  SELECT o_custkey FROM orders WHERE o_orderstatus = 'P')""".stripMargin)),
 
     Q(
+      "q31_salted_agg",
+      "Two-phase (salted) aggregation (beyond-reference; the " +
+        "aggregation-skew mitigation at 1000-executor scale): phase 1 " +
+        "aggregates on (key, salt) spreading hot keys over 32 buckets, " +
+        "phase 2 merges partials per key. Decimal partials keep the " +
+        "result bit-identical to the direct single-phase aggregate, " +
+        "which is exactly what the oracle runs.",
+      (s, dir) => {
+        import org.apache.spark.sql.types.DecimalType
+        graft.core.Partitioning.twoPhaseAgg(
+          t(s, dir, "events").select(col("event_type"), col("value")),
+          Seq("event_type"), buckets = 32)(
+          Seq(sum(col("value").cast(DecimalType(30, 6))).as("s"),
+            count(lit(1)).as("n")),
+          Seq(sum(col("s")).cast("double").as("total_value"),
+            sum(col("n")).cast("long").as("n_events")))
+      },
+      Some("""SELECT event_type,
+        |  CAST(sum(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS total_value,
+        |  CAST(count(*) AS BIGINT) AS n_events
+        |FROM events GROUP BY event_type""".stripMargin)),
+
+    Q(
       "q22_sessionize",
       "Sessionization with a 30-minute inactivity gap (batch shape of " +
         "the streaming mapGroupsWithState operator): lag + cumulative " +
