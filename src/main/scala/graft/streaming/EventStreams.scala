@@ -31,6 +31,26 @@ object EventStreams {
       .select(col("win.start").as("hour"), col("event_type"),
         col("n"), col("total_value"))
 
+  /** Streaming warehouse load: land a streaming aggregate in a JDBC
+    * serving table via foreachBatch + the staged-MERGE upsert. Update
+    * mode re-emits a window's row whenever late data revises it; the
+    * upsert makes that idempotent — the table always holds the latest
+    * value per key, which is the streaming face of the reference's
+    * batch load (K5). Returns the started query; callers own its
+    * lifecycle. */
+  def upsertStream(
+      agg: DataFrame, jdbcUrl: String, table: String, pk: Seq[String],
+      queryName: String = "graft_upsert_stream")
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    agg.writeStream
+      .outputMode(OutputMode.Update())
+      .queryName(queryName)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        graft.warehouse.JdbcUpsert.writeViaStage(
+          batch.toDF(), jdbcUrl, table, pk)
+      }
+      .start()
+
   /** Streaming exact deduplication by event id within the watermark
     * (`dropDuplicatesWithinWatermark`): the event-dedup stage of a
     * streaming ingest — at-least-once upstream delivery becomes

@@ -2,6 +2,7 @@ package graft.streaming
 
 import java.sql.Timestamp
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions.unix_millis
 import org.apache.spark.sql.streaming.OutputMode
 import graft.SparkSuite
 import graft.streaming.EventStreams.{Event, Session}
@@ -52,6 +53,46 @@ class EventStreamsSpec extends SparkSuite {
       val rows = spark.table("dedup_test")
         .collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
       assert(rows == Set((1L, 1.0), (2L, 2.0), (3L, 3.0)))
+    } finally q.stop()
+  }
+
+  test("streaming aggregate lands in a JDBC table via foreachBatch upsert") {
+    implicit val sqlCtx = spark.sqlContext
+    System.setProperty("derby.system.home",
+      java.nio.file.Files.createTempDirectory("graft-derby-stream").toString)
+    val url = "jdbc:derby:memory:graftstream;create=true"
+    val conn = java.sql.DriverManager.getConnection(url)
+    conn.createStatement().execute(
+      """CREATE TABLE hourly (
+        |  hour_start BIGINT NOT NULL, event_type VARCHAR(64) NOT NULL,
+        |  n BIGINT, total_value DOUBLE, PRIMARY KEY (hour_start, event_type))"""
+        .stripMargin)
+    conn.close()
+    val input = MemoryStream[Event]
+    val agg = EventStreams.hourlyCounts(input.toDF(), watermark = "2 hours")
+      .select(unix_millis($"hour").as("hour_start"), $"event_type",
+        $"n", $"total_value")
+    val q = EventStreams.upsertStream(agg, url, "hourly",
+      Seq("hour_start", "event_type"), "upsert_stream_test")
+    def readBack(): Map[(Long, String), (Long, Double)] = {
+      val c = java.sql.DriverManager.getConnection(url)
+      try {
+        val rs = c.createStatement()
+          .executeQuery("SELECT hour_start, event_type, n, total_value FROM hourly")
+        Iterator.continually(rs).takeWhile(_.next())
+          .map(r => (r.getLong(1), r.getString(2)) -> (r.getLong(3), r.getDouble(4)))
+          .toMap
+      } finally c.close()
+    }
+    try {
+      input.addData(Event(1, ts(0), 10, "click", 1.0), Event(2, ts(5), 10, "click", 2.0))
+      q.processAllAvailable()
+      assert(readBack().values.toSeq == Seq((2L, 3.0)))
+      // a later event in the same window revises the row — the upsert
+      // must overwrite, not duplicate
+      input.addData(Event(3, ts(10), 11, "click", 4.0))
+      q.processAllAvailable()
+      assert(readBack().values.toSeq == Seq((3L, 7.0)))
     } finally q.stop()
   }
 
