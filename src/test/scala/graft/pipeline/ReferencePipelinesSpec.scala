@@ -286,4 +286,28 @@ class ReferencePipelinesSpec extends SparkSuite {
       Seq("AFG", 2020, "Solar", 15.0),
       Seq("NAM", 2019, "Hydro", 340.0)))
   }
+
+  test("energydata_info from real .xlsx: merged cells arrive as absent cells") {
+    // in OOXML a merged cell stores its value only in the top-left
+    // anchor; the covered cells are simply ABSENT from the file. The
+    // sparse-grid reinstatement + pinned-order forward-fill must
+    // reproduce the same result as the CSV-staged blank-cell shape.
+    val f = java.io.File.createTempFile("graft-eleccap", ".xlsx")
+    f.deleteOnExit()
+    XlsxTestWriter.write(f, Seq("Sheet1" -> Seq(
+      Seq("Installed capacity (ELECCAP)"),
+      Seq("Country", "Technology", "Grid", 2019, 2020),
+      Seq("Afghanistan", "Hydro", "On", 120, 130),
+      Seq(null, "Solar", "On", "..", 15), // merged country cell: absent
+      Seq("Namibia", "Hydro", "On", 340, ".."))))
+    val out = pipelineNamed("energydata_info", noTransport,
+      eleccap = XlsxWorkbook(f)).run(spark)
+    val rows = out.select("country_code", "year", "dimension", "value")
+      .collect().map(_.toSeq).toSet
+    assert(rows == Set(
+      Seq("AFG", 2019, "Hydro", 120.0),
+      Seq("AFG", 2020, "Hydro", 130.0),
+      Seq("AFG", 2020, "Solar", 15.0),
+      Seq("NAM", 2019, "Hydro", 340.0)))
+  }
 }
