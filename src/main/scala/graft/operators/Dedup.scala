@@ -171,11 +171,20 @@ object Dedup {
   }
 
   /** SimHash signature (60-bit) over a column holding the DISTINCT
-    * token hashes (array<long> from [[hash60]]): majority vote per bit.
-    * Pass a materialized column (see [[withSimhash]]) — inlining the
-    * hash computation here would re-evaluate md5 per bit term.
-    */
-  def simhashOfHashes(hs: Column): Column = {
+    * token hashes (array<long> from [[hash60]]): majority vote per bit,
+    * computed by the native one-pass codegen kernel
+    * ([[graft.functions.Simhash60]]). Callers must have registered the
+    * graft functions in the session ([[graft.functions.GraftFunctions]]
+    * — the df-taking operators below do it automatically). Pass a
+    * materialized column (see [[withSimhash]]) — inlining the hash
+    * computation here would re-evaluate md5 per element. */
+  def simhashOfHashes(hs: Column): Column =
+    call_function("graft_simhash60", hs)
+
+  /** The composed-expression form of [[simhashOfHashes]] (60
+    * filter+size traversals): kept as the executable spec the native
+    * kernel is parity-tested against. */
+  private[graft] def simhashOfHashesComposed(hs: Column): Column = {
     val n = size(hs)
     (0 until 60).map { j =>
       val mask = 1L << j
@@ -187,11 +196,13 @@ object Dedup {
   /** Attach a 60-bit simhash of the whitespace tokens of `textCol`.
     * Hashes are materialized in a temp column so md5 runs once per
     * token, not once per bit. */
-  def withSimhash(df: DataFrame, textCol: String, out: String): DataFrame =
+  def withSimhash(df: DataFrame, textCol: String, out: String): DataFrame = {
+    graft.functions.GraftFunctions.register(df.sparkSession)
     df.withColumn("__hs",
         transform(array_distinct(split(col(textCol), " ")), x => hash60(x)))
       .withColumn(out, simhashOfHashes(col("__hs")))
       .drop("__hs")
+  }
 
   /** SimHash near-duplicate pairs: band the 60-bit signature into four
     * 15-bit keys (any shared band → candidate), then verify exact
@@ -211,6 +222,7 @@ object Dedup {
       maxHamming: Int = 8,
       nShingle: Int = 3,
       maxBucketSize: Int = DefaultMaxBucketSize): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
     val sigs = graft.core.Partitioning.parallelize(docs, col(idCol))
       .select(col(idCol).as("doc_id"), split(col(textCol), " ").as("w"))
       .filter(size(col("w")) >= nShingle)

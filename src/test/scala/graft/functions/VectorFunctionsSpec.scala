@@ -23,15 +23,38 @@ class VectorFunctionsSpec extends SparkSuite {
     }
   }
 
-  test("GraftExtensions registers both native functions") {
+  test("GraftExtensions registers all native functions") {
     val ext = new org.apache.spark.sql.SparkSessionExtensions
     new GraftExtensions().apply(ext)
-    // parity with GraftFunctions.register: both functions resolvable
+    // parity with GraftFunctions.register: all functions resolvable
     GraftFunctions.register(spark)
     assert(spark.sql("SELECT graft_vec_dot(array(cast(1.0 as float)), array(cast(2.0 as float)))")
       .collect()(0).getDouble(0) == 2.0)
     assert(spark.sql("SELECT graft_bottom_k(h, 2) FROM (SELECT explode(array(3L, 1L, 2L)) AS h)")
       .collect()(0).getSeq[Long](0) == Seq(1L, 2L))
+    // all bits set in both elements -> majority everywhere -> 60 ones
+    assert(spark.sql("SELECT graft_simhash60(array(-1L, -1L))")
+      .collect()(0).getLong(0) == (1L << 60) - 1)
+  }
+
+  test("Simhash60 native kernel matches the composed-expression form") {
+    import graft.operators.Dedup
+    val texts = Seq(
+      "alpha beta gamma delta epsilon zeta",
+      "one two three four five six seven eight nine ten",
+      "x", "a a a a a b",
+      (0 until 200).map(i => s"w$i").mkString(" "))
+    val df = texts.toDF("text")
+      .withColumn("hs",
+        org.apache.spark.sql.functions.transform(
+          org.apache.spark.sql.functions.array_distinct(
+            org.apache.spark.sql.functions.split($"text", " ")),
+          x => Dedup.hash60(x)))
+    GraftFunctions.register(spark)
+    val rows = df.select(
+      Dedup.simhashOfHashes($"hs").as("native"),
+      Dedup.simhashOfHashesComposed($"hs").as("composed")).collect()
+    rows.foreach(r => assert(r.getLong(0) == r.getLong(1)))
   }
 
   test("FloatVecDot interpreted eval agrees with codegen path") {
