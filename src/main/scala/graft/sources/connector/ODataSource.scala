@@ -219,7 +219,14 @@ final class ODataPartitionReader(
 
   private val rows: Iterator[JValue] = {
     val url = s"${options("url")}/$indicator"
-    transport.get(url, Map("$filter" -> ODataFilters.filterString(pushed))) match {
+    // $select completes the scan-reduction story: the server ships only
+    // the pruned columns plus any filter-referenced fields (the local
+    // re-check below must still see its operands — a $select that
+    // dropped them would read missing-as-null and silently drop rows)
+    val selected = (required.fieldNames ++ pushed.flatMap(_.references)).distinct
+    val params = Map("$filter" -> ODataFilters.filterString(pushed)) ++
+      (if (selected.nonEmpty) Map("$select" -> selected.mkString(",")) else Map.empty)
+    transport.get(url, params) match {
       case Some(body) =>
         JsonMethods.parse(body) \ "value" match {
           case JArray(vs) =>

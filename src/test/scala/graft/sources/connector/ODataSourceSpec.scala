@@ -80,11 +80,26 @@ class ODataSourceSpec extends SparkSuite {
     assert(f == Seq("NumericValue ne null and DataSourceDim ne null"))
   }
 
-  test("column pruning reaches the reader schema") {
+  test("column pruning reaches the reader schema and the wire as $select") {
     TestODataTransportFactory.reset()
     TestODataTransportFactory.responses = Map("/IND_A" -> bodyA, "/IND_B" -> bodyB)
     val df = readOData().select("NumericValue")
     assert(df.collect().map(_.getDouble(0)).sorted.toSeq == Seq(1.5, 2.5, 3.5))
+    val selects = TestODataTransportFactory.requests.map(_._2.get("$select")).distinct
+    assert(selects == Seq(Some("NumericValue")))
+  }
+
+  test("$select keeps filter-referenced columns so the local re-check can run") {
+    TestODataTransportFactory.reset()
+    TestODataTransportFactory.responses = Map("/IND_A" -> bodyA, "/IND_B" -> bodyB)
+    val df = readOData()
+      .filter($"SpatialDim" === "AFG")
+      .select("NumericValue")
+    assert(df.collect().map(_.getDouble(0)).sorted.toSeq == Seq(1.5, 3.5))
+    val selects = TestODataTransportFactory.requests.flatMap(_._2.get("$select")).distinct
+    assert(selects.size == 1)
+    val cols = selects.head.split(",").toSet
+    assert(cols.contains("NumericValue") && cols.contains("SpatialDim"))
   }
 
   test("fetch errors degrade to empty partitions (error-tolerant scan)") {
