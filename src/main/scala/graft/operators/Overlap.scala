@@ -1,0 +1,98 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** N-gram overlap operators: benchmark-contamination detection and
+  * corpus-level duplicated-span statistics — the decontamination /
+  * span-dedup stages of a training-data pipeline (the GPT-3 appendix-C
+  * / C4 span-dedup shapes, re-expressed as Spark joins).
+  *
+  * Both are hash-based (portable 60-bit md5 prefix, [[Dedup.hash60]])
+  * and explode documents to one row per n-gram occurrence: linear in
+  * corpus token count, embarrassingly parallel, with exactly one
+  * shuffle each (a broadcast semi-join for contamination, a gram-key
+  * aggregation for span stats).
+  */
+object Overlap {
+
+  /** Word n-grams WITH multiplicity (unlike [[Dedup.wordShingles]],
+    * which is set-valued). Caller filters size(words) >= n first. */
+  def wordGrams(words: Column, n: Int): Column =
+    transform(
+      sequence(lit(1), size(words) - (n - 1)),
+      i => concat_ws(" ", (0 until n).map(o => element_at(words, i + lit(o))): _*))
+
+  /** Per-document count of distinct n-grams also present in a benchmark
+    * set — the train/test contamination check. Every corpus document
+    * comes back (n_hits = 0 when clean) so the output is a complete
+    * audit table.
+    *
+    * Scale shape: the benchmark's distinct gram hashes are SMALL by
+    * definition (eval sets are thousands of documents, not billions) —
+    * they broadcast; the corpus side stays a linear scan + explode with
+    * a map-side semi-join, then one aggregation on doc_id. No
+    * corpus-sized shuffle of gram strings ever happens (grams travel as
+    * 8-byte hashes, and only the matching ones reach the aggregate).
+    */
+  def contaminationHits(
+      corpus: DataFrame,
+      benchmark: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 8): DataFrame = {
+    def gramHashes(df: DataFrame) = {
+      val w = split(col(textCol), " ")
+      df.select(col(idCol).as("doc_id"), w.as("w"))
+        .filter(size(col("w")) >= n)
+        .select(col("doc_id"),
+          explode(array_distinct(transform(wordGrams(col("w"), n),
+            g => Dedup.hash60(g)))).as("gh"))
+    }
+    val benchGrams = gramHashes(benchmark).select(col("gh")).distinct()
+    val hits = gramHashes(corpus)
+      .join(broadcast(benchGrams), Seq("gh"), "left_semi")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).cast("long").as("n_hits"))
+    corpus.select(col(idCol).as("doc_id"))
+      .join(hits, Seq("doc_id"), "left_outer")
+      .na.fill(0L, Seq("n_hits"))
+  }
+
+  /** Per-document duplicated-span statistics: how many of a document's
+    * word n-gram occurrences belong to spans seen >= 2 times across the
+    * whole corpus (counting multiplicity, own repeats included) — the
+    * signal C4-style span dedup thresholds on.
+    *
+    * Scale shape: explode to (doc_id, gram-hash) occurrence rows, count
+    * occurrences per hash with a partial-aggregating groupBy (map-side
+    * combine absorbs hot spans before the shuffle), broadcast is NOT
+    * assumed — the count table can be corpus-sized, so it equi-joins
+    * back on the hash (AQE handles the skew of mega-spans). Two
+    * shuffles total, both on 8-byte keys.
+    */
+  def duplicatedSpanStats(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 5): DataFrame = {
+    val w = split(col(textCol), " ")
+    val grams = docs
+      .select(col(idCol).as("doc_id"), w.as("w"))
+      .filter(size(col("w")) >= n)
+      .select(col("doc_id"),
+        explode(transform(wordGrams(col("w"), n), g => Dedup.hash60(g))).as("gh"))
+    val perDocPerGram = grams.groupBy(col("doc_id"), col("gh"))
+      .agg(count(lit(1)).cast("long").as("c_in_doc"))
+    val corpusCounts = perDocPerGram.groupBy(col("gh"))
+      .agg(sum(col("c_in_doc")).cast("long").as("c_corpus"))
+    perDocPerGram.join(corpusCounts, Seq("gh"))
+      .groupBy(col("doc_id"))
+      .agg(
+        sum(col("c_in_doc")).cast("long").as("n_spans"),
+        sum(when(col("c_corpus") >= 2, col("c_in_doc")).otherwise(0L))
+          .cast("long").as("n_dup_spans"))
+      .withColumn("frac_dup",
+        col("n_dup_spans").cast("double") / col("n_spans").cast("double"))
+  }
+}

@@ -604,6 +604,54 @@ object RelationalQueries {
         |FROM (
         |  SELECT *, lag(epoch_us(CAST(ts AS TIMESTAMP))) OVER (
         |    PARTITION BY user_id ORDER BY ts, event_id) AS prev
-        |  FROM events)""".stripMargin))
+        |  FROM events)""".stripMargin)),
+
+    Q(
+      "q32_asof_join",
+      "Backward as-of join (beyond-reference; pandas merge_asof / " +
+        "DuckDB ASOF JOIN): every event annotated with the value of " +
+        "the most recent error event of the same user. Implemented as " +
+        "tag-union + one window pass per key (single shuffle, no " +
+        "non-equi join, no nested loop) — see operators.AsofJoin.",
+      (s, dir) => {
+        val ev = t(s, dir, "events")
+        val err = ev.filter(col("event_type") === lit("error"))
+          .select(col("user_id"), col("ts").as("err_ts"),
+            col("value").as("last_err_value"), col("event_id").as("err_id"))
+        graft.operators.AsofJoin.asofBackward(
+            ev, err, key = "user_id", leftTs = "ts", rightTs = "err_ts",
+            payload = Seq("last_err_value"), rightTiebreak = Some("err_id"))
+          .select(col("event_id"), col("user_id"), col("event_type"),
+            col("last_err_value"))
+      },
+      Some("""SELECT e.event_id, e.user_id, e.event_type, r.value AS last_err_value
+        |FROM events e ASOF LEFT JOIN (
+        |  SELECT user_id, ts, value FROM events WHERE event_type = 'error') r
+        |  ON e.user_id = r.user_id AND e.ts >= r.ts""".stripMargin)),
+
+    Q(
+      "q33_range_join",
+      "Interval (range) join as a bucketed equi-join (beyond-reference): " +
+        "event values binned into half-open [lo, hi) tiers. The interval " +
+        "side explodes to covered fixed-width buckets, the join is " +
+        "bucket = bucket (broadcast hash join) with the range predicate " +
+        "as residual filter — no nested loop at any dim size; see " +
+        "operators.RangeJoin.",
+      (s, dir) => {
+        import s.implicits._
+        val tiers = Seq(
+          (0.0, 25.0, "t0"), (25.0, 60.0, "t1"),
+          (60.0, 150.0, "t2"), (150.0, 500.0, "t3"))
+          .toDF("lo", "hi", "tier")
+        graft.operators.RangeJoin.bucketedRangeJoin(
+            t(s, dir, "events"), tiers, "value", "lo", "hi",
+            bucketWidth = 25.0)
+          .select(col("event_id"), col("tier"))
+      },
+      Some("""SELECT e.event_id, t.tier
+        |FROM events e
+        |JOIN (VALUES (0.0, 25.0, 't0'), (25.0, 60.0, 't1'),
+        |             (60.0, 150.0, 't2'), (150.0, 500.0, 't3')) t(lo, hi, tier)
+        |  ON e.value >= t.lo AND e.value < t.hi""".stripMargin))
   )
 }

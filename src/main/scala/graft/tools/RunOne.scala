@@ -22,7 +22,9 @@ object RunOne {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    val tc = System.nanoTime()
     val df = Registry.byName(name).run(spark, sfDir)
+    println(f"[runone] $name construct: ${(System.nanoTime() - tc) / 1e9}%.2f s")
     if (sys.env.contains("GRAFT_EXPLAIN")) df.explain("formatted")
     (1 to reps).foreach { i =>
       val t0 = System.nanoTime()
