@@ -50,7 +50,7 @@ object QualityRules {
     val base = docs.select(col(idCol).as("doc_id"),
       length(col(textCol)).cast("long").as("n_chars_total"))
 
-    val chars2 = (col("cnt") * length(col("gram")).cast("long")).as("chars")
+    val chars2 = col("cnt") * length(col("gram")).cast("long")
     val top2 = gramCounts(docs, idCol, textCol, 2)
       .select(col("doc_id"), (col("cnt") * Pack + chars2).as("packed"))
       .groupBy(col("doc_id"))

@@ -341,6 +341,145 @@ object TextQueries {
         |      i -> concat(w[i], ' ', w[i+1], ' ', w[i+2]))),
         |    s -> ${dkHash60("s")})) AS fp_minimizer
         |FROM (SELECT doc_id, text, string_split(text, ' ') AS w FROM documents)
-        |WHERE len(w) >= 3""".stripMargin))
+        |WHERE len(w) >= 3""".stripMargin)),
+
+    Q(
+      "qt06_repetition",
+      "Gopher-style repetition quality rules: fraction of characters in " +
+        "the most common word 2-gram and in duplicated word 3-grams. " +
+        "Computed by exploding to (doc, gram) occurrence rows + partial " +
+        "aggregation — linear in token count, never O(len²) per " +
+        "document; deterministic tie-break by packing (count, chars) " +
+        "into one BIGINT. See operators.QualityRules.",
+      (s, dir) =>
+        graft.operators.QualityRules.repetitionStats(
+          graft.core.Partitioning.parallelize(
+            Tables.load(s, dir, "documents"), col("doc_id")),
+          "doc_id", "text"),
+      Some("""WITH w AS (SELECT doc_id, text, string_split(text, ' ') AS w FROM documents),
+        |g2 AS (SELECT doc_id, unnest(list_transform(range(1, len(w)),
+        |         i -> concat(w[i], ' ', w[i+1]))) AS gram
+        |       FROM w WHERE len(w) >= 2),
+        |c2 AS (SELECT doc_id, gram, CAST(count(*) AS BIGINT) AS cnt FROM g2 GROUP BY 1, 2),
+        |top2 AS (SELECT doc_id,
+        |           max(cnt * 4294967296 + cnt * length(gram)) % 4294967296 AS top2_chars
+        |         FROM c2 GROUP BY 1),
+        |g3 AS (SELECT doc_id, unnest(list_transform(range(1, len(w)-1),
+        |         i -> concat(w[i], ' ', w[i+1], ' ', w[i+2]))) AS gram
+        |       FROM w WHERE len(w) >= 3),
+        |c3 AS (SELECT doc_id, gram, CAST(count(*) AS BIGINT) AS cnt FROM g3 GROUP BY 1, 2),
+        |dup3 AS (SELECT doc_id,
+        |           CAST(sum(CASE WHEN cnt >= 2 THEN cnt * length(gram) ELSE 0 END) AS BIGINT) AS dup3_chars,
+        |           CAST(sum(cnt * length(gram)) AS BIGINT) AS all3_chars
+        |         FROM c3 GROUP BY 1)
+        |SELECT doc_id, n_chars_total, frac_top_2gram_chars, frac_dup_3gram_chars,
+        |  (frac_top_2gram_chars <= 0.20 AND frac_dup_3gram_chars <= 0.60) AS keep
+        |FROM (
+        |  SELECT d.doc_id, CAST(length(d.text) AS BIGINT) AS n_chars_total,
+        |    CAST(coalesce(top2_chars, 0) AS DOUBLE) / CAST(length(d.text) AS DOUBLE)
+        |      AS frac_top_2gram_chars,
+        |    CAST(coalesce(dup3_chars, 0) AS DOUBLE) / CAST(coalesce(all3_chars, 1) AS DOUBLE)
+        |      AS frac_dup_3gram_chars
+        |  FROM documents d
+        |  LEFT JOIN top2 USING (doc_id) LEFT JOIN dup3 USING (doc_id))""".stripMargin)),
+
+    Q(
+      "qt07_pii_redact",
+      "PII detection + redaction (emails, IPv4, phones) over text with " +
+        "deterministically planted PII — regexes restricted to the " +
+        "Java-regex ∩ RE2 common subset so the oracle reproduces " +
+        "matches exactly. Pure narrow expressions, zero shuffle. See " +
+        "operators.Pii.",
+      (s, dir) => {
+        val planted = concat(col("text"),
+          lit(" contact user"), col("doc_id").cast("string"),
+          lit("@example.com from 10.0."),
+          pmod(col("doc_id"), lit(256)).cast("string"),
+          lit(".99 call +123 456-7890 now"))
+        Tables.load(s, dir, "documents")
+          .select(col("doc_id"), planted.as("t"))
+          .select((col("doc_id") +: graft.operators.Pii.piiCounts(col("t")) :+
+            md5(graft.operators.Pii.redact(col("t")).cast("binary"))
+              .as("redacted_md5")): _*)
+      },
+      Some("""WITH p AS (SELECT doc_id,
+        |  concat(text, ' contact user', CAST(doc_id AS VARCHAR), '@example.com from 10.0.',
+        |         CAST(doc_id % 256 AS VARCHAR), '.99 call +123 456-7890 now') AS t
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+        |  CAST(len(regexp_extract_all(t, '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b')) AS BIGINT) AS n_ipv4,
+        |  CAST(len(regexp_extract_all(t, '\+?[0-9]{3}[- ][0-9]{3}[- ][0-9]{4}')) AS BIGINT) AS n_phones,
+        |  md5(regexp_replace(regexp_replace(regexp_replace(t,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '<IP>', 'g'),
+        |    '\+?[0-9]{3}[- ][0-9]{3}[- ][0-9]{4}', '<PHONE>', 'g')) AS redacted_md5
+        |FROM p""".stripMargin)),
+
+    Q(
+      "qt08_stratified_sample",
+      "Deterministic hash-based sampling (1-in-10 within each (doc_id, " +
+        "lang) stratum key): pmod(hash60, 10) = 0 — reproducible on any " +
+        "engine, any partitioning, no RNG state. The 100 TB shape of " +
+        "corpus subsampling: a pure filter, fully pushed parallel scan.",
+      (s, dir) =>
+        Tables.load(s, dir, "documents")
+          .filter(pmod(Dedup.hash60(
+            concat(col("doc_id").cast("string"), lit(":"), col("lang"))),
+            lit(10)) === 0)
+          .select(col("doc_id"), col("lang"), col("source")),
+      Some(s"""SELECT doc_id, lang, source FROM documents
+        |WHERE ${dkHash60("concat(CAST(doc_id AS VARCHAR), ':', lang)")} % 10 = 0""".stripMargin)),
+
+    Q(
+      "qd08_contamination",
+      "Benchmark-contamination audit (GPT-3 appendix-C shape): distinct " +
+        "8-gram overlap between every corpus document and a benchmark " +
+        "set (docs with doc_id % 50 = 0). Benchmark gram hashes " +
+        "broadcast (eval sets are small by definition); corpus side is " +
+        "one linear explode + map-side semi-join. See " +
+        "operators.Overlap.",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        graft.operators.Overlap.contaminationHits(
+          graft.core.Partitioning.parallelize(
+            docs.filter(pmod(col("doc_id"), lit(50)) =!= 0), col("doc_id")),
+          docs.filter(pmod(col("doc_id"), lit(50)) === 0),
+          "doc_id", "text", n = 8)
+      },
+      Some(s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |gr AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(w)-6),
+        |         i -> ${dkHash60("concat(w[i],' ',w[i+1],' ',w[i+2],' ',w[i+3],' ',w[i+4],' ',w[i+5],' ',w[i+6],' ',w[i+7])")}))) AS gh
+        |       FROM w WHERE len(w) >= 8),
+        |b AS (SELECT DISTINCT gh FROM gr WHERE doc_id % 50 = 0),
+        |hits AS (SELECT g.doc_id, CAST(count(*) AS BIGINT) AS n_hits
+        |         FROM gr g JOIN b USING (gh) WHERE g.doc_id % 50 <> 0 GROUP BY 1)
+        |SELECT d.doc_id, coalesce(h2.n_hits, 0) AS n_hits
+        |FROM (SELECT doc_id FROM documents WHERE doc_id % 50 <> 0) d
+        |LEFT JOIN hits h2 USING (doc_id)""".stripMargin)),
+
+    Q(
+      "qd09_span_dedup",
+      "Corpus-level duplicated-span statistics (C4 span-dedup signal): " +
+        "per document, how many word 5-gram occurrences belong to spans " +
+        "seen >= 2 times corpus-wide. Explode to 8-byte gram hashes, " +
+        "partial-agg count per (doc, gram) then per gram, equi-join " +
+        "back — two shuffles, AQE-skew-safe. See operators.Overlap.",
+      (s, dir) =>
+        graft.operators.Overlap.duplicatedSpanStats(
+          graft.core.Partitioning.parallelize(
+            Tables.load(s, dir, "documents"), col("doc_id")),
+          "doc_id", "text", n = 5),
+      Some(s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |g AS (SELECT doc_id, unnest(list_transform(range(1, len(w)-3),
+        |        i -> ${dkHash60("concat(w[i],' ',w[i+1],' ',w[i+2],' ',w[i+3],' ',w[i+4])")})) AS gh
+        |      FROM w WHERE len(w) >= 5),
+        |pd AS (SELECT doc_id, gh, CAST(count(*) AS BIGINT) AS c_in_doc FROM g GROUP BY 1, 2),
+        |cc AS (SELECT gh, CAST(sum(c_in_doc) AS BIGINT) AS c_corpus FROM pd GROUP BY 1)
+        |SELECT doc_id, CAST(sum(c_in_doc) AS BIGINT) AS n_spans,
+        |  CAST(sum(CASE WHEN c_corpus >= 2 THEN c_in_doc ELSE 0 END) AS BIGINT) AS n_dup_spans,
+        |  CAST(sum(CASE WHEN c_corpus >= 2 THEN c_in_doc ELSE 0 END) AS DOUBLE) /
+        |  CAST(sum(c_in_doc) AS DOUBLE) AS frac_dup
+        |FROM pd JOIN cc USING (gh) GROUP BY doc_id""".stripMargin))
   )
 }
