@@ -1,0 +1,101 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.SparkSuite
+
+class CorpusOpsSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("repetitionStats flags the repeated-phrase document") {
+    val docs = Seq(
+      // "spam spam" repeated: top 2-gram dominates
+      (1L, Seq.fill(20)("spam").mkString(" ")),
+      (2L, "the quick brown fox jumps over a lazy dog while many other " +
+        "animals watch from the tall grass near an old wooden fence today"),
+      // one tripled 3-gram in otherwise unique text
+      (3L, "a b c d e f g h a b c a b c")
+    ).toDF("doc_id", "text")
+    val got = QualityRules.repetitionStats(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        (r.getDouble(2), r.getDouble(3), r.getBoolean(4))).toMap
+    // doc 1: every 2-gram is "spam spam" (19 of them, 9 chars each)
+    assert(got(1L)._1 > 1.0 && !got(1L)._3)
+    // doc 2: all 2-grams unique -> top fraction small, kept
+    assert(got(2L)._1 < 0.20 && got(2L)._2 == 0.0 && got(2L)._3)
+    // doc 3: "a b c" occurs 3 times among 12 3-grams -> dup fraction 3·5/12·5
+    assert(math.abs(got(3L)._2 - 3.0 / 12.0) < 1e-12)
+  }
+
+  test("repetitionStats never computes per-document quadratic lambdas") {
+    // a long document must go through explode+groupBy, not array lambdas:
+    // verify the plan aggregates rather than nesting transform(filter())
+    val docs = Seq((1L, (1 to 5000).map(i => s"w${i % 97}").mkString(" ")))
+      .toDF("doc_id", "text")
+    val df = QualityRules.repetitionStats(docs, "doc_id", "text")
+    val plan = df.queryExecution.optimizedPlan.toString
+    assert(plan.contains("Aggregate"), plan)
+    assert(df.count() == 1)
+  }
+
+  test("piiCounts and redact find and scrub planted PII") {
+    val df = Seq(
+      (1L, "mail me at jane.doe+x@sub.example.org or call +555 123-4567 ok"),
+      (2L, "server at 192.168.0.1 and 10.0.255.99 no phones"),
+      (3L, "clean text without identifiers")
+    ).toDF("id", "t")
+    val got = df.select((col("id") +: Pii.piiCounts(col("t")) :+
+      Pii.redact(col("t")).as("red")): _*)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4))).toMap
+    assert(got(1L)._1 == 1 && got(1L)._3 == 1)
+    assert(got(1L)._4 == "mail me at <EMAIL> or call <PHONE> ok")
+    assert(got(2L)._2 == 2 && got(2L)._4 == "server at <IP> and <IP> no phones")
+    assert(got(3L) == ((0L, 0L, 0L, "clean text without identifiers")))
+  }
+
+  test("redact scrubs emails before IPs so dotted domains survive as <EMAIL>") {
+    val df = Seq((1L, "x@10.0.0.1.example.com then 10.0.0.1")).toDF("id", "t")
+    val red = df.select(Pii.redact(col("t")).as("r")).head().getString(0)
+    assert(red == "<EMAIL> then <IP>")
+  }
+
+  test("contaminationHits counts distinct shared 8-grams and keeps clean docs") {
+    val bench = Seq((100L, "one two three four five six seven eight nine ten"))
+      .toDF("doc_id", "text")
+    val corpus = Seq(
+      // shares the full 10-token run: 8-grams at offsets 0,1,2 -> 3 hits
+      (1L, "zz one two three four five six seven eight nine ten yy"),
+      (2L, "totally different words with no overlap at all here now"),
+      (3L, "short text") // < 8 tokens, still present with 0 hits
+    ).toDF("doc_id", "text")
+    val got = Overlap.contaminationHits(corpus, bench, "doc_id", "text")
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 3L, 2L -> 0L, 3L -> 0L))
+  }
+
+  test("duplicatedSpanStats counts own repeats and cross-doc spans") {
+    val docs = Seq(
+      (1L, "p q r s t u v"), // grams: pqrst qrstu rstuv (3 spans)
+      (2L, "p q r s t x y"), // shares pqrst with doc 1
+      (3L, "a b c d e a b c d e") // own repeat: abcde twice + cross grams
+    ).toDF("doc_id", "text")
+    val got = Overlap.duplicatedSpanStats(docs, "doc_id", "text", n = 5)
+      .select("doc_id", "n_spans", "n_dup_spans")
+      .as[(Long, Long, Long)].collect().map(t => t._1 -> (t._2, t._3)).toMap
+    assert(got(1L) == ((3L, 1L))) // only pqrst duplicated
+    assert(got(2L) == ((3L, 1L)))
+    // doc 3: 6 spans; "a b c d e" occurs twice (corpus count 2 from itself)
+    assert(got(3L)._1 == 6L && got(3L)._2 == 2L)
+  }
+
+  test("contamination benchmark side is a broadcast semi-join") {
+    val bench = Seq((100L, "one two three four five six seven eight"))
+      .toDF("doc_id", "text")
+    val corpus = (1L to 50L).map(i => (i, s"doc $i one two three four five six seven eight"))
+      .toDF("doc_id", "text")
+    val df = Overlap.contaminationHits(corpus, bench, "doc_id", "text")
+    val physical = df.queryExecution.executedPlan.toString
+    assert(physical.contains("BroadcastHashJoin") ||
+      physical.contains("BroadcastExchange"), physical)
+  }
+}
