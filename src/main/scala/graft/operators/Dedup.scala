@@ -383,4 +383,69 @@ object Dedup {
           (col("na") + col("nb") - col("inter")).cast("double")).as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
+
+  /** Connected components over an undirected edge list — the step that
+    * turns near-dup PAIRS into dedup CLUSTERS (pairs are not an
+    * equivalence relation; transitive closure is what "keep one copy
+    * per cluster" actually needs). Returns (node, component) where
+    * component = the minimum node id reachable from the node.
+    *
+    * Algorithm: iterative min-label propagation with pointer jumping.
+    * Each round (a) takes the min of a node's label and its neighbors'
+    * labels (one equi-join on the edge list), then (b) replaces every
+    * label by its label's label (one self-join — path halving). The
+    * jump step makes long chains collapse in O(log diameter) rounds
+    * instead of O(diameter); near-dup graphs are unions of dense
+    * clusters, so 2–4 rounds in practice. Each round is two hash
+    * joins + one aggregate — all shuffle-partitioned, nothing
+    * driver-side except the convergence count. This is the
+    * small-graph-per-round half of the large-star/small-star method;
+    * at 10¹⁰ nodes swap the label join to that full method, same
+    * contract.
+    *
+    * Deterministic by construction: min over a set is order- and
+    * partitioning-independent.
+    */
+  def connectedComponents(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      maxIter: Int = 25): DataFrame = {
+    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val sym = edges
+      .select(col(srcCol).cast("long").as("s"), col(dstCol).cast("long").as("t"))
+      .union(edges.select(col(dstCol).cast("long").as("s"),
+        col(srcCol).cast("long").as("t")))
+      .distinct()
+      .persist(MEMORY_AND_DISK)
+    var labels = sym.select(col("s").as("node")).distinct()
+      .select(col("node"), col("node").as("label"))
+      .persist(MEMORY_AND_DISK)
+    var iter = 0
+    var done = false
+    while (!done && iter < maxIter) {
+      val viaNeighbors = sym
+        .join(labels.select(col("node").as("t"), col("label")), Seq("t"))
+        .select(col("s").as("node"), col("label"))
+      val minLabels = labels.unionByName(viaNeighbors)
+        .groupBy(col("node")).agg(min(col("label")).as("label"))
+      // pointer jumping: label <- min(label, label(label))
+      val jumped = minLabels.as("c")
+        .join(minLabels.select(col("node").as("jn"), col("label").as("jl")),
+          col("c.label") === col("jn"))
+        .select(col("c.node").as("node"),
+          least(col("c.label"), col("jl")).as("label"))
+        .persist(MEMORY_AND_DISK)
+      val changed = jumped.select(col("node"), col("label").as("new_label"))
+        .join(labels, Seq("node"))
+        .filter(col("new_label") =!= col("label"))
+        .count()
+      labels.unpersist()
+      labels = jumped
+      done = changed == 0
+      iter += 1
+    }
+    sym.unpersist()
+    labels.select(col("node"), col("label").as("component"))
+  }
 }

@@ -139,6 +139,40 @@ object StreamingQueries {
       Some("SELECT event_id, event_type, value FROM events")),
 
     Q(
+      "qst04_stream_join",
+      "Stream-stream inner join (attribution): views joined to the same " +
+        "user's clicks within 10 minutes after the view, both sides " +
+        "watermarked so join state is evicted at watermark + horizon. " +
+        "Run as a real two-stream job; oracle = the batch time-range " +
+        "join, which a correct stream-stream inner join must equal " +
+        "exactly once both streams drain.",
+      (s, dir) => {
+        s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        val schema = StructType.fromDDL(
+          "event_id BIGINT, ts BIGINT, user_id BIGINT, " +
+            "event_type STRING, value DOUBLE, props STRING")
+        def fileStream() = s.readStream.schema(schema)
+          .parquet(s"$dir/events.parque*")
+          .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        val joined = EventStreams.attributionJoin(
+          fileStream().filter(col("event_type") === lit("view")),
+          fileStream().filter(col("event_type") === lit("click")),
+          horizonMin = 10)
+        val name = "graft_stream_join"
+        val q = joined.writeStream.format("memory").queryName(name)
+          .outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        s.table(name)
+      },
+      Some("""SELECT v.event_id AS view_id, c.event_id AS click_id, v.user_id
+        |FROM events v JOIN events c
+        |  ON v.user_id = c.user_id
+        | AND v.event_type = 'view' AND c.event_type = 'click'
+        | AND c.ts >= v.ts AND c.ts <= v.ts + INTERVAL 10 MINUTE""".stripMargin)),
+
+    Q(
       "qm01_media_features",
       "Multimodal plumbing: wrap document text bytes as media rows, " +
         "extract per-partition batched byte-level features (stub " +

@@ -15,6 +15,47 @@ object TextQueries {
   private def dkHash60(e: String): String =
     s"CAST(concat('0x', substr(md5($e), 1, 15)) AS BIGINT)"
 
+  /** DuckDB rendition of Dedup.lshNearDupPairs (16 hashes, 4×4 bands,
+    * jaccard ≥ 0.5): the CTE chain producing candidate pairs, and the
+    * verified-pair SELECT. Shared by qd02 (pairs) and qd10 (clusters =
+    * connected components over the same pairs). */
+  private val lshCtes: String =
+    """sh AS (
+      |  SELECT doc_id,
+      |    list_distinct(list_transform(range(1, len(w)-1),
+      |      i -> concat(w[i], ' ', w[i+1], ' ', w[i+2]))) AS shingles
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+      |  WHERE len(w) >= 3),
+      |sigs AS (
+      |  SELECT doc_id,
+      |    list_transform(range(0, 16), j ->
+      |      list_min(list_transform(prs, p -> (p[1] + j * p[2]) % 2305843009213693951))) AS sig
+      |  FROM (
+      |    SELECT doc_id,
+      |      list_transform(list_transform(shingles, x -> md5(x)), h ->
+      |        [CAST(concat('0x', substr(h, 1, 14)) AS BIGINT),
+      |         CAST(concat('0x', substr(h, 15, 14)) AS BIGINT)]) AS prs
+      |    FROM sh)),
+      |bands AS (
+      |  SELECT doc_id, b.band AS band,
+      |    concat(CAST(sig[4*b.band+1] AS VARCHAR), ',', CAST(sig[4*b.band+2] AS VARCHAR), ',',
+      |           CAST(sig[4*b.band+3] AS VARCHAR), ',', CAST(sig[4*b.band+4] AS VARCHAR)) AS bkey
+      |  FROM sigs, (SELECT unnest(range(0, 4)) AS band) b),
+      |cand AS (
+      |  SELECT DISTINCT a.doc_id AS a_id, b2.doc_id AS b_id
+      |  FROM bands a JOIN bands b2
+      |    ON a.band = b2.band AND a.bkey = b2.bkey AND a.doc_id < b2.doc_id)""".stripMargin
+
+  private val lshPairSelect: String =
+    """SELECT c.a_id, c.b_id,
+      |  CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE) /
+      |  CAST(len(list_distinct(sa.shingles || sb.shingles)) AS DOUBLE) AS jaccard
+      |FROM cand c
+      |JOIN sh sa ON sa.doc_id = c.a_id
+      |JOIN sh sb ON sb.doc_id = c.b_id
+      |WHERE CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE) /
+      |      CAST(len(list_distinct(sa.shingles || sb.shingles)) AS DOUBLE) >= 0.5""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q(
       "qd01_exact_dedup",
@@ -34,39 +75,7 @@ object TextQueries {
       (s, dir) =>
         Dedup.lshNearDupPairs(Tables.load(s, dir, "documents"), "doc_id", "text",
           nShingle = 3, k = 16, bands = 4, threshold = 0.5),
-      Some(s"""WITH sh AS (
-        |  SELECT doc_id,
-        |    list_distinct(list_transform(range(1, len(w)-1),
-        |      i -> concat(w[i], ' ', w[i+1], ' ', w[i+2]))) AS shingles
-        |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
-        |  WHERE len(w) >= 3),
-        |sigs AS (
-        |  SELECT doc_id,
-        |    list_transform(range(0, 16), j ->
-        |      list_min(list_transform(prs, p -> (p[1] + j * p[2]) % 2305843009213693951))) AS sig
-        |  FROM (
-        |    SELECT doc_id,
-        |      list_transform(list_transform(shingles, x -> md5(x)), h ->
-        |        [CAST(concat('0x', substr(h, 1, 14)) AS BIGINT),
-        |         CAST(concat('0x', substr(h, 15, 14)) AS BIGINT)]) AS prs
-        |    FROM sh)),
-        |bands AS (
-        |  SELECT doc_id, b.band AS band,
-        |    concat(CAST(sig[4*b.band+1] AS VARCHAR), ',', CAST(sig[4*b.band+2] AS VARCHAR), ',',
-        |           CAST(sig[4*b.band+3] AS VARCHAR), ',', CAST(sig[4*b.band+4] AS VARCHAR)) AS bkey
-        |  FROM sigs, (SELECT unnest(range(0, 4)) AS band) b),
-        |cand AS (
-        |  SELECT DISTINCT a.doc_id AS a_id, b2.doc_id AS b_id
-        |  FROM bands a JOIN bands b2
-        |    ON a.band = b2.band AND a.bkey = b2.bkey AND a.doc_id < b2.doc_id)
-        |SELECT c.a_id, c.b_id,
-        |  CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE) /
-        |  CAST(len(list_distinct(sa.shingles || sb.shingles)) AS DOUBLE) AS jaccard
-        |FROM cand c
-        |JOIN sh sa ON sa.doc_id = c.a_id
-        |JOIN sh sb ON sb.doc_id = c.b_id
-        |WHERE CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE) /
-        |      CAST(len(list_distinct(sa.shingles || sb.shingles)) AS DOUBLE) >= 0.5""".stripMargin)),
+      Some(s"WITH $lshCtes\n$lshPairSelect")),
 
     Q(
       "qd03_simhash",
@@ -480,6 +489,36 @@ object TextQueries {
         |  CAST(sum(CASE WHEN c_corpus >= 2 THEN c_in_doc ELSE 0 END) AS BIGINT) AS n_dup_spans,
         |  CAST(sum(CASE WHEN c_corpus >= 2 THEN c_in_doc ELSE 0 END) AS DOUBLE) /
         |  CAST(sum(c_in_doc) AS DOUBLE) AS frac_dup
-        |FROM pd JOIN cc USING (gh) GROUP BY doc_id""".stripMargin))
+        |FROM pd JOIN cc USING (gh) GROUP BY doc_id""".stripMargin)),
+
+    Q(
+      "qd10_dedup_clusters",
+      "Near-dup CLUSTERS via distributed connected components over the " +
+        "LSH pair graph (pairs are not transitive; keep-one-per-cluster " +
+        "needs the closure). Iterative min-label propagation with " +
+        "pointer jumping — O(log diameter) rounds, two hash joins per " +
+        "round, fully shuffle-partitioned. Oracle = recursive-CTE " +
+        "transitive closure over the identical pair set. See " +
+        "Dedup.connectedComponents.",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        val pairs = Dedup.lshNearDupPairs(docs, "doc_id", "text",
+          nShingle = 3, k = 16, bands = 4, threshold = 0.5)
+          .select(col("a_id"), col("b_id"))
+        val self = docs.select(col("doc_id").as("a_id"),
+          col("doc_id").as("b_id"))
+        Dedup.connectedComponents(pairs.unionByName(self), "a_id", "b_id")
+          .select(col("node").as("doc_id"), col("component"))
+      },
+      Some(s"""WITH RECURSIVE $lshCtes,
+        |pairs AS ($lshPairSelect),
+        |sym(s, t) AS (
+        |  SELECT a_id, b_id FROM pairs UNION SELECT b_id, a_id FROM pairs
+        |  UNION SELECT doc_id, doc_id FROM documents),
+        |r(s, t) AS (
+        |  SELECT s, t FROM sym
+        |  UNION
+        |  SELECT r.s, sym.t FROM r JOIN sym ON r.t = sym.s)
+        |SELECT s AS doc_id, min(t) AS component FROM r GROUP BY s""".stripMargin))
   )
 }

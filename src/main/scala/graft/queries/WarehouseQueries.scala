@@ -76,6 +76,37 @@ object WarehouseQueries {
         |  count(*) AS n_obs,
         |  CAST(sum(CAST(CAST(CAST(value AS FLOAT) AS DOUBLE) AS DECIMAL(30,6))) AS DOUBLE) AS total_value
         |FROM obs JOIN cmap c2 USING (country_code)
-        |GROUP BY c2.region, dimension""".stripMargin))
+        |GROUP BY c2.region, dimension""".stripMargin)),
+
+    Q(
+      "qw03_scd2_history",
+      "SCD2 dimension-history build (beyond-reference warehouse op): an " +
+        "event log (orders per customer) becomes validity intervals — " +
+        "valid_from = event time, valid_to = next event's time via " +
+        "lead() over (key ORDER BY time, id), open interval = current " +
+        "row. One shuffle on the key, per-partition sort; the standard " +
+        "log-to-slowly-changing-dimension transform.",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy(col("o_custkey"))
+          .orderBy(col("o_orderdate"), col("o_orderkey"))
+        graft.core.Tables.load(s, dir, "orders")
+          .select(col("o_custkey"), col("o_orderkey"), col("o_orderstatus"),
+            col("o_orderdate"))
+          .withColumn("valid_to_ts", lead(col("o_orderdate"), 1).over(w))
+          .select(
+            col("o_custkey"), col("o_orderkey"), col("o_orderstatus"),
+            date_format(col("o_orderdate"), "yyyy-MM-dd HH:mm:ss")
+              .as("valid_from"),
+            date_format(col("valid_to_ts"), "yyyy-MM-dd HH:mm:ss")
+              .as("valid_to"),
+            col("valid_to_ts").isNull.as("is_current"))
+      },
+      Some("""SELECT o_custkey, o_orderkey, o_orderstatus,
+        |  strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS valid_from,
+        |  strftime(lead(o_orderdate) OVER w, '%Y-%m-%d %H:%M:%S') AS valid_to,
+        |  lead(o_orderdate) OVER w IS NULL AS is_current
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)""".stripMargin))
   )
 }

@@ -62,6 +62,35 @@ object EventStreams {
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Stream-stream inner join with an event-time range condition:
+    * every view joined to the same user's clicks within `horizonMin`
+    * minutes AFTER the view — the attribution join. Both sides are
+    * watermarked and the join condition bounds event-time distance, so
+    * each side's state is evicted once the other side's watermark
+    * passes `ts + horizon` — state stays bounded by (watermark +
+    * horizon) × arrival rate, never the whole stream. Without the time
+    * bound Spark would (correctly) refuse to plan the join: unbounded
+    * state is a bug, not a capability. */
+  def attributionJoin(
+      views: DataFrame,
+      clicks: DataFrame,
+      horizonMin: Int = 10,
+      watermark: String = "1 hour"): DataFrame = {
+    val v = views
+      .select(col("event_id").as("view_id"), col("user_id"),
+        col("ts").as("view_ts"))
+      .withWatermark("view_ts", watermark)
+    val c = clicks
+      .select(col("event_id").as("click_id"),
+        col("user_id").as("click_user_id"), col("ts").as("click_ts"))
+      .withWatermark("click_ts", watermark)
+    v.join(c,
+      col("user_id") === col("click_user_id") &&
+        col("click_ts") >= col("view_ts") &&
+        col("click_ts") <= col("view_ts") + expr(s"INTERVAL $horizonMin MINUTES"))
+      .select(col("view_id"), col("click_id"), col("user_id"))
+  }
+
   final case class Event(
       event_id: Long, ts: Timestamp, user_id: Long,
       event_type: String, value: Double)
