@@ -116,4 +116,27 @@ class DedupSpec extends SparkSuite {
     assert(sig.length == 4)
     assert(sig.forall(v => v >= 0 && v < Dedup.MinhashP))
   }
+
+  test("connectedComponents labels clusters, chains, and singletons") {
+    val edges = Seq(
+      (1L, 2L), (2L, 3L), // triangle-ish cluster via 1-2-3
+      (10L, 11L), (11L, 12L), (12L, 13L), (13L, 14L), // a chain
+      (20L, 20L) // singleton via self-edge
+    ).toDF("a", "b")
+    val got = Dedup.connectedComponents(edges, "a", "b")
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(
+      1L -> 1L, 2L -> 1L, 3L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 13L -> 10L, 14L -> 10L,
+      20L -> 20L))
+  }
+
+  test("connectedComponents collapses a long chain within the iteration cap") {
+    // a 64-node path has diameter 63; pointer jumping must converge in
+    // far fewer rounds than the plain-propagation bound
+    val edges = (0L until 63L).map(i => (i, i + 1)).toDF("a", "b")
+    val got = Dedup.connectedComponents(edges, "a", "b", maxIter = 10)
+      .as[(Long, Long)].collect().toMap
+    assert(got.size == 64 && got.values.forall(_ == 0L))
+  }
 }
