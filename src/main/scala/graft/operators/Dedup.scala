@@ -294,6 +294,42 @@ object Dedup {
       .select(col(idCol).as("keep_id"))
   }
 
+  /** Full-corpus duplicate CLUSTERS at production scale: every document
+    * labeled with its duplicate-cluster id (exact AND near duplicates,
+    * transitively closed).
+    *
+    * The scale trick vs. running [[connectedComponents]] on the raw
+    * near-dup pair graph: exact duplicates collapse FIRST, so
+    *  - the LSH pair join sees unique content only (the duplicate mass
+    *    that would quadratically inflate raw pair generation is gone);
+    *  - exact groups enter the edge list as STARS (representative →
+    *    member), diameter 2, instead of cliques with O(m²) edges.
+    * Edge count is linear in corpus size + near-dup pairs among unique
+    * texts; the closure then runs over this sparse graph. */
+  def corpusClusters(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      nShingle: Int = 3,
+      k: Int = 16,
+      bands: Int = 4,
+      threshold: Double = 0.5,
+      maxBucketSize: Int = DefaultMaxBucketSize): DataFrame = {
+    val hashes = docs.select(col(idCol).as("doc_id"),
+      md5(col(textCol).cast("binary")).as("__h"))
+    val groups = hashes.groupBy(col("__h")).agg(min(col("doc_id")).as("keep_id"))
+    // star edges: representative → every member (self-edge for the rep
+    // keeps singletons in the node set)
+    val memberEdges = hashes.join(groups, Seq("__h"))
+      .select(col("keep_id").as("a"), col("doc_id").as("b"))
+    val repDocs = docs.join(groups.select(col("keep_id").as(idCol)),
+      Seq(idCol), "left_semi")
+    val repPairs = lshNearDupPairs(repDocs, idCol, textCol,
+      nShingle, k, bands, threshold, maxBucketSize)
+      .select(col("a_id").as("a"), col("b_id").as("b"))
+    connectedComponents(memberEdges.unionByName(repPairs), "a", "b")
+  }
+
   /** Blocked exact n-gram-jaccard near-dup pairs: block on
     * (lang, length-bucket), probe the ±1-bucket window via an exploded
     * equi-join (the scale-safe form of the |lenA−lenB|≤width range
@@ -440,6 +476,8 @@ object Dedup {
         .join(labels, Seq("node"))
         .filter(col("new_label") =!= col("label"))
         .count()
+      if (sys.env.contains("GRAFT_CC_LOG"))
+        println(s"[cc] round $iter: changed=$changed")
       labels.unpersist()
       labels = jumped
       done = changed == 0

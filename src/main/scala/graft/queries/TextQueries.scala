@@ -17,14 +17,15 @@ object TextQueries {
 
   /** DuckDB rendition of Dedup.lshNearDupPairs (16 hashes, 4×4 bands,
     * jaccard ≥ 0.5): the CTE chain producing candidate pairs, and the
-    * verified-pair SELECT. Shared by qd02 (pairs) and qd10 (clusters =
-    * connected components over the same pairs). */
-  private val lshCtes: String =
-    """sh AS (
+    * verified-pair SELECT. Shared by qd02 (pairs), qd10 (clusters =
+    * connected components over the same pairs) and qd11 (clusters over
+    * exact-dup representatives — `src` parameterizes the corpus). */
+  private def lshCtes(src: String = "documents"): String =
+    s"""sh AS (
       |  SELECT doc_id,
       |    list_distinct(list_transform(range(1, len(w)-1),
       |      i -> concat(w[i], ' ', w[i+1], ' ', w[i+2]))) AS shingles
-      |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM $src)
       |  WHERE len(w) >= 3),
       |sigs AS (
       |  SELECT doc_id,
@@ -75,7 +76,7 @@ object TextQueries {
       (s, dir) =>
         Dedup.lshNearDupPairs(Tables.load(s, dir, "documents"), "doc_id", "text",
           nShingle = 3, k = 16, bands = 4, threshold = 0.5),
-      Some(s"WITH $lshCtes\n$lshPairSelect")),
+      Some(s"WITH ${lshCtes()}\n$lshPairSelect")),
 
     Q(
       "qd03_simhash",
@@ -510,11 +511,41 @@ object TextQueries {
         Dedup.connectedComponents(pairs.unionByName(self), "a_id", "b_id")
           .select(col("node").as("doc_id"), col("component"))
       },
-      Some(s"""WITH RECURSIVE $lshCtes,
+      Some(s"""WITH RECURSIVE ${lshCtes()},
         |pairs AS ($lshPairSelect),
         |sym(s, t) AS (
         |  SELECT a_id, b_id FROM pairs UNION SELECT b_id, a_id FROM pairs
         |  UNION SELECT doc_id, doc_id FROM documents),
+        |r(s, t) AS (
+        |  SELECT s, t FROM sym
+        |  UNION
+        |  SELECT r.s, sym.t FROM r JOIN sym ON r.t = sym.s)
+        |SELECT s AS doc_id, min(t) AS component FROM r GROUP BY s""".stripMargin)),
+
+    Q(
+      "qd11_cluster_corpus",
+      "Full-corpus duplicate clustering at production scale " +
+        "(Dedup.corpusClusters): exact duplicates collapse FIRST, exact " +
+        "groups enter the graph as diameter-2 stars (not O(m²) " +
+        "cliques), LSH pairs run over unique content only, then the " +
+        "connected-component closure labels every document. The " +
+        "linear-edge version of qd10.",
+      (s, dir) =>
+        Dedup.corpusClusters(Tables.load(s, dir, "documents"),
+          "doc_id", "text")
+          .select(col("node").as("doc_id"), col("component")),
+      Some(s"""WITH RECURSIVE
+        |reps AS (SELECT min(doc_id) AS keep_id, md5(text) AS h
+        |         FROM documents GROUP BY md5(text)),
+        |hm AS (SELECT d.doc_id, r.keep_id FROM documents d
+        |       JOIN reps r ON md5(d.text) = r.h),
+        |repdocs AS (SELECT d.doc_id, d.text FROM documents d
+        |            JOIN reps r ON d.doc_id = r.keep_id),
+        |${lshCtes("repdocs")},
+        |pairs AS ($lshPairSelect),
+        |sym(s, t) AS (
+        |  SELECT keep_id, doc_id FROM hm UNION SELECT doc_id, keep_id FROM hm
+        |  UNION SELECT a_id, b_id FROM pairs UNION SELECT b_id, a_id FROM pairs),
         |r(s, t) AS (
         |  SELECT s, t FROM sym
         |  UNION

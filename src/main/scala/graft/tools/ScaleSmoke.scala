@@ -43,7 +43,8 @@ object ScaleSmoke {
       ("lineitem", Seq("l_orderkey")),
       ("orders", Seq("o_orderkey", "o_custkey")),
       ("customer", Seq("c_custkey")),
-      ("documents", Seq("doc_id"))
+      ("documents", Seq("doc_id")),
+      ("events", Seq("event_id", "user_id"))
     ).foreach { case (n, keys) =>
       scaled(n, keys).repartition(cpus.toInt)
         .write.mode("overwrite").parquet(s"$out/$n.parquet")
@@ -94,6 +95,41 @@ object ScaleSmoke {
       time("dedup_corpus") {
         // the packaged end-to-end operator (collapse → LSH → keep)
         Dedup.dedupCorpus(docs, "doc_id", "text").count()
+      },
+      time("span_dedup") {
+        graft.operators.Overlap
+          .duplicatedSpanStats(docs, "doc_id", "text", n = 5).count()
+      },
+      time("repetition_rules") {
+        graft.operators.QualityRules
+          .repetitionStats(docs, "doc_id", "text").count()
+      },
+      time("contamination") {
+        graft.operators.Overlap.contaminationHits(
+          docs.filter(pmod($"doc_id", lit(50)) =!= 0),
+          docs.filter(pmod($"doc_id", lit(50)) === 0),
+          "doc_id", "text", n = 8).count()
+      },
+      time("cluster_corpus") {
+        // production order: exact-collapse first, stars + rep pairs,
+        // then the component closure (Dedup.corpusClusters)
+        Dedup.corpusClusters(docs, "doc_id", "text").count()
+      },
+      time("asof_join") {
+        val ev = {
+          val raw = spark.read.parquet(s"$out/events.parquet")
+          if (raw.schema("ts").dataType ==
+              org.apache.spark.sql.types.LongType)
+            raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+          else raw
+        }
+        val err = ev.filter($"event_type" === "error")
+          .select($"user_id", $"ts".as("err_ts"),
+            $"value".as("last_err_value"), $"event_id".as("err_id"))
+        graft.operators.AsofJoin.asofBackward(
+          ev, err, key = "user_id", leftTs = "ts", rightTs = "err_ts",
+          payload = Seq("last_err_value"), rightTiebreak = Some("err_id"))
+          .count()
       })
 
     val total = results.map(_._2).sum
