@@ -466,11 +466,21 @@ object Dedup {
       val minLabels = labels.unionByName(viaNeighbors)
         .groupBy(col("node")).agg(min(col("label")).as("label"))
       // pointer jumping: label <- min(label, label(label))
-      val jumped = minLabels.as("c")
+      val jumpedPlan = minLabels.as("c")
         .join(minLabels.select(col("node").as("jn"), col("label").as("jl")),
           col("c.label") === col("jn"))
         .select(col("c.node").as("node"),
           least(col("c.label"), col("jl")).as("label"))
+      // Truncate lineage each round — NOT just persist: the self-join
+      // embeds the previous round's plan twice, so without truncation
+      // the logical plan grows O(2^rounds) and the driver dies PLANNING
+      // round ~8 even though every round's data is cached. Rebuilding
+      // the frame from its materialized RDD is the iterative-algorithm
+      // contract on Spark (same role as GraphX/GraphFrames checkpoint
+      // intervals; on a cluster with executor-loss tolerance use
+      // checkpoint() to a reliable dir instead).
+      val jumped = labels.sparkSession
+        .createDataFrame(jumpedPlan.rdd, jumpedPlan.schema)
         .persist(MEMORY_AND_DISK)
       val changed = jumped.select(col("node"), col("label").as("new_label"))
         .join(labels, Seq("node"))

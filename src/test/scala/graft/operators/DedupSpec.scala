@@ -131,6 +131,23 @@ class DedupSpec extends SparkSuite {
       20L -> 20L))
   }
 
+  test("corpusClusters unites exact copies and near-dups transitively") {
+    val base = (0 until 50).map(i => s"word$i").mkString(" ")
+    val near = base.replace("word49", "changed") // jaccard ≈ 0.96
+    val docs = Seq(
+      (1L, base), (2L, base), // exact copies of each other
+      (3L, near), // near-dup of the rep -> same cluster transitively
+      (4L, "completely different content that shares nothing at all " +
+        "with anything else in this tiny corpus of documents"),
+      (5L, "short text")
+    ).toDF("doc_id", "text")
+    val got = Dedup.corpusClusters(docs, "doc_id", "text")
+      .as[(Long, Long)].collect().toMap
+    assert(got(1L) == 1L && got(2L) == 1L && got(3L) == 1L)
+    assert(got(4L) == 4L && got(5L) == 5L)
+    assert(got.size == 5)
+  }
+
   test("connectedComponents collapses a long chain within the iteration cap") {
     // a 64-node path has diameter 63; pointer jumping must converge in
     // far fewer rounds than the plain-propagation bound

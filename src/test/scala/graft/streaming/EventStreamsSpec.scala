@@ -136,4 +136,29 @@ class EventStreamsSpec extends SparkSuite {
     assert(out.length == 1)
     assert(out(0).getLong(2) == 2L)
   }
+
+  test("attribution join matches views to clicks within the horizon only") {
+    implicit val sqlCtx = spark.sqlContext
+    val views = MemoryStream[Event]
+    val clicks = MemoryStream[Event]
+    val joined = EventStreams.attributionJoin(
+      views.toDF(), clicks.toDF(), horizonMin = 10, watermark = "1 hour")
+    val q = joined.writeStream.format("memory").queryName("attr_test")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      views.addData(
+        Event(1, ts(0), 10, "view", 0.0), // clicks at +5 and +10 match
+        Event(2, ts(30), 10, "view", 0.0), // no click in window
+        Event(3, ts(0), 11, "view", 0.0)) // other user's clicks don't match
+      clicks.addData(
+        Event(101, ts(5), 10, "click", 0.0),
+        Event(102, ts(10), 10, "click", 0.0), // boundary: exactly +10 matches
+        Event(103, ts(11), 10, "click", 0.0), // +11 outside view 1's window
+        Event(104, ts(55), 12, "click", 0.0))
+      q.processAllAvailable()
+      val got = spark.table("attr_test")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == Set((1L, 101L), (1L, 102L)))
+    } finally q.stop()
+  }
 }
