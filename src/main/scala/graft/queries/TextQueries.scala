@@ -442,6 +442,30 @@ object TextQueries {
         |WHERE ${dkHash60("concat(CAST(doc_id AS VARCHAR), ':', lang)")} % 10 = 0""".stripMargin)),
 
     Q(
+      "qt09_sequence_pack",
+      "Deterministic sequence packing (the concatenate-and-split stage " +
+        "of LLM training-data prep): documents hash into 8 independent " +
+        "strata, each stream fills 2048-token sequences contiguously in " +
+        "id order — every doc gets (stratum, seq_id, offset). One " +
+        "shuffle; strata scale with executors. See operators.Packing.",
+      (s, dir) =>
+        graft.operators.Packing.sequencePack(
+          Tables.load(s, dir, "documents"), "doc_id", "text",
+          maxLen = 2048, nStrata = 8),
+      Some(s"""SELECT doc_id, stratum, n_tokens,
+        |  CAST(floor(start_tok / 2048) AS BIGINT) AS seq_id,
+        |  start_tok % 2048 AS seq_offset
+        |FROM (
+        |  SELECT doc_id, stratum, n_tokens,
+        |    sum(n_tokens) OVER (PARTITION BY stratum ORDER BY doc_id
+        |      ROWS UNBOUNDED PRECEDING) - n_tokens AS start_tok
+        |  FROM (
+        |    SELECT doc_id,
+        |      ${dkHash60("CAST(doc_id AS VARCHAR)")} % 8 AS stratum,
+        |      CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        |    FROM documents))""".stripMargin)),
+
+    Q(
       "qd08_contamination",
       "Benchmark-contamination audit (GPT-3 appendix-C shape): distinct " +
         "8-gram overlap between every corpus document and a benchmark " +
