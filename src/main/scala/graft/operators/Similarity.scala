@@ -176,4 +176,30 @@ object Similarity {
       .filter(col("rnk") <= k)
       .select(col("vec_id"), col("nbr_id"), col("rnk").cast("long").as("rnk"))
   }
+
+  /** Per-label centroid table: element-wise mean of the embedding
+    * vectors of each label, one row per (label, dimension).
+    *
+    * The distributed shape for vector aggregation: posexplode to
+    * (label, dim, x) rows and hash-aggregate on the COMPOSITE
+    * (label, dim) key — partial aggregation absorbs everything
+    * map-side and the shuffle key space is labels × dims, uniform by
+    * construction, so a hot label never bottlenecks a single reducer
+    * the way aggregating whole arrays per label would. Sums run in
+    * DECIMAL(30,6) (order-invariant, engine-exact) with one final
+    * IEEE division — bit-reproducible under any partitioning. */
+  def labelCentroids(
+      embeddings: DataFrame,
+      labelCol: String,
+      vecCol: String): DataFrame =
+    embeddings
+      .select(col(labelCol).as("label"),
+        posexplode(col(vecCol)).as(Seq("dim", "x")))
+      .groupBy(col("label"), col("dim"))
+      .agg(
+        graft.expr.Exprs.exactSum(col("x").cast("double")).as("sum_x"),
+        count(lit(1)).as("n"))
+      .select(col("label"), col("dim").cast("long").as("dim"),
+        (col("sum_x") / col("n").cast("double")).as("centroid"),
+        col("n").as("n_vectors"))
 }

@@ -652,6 +652,33 @@ object RelationalQueries {
         |FROM events e
         |JOIN (VALUES (0.0, 25.0, 't0'), (25.0, 60.0, 't1'),
         |             (60.0, 150.0, 't2'), (150.0, 500.0, 't3')) t(lo, hi, tier)
-        |  ON e.value >= t.lo AND e.value < t.hi""".stripMargin))
+        |  ON e.value >= t.lo AND e.value < t.hi""".stripMargin)),
+
+    Q(
+      "q34_rolling_window",
+      "Time-RANGE window frame (beyond-reference; the rolling-feature " +
+        "shape of event featurization): per event, count and exact sum " +
+        "of the same user's events in the trailing hour — RANGE frame " +
+        "over event-time micros, so co-timestamped events are treated " +
+        "identically regardless of physical order. One shuffle on the " +
+        "key; frames never materialize more than the per-key sort run.",
+      (s, dir) => {
+        import org.apache.spark.sql.types.DecimalType
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(unix_micros(col("ts")))
+          .rangeBetween(-3600L * 1000000L, 0L)
+        t(s, dir, "events")
+          .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+          .withColumn("n_1h", count(lit(1)).over(w).cast("long"))
+          .withColumn("sum_1h",
+            sum(col("value").cast(DecimalType(30, 6))).over(w).cast("double"))
+          .select(col("event_id"), col("user_id"), col("n_1h"), col("sum_1h"))
+      },
+      Some("""SELECT event_id, user_id,
+        |  CAST(count(*) OVER w AS BIGINT) AS n_1h,
+        |  CAST(sum(CAST(value AS DECIMAL(30,6))) OVER w AS DOUBLE) AS sum_1h
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(CAST(ts AS TIMESTAMP))
+        |  RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)""".stripMargin))
   )
 }

@@ -136,6 +136,24 @@ object SimilarityQueries {
         |      ${dkDot("p.embedding", "q.embedding")} / (p.nrm * q.nrm) DESC,
         |      q.vec_id) AS rnk
         |  FROM p JOIN b q ON p.cent_id = q.cent_id AND p.vec_id <> q.vec_id)
-        |WHERE rnk <= 5""".stripMargin))
+        |WHERE rnk <= 5""".stripMargin)),
+
+    Q(
+      "qs06_label_centroids",
+      "Per-label centroid table (element-wise embedding mean): " +
+        "posexplode to (label, dim, x) and hash-aggregate on the " +
+        "composite key — map-side partials, uniform shuffle key space " +
+        "(labels × dims), exact decimal sums + one IEEE division so " +
+        "the centroid doubles are bit-reproducible. The building block " +
+        "for IVF training and class prototypes.",
+      (s, dir) =>
+        Similarity.labelCentroids(Tables.load(s, dir, "embeddings"),
+          "label", "embedding"),
+      Some("""SELECT label, CAST(t.i - 1 AS BIGINT) AS dim,
+        |  CAST(sum(CAST(CAST(embedding[t.i] AS DOUBLE) AS DECIMAL(30,6))) AS DOUBLE) /
+        |    CAST(count(*) AS DOUBLE) AS centroid,
+        |  CAST(count(*) AS BIGINT) AS n_vectors
+        |FROM embeddings e, unnest(range(1, len(e.embedding) + 1)) t(i)
+        |GROUP BY label, t.i""".stripMargin))
   )
 }
