@@ -88,6 +88,24 @@ class CorpusOpsSpec extends SparkSuite {
     assert(got(3L)._1 == 6L && got(3L)._2 == 2L)
   }
 
+  test("sequencePack fills each stratum contiguously in id order") {
+    val docs = (1L to 40L).map(i => (i, (0 until (i % 7 + 3).toInt)
+      .map(j => s"t$j").mkString(" "))).toDF("doc_id", "text")
+    val rows = Packing.sequencePack(docs, "doc_id", "text",
+      maxLen = 10, nStrata = 4)
+      .select("doc_id", "stratum", "n_tokens", "seq_id", "seq_offset")
+      .as[(Long, Long, Long, Long, Long)].collect()
+    assert(rows.length == 40)
+    // replay the fill per stratum: offsets must be the running totals
+    rows.groupBy(_._2).foreach { case (_, members) =>
+      var cum = 0L
+      members.sortBy(_._1).foreach { case (_, _, nt, seqId, off) =>
+        assert(seqId == cum / 10 && off == cum % 10)
+        cum += nt
+      }
+    }
+  }
+
   test("contamination benchmark side is a broadcast semi-join") {
     val bench = Seq((100L, "one two three four five six seven eight"))
       .toDF("doc_id", "text")

@@ -23,6 +23,19 @@ class SimilaritySpec extends SparkSuite {
     dot / (math.sqrt(na) * math.sqrt(nb))
   }
 
+  test("labelCentroids computes per-dimension means with full coverage") {
+    val df = Seq(
+      (0, Array(1.0f, 2.0f)), (0, Array(3.0f, 6.0f)),
+      (1, Array(10.0f, 20.0f))
+    ).toDF("label", "embedding")
+    val got = Similarity.labelCentroids(df, "label", "embedding")
+      .collect().map(r =>
+        (r.getInt(0), r.getLong(1)) -> (r.getDouble(2), r.getLong(3))).toMap
+    assert(got == Map(
+      (0, 0L) -> (2.0, 2L), (0, 1L) -> (4.0, 2L),
+      (1, 0L) -> (10.0, 1L), (1, 1L) -> (20.0, 1L)))
+  }
+
   test("bruteForceTopK matches a naive driver-side computation") {
     val df = vecs.toDF("vec_id", "embedding")
     val got = Similarity.bruteForceTopK(df, "vec_id", "embedding", k = 3)
