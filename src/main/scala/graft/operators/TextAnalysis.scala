@@ -62,6 +62,45 @@ object TextAnalysis {
       .cast("long").as("n_regex_tokens"),
     length(text).cast("long").as("n_chars_measured"))
 
+  /** Top-k TF-IDF terms per document — the one operator in this file
+    * that shuffles (term statistics are corpus-level by definition):
+    * explode to (doc, term) occurrence rows, partial-agg term
+    * frequencies, aggregate document frequencies from the tf table
+    * (already one row per (doc, term) — no second corpus scan), join
+    * back on the term and rank per document.
+    *
+    * idf is the RATIONAL form n_docs/df, not log(n_docs/df): ranking
+    * is order-isomorphic (log is monotone) and the score stays a
+    * two-operation IEEE expression — (tf·n)/df — that any engine
+    * reproduces bit-exactly, where libm log ulp differences would
+    * break reproducibility. At 100 TB the df table is corpus-sized:
+    * it equi-joins (no broadcast assumption) and a df-cut drops
+    * stop-terms before the join if vocabulary skew ever shows. */
+  def tfIdfTopK(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tf = docs
+      .select(col(idCol).as("doc_id"),
+        explode(split(col(textCol), " ")).as("term"))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).cast("long").as("tf"))
+    val dfT = tf.groupBy(col("term")).agg(count(lit(1)).cast("long").as("df"))
+    val nDocs = docs.select(count(lit(1)).cast("double").as("n_docs"))
+    val scored = tf.join(dfT, Seq("term"))
+      .crossJoin(broadcast(nDocs))
+      .select(col("doc_id"), col("term"),
+        ((col("tf").cast("double") * col("n_docs")) /
+          col("df").cast("double")).as("score"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("term"))
+    scored.withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col("doc_id"), col("term"), col("score"), col("rnk"))
+  }
+
   /** Document fingerprints: exact content hash, an order-insensitive
     * bag-of-words hash, and a rolling-shingle minimizer (the min
     * 60-bit hash over 3-word shingles — the winnowing primitive). */

@@ -466,6 +466,34 @@ object TextQueries {
         |    FROM documents))""".stripMargin)),
 
     Q(
+      "qt10_tfidf_topk",
+      "Top-3 TF-IDF terms per document. idf is the rational n_docs/df " +
+        "(rank-isomorphic to the log form, bit-reproducible across " +
+        "engines — no libm); tf and df are partial-aggregated, df " +
+        "equi-joins back on the term (corpus-sized at scale, no " +
+        "broadcast assumption). See TextAnalysis.tfIdfTopK.",
+      (s, dir) =>
+        TextAnalysis.tfIdfTopK(
+          graft.core.Partitioning.parallelize(
+            Tables.load(s, dir, "documents"), col("doc_id")),
+          "doc_id", "text", k = 3),
+      Some("""WITH tf AS (
+        |  SELECT doc_id, w AS term, CAST(count(*) AS BIGINT) AS tf
+        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+        |  GROUP BY doc_id, w),
+        |df AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term),
+        |n AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM documents),
+        |scored AS (
+        |  SELECT t.doc_id, t.term,
+        |    (CAST(t.tf AS DOUBLE) * n.n_docs) / CAST(d.df AS DOUBLE) AS score
+        |  FROM tf t JOIN df d USING (term), n)
+        |SELECT doc_id, term, score, CAST(rnk AS BIGINT) AS rnk FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY doc_id
+        |    ORDER BY score DESC, term) AS rnk
+        |  FROM scored)
+        |WHERE rnk <= 3""".stripMargin)),
+
+    Q(
       "qd08_contamination",
       "Benchmark-contamination audit (GPT-3 appendix-C shape): distinct " +
         "8-gram overlap between every corpus document and a benchmark " +
