@@ -88,11 +88,13 @@ object TextAnalysis {
       .groupBy(col("doc_id"), col("term"))
       .agg(count(lit(1)).cast("long").as("tf"))
     val dfT = tf.groupBy(col("term")).agg(count(lit(1)).cast("long").as("df"))
-    val nDocs = docs.select(count(lit(1)).cast("double").as("n_docs"))
+    // corpus size resolves to a literal (one count job at build time):
+    // a 1-row crossJoin would carry the same value but plans as a
+    // nested-loop join, which the plan audit rightly refuses anywhere
+    val nDocs = docs.count().toDouble
     val scored = tf.join(dfT, Seq("term"))
-      .crossJoin(broadcast(nDocs))
       .select(col("doc_id"), col("term"),
-        ((col("tf").cast("double") * col("n_docs")) /
+        ((col("tf").cast("double") * lit(nDocs)) /
           col("df").cast("double")).as("score"))
     val w = Window.partitionBy(col("doc_id"))
       .orderBy(col("score").desc, col("term"))
