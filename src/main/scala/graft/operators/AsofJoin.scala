@@ -42,7 +42,35 @@ object AsofJoin {
       rightTs: String,
       payload: Seq[String],
       rightTiebreak: Option[String] = None,
-      toleranceSeconds: Option[Long] = None): DataFrame = {
+      toleranceSeconds: Option[Long] = None): DataFrame =
+    asofImpl(left, right, key, leftTs, rightTs, payload, rightTiebreak,
+      toleranceSeconds, forward = false)
+
+  /** Forward as-of join: the *earliest* right row with timestamp `>=`
+    * the left timestamp (pandas merge_asof direction='forward'). Same
+    * single-shuffle window plan, iterated in descending time order. */
+  def asofForward(
+      left: DataFrame,
+      right: DataFrame,
+      key: String,
+      leftTs: String,
+      rightTs: String,
+      payload: Seq[String],
+      rightTiebreak: Option[String] = None,
+      toleranceSeconds: Option[Long] = None): DataFrame =
+    asofImpl(left, right, key, leftTs, rightTs, payload, rightTiebreak,
+      toleranceSeconds, forward = true)
+
+  private def asofImpl(
+      left: DataFrame,
+      right: DataFrame,
+      key: String,
+      leftTs: String,
+      rightTs: String,
+      payload: Seq[String],
+      rightTiebreak: Option[String],
+      toleranceSeconds: Option[Long],
+      forward: Boolean): DataFrame = {
     val rTypes = right.schema.fields.map(f => f.name -> f.dataType).toMap
     val pCols = payload.map(p => s"__p_$p")
 
@@ -67,8 +95,11 @@ object AsofJoin {
 
     val merged = lTagged.unionByName(rTagged, allowMissingColumns = true)
 
+    // backward walks time ascending (latest right ≤ left); forward
+    // walks descending (earliest right ≥ left). Right rows sort before
+    // left rows at equal timestamps either way, so equality matches.
     val w = Window.partitionBy(col(key))
-      .orderBy(col("__ts"), col("__side"))
+      .orderBy(if (forward) col("__ts").desc else col("__ts"), col("__side"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val matchedTs = last(col("__rts"), ignoreNulls = true).over(w)
 
@@ -80,8 +111,12 @@ object AsofJoin {
     val inWindow: Column = toleranceSeconds match {
       case None => lit(true)
       case Some(tol) =>
-        col("__asof_ts").isNotNull &&
-          unix_timestamp(col("__ts")) - unix_timestamp(col("__asof_ts")) <= tol
+        val gap =
+          if (forward)
+            unix_timestamp(col("__asof_ts")) - unix_timestamp(col("__ts"))
+          else
+            unix_timestamp(col("__ts")) - unix_timestamp(col("__asof_ts"))
+        col("__asof_ts").isNotNull && gap <= tol
     }
 
     val result = payload.foldLeft(withPayload.filter(col("__side") === 1)) {

@@ -59,6 +59,30 @@ class JoinOpsSpec extends SparkSuite {
     assert(got(2L).contains(999.0)) // qid 9 beats qid 2 at the same ts
   }
 
+  test("asofForward matches earliest quote at-or-after each trade") {
+    val got = AsofJoin.asofForward(
+        trades, quotes, key = "sym", leftTs = "tts", rightTs = "qts",
+        payload = Seq("quote"), rightTiebreak = Some("qid"))
+      .select("tid", "quote").as[(Long, Option[Double])].collect().toMap
+    assert(got == Map(
+      1L -> Some(100.0), // 09:59 -> first quote at 10:00
+      2L -> Some(101.0), // equality matches forward too
+      3L -> Some(102.0), // 10:07:30 -> next quote at 10:10
+      4L -> None, // after the last quote
+      5L -> None, // B's only quote is before the trade
+      6L -> None))
+  }
+
+  test("asofForward tolerance nulls out matches too far ahead") {
+    val got = AsofJoin.asofForward(
+        trades, quotes, key = "sym", leftTs = "tts", rightTs = "qts",
+        payload = Seq("quote"), rightTiebreak = Some("qid"),
+        toleranceSeconds = Some(60))
+      .select("tid", "quote").as[(Long, Option[Double])].collect().toMap
+    assert(got(1L).contains(100.0)) // 1 min ahead: inside tolerance
+    assert(got(3L).isEmpty) // 2.5 min ahead: outside
+  }
+
   test("asofBackward plans one shuffle and no join node") {
     val df = AsofJoin.asofBackward(
       trades, quotes, key = "sym", leftTs = "tts", rightTs = "qts",
