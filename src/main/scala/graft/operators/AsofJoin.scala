@@ -71,6 +71,11 @@ object AsofJoin {
       rightTiebreak: Option[String],
       toleranceSeconds: Option[Long],
       forward: Boolean): DataFrame = {
+    val collisions = payload.toSet
+      .intersect(left.columns.toSet -- Set(key))
+    require(collisions.isEmpty,
+      s"payload columns ${collisions.mkString(", ")} already exist on the " +
+        "left side — rename them on the right frame before joining")
     val rTypes = right.schema.fields.map(f => f.name -> f.dataType).toMap
     val pCols = payload.map(p => s"__p_$p")
 
