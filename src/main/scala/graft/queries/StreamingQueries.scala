@@ -173,6 +173,54 @@ object StreamingQueries {
         | AND c.ts >= v.ts AND c.ts <= v.ts + INTERVAL 10 MINUTE""".stripMargin)),
 
     Q(
+      "qst05_stream_left_outer",
+      "Stream-stream LEFT OUTER join: views with no click in the " +
+        "horizon emit a null click_id when the watermark evicts their " +
+        "state — views still inside the final watermark horizon never " +
+        "emit an outer row. Oracle replays that eviction rule in SQL: " +
+        "outer rows only where view_ts + horizon < watermark, with the " +
+        "watermark = min of the PER-STREAM event-time maxima − delay " +
+        "(the global watermark is the min across sources) — the same " +
+        "watermark-replay technique as qst02.",
+      (s, dir) => {
+        s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        val schema = StructType.fromDDL(
+          "event_id BIGINT, ts BIGINT, user_id BIGINT, " +
+            "event_type STRING, value DOUBLE, props STRING")
+        def fileStream() = s.readStream.schema(schema)
+          .parquet(s"$dir/events.parque*")
+          .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        val joined = EventStreams.attributionJoin(
+          fileStream().filter(col("event_type") === lit("view")),
+          fileStream().filter(col("event_type") === lit("click")),
+          horizonMin = 10, joinType = "left_outer")
+        val name = "graft_stream_left_outer"
+        val q = joined.writeStream.format("memory").queryName(name)
+          .outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        s.table(name)
+      },
+      Some("""WITH v AS (SELECT * FROM events WHERE event_type = 'view'),
+        |c AS (SELECT * FROM events WHERE event_type = 'click'),
+        |m AS (
+        |  SELECT v.event_id AS view_id, c.event_id AS click_id, v.user_id
+        |  FROM v JOIN c ON v.user_id = c.user_id
+        |   AND c.ts >= v.ts AND c.ts <= v.ts + INTERVAL 10 MINUTE),
+        |mx AS (
+        |  SELECT least(
+        |    (SELECT max(epoch_us(CAST(ts AS TIMESTAMP))) FROM v),
+        |    (SELECT max(epoch_us(CAST(ts AS TIMESTAMP))) FROM c)) AS wmus)
+        |SELECT view_id, click_id, user_id FROM m
+        |UNION ALL
+        |SELECT v.event_id, CAST(NULL AS BIGINT), v.user_id
+        |FROM v, mx
+        |WHERE NOT EXISTS (SELECT 1 FROM m WHERE m.view_id = v.event_id)
+        |  AND epoch_us(CAST(v.ts AS TIMESTAMP)) + 600000000 <
+        |      wmus - 3600000000""".stripMargin)),
+
+    Q(
       "qm01_media_features",
       "Multimodal plumbing: wrap document text bytes as media rows, " +
         "extract per-partition batched byte-level features (stub " +

@@ -71,11 +71,18 @@ object EventStreams {
     * horizon) × arrival rate, never the whole stream. Without the time
     * bound Spark would (correctly) refuse to plan the join: unbounded
     * state is a bug, not a capability. */
+  /** @param joinType "inner" (matches only) or "left_outer": views
+    *   with no click in the horizon emit a null click_id — but only
+    *   once the watermark passes the end of their match window (state
+    *   eviction is what triggers outer emission; views inside the
+    *   final watermark horizon are still "awaiting matches" when an
+    *   AvailableNow run drains and never emit an outer row). */
   def attributionJoin(
       views: DataFrame,
       clicks: DataFrame,
       horizonMin: Int = 10,
-      watermark: String = "1 hour"): DataFrame = {
+      watermark: String = "1 hour",
+      joinType: String = "inner"): DataFrame = {
     val v = views
       .select(col("event_id").as("view_id"), col("user_id"),
         col("ts").as("view_ts"))
@@ -87,7 +94,8 @@ object EventStreams {
     v.join(c,
       col("user_id") === col("click_user_id") &&
         col("click_ts") >= col("view_ts") &&
-        col("click_ts") <= col("view_ts") + expr(s"INTERVAL $horizonMin MINUTES"))
+        col("click_ts") <= col("view_ts") + expr(s"INTERVAL $horizonMin MINUTES"),
+      joinType)
       .select(col("view_id"), col("click_id"), col("user_id"))
   }
 
