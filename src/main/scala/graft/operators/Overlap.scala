@@ -71,19 +71,33 @@ object Overlap {
     * back on the hash (AQE handles the skew of mega-spans). Two
     * shuffles total, both on 8-byte keys.
     */
+  /** @param maxDocFreq optional df-cut: spans appearing in more than
+    *   this many DOCUMENTS are treated as boilerplate and excluded
+    *   from both numerator and denominator — the bound on mega-span
+    *   join skew when stop-phrases dominate a web corpus. None keeps
+    *   exact semantics (the oracle-checked default). */
   def duplicatedSpanStats(
       docs: DataFrame,
       idCol: String,
       textCol: String,
-      n: Int = 5): DataFrame = {
+      n: Int = 5,
+      maxDocFreq: Option[Long] = None): DataFrame = {
     val w = split(col(textCol), " ")
     val grams = docs
       .select(col(idCol).as("doc_id"), w.as("w"))
       .filter(size(col("w")) >= n)
       .select(col("doc_id"),
         explode(transform(wordGrams(col("w"), n), g => Dedup.hash60(g))).as("gh"))
-    val perDocPerGram = grams.groupBy(col("doc_id"), col("gh"))
+    val perDocPerGramAll = grams.groupBy(col("doc_id"), col("gh"))
       .agg(count(lit(1)).cast("long").as("c_in_doc"))
+    val perDocPerGram = maxDocFreq match {
+      case None => perDocPerGramAll
+      case Some(cut) =>
+        val hot = perDocPerGramAll.groupBy(col("gh"))
+          .agg(count(lit(1)).as("docfreq"))
+          .filter(col("docfreq") > cut).select(col("gh"))
+        perDocPerGramAll.join(broadcast(hot), Seq("gh"), "left_anti")
+    }
     val corpusCounts = perDocPerGram.groupBy(col("gh"))
       .agg(sum(col("c_in_doc")).cast("long").as("c_corpus"))
     perDocPerGram.join(corpusCounts, Seq("gh"))

@@ -88,6 +88,27 @@ class CorpusOpsSpec extends SparkSuite {
     assert(got(3L)._1 == 6L && got(3L)._2 == 2L)
   }
 
+  test("duplicatedSpanStats df-cut drops boilerplate spans from both sides") {
+    // "b1..b5" is a boilerplate span in all three docs; each doc also
+    // has a unique tail span
+    val docs = Seq(
+      (1L, "b1 b2 b3 b4 b5 u1 u2 u3 u4 u5"),
+      (2L, "b1 b2 b3 b4 b5 v1 v2 v3 v4 v5"),
+      (3L, "b1 b2 b3 b4 b5 w1 w2 w3 w4 w5")
+    ).toDF("doc_id", "text")
+    val exact = Overlap.duplicatedSpanStats(docs, "doc_id", "text", n = 5)
+      .select("doc_id", "n_spans", "n_dup_spans")
+      .as[(Long, Long, Long)].collect().map(t => t._1 -> (t._2, t._3)).toMap
+    // 6 spans each; only the pure "b1..b5" span (1 per doc) repeats
+    assert(exact(1L)._1 == 6L && exact(1L)._2 == 1L)
+    val cut = Overlap.duplicatedSpanStats(docs, "doc_id", "text", n = 5,
+      maxDocFreq = Some(2))
+      .select("doc_id", "n_spans", "n_dup_spans")
+      .as[(Long, Long, Long)].collect().map(t => t._1 -> (t._2, t._3)).toMap
+    // the df-3 boilerplate span is excluded from both counts
+    assert(cut(1L)._1 == 5L && cut(1L)._2 == 0L)
+  }
+
   test("sequencePack fills each stratum contiguously in id order") {
     val docs = (1L to 40L).map(i => (i, (0 until (i % 7 + 3).toInt)
       .map(j => s"t$j").mkString(" "))).toDF("doc_id", "text")
