@@ -15,9 +15,13 @@ import org.apache.spark.sql.functions._
   * join (which Spark would plan as a broadcast-nested-loop or a
   * sort-merge with per-key scans), the two sides are tagged and
   * UNIONed, then a single window pass per key carries the last seen
-  * right payload forward — `last(payload, ignoreNulls)` over
-  * `(key ORDER BY ts, side)` rows-unbounded-preceding. Right rows sort
-  * before left rows at equal timestamps so equality matches.
+  * right ROW forward — `last(struct, ignoreNulls)` over
+  * `(key ORDER BY ts, side)` rows-unbounded-preceding. The carried
+  * value is a struct of (matched ts, payload…), non-null exactly on
+  * right rows, so a right row whose payload value is itself null still
+  * wins the carry (a bare `last(payload)` would skip past it to an
+  * older row). Right rows sort before left rows at equal timestamps so
+  * equality matches.
   *
   * Cost: ONE shuffle on the key (the window partition), a
   * within-partition sort that spills gracefully, zero join explosion.
@@ -71,13 +75,14 @@ object AsofJoin {
       rightTiebreak: Option[String],
       toleranceSeconds: Option[Long],
       forward: Boolean): DataFrame = {
-    val collisions = payload.toSet
-      .intersect(left.columns.toSet -- Set(key))
+    val collisions = payload.toSet.intersect(left.columns.toSet)
     require(collisions.isEmpty,
       s"payload columns ${collisions.mkString(", ")} already exist on the " +
         "left side — rename them on the right frame before joining")
-    val rTypes = right.schema.fields.map(f => f.name -> f.dataType).toMap
-    val pCols = payload.map(p => s"__p_$p")
+    val reserved = (left.columns ++ right.columns).filter(_.startsWith("__"))
+    require(reserved.isEmpty,
+      s"columns ${reserved.mkString(", ")} use the reserved __ prefix — " +
+        "rename them before joining")
 
     // Deterministic right side: one row per (key, ts) — keep-last by
     // the tiebreak (A3 keep-first machinery, reversed).
@@ -89,14 +94,17 @@ object AsofJoin {
           .filter(col("__rn") === 1).drop("__rn")
     }
 
-    val lTagged = payload.foldLeft(
-      left.withColumn("__ts", col(leftTs)).withColumn("__side", lit(1)).withColumn("__rts", lit(null).cast("timestamp"))
-    )((d, p) => d.withColumn(s"__p_$p", lit(null).cast(rTypes(p))))
-
+    // The carried value: one struct per right row holding the matched
+    // timestamp and every payload column. Null on left rows — struct
+    // nullity (not payload nullity) drives the ignoreNulls carry.
     val rTagged = rDedup.select(
       Seq(col(key), col(rightTs).as("__ts"), lit(0).as("__side"),
-        col(rightTs).as("__rts")) ++
-        payload.map(p => col(p).as(s"__p_$p")): _*)
+        struct((col(rightTs).as("__mts") +:
+          payload.map(p => col(p).as(s"__p_$p"))): _*).as("__rpack")): _*)
+
+    val lTagged = left
+      .withColumn("__ts", col(leftTs))
+      .withColumn("__side", lit(1))
 
     val merged = lTagged.unionByName(rTagged, allowMissingColumns = true)
 
@@ -106,27 +114,25 @@ object AsofJoin {
     val w = Window.partitionBy(col(key))
       .orderBy(if (forward) col("__ts").desc else col("__ts"), col("__side"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val matchedTs = last(col("__rts"), ignoreNulls = true).over(w)
 
-    val withPayload = (pCols :+ "__asof_ts").foldLeft(merged) {
-      case (d, "__asof_ts") => d.withColumn("__asof_ts", matchedTs)
-      case (d, p) => d.withColumn(p, last(col(p), ignoreNulls = true).over(w))
-    }
+    val withMatch = merged
+      .withColumn("__m", last(col("__rpack"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 1)
 
+    // Tolerance gap in MICROSECONDS — unix_timestamp() truncates to
+    // whole seconds and would let matches up to ~1 s staler through.
     val inWindow: Column = toleranceSeconds match {
-      case None => lit(true)
+      case None => col("__m").isNotNull
       case Some(tol) =>
-        val gap =
-          if (forward)
-            unix_timestamp(col("__asof_ts")) - unix_timestamp(col("__ts"))
-          else
-            unix_timestamp(col("__ts")) - unix_timestamp(col("__asof_ts"))
-        col("__asof_ts").isNotNull && gap <= tol
+        val mts = unix_micros(col("__m").getField("__mts"))
+        val lts = unix_micros(col("__ts"))
+        val gap = if (forward) mts - lts else lts - mts
+        col("__m").isNotNull && gap <= tol * 1000000L
     }
 
-    val result = payload.foldLeft(withPayload.filter(col("__side") === 1)) {
-      (d, p) => d.withColumn(p, when(inWindow, col(s"__p_$p")))
+    val result = payload.foldLeft(withMatch) { (d, p) =>
+      d.withColumn(p, when(inWindow, col("__m").getField(s"__p_$p")))
     }
-    result.drop((pCols ++ Seq("__ts", "__side", "__rts", "__asof_ts")): _*)
+    result.drop("__m", "__ts", "__side", "__rpack")
   }
 }

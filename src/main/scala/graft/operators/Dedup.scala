@@ -27,13 +27,18 @@ object Dedup {
   def hash60(c: Column): Column =
     conv(substring(md5(c.cast("binary")), 1, 15), 16, 10).cast("long")
 
-  /** Distinct word n-gram shingles over a pre-split token array.
+  /** Word n-grams WITH multiplicity over a pre-split token array.
     * Caller must guarantee size(words) >= n (filter first): Spark's
     * `sequence` would otherwise run backwards. */
-  def wordShingles(words: Column, n: Int = 3): Column =
-    array_distinct(transform(
+  def wordGrams(words: Column, n: Int): Column =
+    transform(
       sequence(lit(1), size(words) - (n - 1)),
-      i => concat_ws(" ", (0 until n).map(o => element_at(words, i + lit(o))): _*)))
+      i => concat_ws(" ", (0 until n).map(o => element_at(words, i + lit(o))): _*))
+
+  /** Distinct word n-gram shingles — the set form of [[wordGrams]],
+    * same size(words) >= n contract. */
+  def wordShingles(words: Column, n: Int = 3): Column =
+    array_distinct(wordGrams(words, n))
 
   /** Modulus for the affine minhash family: 2^61 − 1 (Mersenne prime). */
   val MinhashP: Long = 2305843009213693951L
@@ -315,8 +320,11 @@ object Dedup {
       bands: Int = 4,
       threshold: Double = 0.5,
       maxBucketSize: Int = DefaultMaxBucketSize): DataFrame = {
+    // feeds the group aggregate AND the member-edge join — persist so
+    // the corpus is scanned and hashed once, not three times
     val hashes = docs.select(col(idCol).as("doc_id"),
       md5(col(textCol).cast("binary")).as("__h"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val groups = hashes.groupBy(col("__h")).agg(min(col("doc_id")).as("keep_id"))
     // star edges: representative → every member (self-edge for the rep
     // keeps singletons in the node set)
@@ -448,6 +456,15 @@ object Dedup {
       dstCol: String,
       maxIter: Int = 25): DataFrame = {
     import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+    val integral: Set[org.apache.spark.sql.types.DataType] =
+      Set(ByteType, ShortType, IntegerType, LongType)
+    Seq(srcCol, dstCol).foreach { c =>
+      require(integral.contains(edges.schema(c).dataType),
+        s"node id column '$c' is ${edges.schema(c).dataType.simpleString}; " +
+          "ids must be integral (a silent cast would null out string ids " +
+          "and collapse the graph) — hash or dictionary-encode them first")
+    }
     val sym = edges
       .select(col(srcCol).cast("long").as("s"), col(dstCol).cast("long").as("t"))
       .union(edges.select(col(dstCol).cast("long").as("s"),
@@ -494,6 +511,15 @@ object Dedup {
       iter += 1
     }
     sym.unpersist()
+    // Unconverged labels are silently WRONG (same component, different
+    // ids) — fail loudly instead. Pointer jumping converges in
+    // O(log diameter) rounds, so the default cap covers any graph a
+    // dedup pipeline can produce; hitting it means a bug, not a big
+    // input.
+    if (!done)
+      throw new IllegalStateException(
+        s"connected components did not converge within $maxIter rounds; " +
+          "raise maxIter (rounds needed ~ log2 of the graph diameter)")
     labels.select(col("node"), col("label").as("component"))
   }
 }

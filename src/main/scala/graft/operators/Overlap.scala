@@ -16,12 +16,10 @@ import org.apache.spark.sql.functions._
   */
 object Overlap {
 
-  /** Word n-grams WITH multiplicity (unlike [[Dedup.wordShingles]],
-    * which is set-valued). Caller filters size(words) >= n first. */
-  def wordGrams(words: Column, n: Int): Column =
-    transform(
-      sequence(lit(1), size(words) - (n - 1)),
-      i => concat_ws(" ", (0 until n).map(o => element_at(words, i + lit(o))): _*))
+  /** Word n-grams WITH multiplicity — alias of [[Dedup.wordGrams]]
+    * (one shared gram construction; [[Dedup.wordShingles]] is its
+    * distinct form). Caller filters size(words) >= n first. */
+  def wordGrams(words: Column, n: Int): Column = Dedup.wordGrams(words, n)
 
   /** Per-document count of distinct n-grams also present in a benchmark
     * set — the train/test contamination check. Every corpus document

@@ -18,13 +18,12 @@ import org.apache.spark.sql.functions._
   * key uniform (no hot keys even when one gram dominates a doc).
   *
   * Determinism: the "most common 2-gram" tie-break is by repeated-char
-  * mass — (count, count·gramLength) packs into one BIGINT
-  * (count·2³² + chars), max'd, unpacked. Any engine with 64-bit
-  * integers reproduces it bit-exactly.
+  * mass — max over (count, chars) STRUCTS, compared field-by-field in
+  * order (identical lexicographic semantics in Spark and DuckDB). A
+  * packed-BIGINT encoding would overflow its low slot once
+  * count·gramLength reaches 2³²; struct comparison has no such cliff.
   */
 object QualityRules {
-
-  private val Pack = 4294967296L // 2^32
 
   private def gramCounts(docs: DataFrame, idCol: String, textCol: String,
       n: Int): DataFrame = {
@@ -52,10 +51,11 @@ object QualityRules {
 
     val chars2 = col("cnt") * length(col("gram")).cast("long")
     val top2 = gramCounts(docs, idCol, textCol, 2)
-      .select(col("doc_id"), (col("cnt") * Pack + chars2).as("packed"))
+      .select(col("doc_id"),
+        struct(col("cnt").as("c"), chars2.as("ch")).as("ranked"))
       .groupBy(col("doc_id"))
-      .agg(max(col("packed")).as("top_packed"))
-      .select(col("doc_id"), pmod(col("top_packed"), lit(Pack)).as("top2_chars"))
+      .agg(max(col("ranked")).as("top"))
+      .select(col("doc_id"), col("top").getField("ch").as("top2_chars"))
 
     val dup3 = gramCounts(docs, idCol, textCol, 3)
       .groupBy(col("doc_id"))

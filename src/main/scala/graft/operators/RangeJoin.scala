@@ -39,11 +39,15 @@ object RangeJoin {
     require(bucketWidth > 0, "bucketWidth must be positive")
     val dimB = dim.withColumn(
       "__bkt",
+      // hi is exclusive, but the last bucket is floor(hi/w) anyway —
+      // an epsilon subtraction would DROP the final bucket whenever hi
+      // sits within the epsilon above a boundary (and float ulp makes
+      // that reachable). The residual range filter below discards the
+      // false candidates the extra bucket admits; correctness beats
+      // one exploded row.
       explode(sequence(
         floor(col(loCol) / bucketWidth).cast("long"),
-        // hi is exclusive: the last covered bucket is the one holding
-        // the largest value strictly below hi
-        floor((col(hiCol) - lit(1e-9)) / bucketWidth).cast("long"))))
+        floor(col(hiCol) / bucketWidth).cast("long"))))
     val factB = fact.withColumn(
       "__bkt", floor(col(factValue) / bucketWidth).cast("long"))
     factB.join(if (broadcastDim) broadcast(dimB) else dimB, Seq("__bkt"))

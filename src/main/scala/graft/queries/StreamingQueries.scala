@@ -15,6 +15,33 @@ import graft.streaming.EventStreams
   */
 object StreamingQueries {
 
+  import org.apache.spark.sql.{DataFrame, SparkSession}
+
+  /** Shared harness: the events table as a file stream (streaming file
+    * source takes a glob, not a bare file path; TIMESTAMP(NANOS) read
+    * as long and rebuilt as micros, same as Tables.load). */
+  private def eventsFileStream(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = StructType.fromDDL(
+      "event_id BIGINT, ts BIGINT, user_id BIGINT, " +
+        "event_type STRING, value DOUBLE, props STRING")
+    s.readStream.schema(schema)
+      .parquet(s"$dir/events.parque*")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
+  /** Shared harness: run a streaming frame to a memory sink with the
+    * AvailableNow trigger and return the drained table. */
+  private def runToMemory(s: SparkSession, name: String, mode: String)(
+      df: DataFrame): DataFrame = {
+    val q = df.writeStream.format("memory").queryName(name)
+      .outputMode(mode)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    if (!q.awaitTermination(180000)) q.stop()
+    s.table(name)
+  }
+
   val all: Seq[Q] = Seq(
     Q(
       "qst01_stream_hourly",
@@ -23,24 +50,11 @@ object StreamingQueries {
         "result must equal the batch computation — verified against " +
         "the batch SQL oracle.",
       (s, dir) => {
-        s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        val schema = StructType.fromDDL(
-          "event_id BIGINT, ts BIGINT, user_id BIGINT, " +
-            "event_type STRING, value DOUBLE, props STRING")
-        // streaming file source takes a glob, not a bare file path
-        val stream = s.readStream.schema(schema)
-          .parquet(s"$dir/events.parque*")
-          .withColumn("ts", timestamp_micros(expr("ts div 1000")))
-        val agg = EventStreams.hourlyCounts(stream, watermark = "1 hour")
+        val agg = EventStreams.hourlyCounts(
+            eventsFileStream(s, dir), watermark = "1 hour")
           .select(date_format(col("hour"), "yyyy-MM-dd HH:00:00").as("hour"),
             col("event_type"), col("n"), col("total_value"))
-        val name = "graft_stream_hourly"
-        val q = agg.writeStream.format("memory").queryName(name)
-          .outputMode("complete")
-          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-          .start()
-        q.awaitTermination()
-        s.table(name)
+        runToMemory(s, "graft_stream_hourly", "complete")(agg)
       },
       Some("""SELECT strftime(date_trunc('hour', CAST(ts AS TIMESTAMP)), '%Y-%m-%d %H:00:00') AS hour,
         |  event_type, count(*) AS n,
@@ -57,30 +71,17 @@ object StreamingQueries {
         "streaming state semantics replayed as SQL.",
       (s, dir) => {
         import s.implicits._
-        s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        val schema = StructType.fromDDL(
-          "event_id BIGINT, ts BIGINT, user_id BIGINT, " +
-            "event_type STRING, value DOUBLE, props STRING")
-        val stream = s.readStream.schema(schema)
-          .parquet(s"$dir/events.parque*")
-          .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        val stream = eventsFileStream(s, dir)
           .select(col("event_id"), col("ts"), col("user_id"),
             col("event_type"), col("value"))
           .as[EventStreams.Event]
         val sessions = EventStreams.sessionize(stream, gapMillis = 30L * 60 * 1000)
-        val name = "graft_stream_sessions"
-        val q = sessions.toDF()
+        runToMemory(s, "graft_stream_sessions", "append")(sessions.toDF()
           .select(col("user_id"),
             date_format(col("session_start"), "yyyy-MM-dd HH:mm:ss").as("session_start"),
             date_format(col("session_end"), "yyyy-MM-dd HH:mm:ss").as("session_end"),
             col("n_events"),
-            round(col("total_value"), 6).as("total_value"))
-          .writeStream.format("memory").queryName(name)
-          .outputMode("append")
-          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-          .start()
-        if (!q.awaitTermination(180000)) q.stop()
-        s.table(name)
+            round(col("total_value"), 6).as("total_value")))
       },
       Some("""WITH ev AS (
         |  SELECT *, lag(epoch_us(CAST(ts AS TIMESTAMP))) OVER (
@@ -118,23 +119,10 @@ object StreamingQueries {
         "operator must emit each event exactly once with state bounded " +
         "by the watermark. Oracle = the original event set.",
       (s, dir) => {
-        s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        val schema = StructType.fromDDL(
-          "event_id BIGINT, ts BIGINT, user_id BIGINT, " +
-            "event_type STRING, value DOUBLE, props STRING")
-        def fileStream() = s.readStream.schema(schema)
-          .parquet(s"$dir/events.parque*")
-          .withColumn("ts", timestamp_micros(expr("ts div 1000")))
-        val doubled = fileStream().union(fileStream())
+        val doubled = eventsFileStream(s, dir).union(eventsFileStream(s, dir))
         val deduped = EventStreams.dedupEvents(doubled, watermark = "1 hour")
           .select(col("event_id"), col("event_type"), col("value"))
-        val name = "graft_stream_dedup"
-        val q = deduped.writeStream.format("memory").queryName(name)
-          .outputMode("append")
-          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-          .start()
-        q.awaitTermination()
-        s.table(name)
+        runToMemory(s, "graft_stream_dedup", "append")(deduped)
       },
       Some("SELECT event_id, event_type, value FROM events")),
 
@@ -147,24 +135,11 @@ object StreamingQueries {
         "join, which a correct stream-stream inner join must equal " +
         "exactly once both streams drain.",
       (s, dir) => {
-        s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        val schema = StructType.fromDDL(
-          "event_id BIGINT, ts BIGINT, user_id BIGINT, " +
-            "event_type STRING, value DOUBLE, props STRING")
-        def fileStream() = s.readStream.schema(schema)
-          .parquet(s"$dir/events.parque*")
-          .withColumn("ts", timestamp_micros(expr("ts div 1000")))
         val joined = EventStreams.attributionJoin(
-          fileStream().filter(col("event_type") === lit("view")),
-          fileStream().filter(col("event_type") === lit("click")),
+          eventsFileStream(s, dir).filter(col("event_type") === lit("view")),
+          eventsFileStream(s, dir).filter(col("event_type") === lit("click")),
           horizonMin = 10)
-        val name = "graft_stream_join"
-        val q = joined.writeStream.format("memory").queryName(name)
-          .outputMode("append")
-          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-          .start()
-        q.awaitTermination()
-        s.table(name)
+        runToMemory(s, "graft_stream_join", "append")(joined)
       },
       Some("""SELECT v.event_id AS view_id, c.event_id AS click_id, v.user_id
         |FROM events v JOIN events c
@@ -183,24 +158,11 @@ object StreamingQueries {
         "(the global watermark is the min across sources) — the same " +
         "watermark-replay technique as qst02.",
       (s, dir) => {
-        s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        val schema = StructType.fromDDL(
-          "event_id BIGINT, ts BIGINT, user_id BIGINT, " +
-            "event_type STRING, value DOUBLE, props STRING")
-        def fileStream() = s.readStream.schema(schema)
-          .parquet(s"$dir/events.parque*")
-          .withColumn("ts", timestamp_micros(expr("ts div 1000")))
         val joined = EventStreams.attributionJoin(
-          fileStream().filter(col("event_type") === lit("view")),
-          fileStream().filter(col("event_type") === lit("click")),
+          eventsFileStream(s, dir).filter(col("event_type") === lit("view")),
+          eventsFileStream(s, dir).filter(col("event_type") === lit("click")),
           horizonMin = 10, joinType = "left_outer")
-        val name = "graft_stream_left_outer"
-        val q = joined.writeStream.format("memory").queryName(name)
-          .outputMode("append")
-          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-          .start()
-        q.awaitTermination()
-        s.table(name)
+        runToMemory(s, "graft_stream_left_outer", "append")(joined)
       },
       Some("""WITH v AS (SELECT * FROM events WHERE event_type = 'view'),
         |c AS (SELECT * FROM events WHERE event_type = 'click'),

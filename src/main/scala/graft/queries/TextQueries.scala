@@ -359,8 +359,8 @@ object TextQueries {
         "the most common word 2-gram and in duplicated word 3-grams. " +
         "Computed by exploding to (doc, gram) occurrence rows + partial " +
         "aggregation — linear in token count, never O(len²) per " +
-        "document; deterministic tie-break by packing (count, chars) " +
-        "into one BIGINT. See operators.QualityRules.",
+        "document; deterministic tie-break via max over (count, chars) " +
+        "structs. See operators.QualityRules.",
       (s, dir) =>
         graft.operators.QualityRules.repetitionStats(
           graft.core.Partitioning.parallelize(
@@ -372,7 +372,7 @@ object TextQueries {
         |       FROM w WHERE len(w) >= 2),
         |c2 AS (SELECT doc_id, gram, CAST(count(*) AS BIGINT) AS cnt FROM g2 GROUP BY 1, 2),
         |top2 AS (SELECT doc_id,
-        |           max(cnt * 4294967296 + cnt * length(gram)) % 4294967296 AS top2_chars
+        |           max({'c': cnt, 'ch': cnt * length(gram)}).ch AS top2_chars
         |         FROM c2 GROUP BY 1),
         |g3 AS (SELECT doc_id, unnest(list_transform(range(1, len(w)-1),
         |         i -> concat(w[i], ' ', w[i+1], ' ', w[i+2]))) AS gram

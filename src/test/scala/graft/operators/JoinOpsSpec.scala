@@ -59,6 +59,29 @@ class JoinOpsSpec extends SparkSuite {
     assert(got(2L).contains(999.0)) // qid 9 beats qid 2 at the same ts
   }
 
+  test("asofBackward carries a null payload instead of an older row's value") {
+    // the matched row's payload is genuinely NULL — the carry must not
+    // skip past it to the older non-null quote
+    val quotesWithNull = Seq(
+      ("A", ts("2024-01-01 10:00:00"), Option(100.0), 1L),
+      ("A", ts("2024-01-01 10:05:00"), Option.empty[Double], 2L)
+    ).toDF("sym", "qts", "quote", "qid")
+    val trade = Seq(("A", ts("2024-01-01 10:06:00"), 1L))
+      .toDF("sym", "tts", "tid")
+    val got = AsofJoin.asofBackward(
+        trade, quotesWithNull, key = "sym", leftTs = "tts", rightTs = "qts",
+        payload = Seq("quote"), rightTiebreak = Some("qid"))
+      .select("tid", "quote").as[(Long, Option[Double])].collect().toMap
+    assert(got(1L).isEmpty, "must match the 10:05 null quote, not 10:00")
+  }
+
+  test("asofBackward rejects payload names that collide with left columns") {
+    intercept[IllegalArgumentException] {
+      AsofJoin.asofBackward(trades, quotes, key = "sym",
+        leftTs = "tts", rightTs = "qts", payload = Seq("sym"))
+    }
+  }
+
   test("asofForward matches earliest quote at-or-after each trade") {
     val got = AsofJoin.asofForward(
         trades, quotes, key = "sym", leftTs = "tts", rightTs = "qts",
