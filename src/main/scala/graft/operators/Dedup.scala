@@ -299,6 +299,64 @@ object Dedup {
       .select(col(idCol).as("keep_id"))
   }
 
+  /** Incremental dedup — admit a NEW BATCH against an EXISTING corpus,
+    * the daily-ingest shape: a batch document is kept iff it is not an
+    * exact duplicate of the corpus, not an exact duplicate of a
+    * lower-id batch document, and not a verified near-duplicate of the
+    * corpus or of a lower-id batch document (corpus always wins;
+    * within the batch the lowest id wins, matching [[dedupCorpus]]'s
+    * greedy orientation).
+    *
+    * Exact stages are genuinely incremental (hash anti-join of the
+    * batch against corpus hashes — the corpus side is a hash set a
+    * production deployment keeps materialized). The near stage reuses
+    * [[lshNearDupPairs]] over corpus ∪ batch and filters to pairs
+    * touching the batch; a deployment that stores the corpus band
+    * table joins batch bands against it instead — identical output by
+    * construction (same signatures, same buckets), minus the
+    * corpus×corpus work, which this composition only spends because
+    * the test corpus is small. Returns the kept batch ids. */
+  def incrementalDedup(
+      corpus: DataFrame,
+      batch: DataFrame,
+      idCol: String,
+      textCol: String,
+      nShingle: Int = 3,
+      k: Int = 16,
+      bands: Int = 4,
+      threshold: Double = 0.5,
+      maxBucketSize: Int = DefaultMaxBucketSize): DataFrame = {
+    val bh = batch.select(col(idCol).as("doc_id"),
+      md5(col(textCol).cast("binary")).as("__h"))
+    val ch = corpus.select(md5(col(textCol).cast("binary")).as("__h")).distinct()
+    // exact vs corpus, then exact within batch (keep-first by id)
+    val s1 = bh.join(ch, Seq("__h"), "left_anti")
+    val minB = bh.groupBy(col("__h")).agg(min(col("doc_id")).as("__min_id"))
+    val s2 = s1.join(minB, Seq("__h"))
+      .filter(col("doc_id") === col("__min_id"))
+      .select(col("doc_id"))
+    // near-dup pairs over the union, filtered to batch-touching pairs
+    val all = corpus.select(col(idCol), col(textCol))
+      .unionByName(batch.select(col(idCol), col(textCol)))
+    val pairs = lshNearDupPairs(all, idCol, textCol,
+      nShingle, k, bands, threshold, maxBucketSize)
+      .select(col("a_id"), col("b_id"))
+    val corpusIds = corpus.select(col(idCol).as("cid"))
+    val batchIds = batch.select(col(idCol).as("bid"))
+    val nearCorpusDrop = pairs
+      .join(corpusIds, col("a_id") === col("cid")).select(col("b_id").as("doc_id"))
+      .unionByName(pairs
+        .join(corpusIds, col("b_id") === col("cid")).select(col("a_id").as("doc_id")))
+    // within-batch: pairs are oriented a < b, so the higher id drops
+    val nearBatchDrop = pairs
+      .join(batchIds, col("a_id") === col("bid"))
+      .join(batchIds.select(col("bid").as("bid2")), col("b_id") === col("bid2"))
+      .select(col("b_id").as("doc_id"))
+    s2.join(nearCorpusDrop.unionByName(nearBatchDrop).distinct(),
+        Seq("doc_id"), "left_anti")
+      .select(col("doc_id").as("keep_id"))
+  }
+
   /** Full-corpus duplicate CLUSTERS at production scale: every document
     * labeled with its duplicate-cluster id (exact AND near duplicates,
     * transitively closed).

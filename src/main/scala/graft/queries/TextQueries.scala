@@ -575,6 +575,33 @@ object TextQueries {
         |SELECT s AS doc_id, min(t) AS component FROM r GROUP BY s""".stripMargin)),
 
     Q(
+      "qd12_incremental_dedup",
+      "Incremental dedup — the daily-ingest lifecycle: admit a new " +
+        "batch (doc_id % 10 = 0) against the existing corpus. Exact " +
+        "stages are hash anti-joins against the corpus hash set; the " +
+        "near stage filters LSH pairs touching the batch (corpus wins, " +
+        "lowest batch id wins). See Dedup.incrementalDedup.",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        Dedup.incrementalDedup(
+          docs.filter(pmod(col("doc_id"), lit(10)) =!= 0),
+          docs.filter(pmod(col("doc_id"), lit(10)) === 0),
+          "doc_id", "text")
+      },
+      Some(s"""WITH ${lshCtes()},
+        |pairs AS ($lshPairSelect),
+        |b AS (SELECT doc_id, md5(text) AS h FROM documents WHERE doc_id % 10 = 0),
+        |cp AS (SELECT doc_id, md5(text) AS h FROM documents WHERE doc_id % 10 <> 0)
+        |SELECT b.doc_id AS keep_id FROM b
+        |WHERE NOT EXISTS (SELECT 1 FROM cp WHERE cp.h = b.h)
+        |  AND NOT EXISTS (SELECT 1 FROM b b2 WHERE b2.h = b.h AND b2.doc_id < b.doc_id)
+        |  AND NOT EXISTS (SELECT 1 FROM pairs p JOIN cp
+        |    ON (p.a_id = cp.doc_id AND p.b_id = b.doc_id)
+        |    OR (p.b_id = cp.doc_id AND p.a_id = b.doc_id))
+        |  AND NOT EXISTS (SELECT 1 FROM pairs p JOIN b b3
+        |    ON p.a_id = b3.doc_id AND p.b_id = b.doc_id)""".stripMargin)),
+
+    Q(
       "qd11_cluster_corpus",
       "Full-corpus duplicate clustering at production scale " +
         "(Dedup.corpusClusters): exact duplicates collapse FIRST, exact " +
