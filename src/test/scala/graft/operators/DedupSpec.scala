@@ -148,6 +148,24 @@ class DedupSpec extends SparkSuite {
     assert(got.size == 5)
   }
 
+  test("incrementalDedup admits only genuinely new batch documents") {
+    val base = (0 until 50).map(i => s"word$i").mkString(" ")
+    val corpus = Seq(
+      (1L, base),
+      (2L, "existing corpus content that is entirely unrelated to the rest")
+    ).toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, base), // exact dup of corpus -> dropped
+      (11L, base.replace("word49", "changed")), // near-dup of corpus -> dropped
+      (12L, "fresh content one " + (50 until 90).map(i => s"w$i").mkString(" ")),
+      (13L, "fresh content one " + (50 until 90).map(i => s"w$i").mkString(" ")), // exact dup of 12 -> dropped
+      (14L, "another genuinely novel document with its own words entirely")
+    ).toDF("doc_id", "text")
+    val kept = Dedup.incrementalDedup(corpus, batch, "doc_id", "text")
+      .as[Long].collect().toSet
+    assert(kept == Set(12L, 14L))
+  }
+
   test("connectedComponents collapses a long chain within the iteration cap") {
     // a 64-node path has diameter 63; pointer jumping must converge in
     // far fewer rounds than the plain-propagation bound
