@@ -116,25 +116,27 @@ object Dedup {
     * back → verify jaccard ≥ threshold. No cartesian anywhere; data
     * volume is n·shingles rows into one hash aggregate, then n·bands.
     */
-  def lshNearDupPairs(
-      docs: DataFrame,
-      idCol: String,
-      textCol: String,
-      nShingle: Int = 3,
-      k: Int = 16,
-      bands: Int = 4,
-      threshold: Double = 0.5,
-      maxBucketSize: Int = DefaultMaxBucketSize): DataFrame = {
-    val r = k / bands
-    require(bands * r == k, "k must be divisible by bands")
-    require(k <= 64, "j*hi must stay below 2^63")
-    // shingle sets feed three consumers (signature build + both sides
-    // of the verification join) — persist so shingling runs once
-    val sh = graft.core.Partitioning.parallelize(docs, col(idCol))
+  /** (doc_id, shingles) table — persisted, since shingle sets feed the
+    * signature build AND both sides of the verification join. */
+  private[operators] def shingleTable(
+      docs: DataFrame, idCol: String, textCol: String,
+      nShingle: Int): DataFrame =
+    graft.core.Partitioning.parallelize(docs, col(idCol))
       .select(col(idCol).as("doc_id"), split(col(textCol), " ").as("w"))
       .filter(size(col("w")) >= nShingle)
       .select(col("doc_id"), wordShingles(col("w"), nShingle).as("shingles"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+  /** (doc_id, band, bkey) LSH band table from a shingle table. A
+    * signature depends only on the document text, so band tables built
+    * separately (a stored corpus table, a fresh batch table) bucket
+    * identically to one built over the union — the property
+    * [[incrementalDedup]]'s asymmetric probe relies on. */
+  private[operators] def bandTable(
+      sh: DataFrame, k: Int, bands: Int): DataFrame = {
+    val r = k / bands
+    require(bands * r == k, "k must be divisible by bands")
+    require(k <= 64, "j*hi must stay below 2^63")
     // (doc, shingle) → (doc, lo, hi): md5 once per shingle
     val hashed = sh
       .select(col("doc_id"), explode(col("shingles")).as("s"))
@@ -149,9 +151,22 @@ object Dedup {
       struct(lit(b).as("band"),
         concat_ws(",", (0 until r).map(i => col(s"mh${b * r + i}")): _*).as("bkey"))
     }
-    val banded = sigs
+    sigs
       .select(col("doc_id"), explode(array(bandStructs: _*)).as("bk"))
       .select(col("doc_id"), col("bk.band").as("band"), col("bk.bkey").as("bkey"))
+  }
+
+  def lshNearDupPairs(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      nShingle: Int = 3,
+      k: Int = 16,
+      bands: Int = 4,
+      threshold: Double = 0.5,
+      maxBucketSize: Int = DefaultMaxBucketSize): DataFrame = {
+    val sh = shingleTable(docs, idCol, textCol, nShingle)
+    val banded = bandTable(sh, k, bands)
     // Candidate pairs: group each LSH bucket's members and emit the
     // in-bucket combinations — ONE pass over the signatures, instead of
     // a self-join that would evaluate the whole minhash pipeline twice.
@@ -307,15 +322,15 @@ object Dedup {
     * within the batch the lowest id wins, matching [[dedupCorpus]]'s
     * greedy orientation).
     *
-    * Exact stages are genuinely incremental (hash anti-join of the
-    * batch against corpus hashes — the corpus side is a hash set a
-    * production deployment keeps materialized). The near stage reuses
-    * [[lshNearDupPairs]] over corpus ∪ batch and filters to pairs
-    * touching the batch; a deployment that stores the corpus band
-    * table joins batch bands against it instead — identical output by
-    * construction (same signatures, same buckets), minus the
-    * corpus×corpus work, which this composition only spends because
-    * the test corpus is small. Returns the kept batch ids. */
+    * Genuinely incremental in the corpus: the exact stage is a hash
+    * anti-join of the batch against the corpus HASH SET, and the near
+    * stage probes the batch's LSH band table against the corpus BAND
+    * TABLE (both corpus-side tables are exactly what a production
+    * deployment keeps materialized between ingests) — no corpus×corpus
+    * candidate generation ever runs, so per-ingest cost is
+    * O(batch + matching buckets), not O(corpus). Signatures depend
+    * only on document text, so separately-built band tables bucket
+    * identically to a union build. Returns the kept batch ids. */
   def incrementalDedup(
       corpus: DataFrame,
       batch: DataFrame,
@@ -335,22 +350,27 @@ object Dedup {
     val s2 = s1.join(minB, Seq("__h"))
       .filter(col("doc_id") === col("__min_id"))
       .select(col("doc_id"))
-    // near-dup pairs over the union, filtered to batch-touching pairs
-    val all = corpus.select(col(idCol), col(textCol))
-      .unionByName(batch.select(col(idCol), col(textCol)))
-    val pairs = lshNearDupPairs(all, idCol, textCol,
+    // Asymmetric near stage: batch bands PROBE the corpus band table
+    // (equi-join on (band, bkey) — in production the corpus side is
+    // read from storage, not recomputed), then candidates verify
+    // against the shingle tables.
+    val shC = shingleTable(corpus, idCol, textCol, nShingle)
+    val shB = shingleTable(batch, idCol, textCol, nShingle)
+    val bandsC = bandTable(shC, k, bands)
+    val bandsB = bandTable(shB, k, bands)
+    val candCross = bandsB.as("p")
+      .join(bandsC.as("q"),
+        col("p.band") === col("q.band") && col("p.bkey") === col("q.bkey"))
+      .select(col("p.doc_id").as("batch_id"), col("q.doc_id").as("corpus_id"))
+      .distinct()
+    val nearCorpusDrop = candCross
+      .join(shB.as("sb"), col("batch_id") === col("sb.doc_id"))
+      .join(shC.as("sc"), col("corpus_id") === col("sc.doc_id"))
+      .filter(jaccard(col("sb.shingles"), col("sc.shingles")) >= threshold)
+      .select(col("batch_id").as("doc_id"))
+    // within-batch near-dups: pairs are oriented a < b → higher id drops
+    val nearBatchDrop = lshNearDupPairs(batch, idCol, textCol,
       nShingle, k, bands, threshold, maxBucketSize)
-      .select(col("a_id"), col("b_id"))
-    val corpusIds = corpus.select(col(idCol).as("cid"))
-    val batchIds = batch.select(col(idCol).as("bid"))
-    val nearCorpusDrop = pairs
-      .join(corpusIds, col("a_id") === col("cid")).select(col("b_id").as("doc_id"))
-      .unionByName(pairs
-        .join(corpusIds, col("b_id") === col("cid")).select(col("a_id").as("doc_id")))
-    // within-batch: pairs are oriented a < b, so the higher id drops
-    val nearBatchDrop = pairs
-      .join(batchIds, col("a_id") === col("bid"))
-      .join(batchIds.select(col("bid").as("bid2")), col("b_id") === col("bid2"))
       .select(col("b_id").as("doc_id"))
     s2.join(nearCorpusDrop.unionByName(nearBatchDrop).distinct(),
         Seq("doc_id"), "left_anti")
