@@ -575,6 +575,60 @@ object TextQueries {
         |SELECT s AS doc_id, min(t) AS component FROM r GROUP BY s""".stripMargin)),
 
     Q(
+      "qt11_curate_corpus",
+      "Composed curation lifecycle (operators.Curation.curate): " +
+        "language filter → quality rules → Gopher repetition rules → " +
+        "PII redaction → exact dedup of the redacted text. The " +
+        "text-side counterpart of qw01: proof the curation stages " +
+        "compose into one pipeline with stage order cheapest-first.",
+      (s, dir) =>
+        graft.operators.Curation.curate(
+          graft.core.Partitioning.parallelize(
+            Tables.load(s, dir, "documents"), col("doc_id")),
+          "doc_id", "text", "lang", Seq("en", "es", "fr")),
+      Some("""WITH lf AS (
+        |  SELECT doc_id, lang, text,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |    CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_types
+        |  FROM documents WHERE lang IN ('en', 'es', 'fr')),
+        |q AS (
+        |  SELECT doc_id, lang, text, n_tokens FROM lf
+        |  WHERE n_tokens >= 20 AND n_tokens <= 100000
+        |    AND CAST(n_types AS DOUBLE) / CAST(n_tokens AS DOUBLE) >= 0.15),
+        |w2 AS (SELECT doc_id, text, string_split(text, ' ') AS w FROM q),
+        |g2 AS (SELECT doc_id, unnest(list_transform(range(1, len(w)),
+        |         i -> concat(w[i], ' ', w[i+1]))) AS gram
+        |       FROM w2 WHERE len(w) >= 2),
+        |c2 AS (SELECT doc_id, gram, CAST(count(*) AS BIGINT) AS cnt FROM g2 GROUP BY 1, 2),
+        |top2 AS (SELECT doc_id,
+        |           max({'c': cnt, 'ch': cnt * length(gram)}).ch AS top2_chars
+        |         FROM c2 GROUP BY 1),
+        |g3 AS (SELECT doc_id, unnest(list_transform(range(1, len(w)-1),
+        |         i -> concat(w[i], ' ', w[i+1], ' ', w[i+2]))) AS gram
+        |       FROM w2 WHERE len(w) >= 3),
+        |c3 AS (SELECT doc_id, gram, CAST(count(*) AS BIGINT) AS cnt FROM g3 GROUP BY 1, 2),
+        |dup3 AS (SELECT doc_id,
+        |           CAST(sum(CASE WHEN cnt >= 2 THEN cnt * length(gram) ELSE 0 END) AS BIGINT) AS dup3_chars,
+        |           CAST(sum(cnt * length(gram)) AS BIGINT) AS all3_chars
+        |         FROM c3 GROUP BY 1),
+        |rep AS (
+        |  SELECT q.doc_id FROM q
+        |  LEFT JOIN top2 USING (doc_id) LEFT JOIN dup3 USING (doc_id)
+        |  WHERE CAST(coalesce(top2_chars, 0) AS DOUBLE) / CAST(length(q.text) AS DOUBLE) <= 0.20
+        |    AND CAST(coalesce(dup3_chars, 0) AS DOUBLE) / CAST(coalesce(all3_chars, 1) AS DOUBLE) <= 0.60),
+        |red AS (
+        |  SELECT q.doc_id, q.lang, q.n_tokens,
+        |    md5(regexp_replace(regexp_replace(regexp_replace(q.text,
+        |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |      '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '<IP>', 'g'),
+        |      '\+?[0-9]{3}[- ][0-9]{3}[- ][0-9]{4}', '<PHONE>', 'g')) AS redacted_md5
+        |  FROM q JOIN rep ON q.doc_id = rep.doc_id)
+        |SELECT doc_id, lang, n_tokens, redacted_md5 FROM (
+        |  SELECT *, row_number() OVER (
+        |    PARTITION BY redacted_md5 ORDER BY doc_id) AS rn FROM red)
+        |WHERE rn = 1""".stripMargin)),
+
+    Q(
       "qd12_incremental_dedup",
       "Incremental dedup — the daily-ingest lifecycle: admit a new " +
         "batch (doc_id % 10 = 0) against the existing corpus. Exact " +
