@@ -127,6 +127,22 @@ class CorpusOpsSpec extends SparkSuite {
     }
   }
 
+  test("curate drops wrong-lang, low-quality, repetitive, and duplicate docs") {
+    val good = (0 until 30).map(i => s"tok$i").mkString(" ")
+    val docs = Seq(
+      (1L, good, "en"), // kept
+      (2L, good, "en"), // exact dup of 1 -> dropped
+      (3L, good, "zh"), // wrong lang -> dropped
+      (4L, "too short", "en"), // < 20 tokens -> dropped
+      (5L, Seq.fill(40)("spam").mkString(" "), "en"), // repetitive -> dropped
+      (6L, (100 until 130).map(i => s"w$i").mkString(" "), "es") // kept
+    ).toDF("doc_id", "text", "lang")
+    val kept = graft.operators.Curation
+      .curate(docs, "doc_id", "text", "lang", Seq("en", "es"))
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(1L, 6L))
+  }
+
   test("contamination benchmark side is a broadcast semi-join") {
     val bench = Seq((100L, "one two three four five six seven eight"))
       .toDF("doc_id", "text")
