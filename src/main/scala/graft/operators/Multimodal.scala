@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Dataset, Row}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Row}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -117,4 +117,28 @@ object Multimodal {
       col(binCol).cast("binary").as("bytes"),
       lit(mime).as("mime"),
       map(lit("origin"), lit("synthetic")).as("meta"))
+
+  /** Deterministic stub embedding from media bytes: `dims` doubles in
+    * [0, 1) carved from the md5 of the content. An honest stand-in for
+    * the model-inference embedder this container cannot run — the
+    * SHAPE is the real thing: embeddings derive from bytes on
+    * executors as a narrow expression, land in an array<double>
+    * column, and flow straight into the Similarity operators
+    * (bucketing, ANN). Portable across engines (md5 + integer parse +
+    * one IEEE division per dim), so the whole media→vector bridge is
+    * oracle-checkable. */
+  def stubEmbedding(bytes: Column, dims: Int = 4): Column = {
+    require(dims >= 1 && dims <= 4, "md5 yields 4 x 32-bit chunks")
+    array((0 until dims).map(j =>
+      conv(substring(md5(bytes), 1 + 8 * j, 8), 16, 10).cast("double") /
+        lit(4294967296.0)): _*)
+  }
+
+  /** Sign-LSH bucket for a [0,1)-valued embedding: bit j set iff
+    * dim j >= 0.5 — the hookup from [[stubEmbedding]] into bucketed
+    * similarity search (equi-join on the bucket id). */
+  def signBucket(emb: Column, dims: Int = 4): Column =
+    (0 until dims).map(j =>
+      when(element_at(emb, j + 1) >= 0.5, lit(1L << j)).otherwise(lit(0L)))
+      .reduce(_ + _)
 }

@@ -213,6 +213,40 @@ object StreamingQueries {
         |  CAST(length(d.text) AS BIGINT) AS n_bytes,
         |  round(e.ent, 6) AS entropy,
         |  round(e.mb, 6) AS mean_byte
-        |FROM documents d JOIN e ON d.doc_id = e.doc_id""".stripMargin))
+        |FROM documents d JOIN e ON d.doc_id = e.doc_id""".stripMargin)),
+
+    Q(
+      "qm02_media_embed",
+      "Media → vector bridge: deterministic stub embedding (md5-carved " +
+        "doubles — an honest stand-in for a model embedder, with the " +
+        "real shape: bytes → array<double> on executors, narrow " +
+        "expression) plus the sign-LSH bucket id that feeds bucketed " +
+        "similarity joins. Fully oracle-checked end to end.",
+      (s, dir) => {
+        val media = Multimodal.asMedia(
+          graft.core.Tables.load(s, dir, "documents"),
+          "doc_id", "text", "text/plain")
+        val emb = Multimodal.stubEmbedding(col("bytes"), 4)
+        media.select(col("media_id"), emb.as("emb"))
+          .select(col("media_id"),
+            element_at(col("emb"), 1).as("e0"),
+            element_at(col("emb"), 2).as("e1"),
+            element_at(col("emb"), 3).as("e2"),
+            element_at(col("emb"), 4).as("e3"),
+            Multimodal.signBucket(col("emb"), 4).as("bucket"))
+      },
+      Some("""WITH e AS (
+        |  SELECT doc_id AS media_id,
+        |    CAST(concat('0x', substr(md5(text), 1, 8)) AS BIGINT) / 4294967296.0 AS e0,
+        |    CAST(concat('0x', substr(md5(text), 9, 8)) AS BIGINT) / 4294967296.0 AS e1,
+        |    CAST(concat('0x', substr(md5(text), 17, 8)) AS BIGINT) / 4294967296.0 AS e2,
+        |    CAST(concat('0x', substr(md5(text), 25, 8)) AS BIGINT) / 4294967296.0 AS e3
+        |  FROM documents)
+        |SELECT media_id, e0, e1, e2, e3,
+        |  CAST((CASE WHEN e0 >= 0.5 THEN 1 ELSE 0 END)
+        |     + (CASE WHEN e1 >= 0.5 THEN 2 ELSE 0 END)
+        |     + (CASE WHEN e2 >= 0.5 THEN 4 ELSE 0 END)
+        |     + (CASE WHEN e3 >= 0.5 THEN 8 ELSE 0 END) AS BIGINT) AS bucket
+        |FROM e""".stripMargin))
   )
 }
