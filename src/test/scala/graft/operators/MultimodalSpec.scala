@@ -64,4 +64,24 @@ class MultimodalSpec extends SparkSuite {
     assert(m.schema.fieldNames.toSeq == Seq("media_id", "bytes", "mime", "meta"))
     assert(m.collect()(0).getAs[Array[Byte]]("bytes").toSeq == "hello".getBytes.toSeq)
   }
+
+  test("stubEmbedding is deterministic, in [0,1), and content-sensitive") {
+    import org.apache.spark.sql.functions._
+    val df = Seq((1L, "hello"), (2L, "hello"), (3L, "world")).toDF("id", "t")
+    val rows = df.select(col("id"),
+        Multimodal.stubEmbedding(col("t").cast("binary"), 4).as("e"),
+        Multimodal.signBucket(
+          Multimodal.stubEmbedding(col("t").cast("binary"), 4), 4).as("b"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1), r.getLong(2)))
+    val byId = rows.map(r => r._1 -> r).toMap
+    assert(byId(1L)._2 == byId(2L)._2, "same bytes, same embedding")
+    assert(byId(1L)._2 != byId(3L)._2, "different bytes, different embedding")
+    rows.foreach { case (_, e, b) =>
+      assert(e.length == 4 && e.forall(x => x >= 0.0 && x < 1.0))
+      assert(b >= 0L && b < 16L)
+      val expected = e.zipWithIndex.map { case (x, j) =>
+        if (x >= 0.5) 1L << j else 0L }.sum
+      assert(b == expected)
+    }
+  }
 }
