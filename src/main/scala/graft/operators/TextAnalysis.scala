@@ -76,18 +76,27 @@ object TextAnalysis {
     * break reproducibility. At 100 TB the df table is corpus-sized:
     * it equi-joins (no broadcast assumption) and a df-cut drops
     * stop-terms before the join if vocabulary skew ever shows. */
+  /** @param maxDocFreq optional stop-term cut: terms present in more
+    *   than this many documents never reach the scoring join — the
+    *   df-table skew bound for web-scale vocabularies. None keeps the
+    *   exact (oracle-checked) semantics. */
   def tfIdfTopK(
       docs: DataFrame,
       idCol: String,
       textCol: String,
-      k: Int = 3): DataFrame = {
+      k: Int = 3,
+      maxDocFreq: Option[Long] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val tf = docs
       .select(col(idCol).as("doc_id"),
         explode(split(col(textCol), " ")).as("term"))
       .groupBy(col("doc_id"), col("term"))
       .agg(count(lit(1)).cast("long").as("tf"))
-    val dfT = tf.groupBy(col("term")).agg(count(lit(1)).cast("long").as("df"))
+    val dfAll = tf.groupBy(col("term")).agg(count(lit(1)).cast("long").as("df"))
+    val dfT = maxDocFreq match {
+      case None => dfAll
+      case Some(cut) => dfAll.filter(col("df") <= cut)
+    }
     // corpus size resolves to a literal (one count job at build time):
     // a 1-row crossJoin would carry the same value but plans as a
     // nested-loop join, which the plan audit rightly refuses anywhere

@@ -655,6 +655,32 @@ object RelationalQueries {
         |  ON e.value >= t.lo AND e.value < t.hi""".stripMargin)),
 
     Q(
+      "q35_asof_forward",
+      "FORWARD as-of join (beyond-reference; merge_asof " +
+        "direction='forward'): every event annotated with the value of " +
+        "the same user's NEXT error at-or-after it — same single-shuffle " +
+        "window plan as q32, iterated in descending time order. Oracle " +
+        "= DuckDB ASOF JOIN over negated epoch micros (max of negated " +
+        "ts ≤ ⟺ min ts ≥).",
+      (s, dir) => {
+        val ev = t(s, dir, "events")
+        val err = ev.filter(col("event_type") === lit("error"))
+          .select(col("user_id"), col("ts").as("err_ts"),
+            col("value").as("next_err_value"), col("event_id").as("err_id"))
+        graft.operators.AsofJoin.asofForward(
+            ev, err, key = "user_id", leftTs = "ts", rightTs = "err_ts",
+            payload = Seq("next_err_value"), rightTiebreak = Some("err_id"))
+          .select(col("event_id"), col("user_id"), col("event_type"),
+            col("next_err_value"))
+      },
+      Some("""SELECT e.event_id, e.user_id, e.event_type, r.value AS next_err_value
+        |FROM (SELECT *, -epoch_us(CAST(ts AS TIMESTAMP)) AS nts FROM events) e
+        |ASOF LEFT JOIN (
+        |  SELECT user_id, -epoch_us(CAST(ts AS TIMESTAMP)) AS nts, value
+        |  FROM events WHERE event_type = 'error') r
+        |  ON e.user_id = r.user_id AND e.nts >= r.nts""".stripMargin)),
+
+    Q(
       "q34_rolling_window",
       "Time-RANGE window frame (beyond-reference; the rolling-feature " +
         "shape of event featurization): per event, count and exact sum " +
