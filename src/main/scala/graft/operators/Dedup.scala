@@ -340,23 +340,74 @@ object Dedup {
       k: Int = 16,
       bands: Int = 4,
       threshold: Double = 0.5,
+      maxBucketSize: Int = DefaultMaxBucketSize): DataFrame =
+    incrementalDedupWithIndex(
+      buildCorpusIndex(corpus, idCol, textCol, nShingle, k, bands),
+      batch, idCol, textCol, nShingle, k, bands, threshold, maxBucketSize)
+
+  /** The materialized corpus artifacts incremental ingest probes:
+    * content-hash set, shingle table, LSH band table. Build once per
+    * corpus ([[buildCorpusIndex]]), persist between ingests
+    * ([[writeCorpusIndex]]/[[readCorpusIndex]] — three parquet
+    * datasets), append admitted batches over time. */
+  final case class CorpusIndex(
+      hashes: DataFrame, // (__h)
+      shingles: DataFrame, // (doc_id, shingles)
+      bands: DataFrame) // (doc_id, band, bkey)
+
+  def buildCorpusIndex(
+      corpus: DataFrame,
+      idCol: String,
+      textCol: String,
+      nShingle: Int = 3,
+      k: Int = 16,
+      bands: Int = 4): CorpusIndex = {
+    val sh = shingleTable(corpus, idCol, textCol, nShingle)
+    CorpusIndex(
+      corpus.select(md5(col(textCol).cast("binary")).as("__h")).distinct(),
+      sh,
+      bandTable(sh, k, bands))
+  }
+
+  def writeCorpusIndex(index: CorpusIndex, dir: String): Unit = {
+    index.hashes.write.mode("overwrite").parquet(s"$dir/hashes.parquet")
+    index.shingles.write.mode("overwrite").parquet(s"$dir/shingles.parquet")
+    index.bands.write.mode("overwrite").parquet(s"$dir/bands.parquet")
+  }
+
+  def readCorpusIndex(spark: org.apache.spark.sql.SparkSession,
+      dir: String): CorpusIndex =
+    CorpusIndex(
+      spark.read.parquet(s"$dir/hashes.parquet"),
+      spark.read.parquet(s"$dir/shingles.parquet"),
+      spark.read.parquet(s"$dir/bands.parquet"))
+
+  /** [[incrementalDedup]] against a prebuilt (typically storage-read)
+    * corpus index — the recurring-ingest entry point: nothing
+    * corpus-sized is recomputed per batch. */
+  def incrementalDedupWithIndex(
+      index: CorpusIndex,
+      batch: DataFrame,
+      idCol: String,
+      textCol: String,
+      nShingle: Int = 3,
+      k: Int = 16,
+      bands: Int = 4,
+      threshold: Double = 0.5,
       maxBucketSize: Int = DefaultMaxBucketSize): DataFrame = {
     val bh = batch.select(col(idCol).as("doc_id"),
       md5(col(textCol).cast("binary")).as("__h"))
-    val ch = corpus.select(md5(col(textCol).cast("binary")).as("__h")).distinct()
     // exact vs corpus, then exact within batch (keep-first by id)
-    val s1 = bh.join(ch, Seq("__h"), "left_anti")
+    val s1 = bh.join(index.hashes, Seq("__h"), "left_anti")
     val minB = bh.groupBy(col("__h")).agg(min(col("doc_id")).as("__min_id"))
     val s2 = s1.join(minB, Seq("__h"))
       .filter(col("doc_id") === col("__min_id"))
       .select(col("doc_id"))
-    // Asymmetric near stage: batch bands PROBE the corpus band table
-    // (equi-join on (band, bkey) — in production the corpus side is
-    // read from storage, not recomputed), then candidates verify
-    // against the shingle tables.
-    val shC = shingleTable(corpus, idCol, textCol, nShingle)
+    // Asymmetric near stage: batch bands PROBE the corpus band table,
+    // then candidates verify against the shingle tables.
+    val shC = index.shingles
     val shB = shingleTable(batch, idCol, textCol, nShingle)
-    val bandsC = bandTable(shC, k, bands)
+    val bandsC = index.bands
     val bandsB = bandTable(shB, k, bands)
     val candCross = bandsB.as("p")
       .join(bandsC.as("q"),

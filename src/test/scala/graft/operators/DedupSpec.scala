@@ -166,6 +166,28 @@ class DedupSpec extends SparkSuite {
     assert(kept == Set(12L, 14L))
   }
 
+  test("incrementalDedup over a storage round-tripped index matches inline") {
+    val base = (0 until 50).map(i => s"word$i").mkString(" ")
+    val corpus = Seq((1L, base),
+      (2L, "existing corpus content that is entirely unrelated here"))
+      .toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, base),
+      (11L, base.replace("word49", "changed")),
+      (12L, "fresh content " + (50 until 90).map(i => s"w$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_corpus_index").toString
+    Dedup.writeCorpusIndex(
+      Dedup.buildCorpusIndex(corpus, "doc_id", "text"), dir)
+    val viaIndex = Dedup.incrementalDedupWithIndex(
+        Dedup.readCorpusIndex(spark, dir), batch, "doc_id", "text")
+      .as[Long].collect().toSet
+    val inline = Dedup.incrementalDedup(corpus, batch, "doc_id", "text")
+      .as[Long].collect().toSet
+    assert(viaIndex == inline && viaIndex == Set(12L))
+  }
+
   test("connectedComponents collapses a long chain within the iteration cap") {
     // a 64-node path has diameter 63; pointer jumping must converge in
     // far fewer rounds than the plain-propagation bound
