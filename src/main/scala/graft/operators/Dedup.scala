@@ -428,6 +428,92 @@ object Dedup {
       .select(col("doc_id").as("keep_id"))
   }
 
+  /** Connected components via alternating large-star/small-star
+    * (Kiveris et al., "Connected Components in MapReduce and Beyond")
+    * — the algorithm [[connectedComponents]]'s scaladoc names as the
+    * 10¹⁰-node path, implemented and parity-tested so the claim is
+    * executable, not aspirational.
+    *
+    * Each round is two edge rewrites, each ONE groupBy(min) + join on
+    * the edge list — no per-node adjacency materialization, so a node
+    * of any degree costs its edge count, never a collected list:
+    *  - large-star: every neighbor v > u re-points to m = min(N(u)∪{u})
+    *  - small-star: orient edges (max, min); every neighbor re-points
+    *    to the minimum.
+    * Edges monotonically flatten into stars rooted at component
+    * minima; rounds = O(log² n) worst case, 2–4 on dedup graphs. The
+    * edge list shrinks every round (distinct), so per-round cost
+    * DECREASES — the property that matters at 10¹⁰ edges, where
+    * label-propagation's full label table per round would dominate.
+    * Same contract as [[connectedComponents]]: (node, component-min).
+    */
+  def connectedComponentsStars(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      maxIter: Int = 50): DataFrame = {
+    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val spark = edges.sparkSession
+    val nodes = edges
+      .select(col(srcCol).cast("long").as("n"))
+      .union(edges.select(col(dstCol).cast("long").as("n")))
+      .distinct()
+      .persist(MEMORY_AND_DISK)
+
+    def cut(df: DataFrame): DataFrame =
+      spark.createDataFrame(df.rdd, df.schema).persist(MEMORY_AND_DISK)
+
+    def largeStar(e: DataFrame): DataFrame = {
+      val sym = e.select(col("a").as("u"), col("b").as("v"))
+        .union(e.select(col("b").as("u"), col("a").as("v")))
+      val mins = sym.groupBy(col("u")).agg(min(col("v")).as("mv"))
+        .select(col("u"), least(col("mv"), col("u")).as("m"))
+      sym.join(mins, Seq("u"))
+        .filter(col("v") > col("u"))
+        .select(col("v").as("a"), col("m").as("b"))
+        .union(mins.select(col("u").as("a"), col("m").as("b")))
+        .filter(col("a") =!= col("b"))
+        .distinct()
+    }
+
+    def smallStar(e: DataFrame): DataFrame = {
+      val oriented = e.select(
+        greatest(col("a"), col("b")).as("u"), least(col("a"), col("b")).as("v"))
+      val mins = oriented.groupBy(col("u")).agg(min(col("v")).as("m"))
+      oriented.join(mins, Seq("u"))
+        .select(col("v").as("a"), col("m").as("b"))
+        .union(mins.select(col("u").as("a"), col("m").as("b")))
+        .filter(col("a") =!= col("b"))
+        .distinct()
+    }
+
+    var cur = cut(edges
+      .select(col(srcCol).cast("long").as("a"), col(dstCol).cast("long").as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct())
+    var iter = 0
+    var done = cur.isEmpty
+    while (!done && iter < maxIter) {
+      val next = cut(smallStar(largeStar(cur)))
+      val c1 = next.count()
+      val c2 = cur.count()
+      val cu = next.unionByName(cur).distinct().count()
+      done = c1 == c2 && cu == c1
+      cur.unpersist()
+      cur = next
+      iter += 1
+    }
+    if (!done)
+      throw new IllegalStateException(
+        s"star contraction did not converge within $maxIter rounds")
+    // final edges are stars (child → component min); roots and isolated
+    // nodes label themselves
+    nodes.join(cur.select(col("a").as("n"), col("b").as("component")),
+        Seq("n"), "left_outer")
+      .select(col("n").as("node"),
+        coalesce(col("component"), col("n")).as("component"))
+  }
+
   /** Full-corpus duplicate CLUSTERS at production scale: every document
     * labeled with its duplicate-cluster id (exact AND near duplicates,
     * transitively closed).

@@ -196,4 +196,30 @@ class DedupSpec extends SparkSuite {
       .as[(Long, Long)].collect().toMap
     assert(got.size == 64 && got.values.forall(_ == 0L))
   }
+
+  test("star-contraction components agree with label propagation") {
+    // chains, cliques, a star, singletons, shared-node merges — both
+    // algorithms must produce the identical (node, component-min) map
+    val fixtures = Seq(
+      (0L until 20L).map(i => (i, i + 1)), // one path
+      Seq((1L, 2L), (2L, 3L), (3L, 1L), (10L, 11L), (20L, 20L)), // cycle + pair + self
+      for (i <- 30L until 36L; j <- (i + 1) to 36L) yield (i, j), // clique
+      Seq((100L, 1L), (100L, 2L), (100L, 3L), (200L, 201L)), // star + pair
+      Seq((5L, 9L), (9L, 2L), (7L, 7L), (3L, 8L), (8L, 1L), (1L, 3L)))
+    fixtures.foreach { fx =>
+      val edges = fx.toDF("a", "b")
+      val viaProp = Dedup.connectedComponents(edges, "a", "b")
+        .as[(Long, Long)].collect().toMap
+      val viaStars = Dedup.connectedComponentsStars(edges, "a", "b")
+        .as[(Long, Long)].collect().toMap
+      assert(viaStars == viaProp, s"fixture $fx")
+    }
+  }
+
+  test("star contraction collapses a long chain too") {
+    val edges = (0L until 63L).map(i => (i, i + 1)).toDF("a", "b")
+    val got = Dedup.connectedComponentsStars(edges, "a", "b")
+      .as[(Long, Long)].collect().toMap
+    assert(got.size == 64 && got.values.forall(_ == 0L))
+  }
 }
