@@ -43,4 +43,27 @@ object Curation {
       .filter(col("__rn") === 1)
       .select(col("doc_id"), col("lang"), col("n_tokens"), col("redacted_md5"))
   }
+
+  /** Deterministic weighted data mixing: keep each document with its
+    * source's sampling rate (permille), decided by a content-stable
+    * hash — the per-source up/down-weighting step that turns a curated
+    * pool into a training mixture. Pure narrow filter (zero shuffle,
+    * reproducible under any partitioning and across engines), unlike
+    * RNG-based `sample()` which is neither. */
+  def weightedMix(
+      docs: DataFrame,
+      idCol: String,
+      sourceCol: String,
+      permille: Map[String, Int],
+      defaultPermille: Int): DataFrame = {
+    require((permille.values ++ Seq(defaultPermille)).forall(p =>
+      p >= 0 && p <= 1000), "rates are permille (0..1000)")
+    val rate = permille.foldLeft(lit(defaultPermille)) {
+      case (acc, (src, p)) => when(col(sourceCol) === src, lit(p)).otherwise(acc)
+    }
+    docs.filter(
+      pmod(Dedup.hash60(
+        concat(col(idCol).cast("string"), lit(":"), col(sourceCol))),
+        lit(1000)) < rate)
+  }
 }

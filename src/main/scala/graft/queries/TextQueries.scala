@@ -629,6 +629,26 @@ object TextQueries {
         |WHERE rn = 1""".stripMargin)),
 
     Q(
+      "qt12_weighted_mix",
+      "Deterministic weighted data mixing (Curation.weightedMix): " +
+        "per-source sampling rates applied via a content-stable " +
+        "hash-mod — the up/down-weighting step that turns a curated " +
+        "pool into a training mixture. Pure narrow filter, " +
+        "reproducible under any partitioning, which RNG sampling is " +
+        "not.",
+      (s, dir) =>
+        graft.operators.Curation.weightedMix(
+            Tables.load(s, dir, "documents"),
+            "doc_id", "source",
+            Map("src0" -> 900, "src1" -> 700, "src2" -> 500, "src3" -> 200),
+            defaultPermille = 100)
+          .select(col("doc_id"), col("source"), col("lang")),
+      Some(s"""SELECT doc_id, source, lang FROM documents
+        |WHERE ${dkHash60("concat(CAST(doc_id AS VARCHAR), ':', source)")} % 1000 <
+        |  CASE source WHEN 'src0' THEN 900 WHEN 'src1' THEN 700
+        |    WHEN 'src2' THEN 500 WHEN 'src3' THEN 200 ELSE 100 END""".stripMargin)),
+
+    Q(
       "qd12_incremental_dedup",
       "Incremental dedup — the daily-ingest lifecycle: admit a new " +
         "batch (doc_id % 10 = 0) against the existing corpus. Exact " +
