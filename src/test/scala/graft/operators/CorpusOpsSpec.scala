@@ -143,6 +143,20 @@ class CorpusOpsSpec extends SparkSuite {
     assert(kept == Set(1L, 6L))
   }
 
+  test("weightedMix keeps ~rate per source, deterministically") {
+    val docs = (0L until 2000L)
+      .map(i => (i, s"src${i % 2}")).toDF("doc_id", "source")
+    def run() = Curation.weightedMix(docs, "doc_id", "source",
+        Map("src0" -> 900, "src1" -> 100), defaultPermille = 0)
+      .select("doc_id").as[Long].collect().toSet
+    val kept = run()
+    assert(kept == run(), "hash-mod sampling must be reproducible")
+    val bySrc = kept.groupBy(_ % 2).view.mapValues(_.size).toMap
+    // 1000 docs per source; expect ~900 and ~100 within a loose band
+    assert(bySrc(0L) > 850 && bySrc(0L) < 950, s"src0 kept ${bySrc(0L)}")
+    assert(bySrc(1L) > 60 && bySrc(1L) < 140, s"src1 kept ${bySrc(1L)}")
+  }
+
   test("contamination benchmark side is a broadcast semi-join") {
     val bench = Seq((100L, "one two three four five six seven eight"))
       .toDF("doc_id", "text")
