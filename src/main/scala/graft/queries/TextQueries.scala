@@ -676,6 +676,34 @@ object TextQueries {
         |    ON p.a_id = b3.doc_id AND p.b_id = b.doc_id)""".stripMargin)),
 
     Q(
+      "qd13_cluster_stars",
+      "qd10's clustering via the OTHER algorithm: large-star/small-star " +
+        "edge contraction (Dedup.connectedComponentsStars) over the " +
+        "identical LSH pair graph — the 10^10-node form (no label " +
+        "table; the edge list itself contracts). Same oracle as qd10: " +
+        "both algorithms must produce the identical closure.",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        val pairs = Dedup.lshNearDupPairs(docs, "doc_id", "text",
+          nShingle = 3, k = 16, bands = 4, threshold = 0.5)
+          .select(col("a_id"), col("b_id"))
+        val self = docs.select(col("doc_id").as("a_id"),
+          col("doc_id").as("b_id"))
+        Dedup.connectedComponentsStars(pairs.unionByName(self), "a_id", "b_id")
+          .select(col("node").as("doc_id"), col("component"))
+      },
+      Some(s"""WITH RECURSIVE ${lshCtes()},
+        |pairs AS ($lshPairSelect),
+        |sym(s, t) AS (
+        |  SELECT a_id, b_id FROM pairs UNION SELECT b_id, a_id FROM pairs
+        |  UNION SELECT doc_id, doc_id FROM documents),
+        |r(s, t) AS (
+        |  SELECT s, t FROM sym
+        |  UNION
+        |  SELECT r.s, sym.t FROM r JOIN sym ON r.t = sym.s)
+        |SELECT s AS doc_id, min(t) AS component FROM r GROUP BY s""".stripMargin)),
+
+    Q(
       "qd11_cluster_corpus",
       "Full-corpus duplicate clustering at production scale " +
         "(Dedup.corpusClusters): exact duplicates collapse FIRST, exact " +
