@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** End-to-end corpus curation — the composed text-side lifecycle, one
@@ -38,9 +37,13 @@ object Curation {
     val red = q.join(rep, Seq("doc_id"))
       .withColumn("redacted_md5",
         md5(Pii.redact(col("text")).cast("binary")))
-    val w = Window.partitionBy(col("redacted_md5")).orderBy(col("doc_id"))
-    red.withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1)
+    // keep-min-per-hash via groupBy + self semi-join (the qd01 shape):
+    // map-side partial aggregation, so a mega-group of identically
+    // redacted boilerplate never concentrates on one reducer the way a
+    // per-hash window sort would
+    val keep = red.groupBy(col("redacted_md5"))
+      .agg(min(col("doc_id")).as("doc_id"))
+    red.join(keep, Seq("redacted_md5", "doc_id"), "left_semi")
       .select(col("doc_id"), col("lang"), col("n_tokens"), col("redacted_md5"))
   }
 
@@ -61,9 +64,12 @@ object Curation {
     val rate = permille.foldLeft(lit(defaultPermille)) {
       case (acc, (src, p)) => when(col(sourceCol) === src, lit(p)).otherwise(acc)
     }
+    // null-safe hash input: a null id or source must fall through to
+    // the default rate, not null out the concat (and with it the row)
     docs.filter(
       pmod(Dedup.hash60(
-        concat(col(idCol).cast("string"), lit(":"), col(sourceCol))),
+        concat(coalesce(col(idCol).cast("string"), lit("")), lit(":"),
+          coalesce(col(sourceCol), lit("")))),
         lit(1000)) < rate)
   }
 }

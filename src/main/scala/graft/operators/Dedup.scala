@@ -166,12 +166,21 @@ object Dedup {
       threshold: Double = 0.5,
       maxBucketSize: Int = DefaultMaxBucketSize): DataFrame = {
     val sh = shingleTable(docs, idCol, textCol, nShingle)
-    val banded = bandTable(sh, k, bands)
-    // Candidate pairs: group each LSH bucket's members and emit the
-    // in-bucket combinations — ONE pass over the signatures, instead of
-    // a self-join that would evaluate the whole minhash pipeline twice.
-    // Buckets are near-dup clusters, so member lists stay small; the
-    // capBuckets guard bounds the pathological mega-cluster case.
+    pairsFromBandTable(sh, bandTable(sh, k, bands), threshold, maxBucketSize)
+  }
+
+  /** Verified near-dup pairs from a prebuilt (shingle, band) pair of
+    * tables. Candidate pairs: group each LSH bucket's members and emit
+    * the in-bucket combinations — ONE pass over the signatures,
+    * instead of a self-join that would evaluate the whole minhash
+    * pipeline twice. Buckets are near-dup clusters, so member lists
+    * stay small; the capBuckets guard bounds the pathological
+    * mega-cluster case. */
+  private[operators] def pairsFromBandTable(
+      sh: DataFrame,
+      banded: DataFrame,
+      threshold: Double,
+      maxBucketSize: Int): DataFrame = {
     val ids = col("ids")
     val pairs = capBuckets(banded, col("band"), col("bkey"), maxBucketSize)
       .groupBy(col("band"), col("bkey"))
@@ -404,12 +413,16 @@ object Dedup {
       .filter(col("doc_id") === col("__min_id"))
       .select(col("doc_id"))
     // Asymmetric near stage: batch bands PROBE the corpus band table,
-    // then candidates verify against the shingle tables.
+    // then candidates verify against the shingle tables. BOTH sides
+    // are bucket-capped — an uncapped corpus mega-bucket would emit
+    // O(|batch bucket|·|corpus bucket|) candidate rows on one hot key,
+    // the exact pathology maxBucketSize exists to bound.
     val shC = index.shingles
     val shB = shingleTable(batch, idCol, textCol, nShingle)
-    val bandsC = index.bands
+    val bandsC = capBuckets(index.bands, col("band"), col("bkey"), maxBucketSize)
     val bandsB = bandTable(shB, k, bands)
-    val candCross = bandsB.as("p")
+    val candCross = capBuckets(bandsB, col("band"), col("bkey"), maxBucketSize)
+      .as("p")
       .join(bandsC.as("q"),
         col("p.band") === col("q.band") && col("p.bkey") === col("q.bkey"))
       .select(col("p.doc_id").as("batch_id"), col("q.doc_id").as("corpus_id"))
@@ -419,10 +432,11 @@ object Dedup {
       .join(shC.as("sc"), col("corpus_id") === col("sc.doc_id"))
       .filter(jaccard(col("sb.shingles"), col("sc.shingles")) >= threshold)
       .select(col("batch_id").as("doc_id"))
-    // within-batch near-dups: pairs are oriented a < b → higher id drops
-    val nearBatchDrop = lshNearDupPairs(batch, idCol, textCol,
-      nShingle, k, bands, threshold, maxBucketSize)
-      .select(col("b_id").as("doc_id"))
+    // within-batch near-dups from the ALREADY-BUILT batch tables
+    // (pairs are oriented a < b → the higher id drops)
+    val nearBatchDrop =
+      pairsFromBandTable(shB, bandsB, threshold, maxBucketSize)
+        .select(col("b_id").as("doc_id"))
     s2.join(nearCorpusDrop.unionByName(nearBatchDrop).distinct(),
         Seq("doc_id"), "left_anti")
       .select(col("doc_id").as("keep_id"))
@@ -453,6 +467,7 @@ object Dedup {
       dstCol: String,
       maxIter: Int = 50): DataFrame = {
     import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    requireIntegralIds(edges, srcCol, dstCol)
     val spark = edges.sparkSession
     val nodes = edges
       .select(col(srcCol).cast("long").as("n"))
@@ -492,15 +507,18 @@ object Dedup {
       .filter(col("a") =!= col("b"))
       .distinct())
     var iter = 0
-    var done = cur.isEmpty
+    var curCount = cur.count()
+    var done = curCount == 0
     while (!done && iter < maxIter) {
       val next = cut(smallStar(largeStar(cur)))
       val c1 = next.count()
-      val c2 = cur.count()
-      val cu = next.unionByName(cur).distinct().count()
-      done = c1 == c2 && cu == c1
+      // set equality: only pay the union-distinct shuffle when the
+      // cheap cardinality check already agrees
+      done = c1 == curCount &&
+        next.unionByName(cur).distinct().count() == c1
       cur.unpersist()
       cur = next
+      curCount = c1
       iter += 1
     }
     if (!done)
@@ -665,12 +683,10 @@ object Dedup {
     * Deterministic by construction: min over a set is order- and
     * partitioning-independent.
     */
-  def connectedComponents(
-      edges: DataFrame,
-      srcCol: String,
-      dstCol: String,
-      maxIter: Int = 25): DataFrame = {
-    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+  /** Both component algorithms cast ids to long; a silent cast would
+    * null out string ids and collapse the graph — fail loudly. */
+  private def requireIntegralIds(
+      edges: DataFrame, srcCol: String, dstCol: String): Unit = {
     import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
     val integral: Set[org.apache.spark.sql.types.DataType] =
       Set(ByteType, ShortType, IntegerType, LongType)
@@ -680,6 +696,15 @@ object Dedup {
           "ids must be integral (a silent cast would null out string ids " +
           "and collapse the graph) — hash or dictionary-encode them first")
     }
+  }
+
+  def connectedComponents(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      maxIter: Int = 25): DataFrame = {
+    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    requireIntegralIds(edges, srcCol, dstCol)
     val sym = edges
       .select(col(srcCol).cast("long").as("s"), col(dstCol).cast("long").as("t"))
       .union(edges.select(col(dstCol).cast("long").as("s"),

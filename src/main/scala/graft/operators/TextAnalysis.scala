@@ -75,8 +75,9 @@ object TextAnalysis {
     * reproduces bit-exactly, where libm log ulp differences would
     * break reproducibility. At 100 TB the df table is corpus-sized:
     * it equi-joins (no broadcast assumption) and a df-cut drops
-    * stop-terms before the join if vocabulary skew ever shows. */
-  /** @param maxDocFreq optional stop-term cut: terms present in more
+    * stop-terms before the join if vocabulary skew ever shows.
+    *
+    * @param maxDocFreq optional stop-term cut: terms present in more
     *   than this many documents never reach the scoring join — the
     *   df-table skew bound for web-scale vocabularies. None keeps the
     *   exact (oracle-checked) semantics. */

@@ -626,7 +626,8 @@ object RelationalQueries {
       },
       Some("""SELECT e.event_id, e.user_id, e.event_type, r.value AS last_err_value
         |FROM events e ASOF LEFT JOIN (
-        |  SELECT user_id, ts, value FROM events WHERE event_type = 'error') r
+        |  SELECT user_id, ts, max_by(value, event_id) AS value
+        |  FROM events WHERE event_type = 'error' GROUP BY user_id, ts) r
         |  ON e.user_id = r.user_id AND e.ts >= r.ts""".stripMargin)),
 
     Q(
@@ -676,8 +677,10 @@ object RelationalQueries {
       Some("""SELECT e.event_id, e.user_id, e.event_type, r.value AS next_err_value
         |FROM (SELECT *, -epoch_us(CAST(ts AS TIMESTAMP)) AS nts FROM events) e
         |ASOF LEFT JOIN (
-        |  SELECT user_id, -epoch_us(CAST(ts AS TIMESTAMP)) AS nts, value
-        |  FROM events WHERE event_type = 'error') r
+        |  SELECT user_id, -epoch_us(CAST(ts AS TIMESTAMP)) AS nts,
+        |    max_by(value, event_id) AS value
+        |  FROM events WHERE event_type = 'error'
+        |  GROUP BY user_id, -epoch_us(CAST(ts AS TIMESTAMP))) r
         |  ON e.user_id = r.user_id AND e.nts >= r.nts""".stripMargin)),
 
     Q(

@@ -61,12 +61,20 @@ object ScaleSmoke {
     val cust = spark.read.parquet(s"$out/customer.parquet")
     val docs = spark.read.parquet(s"$out/documents.parquet")
 
-    // incremental-ingest fixture: ~1% batch against the rest; the warm
-    // call builds + persists the corpus hash set and band table
-    // (production reads them from storage between ingests)
+    // incremental-ingest fixture: ~1% batch against the rest. ALL
+    // three corpus artifacts are explicitly persisted and materialized
+    // here so the timed entry measures the recurring batch-probe only
+    // (production reads these from storage between ingests).
     val corpusI = docs.filter(pmod($"doc_id", lit(101)) =!= 0)
     val batchI = docs.filter(pmod($"doc_id", lit(101)) === 0)
-    Dedup.incrementalDedup(corpusI, batchI, "doc_id", "text").count()
+    val idxI = {
+      val built = Dedup.buildCorpusIndex(corpusI, "doc_id", "text")
+      val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+      val idx = Dedup.CorpusIndex(built.hashes.persist(lvl),
+        built.shingles, built.bands.persist(lvl))
+      idx.hashes.count(); idx.shingles.count(); idx.bands.count()
+      idx
+    }
 
     val results = Seq(
       time("group_agg") {
@@ -123,9 +131,10 @@ object ScaleSmoke {
         Dedup.corpusClusters(docs, "doc_id", "text").count()
       },
       time("incremental_ingest") {
-        // corpus artifacts (hash set, band table) were warmed above —
+        // corpus artifacts are resident (persisted + counted above) —
         // this is the recurring per-ingest batch-probe cost
-        Dedup.incrementalDedup(corpusI, batchI, "doc_id", "text").count()
+        Dedup.incrementalDedupWithIndex(idxI, batchI, "doc_id", "text")
+          .count()
       },
       time("asof_join") {
         val ev = {
