@@ -1,6 +1,26 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
+/** Benchmark runner. Emits per-query JSON lines first (diagnostics:
+  * safe to lose if the caller's output capture truncates), then the
+  * single driver-parseable totals line LAST:
+  * {"metric":"total","value":N,"unit":"sec","queries":{...},"sf":...}.
+  * Times are rounded to 3 decimals to keep the line small; a query
+  * that throws is recorded in an "errors" map (name -> exception class
+  * + message) instead of being silently timed as a pass.
+  */
 object Bench {
+  private def r3(v: Double): String =
+    BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
+
+  private def jsonEscape(s: String): String =
+    s.flatMap {
+      case '"'           => "\\\""
+      case '\\'          => "\\\\"
+      case c if c < ' '  => " "
+      case c             => c.toString
+    }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -13,19 +33,33 @@ object Bench {
     // Warm the JVM/codegen paths so the first timed query doesn't pay
     // session/classloader init.
     try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
-    // NOTE: operators persist multiply-consumed frames for the session
-    // lifetime (see Dedup/Validation scaladoc). This process is
-    // one-shot, so they are left resident: cross-query plan-cache reuse
-    // is legitimate warehouse behavior and memory is reclaimed at exit.
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // Operators persist multiply-consumed frames for the session
+    // lifetime (see Dedup/Validation scaladoc) — correct for a
+    // long-lived warehouse session, but here 76 queries share one
+    // executor heap and early persists degrade late queries. Clear
+    // between queries so each is timed cold-cache, like a fresh job.
+    val names = SparkEntry.queries.toSeq.sortBy(_._1)
+    val timed = names.map { case (name, fn) =>
+      spark.catalog.clearCache()
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
-    }.toMap
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+      val err =
+        try { fn(spark, sfDir).count(); None }
+        catch { case e: Throwable =>
+          Some(s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(120)}")
+        }
+      val sec = (System.nanoTime() - t0) / 1e9
+      // Per-query line first: truncation eats detail, never the total.
+      println(s"""{"metric":"query","name":"$name","sec":${r3(sec)}""" +
+        err.map(m => s""","error":"${jsonEscape(m)}"""").getOrElse("") + "}")
+      (name, sec, err)
+    }
+    val qs = timed.map { case (k, v, _) => s"\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val errs = timed.collect { case (k, _, Some(m)) =>
+      s"\"" + k + "\":\"" + jsonEscape(m) + "\""
+    }.mkString("{", ",", "}")
+    val total = timed.map(_._2).sum
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
