@@ -15,10 +15,13 @@ import org.apache.spark.sql.functions._
   * only).
   *
   * Caching contract: the pair operators persist intermediate frames
-  * (shingle sets, inverted index, signatures) for the session lifetime
-  * — Spark's LRU evicts under pressure, but a long-lived session
-  * running many corpora should call `spark.catalog.clearCache()` (or
-  * unpersist by plan) between corpora.
+  * (shingle sets, inverted index, signatures) through
+  * [[graft.core.OpCache]] — Spark's LRU evicts under pressure, but a
+  * long-lived session running many corpora should call
+  * `OpCache.releaseAll()` after consuming each result (or set
+  * `OpCache.setStorageLevel(StorageLevel.NONE)` to disable operator
+  * caching outright). [[Dedup.CorpusIndex.unpersist]] releases a
+  * specific index's artifacts.
   */
 object Dedup {
 
@@ -125,7 +128,7 @@ object Dedup {
       .select(col(idCol).as("doc_id"), split(col(textCol), " ").as("w"))
       .filter(size(col("w")) >= nShingle)
       .select(col("doc_id"), wordShingles(col("w"), nShingle).as("shingles"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.core.OpCache.persist)
 
   /** (doc_id, band, bkey) LSH band table from a shingle table. A
     * signature depends only on the document text, so band tables built
@@ -258,7 +261,7 @@ object Dedup {
       .withColumn("__hs",
         transform(wordShingles(col("w"), nShingle), s => hash60(s)))
       .select(col("doc_id"), simhashOfHashes(col("__hs")).as("sh"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.core.OpCache.persist)
     val bandStructs = (0 until 4).map(b => struct(
       lit(b).as("band"),
       shiftright(col("sh"), 15 * b).bitwiseAND(lit(32767L)).as("bval")))
@@ -362,7 +365,15 @@ object Dedup {
   final case class CorpusIndex(
       hashes: DataFrame, // (__h)
       shingles: DataFrame, // (doc_id, shingles)
-      bands: DataFrame) // (doc_id, band, bkey)
+      bands: DataFrame) { // (doc_id, band, bkey)
+    /** Release any cached artifact frames (no-op on unpersisted ones) —
+      * the long-lived-service cleanup hook between corpora. */
+    def unpersist(blocking: Boolean = false): Unit = {
+      hashes.unpersist(blocking)
+      shingles.unpersist(blocking)
+      bands.unpersist(blocking)
+    }
+  }
 
   def buildCorpusIndex(
       corpus: DataFrame,
@@ -474,6 +485,7 @@ object Dedup {
       .union(edges.select(col(dstCol).cast("long").as("n")))
       .distinct()
       .persist(MEMORY_AND_DISK)
+    graft.core.OpCache.track(nodes)
 
     def cut(df: DataFrame): DataFrame =
       spark.createDataFrame(df.rdd, df.schema).persist(MEMORY_AND_DISK)
@@ -524,6 +536,7 @@ object Dedup {
     if (!done)
       throw new IllegalStateException(
         s"star contraction did not converge within $maxIter rounds")
+    graft.core.OpCache.track(cur)
     // final edges are stars (child → component min); roots and isolated
     // nodes label themselves
     nodes.join(cur.select(col("a").as("n"), col("b").as("component")),
@@ -555,9 +568,9 @@ object Dedup {
       maxBucketSize: Int = DefaultMaxBucketSize): DataFrame = {
     // feeds the group aggregate AND the member-edge join — persist so
     // the corpus is scanned and hashed once, not three times
-    val hashes = docs.select(col(idCol).as("doc_id"),
-      md5(col(textCol).cast("binary")).as("__h"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val hashes = graft.core.OpCache.persist(
+      docs.select(col(idCol).as("doc_id"),
+        md5(col(textCol).cast("binary")).as("__h")))
     val groups = hashes.groupBy(col("__h")).agg(min(col("doc_id")).as("keep_id"))
     // star edges: representative → every member (self-edge for the rep
     // keeps singletons in the node set)
@@ -616,9 +629,9 @@ object Dedup {
     // no per-pair array operations anywhere, everything codegen'd.
     // the inverted index is both join sides (probe + build): persist so
     // shingling+hashing executes once
-    val invAll = base.select(col("doc_id"), col("lang"), col("bkt"),
-      size(col("sh")).as("n_sh"), explode(col("sh")).as("shh"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val invAll = graft.core.OpCache.persist(
+      base.select(col("doc_id"), col("lang"), col("bkt"),
+        size(col("sh")).as("n_sh"), explode(col("sh")).as("shh")))
     val inv = maxDocFreq match {
       case None => invAll
       case Some(cut) =>
@@ -760,6 +773,7 @@ object Dedup {
       throw new IllegalStateException(
         s"connected components did not converge within $maxIter rounds; " +
           "raise maxIter (rounds needed ~ log2 of the graph diameter)")
+    graft.core.OpCache.track(labels)
     labels.select(col("node"), col("label").as("component"))
   }
 }

@@ -25,13 +25,21 @@ import org.apache.spark.sql.functions._
   */
 object Packing {
 
+  /** @param tokenCountCol optional pre-tokenized length column (real
+    *   tokenizer output — BPE counts computed upstream). When set, the
+    *   packer trusts it verbatim; the whitespace count is only the
+    *   fallback. Token counting and packing stay consistent as long as
+    *   the same column feeds both. */
   def sequencePack(
       docs: DataFrame,
       idCol: String,
       textCol: String,
       maxLen: Int = 2048,
-      nStrata: Int = 8): DataFrame = {
-    val nt = size(split(col(textCol), " ")).cast("long")
+      nStrata: Int = 8,
+      tokenCountCol: Option[String] = None): DataFrame = {
+    val nt = tokenCountCol
+      .map(c => col(c).cast("long"))
+      .getOrElse(size(split(col(textCol), " ")).cast("long"))
     val stratum = pmod(Dedup.hash60(col(idCol).cast("string")), lit(nStrata))
       .cast("long")
     val w = Window.partitionBy(col("stratum")).orderBy(col("doc_id"))

@@ -148,25 +148,80 @@ object Similarity {
     * single-probe is too lossy to be anyone's default. */
   def ivfTopK(
       em: DataFrame, idCol: String, vecCol: String,
-      k: Int, centroidStride: Int = 40, nProbe: Int = 4): DataFrame = {
+      k: Int, centroidStride: Int = 40, nProbe: Int = 4): DataFrame =
+    ivfTopKWithIndex(buildIvfIndex(em, idCol, vecCol, centroidStride),
+      em, idCol, vecCol, k, nProbe)
+
+  /** The materialized IVF artifacts a similarity service stores between
+    * queries (the [[graft.operators.Dedup.CorpusIndex]] analogue for
+    * vectors): the centroid table and the assigned cell table
+    * (vec_id, embedding, nrm, cent_id). Build once per corpus
+    * ([[buildIvfIndex]]), persist across queries
+    * ([[writeIvfIndex]]/[[readIvfIndex]] — two parquet datasets), and
+    * probe with [[ivfTopKWithIndex]]: nothing corpus-sized is
+    * recomputed per query batch. Norms are stored, not recomputed, so
+    * a reloaded index scores bit-identically to a fresh one. */
+  final case class IvfIndex(
+      centroids: DataFrame, // (cent_id, cemb, cnrm)
+      cells: DataFrame) { // (vec_id, embedding, nrm, cent_id)
+    /** Release any cached artifact frames (no-op on unpersisted ones). */
+    def unpersist(blocking: Boolean = false): Unit = {
+      centroids.unpersist(blocking)
+      cells.unpersist(blocking)
+    }
+  }
+
+  def buildIvfIndex(
+      em: DataFrame, idCol: String, vecCol: String,
+      centroidStride: Int = 40): IvfIndex = {
     val e = withNorm(em, idCol, vecCol)
-    val cents = broadcast(
-      e.filter(col("vec_id") % centroidStride === 0)
-        .select(col("vec_id").as("cent_id"), col("embedding").as("cemb"),
-          col("nrm").as("cnrm")))
+    val cents = e.filter(col("vec_id") % centroidStride === 0)
+      .select(col("vec_id").as("cent_id"), col("embedding").as("cemb"),
+        col("nrm").as("cnrm"))
+    val assign = centroidRanks(e, broadcast(cents))
+      .filter(col("rn") === 1).select(col("vec_id"), col("cent_id"))
+    IvfIndex(cents, e.join(assign, Seq("vec_id")))
+  }
+
+  def writeIvfIndex(index: IvfIndex, dir: String): Unit = {
+    index.centroids.write.mode("overwrite").parquet(s"$dir/centroids.parquet")
+    index.cells.write.mode("overwrite").parquet(s"$dir/cells.parquet")
+  }
+
+  def readIvfIndex(spark: org.apache.spark.sql.SparkSession,
+      dir: String): IvfIndex =
+    IvfIndex(
+      spark.read.parquet(s"$dir/centroids.parquet"),
+      spark.read.parquet(s"$dir/cells.parquet"))
+
+  /** (vec_id, cent_id, rn) — each vector's centroids ranked by cosine
+    * (ties → lowest cent_id). rn=1 is the index assignment; rn ≤
+    * nProbe are the query-time probe cells. */
+  private def centroidRanks(e: DataFrame, cents: DataFrame): DataFrame = {
     val wAssign = Window.partitionBy(col("vec_id"))
       .orderBy(col("ccos").desc, col("cent_id"))
-    val ranked = e.join(cents)
+    e.join(cents)
       .select(col("vec_id"), col("cent_id"),
         cosineWithNorms(col("embedding"), col("cemb"), col("nrm"), col("cnrm"))
           .as("ccos"))
       .withColumn("rn", row_number().over(wAssign))
-    val assign = ranked.filter(col("rn") === 1).select(col("vec_id"), col("cent_id"))
-    val probes = ranked.filter(col("rn") <= nProbe).select(col("vec_id"), col("cent_id"))
-    val cell = e.join(assign, Seq("vec_id"))
-    val probe = e.join(probes, Seq("vec_id"))
+  }
+
+  /** IVF top-k against a prebuilt (typically storage-read) index — the
+    * recurring-query entry point: queries rank the broadcast stored
+    * centroids for their probe cells, then equi-join the stored cell
+    * table. Self-matches (same id on both sides) are excluded, so
+    * probing with the corpus itself reproduces [[ivfTopK]] exactly. */
+  def ivfTopKWithIndex(
+      index: IvfIndex,
+      queries: DataFrame, idCol: String, vecCol: String,
+      k: Int, nProbe: Int = 4): DataFrame = {
+    val q = withNorm(queries, idCol, vecCol)
+    val probes = centroidRanks(q, broadcast(index.centroids))
+      .filter(col("rn") <= nProbe).select(col("vec_id"), col("cent_id"))
+    val probe = q.join(probes, Seq("vec_id"))
     val scored = probe.as("p")
-      .join(cell.as("q"),
+      .join(index.cells.as("q"),
         col("p.cent_id") === col("q.cent_id") && col("p.vec_id") =!= col("q.vec_id"))
       .select(col("p.vec_id").as("vec_id"), col("q.vec_id").as("nbr_id"),
         cosineWithNorms(col("p.embedding"), col("q.embedding"),

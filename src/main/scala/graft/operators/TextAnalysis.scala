@@ -54,6 +54,17 @@ object TextAnalysis {
       ttr.as("ttr"), meanLen.as("mean_token_len"), keep.as("keep"))
   }
 
+  /** The tokenizer seam: a document's token count is the supplied
+    * pre-tokenized length column when one exists (real tokenizer
+    * output, e.g. BPE counts computed upstream of Spark), else the
+    * whitespace fallback. Everything downstream that consumes token
+    * counts (budgeting, packing via
+    * [[Packing.sequencePack]]'s `tokenCountCol`) stays correct under a
+    * real tokenizer as long as the same column feeds each stage. */
+  def tokenCount(text: Column, preTokenized: Option[Column] = None): Column =
+    preTokenized.map(_.cast("long"))
+      .getOrElse(size(split(text, " ")).cast("long"))
+
   /** Token counting: whitespace tokens and a BPE-ish regex token count
     * (letter runs / digit runs / single punctuation marks). */
   def tokenCountColumns(text: Column): Seq[Column] = Seq(
@@ -88,20 +99,28 @@ object TextAnalysis {
       k: Int = 3,
       maxDocFreq: Option[Long] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val tf = docs
+    // The tokenized projection is every downstream input (df table,
+    // scoring join, corpus count), so cache it: the raw corpus is
+    // scanned ONCE — the n_docs count below reads the cached tf, not
+    // the input again (a second full pass at 100 TB otherwise).
+    // coalesce keeps null-text docs in the frame (split(null) would
+    // drop them), so the tf-derived corpus count equals docs.count().
+    val tf = graft.core.OpCache.persist(docs
       .select(col(idCol).as("doc_id"),
-        explode(split(col(textCol), " ")).as("term"))
+        explode(split(coalesce(col(textCol), lit("")), " ")).as("term"))
       .groupBy(col("doc_id"), col("term"))
-      .agg(count(lit(1)).cast("long").as("tf"))
+      .agg(count(lit(1)).cast("long").as("tf")))
     val dfAll = tf.groupBy(col("term")).agg(count(lit(1)).cast("long").as("df"))
     val dfT = maxDocFreq match {
       case None => dfAll
       case Some(cut) => dfAll.filter(col("df") <= cut)
     }
-    // corpus size resolves to a literal (one count job at build time):
-    // a 1-row crossJoin would carry the same value but plans as a
-    // nested-loop join, which the plan audit rightly refuses anywhere
-    val nDocs = docs.count().toDouble
+    // corpus size resolves to a literal (one count job at build time,
+    // against the cached tf): a 1-row crossJoin would carry the same
+    // value but plans as a nested-loop join, which the plan audit
+    // rightly refuses anywhere
+    val nDocs = tf.select(countDistinct(col("doc_id")))
+      .head.getLong(0).toDouble
     val scored = tf.join(dfT, Seq("term"))
       .select(col("doc_id"), col("term"),
         ((col("tf").cast("double") * lit(nDocs)) /

@@ -17,6 +17,31 @@ object SimilarityQueries {
   private def dkNorm(a: String): String =
     s"sqrt(list_reduce(list_transform($a, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (x, y) -> x + y))"
 
+  /** Shared by qs02 (build-and-search) and qs07 (search against the
+    * parquet-round-tripped index): the from-index path is semantics-
+    * identical, so one oracle checks both. */
+  private def ivfOracle: String = s"""WITH e AS (
+        |  SELECT vec_id, embedding, ${dkNorm("embedding")} AS nrm
+        |  FROM embeddings),
+        |c AS (SELECT vec_id AS cent_id, embedding AS cemb, nrm AS cnrm FROM e WHERE vec_id % 40 = 0),
+        |ranked AS (
+        |  SELECT e.vec_id, c.cent_id,
+        |    row_number() OVER (PARTITION BY e.vec_id ORDER BY
+        |      ${dkDot("e.embedding", "c.cemb")} / (e.nrm * c.cnrm) DESC,
+        |      c.cent_id) AS rn
+        |  FROM e, c),
+        |assign AS (SELECT vec_id, cent_id FROM ranked WHERE rn = 1),
+        |probes AS (SELECT vec_id, cent_id FROM ranked WHERE rn <= 4),
+        |b AS (SELECT e.vec_id, e.embedding, e.nrm, a.cent_id FROM e JOIN assign a USING (vec_id)),
+        |p AS (SELECT e.vec_id, e.embedding, e.nrm, pr.cent_id FROM e JOIN probes pr USING (vec_id))
+        |SELECT vec_id, nbr_id, rnk FROM (
+        |  SELECT p.vec_id AS vec_id, q.vec_id AS nbr_id,
+        |    row_number() OVER (PARTITION BY p.vec_id ORDER BY
+        |      ${dkDot("p.embedding", "q.embedding")} / (p.nrm * q.nrm) DESC,
+        |      q.vec_id) AS rnk
+        |  FROM p JOIN b q ON p.cent_id = q.cent_id AND p.vec_id <> q.vec_id)
+        |WHERE rnk <= 5""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q(
       "qs01_cosine_topk",
@@ -116,27 +141,27 @@ object SimilarityQueries {
       (s, dir) =>
         Similarity.ivfTopK(Tables.load(s, dir, "embeddings"),
           "vec_id", "embedding", k = 5, centroidStride = 40, nProbe = 4),
-      Some(s"""WITH e AS (
-        |  SELECT vec_id, embedding, ${dkNorm("embedding")} AS nrm
-        |  FROM embeddings),
-        |c AS (SELECT vec_id AS cent_id, embedding AS cemb, nrm AS cnrm FROM e WHERE vec_id % 40 = 0),
-        |ranked AS (
-        |  SELECT e.vec_id, c.cent_id,
-        |    row_number() OVER (PARTITION BY e.vec_id ORDER BY
-        |      ${dkDot("e.embedding", "c.cemb")} / (e.nrm * c.cnrm) DESC,
-        |      c.cent_id) AS rn
-        |  FROM e, c),
-        |assign AS (SELECT vec_id, cent_id FROM ranked WHERE rn = 1),
-        |probes AS (SELECT vec_id, cent_id FROM ranked WHERE rn <= 4),
-        |b AS (SELECT e.vec_id, e.embedding, e.nrm, a.cent_id FROM e JOIN assign a USING (vec_id)),
-        |p AS (SELECT e.vec_id, e.embedding, e.nrm, pr.cent_id FROM e JOIN probes pr USING (vec_id))
-        |SELECT vec_id, nbr_id, rnk FROM (
-        |  SELECT p.vec_id AS vec_id, q.vec_id AS nbr_id,
-        |    row_number() OVER (PARTITION BY p.vec_id ORDER BY
-        |      ${dkDot("p.embedding", "q.embedding")} / (p.nrm * q.nrm) DESC,
-        |      q.vec_id) AS rnk
-        |  FROM p JOIN b q ON p.cent_id = q.cent_id AND p.vec_id <> q.vec_id)
-        |WHERE rnk <= 5""".stripMargin)),
+      Some(ivfOracle)),
+
+    Q(
+      "qs07_ivf_from_index",
+      "IVF ANN against a STORED index (the production similarity-" +
+        "service shape): build centroids + assigned cells once, " +
+        "round-trip them through parquet, then answer the same top-5 " +
+        "search by probing the reloaded artifacts — nothing " +
+        "corpus-sized recomputed at query time. Same oracle as qs02: " +
+        "stored norms make the reloaded index score bit-identically.",
+      (s, dir) => {
+        val em = Tables.load(s, dir, "embeddings")
+        val idxDir = new java.io.File(System.getProperty("java.io.tmpdir"),
+          "graft_ivf_" + new java.io.File(dir).getName).getAbsolutePath
+        Similarity.writeIvfIndex(
+          Similarity.buildIvfIndex(em, "vec_id", "embedding", centroidStride = 40),
+          idxDir)
+        Similarity.ivfTopKWithIndex(Similarity.readIvfIndex(s, idxDir),
+          em, "vec_id", "embedding", k = 5, nProbe = 4)
+      },
+      Some(ivfOracle)),
 
     Q(
       "qs06_label_centroids",

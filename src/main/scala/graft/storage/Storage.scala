@@ -86,3 +86,56 @@ object Storage {
 final case class LocalStorage(
     root: String,
     version: String = Storage.stamp()) extends Storage
+
+/** K2: Azure Blob/ADLS backend (reference `storage/azure.py:29-50`).
+  * The reference addresses datasets as `az://{container}/{prefix}` and
+  * authenticates with an account + SAS token from configuration;
+  * Spark's Hadoop ABFS connector wants
+  * `abfss://{container}@{account}.dfs.core.windows.net/{prefix}` and
+  * the credential under a per-account Hadoop conf key. The translation
+  * is pure string mapping (spec'd without a cloud); the writes/reads
+  * are the same [[Storage]] code over the translated root. Untestable
+  * end-to-end in this container (no Azure connectivity) — the mapping
+  * is the testable surface. */
+object AzureStorage {
+
+  private val Az = "^az://([^/@]+)(?:/(.*))?$".r
+
+  /** `az://container/prefix` → `abfss://container@account.dfs.core.windows.net/prefix`. */
+  def abfsUri(azUri: String, account: String): String = {
+    require(account.nonEmpty, "storage account must be non-empty")
+    azUri match {
+      case Az(container, prefix) =>
+        val p = Option(prefix).filter(_.nonEmpty).map("/" + _).getOrElse("")
+        s"abfss://$container@$account.dfs.core.windows.net$p"
+      case other =>
+        throw new IllegalArgumentException(
+          s"not an az:// URI (expected az://container[/prefix]): $other")
+    }
+  }
+
+  /** Hadoop conf key for a fixed SAS token on this account. */
+  def sasConfKey(account: String): String =
+    s"fs.azure.sas.fixed.token.$account.dfs.core.windows.net"
+
+  /** Hadoop conf key for an account key credential. */
+  def accountKeyConfKey(account: String): String =
+    s"fs.azure.account.key.$account.dfs.core.windows.net"
+
+  /** Hadoop conf key selecting the SAS auth mechanism. */
+  def authTypeConfKey(account: String): String =
+    s"fs.azure.account.auth.type.$account.dfs.core.windows.net"
+
+  /** Wire a SAS credential into the session (reference
+    * `azure.py`: fsspec takes the token from config; the ABFS
+    * connector reads these keys). */
+  def configureSas(spark: SparkSession, account: String, sasToken: String): Unit = {
+    spark.conf.set(authTypeConfKey(account), "SAS")
+    spark.conf.set(sasConfKey(account), sasToken.stripPrefix("?"))
+  }
+
+  /** Versioned storage rooted at the translated ABFS URI. */
+  def apply(azRoot: String, account: String,
+      version: String = Storage.stamp()): Storage =
+    LocalStorage(abfsUri(azRoot, account), version)
+}

@@ -97,7 +97,7 @@ object Validation {
     // validation scans the frame (violation counts + uniqueness) before
     // the caller's own action — persist so the upstream plan runs once
     val aligned = align(schema.preParse(df), schema)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.core.OpCache.persist)
     val checks: Seq[Check] =
       schema.columns.flatMap { spec =>
         val nn =

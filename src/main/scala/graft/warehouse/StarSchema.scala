@@ -31,7 +31,7 @@ object StarSchema {
   def build(spark: SparkSession, obs0: DataFrame): Warehouse = {
     // obs feeds three derivations (two dim distincts + the fact join):
     // persist so its upstream pipeline executes once, not three times
-    val obs = obs0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val obs = graft.core.OpCache.persist(obs0)
     val country = countryTable(spark)
     // indicator.name is the UNIQUE key (reference `entities.py:55`
     // declares name unique; provider is an attribute). min(provider)

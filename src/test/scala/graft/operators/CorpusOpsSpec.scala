@@ -127,6 +127,31 @@ class CorpusOpsSpec extends SparkSuite {
     }
   }
 
+  test("sequencePack consumes a pre-tokenized length column when given") {
+    // real-tokenizer seam: BPE counts arrive as a column; the packer
+    // must trust them verbatim and only fall back to whitespace tokens
+    val docs = (1L to 20L)
+      .map(i => (i, "a b c", i * 3)) // pre-tokenized count != 3 whitespace tokens
+      .toDF("doc_id", "text", "bpe_len")
+    val packed = Packing.sequencePack(docs, "doc_id", "text",
+      maxLen = 10, nStrata = 2, tokenCountCol = Some("bpe_len"))
+      .select("doc_id", "stratum", "n_tokens", "seq_id", "seq_offset")
+      .as[(Long, Long, Long, Long, Long)].collect()
+    assert(packed.forall { case (id, _, nt, _, _) => nt == id * 3 },
+      "n_tokens must be the supplied column, not the whitespace count")
+    packed.groupBy(_._2).foreach { case (_, members) =>
+      var cum = 0L
+      members.sortBy(_._1).foreach { case (_, _, nt, seqId, off) =>
+        assert(seqId == cum / 10 && off == cum % 10)
+        cum += nt
+      }
+    }
+    // default stays the whitespace tokenizer
+    val ws = Packing.sequencePack(docs, "doc_id", "text", maxLen = 10, nStrata = 2)
+      .select("n_tokens").as[Long].collect()
+    assert(ws.forall(_ == 3))
+  }
+
   test("curate drops wrong-lang, low-quality, repetitive, and duplicate docs") {
     val good = (0 until 30).map(i => s"tok$i").mkString(" ")
     val docs = Seq(

@@ -104,4 +104,23 @@ class SimilaritySpec extends SparkSuite {
       assert(r.getLong(0) != r.getLong(1))
     }
   }
+
+  test("IvfIndex parquet round-trip answers identically to fresh build") {
+    val df = vecs.toDF("vec_id", "embedding")
+    val fresh = Similarity.ivfTopK(df, "vec_id", "embedding",
+      k = 3, centroidStride = 7, nProbe = 2).collect().map(_.toSeq).toSet
+    val dir = java.nio.file.Files.createTempDirectory("ivf_rt").toString
+    Similarity.writeIvfIndex(
+      Similarity.buildIvfIndex(df, "vec_id", "embedding", centroidStride = 7), dir)
+    val idx = Similarity.readIvfIndex(spark, dir)
+    val stored = Similarity.ivfTopKWithIndex(idx, df, "vec_id", "embedding",
+      k = 3, nProbe = 2).collect().map(_.toSeq).toSet
+    assert(stored == fresh,
+      "searching the reloaded index must reproduce the fresh search exactly")
+    // the stored index serves a DIFFERENT query set without rebuild
+    val queries = vecs.take(4).toDF("vec_id", "embedding")
+    val qres = Similarity.ivfTopKWithIndex(idx, queries, "vec_id", "embedding",
+      k = 3, nProbe = 2)
+    assert(qres.select("vec_id").distinct().count() == 4)
+  }
 }

@@ -14,7 +14,8 @@ class PlanAuditSpec extends SparkSuite {
     *  - qs02: the n×C centroid-scoring cross join against the
     *    BROADCAST centroid table — linear in n, not a pair join. */
   private val allowedNestedLoop =
-    Set("qs01_cosine_topk", "qs03_cosine_neardup", "qs02_ivf_ann")
+    Set("qs01_cosine_topk", "qs03_cosine_neardup", "qs02_ivf_ann",
+      "qs07_ivf_from_index") // qs07 = qs02's centroid cross join, from storage
 
   test("no unexpected cartesian/nested-loop joins anywhere in the registry") {
     val dir = "/root/testdata/sf0.001"
@@ -59,5 +60,26 @@ class PlanAuditSpec extends SparkSuite {
     // and the predicate is pushed to the reader
     assert(scanMeta.contains("PushedFilters") &&
       scanMeta.contains("GreaterThan(l_quantity"), scanMeta.take(800))
+  }
+
+  test("qt10 scans the raw corpus exactly once (n_docs from cached tf)") {
+    val dir = "/root/testdata/sf0.001"
+    graft.core.OpCache.releaseAll(blocking = true)
+    try {
+      val q = Registry.byName("qt10_tfidf_topk").run(spark, dir)
+      // InMemoryRelation's string render embeds its cached child plan,
+      // so count REAL relations in the executing tree instead: the tf
+      // cache should satisfy every consumer, leaving zero direct
+      // parquet scans of documents in the query plan.
+      import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+      val docScans = q.queryExecution.optimizedPlan.collect {
+        case r: LogicalRelation => r.relation match {
+          case fs: HadoopFsRelation => fs.location.rootPaths.mkString(",")
+          case o => o.toString
+        }
+      }.count(_.contains("documents"))
+      assert(docScans <= 1,
+        s"documents scanned $docScans times — n_docs must come from the cached tf, not a second pass")
+    } finally graft.core.OpCache.releaseAll(blocking = true)
   }
 }

@@ -70,4 +70,32 @@ class StorageSpec extends SparkSuite {
     intercept[IllegalArgumentException](
       st.write(Seq(1).toDF("x"), "bad", "xlsx"))
   }
+
+  test("K2: az:// root translates to the ABFS URI + SAS conf mapping") {
+    // pure string-level pin of the cloud path translation (no Azure in
+    // this container): az://container/prefix with an account maps to
+    // the Hadoop ABFS connector's URI and per-account credential keys
+    assert(AzureStorage.abfsUri("az://indicators/raw/2024", "undpstore") ==
+      "abfss://indicators@undpstore.dfs.core.windows.net/raw/2024")
+    assert(AzureStorage.abfsUri("az://indicators", "undpstore") ==
+      "abfss://indicators@undpstore.dfs.core.windows.net")
+    assert(AzureStorage.sasConfKey("undpstore") ==
+      "fs.azure.sas.fixed.token.undpstore.dfs.core.windows.net")
+    assert(AzureStorage.accountKeyConfKey("undpstore") ==
+      "fs.azure.account.key.undpstore.dfs.core.windows.net")
+    intercept[IllegalArgumentException] {
+      AzureStorage.abfsUri("s3://bucket/key", "undpstore")
+    }
+    intercept[IllegalArgumentException] {
+      AzureStorage.abfsUri("az://indicators", "")
+    }
+    // storage built over the translated root versions its paths there
+    val st = AzureStorage("az://indicators/etl", "undpstore", version = "v25-01-01")
+    assert(st.pathFor("gdp") ==
+      "abfss://indicators@undpstore.dfs.core.windows.net/etl/v25-01-01/gdp.parquet")
+    // SAS wiring lands under the account-scoped keys (leading '?' normalized)
+    AzureStorage.configureSas(spark, "undpstore", "?sv=2024&sig=abc")
+    assert(spark.conf.get("fs.azure.account.auth.type.undpstore.dfs.core.windows.net") == "SAS")
+    assert(spark.conf.get("fs.azure.sas.fixed.token.undpstore.dfs.core.windows.net") == "sv=2024&sig=abc")
+  }
 }
