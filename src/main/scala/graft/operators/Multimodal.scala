@@ -110,6 +110,64 @@ object Multimodal {
     }.toDF("media_id", "target_w", "target_h", "scale")
   }
 
+  /** Frame-series analytics over media payloads — the video-shaped
+    * half of the multimodal surface. Three stages, each the real
+    * 100 TB shape:
+    *  1. demux: payload → fixed-stride frame windows via an explode
+    *     whose cardinality is `min(maxFrames, ceil(len/stride))` (STUB
+    *     demux — byte slices stand in for decoded frames; a real build
+    *     swaps the slice for the container parser, the explode shape
+    *     stays);
+    *  2. per-frame feature kernel: batched per partition (`mapPartitions`
+    *     — decoder state amortised), here the frame's mean byte level;
+    *  3. windowed analytics over the (media_id, frame_no) series:
+    *     lag-window level deltas, scene cut = |Δ| > cutThreshold, plus
+    *     order-invariant decimal aggregation of the level series.
+    * Returns (media_id, n_frames, n_cuts, mean_level). Frame features
+    * are integer-sum ÷ length rationals, so the whole pipeline is
+    * bit-reproducible and oracle-checkable. */
+  def frameSceneStats(
+      media: DataFrame,
+      frameLen: Int = 64,
+      stride: Int = 64,
+      maxFrames: Int = 16,
+      cutThreshold: Double = 8.0): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val nFrames = least(lit(maxFrames.toLong),
+      ceil(length(col("bytes")).cast("double") / stride).cast("long"))
+    val frames = media
+      .filter(length(col("bytes")) >= 1)
+      .select(col("media_id"),
+        explode(sequence(lit(0L), nFrames - 1)).as("frame_no"),
+        col("bytes"))
+      .select(col("media_id"), col("frame_no"),
+        col("bytes").substr(
+          (col("frame_no") * stride + 1).cast("int"), lit(frameLen)).as("frame"))
+    val feats = frames.as[(Long, Long, Array[Byte])]
+      .mapPartitions { rows =>
+        // frame-decoder init would happen HERE, once per partition
+        rows.map { case (id, f, b) =>
+          var s = 0L; var i = 0
+          while (i < b.length) { s += (b(i) & 0xff); i += 1 }
+          (id, f, s.toDouble / b.length)
+        }
+      }.toDF("media_id", "frame_no", "mean_byte")
+    val w = Window.partitionBy(col("media_id")).orderBy(col("frame_no"))
+    feats
+      .withColumn("prev", lag(col("mean_byte"), 1).over(w))
+      .groupBy(col("media_id"))
+      .agg(
+        count(lit(1)).as("n_frames"),
+        sum(when(col("prev").isNotNull &&
+          abs(col("mean_byte") - col("prev")) > cutThreshold, 1L)
+          .otherwise(0L)).as("n_cuts"),
+        graft.expr.Exprs.exactAvg(col("mean_byte")).as("mean_level"))
+      .select(col("media_id"), col("n_frames"), col("n_cuts"),
+        round(col("mean_level"), 6).as("mean_level"))
+  }
+
   /** Wrap a raw binary column into the media contract from any table
     * (used by tests to fabricate media rows from text bytes). */
   def asMedia(df: DataFrame, idCol: String, binCol: String, mime: String): DataFrame =

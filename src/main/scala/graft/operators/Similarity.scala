@@ -194,6 +194,57 @@ object Similarity {
       spark.read.parquet(s"$dir/centroids.parquet"),
       spark.read.parquet(s"$dir/cells.parquet"))
 
+  /** K-means (Lloyd) refinement of the deterministic stride seeds —
+    * trained coarse quantization, the quality step between "every
+    * 40th vector is a centroid" and a production IVF index. Runs a
+    * FIXED number of rounds (no data-dependent convergence — plans
+    * stay statically analyzable and re-runs bit-identical):
+    * assignment = highest cosine (ties → lowest cent_id), update =
+    * per-cell per-dimension DECIMAL(30,6)-exact mean (the
+    * [[labelCentroids]] aggregation shape: posexplode + composite-key
+    * hash agg, uniform shuffle keys) packed back in dimension order
+    * and cast to float, so the trained centroids — and everything
+    * probed through them — are bit-reproducible across engines.
+    * Cells that lose every member drop out (k shrinks); cent_id stays
+    * the seed's id. At 100 TB each round is one broadcast-assign pass
+    * + one exploded aggregate — linear, no pairwise work anywhere. */
+  def trainIvfCentroids(
+      em: DataFrame, idCol: String, vecCol: String,
+      centroidStride: Int = 40, iters: Int = 2): DataFrame = {
+    val e = graft.core.OpCache.persist(withNorm(em, idCol, vecCol))
+    var cents = e.filter(col("vec_id") % centroidStride === 0)
+      .select(col("vec_id").as("cent_id"), col("embedding").as("cemb"),
+        col("nrm").as("cnrm"))
+    (0 until iters).foreach { _ =>
+      val assign = centroidRanks(e, broadcast(cents))
+        .filter(col("rn") === 1).select(col("vec_id"), col("cent_id"))
+      val means = e.join(assign, Seq("vec_id"))
+        .select(col("cent_id"), posexplode(col("embedding")).as(Seq("dim", "x")))
+        .groupBy(col("cent_id"), col("dim"))
+        .agg((graft.expr.Exprs.exactSum(col("x").cast("double")) /
+          count(lit(1)).cast("double")).as("m"))
+      cents = means.groupBy(col("cent_id"))
+        .agg(transform(
+          array_sort(collect_list(struct(col("dim"), col("m")))),
+          s => s.getField("m")).cast("array<float>").as("cemb"))
+        .select(col("cent_id"), col("cemb"), l2Norm(col("cemb")).as("cnrm"))
+    }
+    cents
+  }
+
+  /** [[buildIvfIndex]] with k-means-trained centroids: the trained
+    * quantizer assigns every vector, and the result is a regular
+    * [[IvfIndex]] — persistable and probed via [[ivfTopKWithIndex]]. */
+  def kmeansIvfIndex(
+      em: DataFrame, idCol: String, vecCol: String,
+      centroidStride: Int = 40, iters: Int = 2): IvfIndex = {
+    val e = withNorm(em, idCol, vecCol)
+    val cents = trainIvfCentroids(em, idCol, vecCol, centroidStride, iters)
+    val assign = centroidRanks(e, broadcast(cents))
+      .filter(col("rn") === 1).select(col("vec_id"), col("cent_id"))
+    IvfIndex(cents, e.join(assign, Seq("vec_id")))
+  }
+
   /** (vec_id, cent_id, rn) — each vector's centroids ranked by cosine
     * (ties → lowest cent_id). rn=1 is the index assignment; rn ≤
     * nProbe are the query-time probe cells. */

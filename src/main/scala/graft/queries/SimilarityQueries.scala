@@ -42,6 +42,43 @@ object SimilarityQueries {
         |  FROM p JOIN b q ON p.cent_id = q.cent_id AND p.vec_id <> q.vec_id)
         |WHERE rnk <= 5""".stripMargin
 
+  /** One unrolled Lloyd round for the qs08 oracle: assignment by
+    * cosine rank against `centsIn`, per-cell per-dim decimal mean,
+    * repack in dim order, cast to float, renorm — the SQL rendition
+    * of Similarity.trainIvfCentroids' round. */
+  private def lloydRound(r: Int, centsIn: String): String =
+    s"""r$r AS (
+      |  SELECT e.vec_id, c.cent_id,
+      |    row_number() OVER (PARTITION BY e.vec_id ORDER BY
+      |      ${dkDot("e.embedding", "c.cemb")} / (e.nrm * c.cnrm) DESC, c.cent_id) AS rn
+      |  FROM e, $centsIn c),
+      |a$r AS (SELECT vec_id, cent_id FROM r$r WHERE rn = 1),
+      |m$r AS (
+      |  SELECT a$r.cent_id, t.i AS dim,
+      |    CAST(sum(CAST(CAST(e.embedding[t.i] AS DOUBLE) AS DECIMAL(30,6))) AS DOUBLE) /
+      |      CAST(count(*) AS DOUBLE) AS m
+      |  FROM e JOIN a$r USING (vec_id), unnest(range(1, len(e.embedding) + 1)) t(i)
+      |  GROUP BY 1, 2),
+      |c$r AS (
+      |  SELECT cent_id, list_transform(list(m ORDER BY dim), x -> CAST(x AS FLOAT)) AS cemb
+      |  FROM m$r GROUP BY 1),
+      |cn$r AS (SELECT cent_id, cemb, ${dkNorm("cemb")} AS cnrm FROM c$r)"""
+      .stripMargin
+
+  private def kmeansOracle: String =
+    s"""WITH e AS (
+      |  SELECT vec_id, embedding, ${dkNorm("embedding")} AS nrm FROM embeddings),
+      |c0 AS (
+      |  SELECT vec_id AS cent_id, embedding AS cemb, nrm AS cnrm FROM e WHERE vec_id % 40 = 0),
+      |${lloydRound(1, "c0")},
+      |${lloydRound(2, "cn1")},
+      |rf AS (
+      |  SELECT e.vec_id, c.cent_id,
+      |    row_number() OVER (PARTITION BY e.vec_id ORDER BY
+      |      ${dkDot("e.embedding", "c.cemb")} / (e.nrm * c.cnrm) DESC, c.cent_id) AS rn
+      |  FROM e, cn2 c)
+      |SELECT vec_id, cent_id FROM rf WHERE rn = 1""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q(
       "qs01_cosine_topk",
@@ -162,6 +199,22 @@ object SimilarityQueries {
           em, "vec_id", "embedding", k = 5, nProbe = 4)
       },
       Some(ivfOracle)),
+
+    Q(
+      "qs08_kmeans_ivf",
+      "K-means-TRAINED IVF quantizer (two fixed Lloyd rounds from the " +
+        "deterministic stride seeds): assignment by cosine rank, " +
+        "update by per-cell per-dim decimal-exact mean repacked in " +
+        "dim order and cast to float — bit-reproducible training, so " +
+        "the final assignment is oracle-checkable. Output = each " +
+        "vector's trained cell; the index itself persists via " +
+        "IvfIndex like qs07.",
+      (s, dir) =>
+        Similarity.kmeansIvfIndex(Tables.load(s, dir, "embeddings"),
+          "vec_id", "embedding", centroidStride = 40, iters = 2)
+          .cells.select(org.apache.spark.sql.functions.col("vec_id"),
+            org.apache.spark.sql.functions.col("cent_id")),
+      Some(kmeansOracle)),
 
     Q(
       "qs06_label_centroids",

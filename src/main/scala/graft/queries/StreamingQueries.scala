@@ -34,11 +34,24 @@ object StreamingQueries {
     * AvailableNow trigger and return the drained table. */
   private def runToMemory(s: SparkSession, name: String, mode: String)(
       df: DataFrame): DataFrame = {
-    val q = df.writeStream.format("memory").queryName(name)
-      .outputMode(mode)
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    if (!q.awaitTermination(180000)) q.stop()
+    // Every shuffle partition materializes one state-store instance
+    // per stateful operator per microbatch — at this fixture size the
+    // batch width (32) is pure constant overhead, so the stream runs
+    // narrow. Scoped to the stream (the planner reads the conf at
+    // start), restored after; results are partitioning-independent.
+    val prev = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+      val q = df.writeStream.format("memory").queryName(name)
+        .outputMode(mode)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      if (!q.awaitTermination(180000)) q.stop()
+      if (sys.env.contains("GRAFT_STREAM_LOG"))
+        q.recentProgress.foreach(pr => println(
+          s"[stream] $name batch=${pr.batchId} rows=${pr.numInputRows} " +
+            s"durMs=${pr.batchDuration} trigger=${pr.durationMs}"))
+    } finally s.conf.set("spark.sql.shuffle.partitions", prev)
     s.table(name)
   }
 
@@ -247,6 +260,49 @@ object StreamingQueries {
         |     + (CASE WHEN e1 >= 0.5 THEN 2 ELSE 0 END)
         |     + (CASE WHEN e2 >= 0.5 THEN 4 ELSE 0 END)
         |     + (CASE WHEN e3 >= 0.5 THEN 8 ELSE 0 END) AS BIGINT) AS bucket
-        |FROM e""".stripMargin))
+        |FROM e""".stripMargin)),
+
+    Q(
+      "qm03_frame_scenes",
+      "Frame-series windowing (the video half of the multimodal " +
+        "surface): payload demuxed into fixed-stride frame windows " +
+        "(stub demux — byte slices; the explode cardinality and " +
+        "per-partition feature kernel are the real shape), per-frame " +
+        "mean level, then lag-window scene-cut detection and " +
+        "order-invariant decimal aggregation per media. Oracle replays " +
+        "frames/levels/cuts exactly in SQL.",
+      (s, dir) => {
+        val media = Multimodal.asMedia(
+          graft.core.Tables.load(s, dir, "documents"),
+          "doc_id", "text", "video/stub")
+        Multimodal.frameSceneStats(media,
+          frameLen = 64, stride = 64, maxFrames = 16, cutThreshold = 8.0)
+      },
+      Some("""WITH m AS (
+        |  SELECT doc_id AS media_id, text, length(text) AS len FROM documents
+        |  WHERE length(text) >= 1),
+        |f AS (
+        |  SELECT media_id, t.f AS frame_no,
+        |    substring(text, CAST(t.f * 64 + 1 AS INT), 64) AS frame
+        |  FROM m, unnest(range(0, least(16, CAST(ceil(len / 64.0) AS BIGINT)))) t(f)),
+        |b AS (
+        |  SELECT media_id, frame_no,
+        |    unicode(substring(frame, CAST(t.i AS INT), 1)) AS code
+        |  FROM f, unnest(range(1, length(frame) + 1)) t(i)),
+        |fm AS (
+        |  SELECT media_id, frame_no,
+        |    CAST(sum(code) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS mean_byte
+        |  FROM b GROUP BY 1, 2),
+        |w AS (
+        |  SELECT media_id, frame_no, mean_byte,
+        |    lag(mean_byte) OVER (PARTITION BY media_id ORDER BY frame_no) AS prev
+        |  FROM fm)
+        |SELECT media_id,
+        |  CAST(count(*) AS BIGINT) AS n_frames,
+        |  CAST(sum(CASE WHEN prev IS NOT NULL AND abs(mean_byte - prev) > 8.0
+        |                THEN 1 ELSE 0 END) AS BIGINT) AS n_cuts,
+        |  round(CAST(sum(CAST(mean_byte AS DECIMAL(30,6))) AS DOUBLE) /
+        |        CAST(count(*) AS DOUBLE), 6) AS mean_level
+        |FROM w GROUP BY 1""".stripMargin))
   )
 }

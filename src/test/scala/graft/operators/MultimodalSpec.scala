@@ -84,4 +84,30 @@ class MultimodalSpec extends SparkSuite {
       assert(b == expected)
     }
   }
+
+  test("frameSceneStats: frame count, scene cuts, and level series") {
+    import spark.implicits._
+    // payload engineered frame-exact: 3 frames of 4 bytes at stride 4 —
+    // levels 65 ('A'*4), 90 ('Z'*4), 90 — exactly one cut (|90-65|>8)
+    val media = Multimodal.asMedia(
+      Seq((1L, "AAAA" + "ZZZZ" + "ZZZZ")).toDF("id", "payload"),
+      "id", "payload", "video/stub")
+    val r = Multimodal.frameSceneStats(media,
+      frameLen = 4, stride = 4, maxFrames = 16, cutThreshold = 8.0)
+      .as[(Long, Long, Long, Double)].collect().toList
+    assert(r == List((1L, 3L, 1L, 81.666667))) // (65+90+90)/3 rounded to 6dp
+    // short tail frame: 6 bytes at stride 4 -> frames "AAAA" (65) and
+    // "BB" (66) — tail mean over the TAIL's length, no cut (|66-65|<8)
+    val media2 = Multimodal.asMedia(
+      Seq((2L, "AAAABB")).toDF("id", "payload"), "id", "payload", "video/stub")
+    val r2 = Multimodal.frameSceneStats(media2,
+      frameLen = 4, stride = 4, maxFrames = 16, cutThreshold = 8.0)
+      .as[(Long, Long, Long, Double)].collect().toList
+    assert(r2 == List((2L, 2L, 0L, 65.5)))
+    // maxFrames caps the demux cardinality
+    val media3 = Multimodal.asMedia(
+      Seq((3L, "A" * 100)).toDF("id", "payload"), "id", "payload", "video/stub")
+    assert(Multimodal.frameSceneStats(media3, frameLen = 4, stride = 4,
+      maxFrames = 5).select("n_frames").as[Long].head == 5L)
+  }
 }

@@ -123,4 +123,30 @@ class SimilaritySpec extends SparkSuite {
       k = 3, nProbe = 2)
     assert(qres.select("vec_id").distinct().count() == 4)
   }
+
+  test("trainIvfCentroids: Lloyd update is the per-cell mean; deterministic") {
+    // one seed (stride > max id would drop all; use stride 100 with id 0
+    // present) -> every vector assigns to it, round-1 centroid = the
+    // elementwise mean of ALL vectors, cast to float
+    val df = vecs.toDF("vec_id", "embedding")
+    val trained = Similarity.trainIvfCentroids(df, "vec_id", "embedding",
+      centroidStride = 100, iters = 1).collect()
+    assert(trained.length == 1 && trained.head.getLong(0) == 0L)
+    val got = trained.head.getSeq[Float](1)
+    // replay the operator's DECIMAL(30,6) discipline: each element
+    // quantizes to 6 decimals, sums exactly, one IEEE division, float
+    val expect = (0 until dim).map { j =>
+      val sumBD = vecs.map(v => BigDecimal(v._2(j).toDouble)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP)).sum
+      (sumBD.toDouble / vecs.size).toFloat
+    }
+    assert(got == expect, s"$got vs $expect")
+    // fixed rounds + decimal sums: two runs agree bit-exactly
+    val a = Similarity.kmeansIvfIndex(df, "vec_id", "embedding", 7, 2)
+      .cells.select("vec_id", "cent_id").collect().map(_.toSeq).toSet
+    val b = Similarity.kmeansIvfIndex(df, "vec_id", "embedding", 7, 2)
+      .cells.select("vec_id", "cent_id").collect().map(_.toSeq).toSet
+    assert(a == b)
+    graft.core.OpCache.releaseAll(blocking = true)
+  }
 }

@@ -15,7 +15,8 @@ class PlanAuditSpec extends SparkSuite {
     *    BROADCAST centroid table — linear in n, not a pair join. */
   private val allowedNestedLoop =
     Set("qs01_cosine_topk", "qs03_cosine_neardup", "qs02_ivf_ann",
-      "qs07_ivf_from_index") // qs07 = qs02's centroid cross join, from storage
+      "qs07_ivf_from_index", // qs02's centroid cross join, from storage
+      "qs08_kmeans_ivf") // same broadcast centroid-scoring cross join
 
   test("no unexpected cartesian/nested-loop joins anywhere in the registry") {
     val dir = "/root/testdata/sf0.001"
