@@ -33,6 +33,14 @@ object AnnRecall {
     val hit = exact.intersect(ivf).count()
     val recall = hit.toDouble / (n * k)
     println(f"""{"metric":"ann_recall@$k","value":$recall%.4f,"n":$n,"stride":$stride,"nprobe":$nProbe,"sf":"$sfDir"}""")
+    // same probe budget over the k-means-TRAINED quantizer: the recall
+    // delta is the measured value of the Lloyd rounds
+    val trained = Similarity.kmeansIvfIndex(em, "vec_id", "embedding", stride, 2)
+    val ivfT = Similarity.ivfTopKWithIndex(trained, em, "vec_id", "embedding", k, nProbe)
+      .select(col("vec_id"), col("nbr_id"))
+    val hitT = exact.intersect(ivfT).count()
+    val recallT = hitT.toDouble / (n * k)
+    println(f"""{"metric":"ann_recall_trained@$k","value":$recallT%.4f,"n":$n,"stride":$stride,"nprobe":$nProbe,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

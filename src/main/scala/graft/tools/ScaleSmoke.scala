@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.core.Tables
 import graft.expr.Exprs.exactSum
-import graft.operators.Dedup
+import graft.operators.{Dedup, Similarity}
 
 /** Scale-behavior smoke: multiply the sf tables by a factor (keys
   * remapped so join cardinalities scale honestly, documents duplicated
@@ -44,6 +44,7 @@ object ScaleSmoke {
       ("orders", Seq("o_orderkey", "o_custkey")),
       ("customer", Seq("c_custkey")),
       ("documents", Seq("doc_id")),
+      ("embeddings", Seq("vec_id")),
       ("events", Seq("event_id", "user_id"))
     ).foreach { case (n, keys) =>
       scaled(n, keys).repartition(cpus.toInt)
@@ -60,6 +61,7 @@ object ScaleSmoke {
     val ord = spark.read.parquet(s"$out/orders.parquet")
     val cust = spark.read.parquet(s"$out/customer.parquet")
     val docs = spark.read.parquet(s"$out/documents.parquet")
+    val emb = spark.read.parquet(s"$out/embeddings.parquet")
 
     // incremental-ingest fixture: ~1% batch against the rest. ALL
     // three corpus artifacts are explicitly persisted and materialized
@@ -73,6 +75,15 @@ object ScaleSmoke {
       val idx = Dedup.CorpusIndex(built.hashes.persist(lvl),
         built.shingles, built.bands.persist(lvl))
       idx.hashes.count(); idx.shingles.count(); idx.bands.count()
+      idx
+    }
+
+    val idxV = {
+      val built = Similarity.buildIvfIndex(emb, "vec_id", "embedding")
+      val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+      val idx = Similarity.IvfIndex(
+        built.centroids.persist(lvl), built.cells.persist(lvl))
+      idx.centroids.count(); idx.cells.count()
       idx
     }
 
@@ -135,6 +146,23 @@ object ScaleSmoke {
         // this is the recurring per-ingest batch-probe cost
         Dedup.incrementalDedupWithIndex(idxI, batchI, "doc_id", "text")
           .count()
+      },
+      time("ann_probe_stored") {
+        // recurring similarity-service cost: the IVF artifacts are
+        // resident (persisted + counted below before timing), only the
+        // ~1% query batch ranks centroids and joins the cell table
+        Similarity.ivfTopKWithIndex(idxV,
+          emb.filter(pmod($"vec_id", lit(101)) === 0),
+          "vec_id", "embedding", k = 5).count()
+      },
+      time("ann_build_index") {
+        // the contrast: quantize + assign the whole corpus from
+        // scratch. The resident artifacts must drop FIRST — the cache
+        // manager serves any matching cached plan, which would time a
+        // cache read as a build.
+        idxV.centroids.unpersist(true); idxV.cells.unpersist(true)
+        Similarity.buildIvfIndex(emb, "vec_id", "embedding")
+          .cells.count()
       },
       time("asof_join") {
         val ev = {
