@@ -40,7 +40,8 @@ object Bench {
     // between queries so each is timed cold-cache, like a fresh job.
     val names = SparkEntry.queries.toSeq.sortBy(_._1)
     val timed = names.map { case (name, fn) =>
-      spark.catalog.clearCache()
+      graft.core.OpCache.releaseAll() // release AND untrack operator persists
+      spark.catalog.clearCache()      // then any remaining cached frames
       val t0 = System.nanoTime()
       val err =
         try { fn(spark, sfDir).count(); None }

@@ -47,6 +47,10 @@ object OpCache {
     * materialized RDD regardless of the cache policy). */
   def track(df: DataFrame): DataFrame = { live.add(df); df }
 
+  /** Drop a frame from tracking without touching its storage — for
+    * callers that released it themselves (index-scoped unpersist). */
+  def untrack(df: DataFrame): Unit = live.remove(df)
+
   /** Unpersist every tracked frame; returns how many were released. */
   def releaseAll(blocking: Boolean = false): Int = {
     var n = 0

@@ -372,6 +372,9 @@ object Dedup {
       hashes.unpersist(blocking)
       shingles.unpersist(blocking)
       bands.unpersist(blocking)
+      graft.core.OpCache.untrack(hashes)
+      graft.core.OpCache.untrack(shingles)
+      graft.core.OpCache.untrack(bands)
     }
   }
 
@@ -533,9 +536,11 @@ object Dedup {
       curCount = c1
       iter += 1
     }
-    if (!done)
+    if (!done) {
+      cur.unpersist() // error path: nothing downstream can release it
       throw new IllegalStateException(
         s"star contraction did not converge within $maxIter rounds")
+    }
     graft.core.OpCache.track(cur)
     // final edges are stars (child → component min); roots and isolated
     // nodes label themselves
@@ -769,10 +774,12 @@ object Dedup {
     // O(log diameter) rounds, so the default cap covers any graph a
     // dedup pipeline can produce; hitting it means a bug, not a big
     // input.
-    if (!done)
+    if (!done) {
+      labels.unpersist() // error path: nothing downstream can release it
       throw new IllegalStateException(
         s"connected components did not converge within $maxIter rounds; " +
           "raise maxIter (rounds needed ~ log2 of the graph diameter)")
+    }
     graft.core.OpCache.track(labels)
     labels.select(col("node"), col("label").as("component"))
   }

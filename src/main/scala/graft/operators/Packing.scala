@@ -37,9 +37,7 @@ object Packing {
       maxLen: Int = 2048,
       nStrata: Int = 8,
       tokenCountCol: Option[String] = None): DataFrame = {
-    val nt = tokenCountCol
-      .map(c => col(c).cast("long"))
-      .getOrElse(size(split(col(textCol), " ")).cast("long"))
+    val nt = TextAnalysis.tokenCount(col(textCol), tokenCountCol.map(col))
     val stratum = pmod(Dedup.hash60(col(idCol).cast("string")), lit(nStrata))
       .cast("long")
     val w = Window.partitionBy(col("stratum")).orderBy(col("doc_id"))

@@ -168,6 +168,8 @@ object Similarity {
     def unpersist(blocking: Boolean = false): Unit = {
       centroids.unpersist(blocking)
       cells.unpersist(blocking)
+      graft.core.OpCache.untrack(centroids)
+      graft.core.OpCache.untrack(cells)
     }
   }
 

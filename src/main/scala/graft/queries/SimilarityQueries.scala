@@ -190,8 +190,11 @@ object SimilarityQueries {
         "stored norms make the reloaded index score bit-identically.",
       (s, dir) => {
         val em = Tables.load(s, dir, "embeddings")
-        val idxDir = new java.io.File(System.getProperty("java.io.tmpdir"),
-          "graft_ivf_" + new java.io.File(dir).getName).getAbsolutePath
+        // per-process unique dir: a fixed shared path would let two
+        // concurrent runs (bench + gate check) overwrite each other's
+        // part-files mid-read
+        val idxDir = java.nio.file.Files
+          .createTempDirectory("graft_ivf_").toString
         Similarity.writeIvfIndex(
           Similarity.buildIvfIndex(em, "vec_id", "embedding", centroidStride = 40),
           idxDir)

@@ -498,7 +498,8 @@ object TextQueries {
           "doc_id", "text", k = 3),
       Some("""WITH tf AS (
         |  SELECT doc_id, w AS term, CAST(count(*) AS BIGINT) AS tf
-        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+        |  FROM (SELECT doc_id, unnest(string_split(coalesce(text, ''), ' ')) AS w
+        |        FROM documents)
         |  GROUP BY doc_id, w),
         |df AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term),
         |n AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM documents),

@@ -155,14 +155,17 @@ object ScaleSmoke {
           emb.filter(pmod($"vec_id", lit(101)) === 0),
           "vec_id", "embedding", k = 5).count()
       },
-      time("ann_build_index") {
-        // the contrast: quantize + assign the whole corpus from
-        // scratch. The resident artifacts must drop FIRST — the cache
-        // manager serves any matching cached plan, which would time a
-        // cache read as a build.
+      {
+        // the resident artifacts must drop BEFORE the timer starts: the
+        // cache manager serves any matching cached plan (a cache read
+        // would time as a build), and the unpersist itself is cleanup,
+        // not build work.
         idxV.centroids.unpersist(true); idxV.cells.unpersist(true)
-        Similarity.buildIvfIndex(emb, "vec_id", "embedding")
-          .cells.count()
+        time("ann_build_index") {
+          // the contrast: quantize + assign the whole corpus from scratch
+          Similarity.buildIvfIndex(emb, "vec_id", "embedding")
+            .cells.count()
+        }
       },
       time("asof_join") {
         val ev = {
