@@ -196,6 +196,48 @@ object StreamingQueries {
         |      wmus - 3600000000""".stripMargin)),
 
     Q(
+      "qst06_stream_ingest_dedup",
+      "Streaming corpus-ingest dedup: the documents batch (doc_id % 7 " +
+        "= 0) is delivered TWICE via two staged files " +
+        "(maxFilesPerTrigger=1 -> two microbatches, at-least-once " +
+        "upstream), each batch probes the STORED corpus index " +
+        "(incrementalDedupWithIndex in foreachBatch) and the admitted " +
+        "docs fold back into the index before the next batch — so the " +
+        "second delivery admits NOTHING and each document lands " +
+        "exactly once. Oracle = the single-batch incremental replay; " +
+        "any cross-batch state bug doubles the output and fails the " +
+        "row count.",
+      (s, dir) => {
+        val docs = graft.core.Tables.load(s, dir, "documents")
+        val index = graft.operators.Dedup.buildCorpusIndex(
+          docs.filter(pmod(col("doc_id"), lit(7)) =!= 0), "doc_id", "text")
+        val in = java.nio.file.Files.createTempDirectory("graft_ingest_in")
+        val out = java.nio.file.Files.createTempDirectory("graft_ingest_out")
+          .resolve("admitted").toString
+        val src = java.nio.file.Paths.get(dir, "documents.parquet")
+        java.nio.file.Files.copy(src, in.resolve("d1.parquet"))
+        java.nio.file.Files.copy(src, in.resolve("d2.parquet"))
+        val stream = s.readStream.schema(docs.schema)
+          .option("maxFilesPerTrigger", 1)
+          .parquet(in.toString + "/*.parquet")
+          .filter(pmod(col("doc_id"), lit(7)) === 0)
+        EventStreams.ingestDedup(stream, index, "doc_id", "text", out)
+        s.read.parquet(out).select(col("keep_id"))
+      },
+      Some(s"""WITH ${TextQueries.lshCtes()},
+        |pairs AS (${TextQueries.lshPairSelect}),
+        |b AS (SELECT doc_id, md5(text) AS h FROM documents WHERE doc_id % 7 = 0),
+        |cp AS (SELECT doc_id, md5(text) AS h FROM documents WHERE doc_id % 7 <> 0)
+        |SELECT b.doc_id AS keep_id FROM b
+        |WHERE NOT EXISTS (SELECT 1 FROM cp WHERE cp.h = b.h)
+        |  AND NOT EXISTS (SELECT 1 FROM b b2 WHERE b2.h = b.h AND b2.doc_id < b.doc_id)
+        |  AND NOT EXISTS (SELECT 1 FROM pairs p JOIN cp
+        |    ON (p.a_id = cp.doc_id AND p.b_id = b.doc_id)
+        |    OR (p.b_id = cp.doc_id AND p.a_id = b.doc_id))
+        |  AND NOT EXISTS (SELECT 1 FROM pairs p JOIN b b3
+        |    ON p.a_id = b3.doc_id AND p.b_id = b.doc_id)""".stripMargin)),
+
+    Q(
       "qm01_media_features",
       "Multimodal plumbing: wrap document text bytes as media rows, " +
         "extract per-partition batched byte-level features (stub " +

@@ -20,7 +20,7 @@ object TextQueries {
     * verified-pair SELECT. Shared by qd02 (pairs), qd10 (clusters =
     * connected components over the same pairs) and qd11 (clusters over
     * exact-dup representatives — `src` parameterizes the corpus). */
-  private def lshCtes(src: String = "documents"): String =
+  private[queries] def lshCtes(src: String = "documents"): String =
     s"""sh AS (
       |  SELECT doc_id,
       |    list_distinct(list_transform(range(1, len(w)-1),
@@ -47,7 +47,7 @@ object TextQueries {
       |  FROM bands a JOIN bands b2
       |    ON a.band = b2.band AND a.bkey = b2.bkey AND a.doc_id < b2.doc_id)""".stripMargin
 
-  private val lshPairSelect: String =
+  private[queries] val lshPairSelect: String =
     """SELECT c.a_id, c.b_id,
       |  CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE) /
       |  CAST(len(list_distinct(sa.shingles || sb.shingles)) AS DOUBLE) AS jaccard

@@ -51,6 +51,51 @@ object EventStreams {
       }
       .start()
 
+  /** Streaming corpus-ingest dedup — the daily-ingest lifecycle
+    * ([[graft.operators.Dedup.incrementalDedupWithIndex]]) run as a
+    * stream: every microbatch of documents probes the resident corpus
+    * index (exact-hash anti-join + LSH band probe, O(batch) per
+    * batch), admitted ids append to `outDir`, and the admitted
+    * documents FOLD BACK into the index before the next batch — a doc
+    * admitted in batch N is a known duplicate in batch N+1, so
+    * at-least-once upstream delivery admits each document exactly
+    * once. Blocks until the stream drains (AvailableNow); read
+    * `outDir` for the admitted set. The index-growth step unions the
+    * per-batch artifacts (at production scale: append the same three
+    * parquet datasets [[graft.operators.Dedup.writeCorpusIndex]]
+    * maintains, not an in-memory union). */
+  def ingestDedup(
+      docs: DataFrame,
+      index: graft.operators.Dedup.CorpusIndex,
+      idCol: String,
+      textCol: String,
+      outDir: String,
+      queryName: String = "graft_ingest_dedup"): Unit = {
+    var cur = index
+    val q = docs.writeStream
+      .queryName(queryName)
+      .outputMode(OutputMode.Append())
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val b = graft.core.OpCache.persist(batch.toDF())
+        val admitted = graft.core.OpCache.persist(
+          graft.operators.Dedup.incrementalDedupWithIndex(
+            cur, b, idCol, textCol))
+        admitted.write.mode("append").parquet(outDir)
+        val admittedDocs = b.join(
+          admitted.select(col("keep_id").as(idCol)), Seq(idCol), "left_semi")
+        val grown = graft.operators.Dedup.buildCorpusIndex(
+          admittedDocs, idCol, textCol)
+        cur = graft.operators.Dedup.CorpusIndex(
+          cur.hashes.unionByName(grown.hashes),
+          cur.shingles.unionByName(grown.shingles),
+          cur.bands.unionByName(grown.bands))
+        ()
+      }
+      .start()
+    if (!q.awaitTermination(180000)) q.stop()
+  }
+
   /** Streaming exact deduplication by event id within the watermark
     * (`dropDuplicatesWithinWatermark`): the event-dedup stage of a
     * streaming ingest — at-least-once upstream delivery becomes
