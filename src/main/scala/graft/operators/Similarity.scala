@@ -121,6 +121,56 @@ object Similarity {
       .select(col("a_id"), col("b_id"))
   }
 
+  /** [[signPlanes]] with a table seed — independent plane sets for
+    * multi-table LSH (seed folds into the hash input, so every
+    * (table, plane, dim) sign is reproducible anywhere). */
+  def signPlanesSeeded(seed: Int, nPlanes: Int, dim: Int): Array[Array[Float]] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    Array.tabulate(nPlanes, dim) { (j, d) =>
+      val h = md.digest(s"$seed:$j:$d".getBytes("UTF-8"))
+      if ((h(0) & 1) == 0) 1.0f else -1.0f
+    }
+  }
+
+  private def signBucketExpr(planes: Array[Array[Float]]): org.apache.spark.sql.Column =
+    planes.zipWithIndex.map { case (p, j) =>
+      when(call_function("graft_vec_dot", col("embedding"),
+        typedLit(p)) > 0.0, lit(1 << j)).otherwise(lit(0))
+    }.reduce(_ + _)
+
+  /** Multi-table sign-LSH near-dup pairs — the recall dial of
+    * [[lshBucketedNearDup]] made concrete: `nTables` INDEPENDENT plane
+    * sets (seeded per table), a candidate pair collides in at least
+    * one table's bucket, verification (exact cosine) runs ONCE over
+    * the distinct candidate union. Per-table collision probability for
+    * angle θ is (1 − θ/π)^nPlanes; T tables lift it to 1−(1−p)^T while
+    * cost grows linearly in T — buckets stay small (selective) and the
+    * union recovers the recall that bigger buckets would have bought
+    * quadratically. All per-table joins are equi-joins on an int
+    * bucket; the distinct-candidate shuffle is pair-sized. */
+  def multiTableLshNearDup(
+      em: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, nPlanes: Int = 10, nTables: Int = 3,
+      dim: Int = 64): DataFrame = {
+    val e = graft.core.OpCache.persist(withNorm(em, idCol, vecCol))
+    val withBuckets = e.select(
+      col("vec_id") +: col("embedding") +: col("nrm") +:
+        (0 until nTables).map(t =>
+          signBucketExpr(signPlanesSeeded(t, nPlanes, dim)).as(s"bucket$t")): _*)
+    val cands = (0 until nTables).map { t =>
+      withBuckets.as("a").join(withBuckets.as("b"),
+          col(s"a.bucket$t") === col(s"b.bucket$t") &&
+            col("a.vec_id") < col("b.vec_id"))
+        .select(col("a.vec_id").as("a_id"), col("b.vec_id").as("b_id"))
+    }.reduce(_ unionByName _).distinct()
+    cands.as("c")
+      .join(e.as("a"), col("c.a_id") === col("a.vec_id"))
+      .join(e.as("b"), col("c.b_id") === col("b.vec_id"))
+      .filter(cosineWithNorms(col("a.embedding"), col("b.embedding"),
+        col("a.nrm"), col("b.nrm")) >= threshold)
+      .select(col("c.a_id").as("a_id"), col("c.b_id").as("b_id"))
+  }
+
   /** Embedding-cosine near-duplicate pairs: every unordered pair with
     * cosine ≥ threshold (the dedup-flavoured use of similarity — for
     * corpus-scale runs swap the n² pair source for the IVF cell join

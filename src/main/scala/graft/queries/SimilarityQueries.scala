@@ -220,6 +220,44 @@ object SimilarityQueries {
       Some(kmeansOracle)),
 
     Q(
+      "qs09_multitable_lsh",
+      "Multi-table sign-LSH near-dup pairs: three INDEPENDENT " +
+        "10-plane tables (seeded hyperplanes), candidates = union of " +
+        "per-table bucket collisions, exact-cosine verification runs " +
+        "once over the distinct union — recall 1-(1-p)^3 at linear " +
+        "cost, with small selective buckets. The concrete form of the " +
+        "recall dial the single-table operator documents.",
+      (s, dir) =>
+        Similarity.multiTableLshNearDup(Tables.load(s, dir, "embeddings"),
+          "vec_id", "embedding", threshold = 0.4,
+          nPlanes = 10, nTables = 3),
+      Some {
+        def planeList(p: Array[Float]): String =
+          p.map(v => if (v > 0) "1.0" else "-1.0").mkString("[", ", ", "]")
+        def bucketExpr(t: Int): String =
+          Similarity.signPlanesSeeded(t, 10, 64).zipWithIndex.map { case (p, j) =>
+            s"CASE WHEN ${dkDot("embedding", planeList(p))} > 0.0 THEN ${1 << j} ELSE 0 END"
+          }.mkString(" + ")
+        val tables = (0 until 3).map(t =>
+          s"""SELECT a.vec_id AS a_id, b.vec_id AS b_id
+             |  FROM e a JOIN e b ON a.bucket$t = b.bucket$t AND a.vec_id < b.vec_id"""
+            .stripMargin).mkString("\n  UNION\n  ")
+        s"""WITH e AS (
+           |  SELECT vec_id, embedding, ${dkNorm("embedding")} AS nrm,
+           |    (${bucketExpr(0)}) AS bucket0,
+           |    (${bucketExpr(1)}) AS bucket1,
+           |    (${bucketExpr(2)}) AS bucket2
+           |  FROM embeddings),
+           |cand AS (
+           |  $tables)
+           |SELECT c.a_id, c.b_id
+           |FROM cand c
+           |JOIN e a ON a.vec_id = c.a_id
+           |JOIN e b ON b.vec_id = c.b_id
+           |WHERE ${dkDot("a.embedding", "b.embedding")} / (a.nrm * b.nrm) >= 0.4""".stripMargin
+      }),
+
+    Q(
       "qs06_label_centroids",
       "Per-label centroid table (element-wise embedding mean): " +
         "posexplode to (label, dim, x) and hash-aggregate on the " +

@@ -149,4 +149,26 @@ class SimilaritySpec extends SparkSuite {
     assert(a == b)
     graft.core.OpCache.releaseAll(blocking = true)
   }
+
+  test("multiTableLshNearDup: union recall, verified once, dedup'd pairs") {
+    import org.apache.spark.sql.functions.col
+    // identical vectors collide in EVERY table yet emit exactly one pair
+    val base = Array.tabulate(8)(j => 0.3f + 0.1f * j)
+    val df = (Seq((0L, base), (1L, base)) ++
+      vecs.drop(2).map { case (id, v) => (id, v) }).toDF("vec_id", "embedding")
+    val pairs = Similarity.multiTableLshNearDup(df, "vec_id", "embedding",
+      threshold = 0.99, nPlanes = 6, nTables = 3, dim = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.count(_ == (0L, 1L)) == 1,
+      s"identical pair must appear exactly once, got ${pairs.toList}")
+    // with one table, results equal the per-table candidate set verified
+    val one = Similarity.multiTableLshNearDup(df, "vec_id", "embedding",
+      threshold = 0.5, nPlanes = 6, nTables = 1, dim = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val three = Similarity.multiTableLshNearDup(df, "vec_id", "embedding",
+      threshold = 0.5, nPlanes = 6, nTables = 3, dim = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(one.subsetOf(three), "extra tables can only ADD verified pairs")
+    graft.core.OpCache.releaseAll(blocking = true)
+  }
 }
