@@ -47,6 +47,39 @@ object Curation {
       .select(col("doc_id"), col("lang"), col("n_tokens"), col("redacted_md5"))
   }
 
+  /** The COMPLETE training-data preparation lifecycle in one call —
+    * what a corpus team actually ships: [[curate]] (language → quality
+    * → repetition → PII → exact dedup), NEAR-dedup over the curated
+    * pool ([[graft.operators.Dedup.dedupCorpus]]: exact-collapse,
+    * MinHash-LSH over representatives, greedy keep), [[weightedMix]]
+    * (per-source training rates), then
+    * [[graft.operators.Packing.sequencePack]] into fixed-length
+    * training sequences. Returns the packed assignment table
+    * (doc_id, stratum, n_tokens, seq_id, seq_offset) covering exactly
+    * the documents a training run would consume. Every stage is the
+    * individually-audited operator — this is composition, not new
+    * machinery, and the composed result stays bit-reproducible. */
+  def trainingPipeline(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      langCol: String,
+      sourceCol: String,
+      langs: Seq[String],
+      permille: Map[String, Int],
+      defaultPermille: Int,
+      maxLen: Int = 1024,
+      nStrata: Int = 4): DataFrame = {
+    val curated = curate(docs, idCol, textCol, langCol, langs)
+    // the curated pool feeds near-dedup AND the survivor join
+    val pool = graft.core.OpCache.persist(
+      docs.join(curated.select(col("doc_id").as(idCol)), Seq(idCol), "left_semi"))
+    val kept = Dedup.dedupCorpus(pool, idCol, textCol)
+    val surv = pool.join(kept.select(col("keep_id").as(idCol)), Seq(idCol), "left_semi")
+    val mixed = weightedMix(surv, idCol, sourceCol, permille, defaultPermille)
+    Packing.sequencePack(mixed, idCol, textCol, maxLen, nStrata)
+  }
+
   /** Deterministic weighted data mixing: keep each document with its
     * source's sampling rate (permille), decided by a content-stable
     * hash — the per-source up/down-weighting step that turns a curated

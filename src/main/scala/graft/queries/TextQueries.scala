@@ -57,6 +57,49 @@ object TextQueries {
       |WHERE CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE) /
       |      CAST(len(list_distinct(sa.shingles || sb.shingles)) AS DOUBLE) >= 0.5""".stripMargin
 
+  /** DuckDB rendition of Curation.curate's CTE chain (lang filter →
+    * quality → repetition → PII-redacted md5), ending at CTE `red`.
+    * Shared by qt11 (curated table) and qt13 (the composed training
+    * pipeline). */
+  private def curationCtes: String =
+    """lf AS (
+        |  SELECT doc_id, lang, text,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |    CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_types
+        |  FROM documents WHERE lang IN ('en', 'es', 'fr')),
+        |q AS (
+        |  SELECT doc_id, lang, text, n_tokens FROM lf
+        |  WHERE n_tokens >= 20 AND n_tokens <= 100000
+        |    AND CAST(n_types AS DOUBLE) / CAST(n_tokens AS DOUBLE) >= 0.15),
+        |w2 AS (SELECT doc_id, text, string_split(text, ' ') AS w FROM q),
+        |g2 AS (SELECT doc_id, unnest(list_transform(range(1, len(w)),
+        |         i -> concat(w[i], ' ', w[i+1]))) AS gram
+        |       FROM w2 WHERE len(w) >= 2),
+        |c2 AS (SELECT doc_id, gram, CAST(count(*) AS BIGINT) AS cnt FROM g2 GROUP BY 1, 2),
+        |top2 AS (SELECT doc_id,
+        |           max({'c': cnt, 'ch': cnt * length(gram)}).ch AS top2_chars
+        |         FROM c2 GROUP BY 1),
+        |g3 AS (SELECT doc_id, unnest(list_transform(range(1, len(w)-1),
+        |         i -> concat(w[i], ' ', w[i+1], ' ', w[i+2]))) AS gram
+        |       FROM w2 WHERE len(w) >= 3),
+        |c3 AS (SELECT doc_id, gram, CAST(count(*) AS BIGINT) AS cnt FROM g3 GROUP BY 1, 2),
+        |dup3 AS (SELECT doc_id,
+        |           CAST(sum(CASE WHEN cnt >= 2 THEN cnt * length(gram) ELSE 0 END) AS BIGINT) AS dup3_chars,
+        |           CAST(sum(cnt * length(gram)) AS BIGINT) AS all3_chars
+        |         FROM c3 GROUP BY 1),
+        |rep AS (
+        |  SELECT q.doc_id FROM q
+        |  LEFT JOIN top2 USING (doc_id) LEFT JOIN dup3 USING (doc_id)
+        |  WHERE CAST(coalesce(top2_chars, 0) AS DOUBLE) / CAST(length(q.text) AS DOUBLE) <= 0.20
+        |    AND CAST(coalesce(dup3_chars, 0) AS DOUBLE) / CAST(coalesce(all3_chars, 1) AS DOUBLE) <= 0.60),
+        |red AS (
+        |  SELECT q.doc_id, q.lang, q.n_tokens,
+        |    md5(regexp_replace(regexp_replace(regexp_replace(q.text,
+        |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |      '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '<IP>', 'g'),
+        |      '\+?[0-9]{3}[- ][0-9]{3}[- ][0-9]{4}', '<PHONE>', 'g')) AS redacted_md5
+        |  FROM q JOIN rep ON q.doc_id = rep.doc_id)""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q(
       "qd01_exact_dedup",
@@ -606,43 +649,7 @@ object TextQueries {
           graft.core.Partitioning.parallelize(
             Tables.load(s, dir, "documents"), col("doc_id")),
           "doc_id", "text", "lang", Seq("en", "es", "fr")),
-      Some("""WITH lf AS (
-        |  SELECT doc_id, lang, text,
-        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
-        |    CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_types
-        |  FROM documents WHERE lang IN ('en', 'es', 'fr')),
-        |q AS (
-        |  SELECT doc_id, lang, text, n_tokens FROM lf
-        |  WHERE n_tokens >= 20 AND n_tokens <= 100000
-        |    AND CAST(n_types AS DOUBLE) / CAST(n_tokens AS DOUBLE) >= 0.15),
-        |w2 AS (SELECT doc_id, text, string_split(text, ' ') AS w FROM q),
-        |g2 AS (SELECT doc_id, unnest(list_transform(range(1, len(w)),
-        |         i -> concat(w[i], ' ', w[i+1]))) AS gram
-        |       FROM w2 WHERE len(w) >= 2),
-        |c2 AS (SELECT doc_id, gram, CAST(count(*) AS BIGINT) AS cnt FROM g2 GROUP BY 1, 2),
-        |top2 AS (SELECT doc_id,
-        |           max({'c': cnt, 'ch': cnt * length(gram)}).ch AS top2_chars
-        |         FROM c2 GROUP BY 1),
-        |g3 AS (SELECT doc_id, unnest(list_transform(range(1, len(w)-1),
-        |         i -> concat(w[i], ' ', w[i+1], ' ', w[i+2]))) AS gram
-        |       FROM w2 WHERE len(w) >= 3),
-        |c3 AS (SELECT doc_id, gram, CAST(count(*) AS BIGINT) AS cnt FROM g3 GROUP BY 1, 2),
-        |dup3 AS (SELECT doc_id,
-        |           CAST(sum(CASE WHEN cnt >= 2 THEN cnt * length(gram) ELSE 0 END) AS BIGINT) AS dup3_chars,
-        |           CAST(sum(cnt * length(gram)) AS BIGINT) AS all3_chars
-        |         FROM c3 GROUP BY 1),
-        |rep AS (
-        |  SELECT q.doc_id FROM q
-        |  LEFT JOIN top2 USING (doc_id) LEFT JOIN dup3 USING (doc_id)
-        |  WHERE CAST(coalesce(top2_chars, 0) AS DOUBLE) / CAST(length(q.text) AS DOUBLE) <= 0.20
-        |    AND CAST(coalesce(dup3_chars, 0) AS DOUBLE) / CAST(coalesce(all3_chars, 1) AS DOUBLE) <= 0.60),
-        |red AS (
-        |  SELECT q.doc_id, q.lang, q.n_tokens,
-        |    md5(regexp_replace(regexp_replace(regexp_replace(q.text,
-        |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
-        |      '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '<IP>', 'g'),
-        |      '\+?[0-9]{3}[- ][0-9]{3}[- ][0-9]{4}', '<PHONE>', 'g')) AS redacted_md5
-        |  FROM q JOIN rep ON q.doc_id = rep.doc_id)
+      Some(s"""WITH $curationCtes
         |SELECT doc_id, lang, n_tokens, redacted_md5 FROM (
         |  SELECT *, row_number() OVER (
         |    PARTITION BY redacted_md5 ORDER BY doc_id) AS rn FROM red)
@@ -667,6 +674,58 @@ object TextQueries {
         |WHERE ${dkHash60("concat(CAST(doc_id AS VARCHAR), ':', source)")} % 1000 <
         |  CASE source WHEN 'src0' THEN 900 WHEN 'src1' THEN 700
         |    WHEN 'src2' THEN 500 WHEN 'src3' THEN 200 ELSE 100 END""".stripMargin)),
+
+    Q(
+      "qt13_training_pipeline",
+      "The COMPLETE training-data preparation lifecycle composed end " +
+        "to end (Curation.trainingPipeline): curate (lang -> quality " +
+        "-> repetition -> PII -> exact dedup) -> NEAR-dedup over the " +
+        "curated pool (exact-collapse + MinHash-LSH + greedy keep) -> " +
+        "weighted source mixing -> sequence packing into 1024-token " +
+        "streams. Output = the packed assignment table for exactly " +
+        "the documents a training run would consume; the oracle " +
+        "replays every stage in one SQL composition.",
+      (s, dir) =>
+        graft.operators.Curation.trainingPipeline(
+          graft.core.Partitioning.parallelize(
+            Tables.load(s, dir, "documents"), col("doc_id")),
+          "doc_id", "text", "lang", "source", Seq("en", "es", "fr"),
+          Map("src0" -> 900, "src1" -> 700, "src2" -> 500, "src3" -> 200),
+          defaultPermille = 100, maxLen = 1024, nStrata = 4),
+      Some(s"""WITH $curationCtes,
+        |curated AS (
+        |  SELECT doc_id FROM (
+        |    SELECT doc_id, row_number() OVER (
+        |      PARTITION BY redacted_md5 ORDER BY doc_id) AS rn FROM red)
+        |  WHERE rn = 1),
+        |d2 AS (
+        |  SELECT d.doc_id, d.text, d.source FROM documents d
+        |  JOIN curated USING (doc_id)),
+        |reps AS (SELECT min(doc_id) AS doc_id FROM d2 GROUP BY md5(text)),
+        |d3 AS (SELECT d2.doc_id, d2.text FROM d2 JOIN reps USING (doc_id)),
+        |${lshCtes("d3")},
+        |pairs AS ($lshPairSelect),
+        |kept AS (
+        |  SELECT r.doc_id FROM reps r
+        |  WHERE r.doc_id NOT IN (SELECT DISTINCT b_id FROM pairs)),
+        |mixed AS (
+        |  SELECT d2.doc_id, d2.text FROM d2 JOIN kept USING (doc_id)
+        |  WHERE ${dkHash60("concat(CAST(d2.doc_id AS VARCHAR), ':', d2.source)")} % 1000 <
+        |    CASE d2.source WHEN 'src0' THEN 900 WHEN 'src1' THEN 700
+        |      WHEN 'src2' THEN 500 WHEN 'src3' THEN 200 ELSE 100 END),
+        |base AS (
+        |  SELECT doc_id, ${dkHash60("CAST(doc_id AS VARCHAR)")} % 4 AS stratum,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        |  FROM mixed),
+        |packed AS (
+        |  SELECT doc_id, stratum, n_tokens,
+        |    sum(n_tokens) OVER (PARTITION BY stratum ORDER BY doc_id
+        |      ROWS UNBOUNDED PRECEDING) - n_tokens AS start_tok
+        |  FROM base)
+        |SELECT doc_id, stratum, n_tokens,
+        |  CAST(floor(start_tok / 1024) AS BIGINT) AS seq_id,
+        |  CAST(start_tok % 1024 AS BIGINT) AS seq_offset
+        |FROM packed""".stripMargin)),
 
     Q(
       "qd12_incremental_dedup",

@@ -65,4 +65,13 @@ class EdgeCasesSpec extends SparkSuite {
   test("sequencePack of an empty corpus is empty") {
     assert(Packing.sequencePack(emptyDocs, "doc_id", "text").count() == 0)
   }
+
+  test("trainingPipeline of an empty corpus is empty") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, String, String, String)]
+      .toDF("doc_id", "text", "lang", "source")
+    assert(graft.operators.Curation.trainingPipeline(
+      empty, "doc_id", "text", "lang", "source", Seq("en"),
+      Map("src0" -> 500), defaultPermille = 100).count() == 0)
+  }
 }
