@@ -132,6 +132,65 @@ object TextAnalysis {
       .select(col("doc_id"), col("term"), col("score"), col("rnk"))
   }
 
+  /** BM25 keyword search over the corpus — the retrieval face of the
+    * text surface (inspecting a training corpus IS a search problem):
+    * score every document against a fixed query term set, return the
+    * global top-k. Uses the Lucene idf form ln(1 + (n−df+0.5)/(df+0.5))
+    * (always positive — the classic Robertson idf goes negative for
+    * terms in over half the corpus, which a 40-word synthetic
+    * vocabulary hits constantly).
+    *
+    * Scale shape: one cached tokenized scan feeds doc lengths, the
+    * corpus stats, and the query-term tf rows (the `isInCollection`
+    * prune keeps the explode output query-sized, not corpus-sized);
+    * df and the per-term join are tiny (≤ |query| rows); the global
+    * top-k is orderBy+limit (TakeOrderedAndProject — per-partition
+    * heaps + one k-row merge, never a single-reducer global window).
+    *
+    * Determinism: the only libm call is ln(); per-(doc,term) scores
+    * quantize to DECIMAL(30,6) BEFORE the cross-term sum
+    * (order-invariant) and the output rounds to 6 decimals — the qm01
+    * discipline that absorbs libm ulp differences across engines.
+    * Ties rank by doc_id, so the top-k set is total-ordered. */
+  def bm25TopK(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      query: Seq[String],
+      k: Int = 10,
+      k1: Double = 1.2,
+      b: Double = 0.75): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    require(query.nonEmpty, "query terms must be non-empty")
+    val base = graft.core.OpCache.persist(docs.select(
+      col(idCol).as("doc_id"),
+      split(coalesce(col(textCol), lit("")), " ").as("w")))
+    val dl = base.select(col("doc_id"), size(col("w")).cast("long").as("dl"))
+    val st = dl.agg(
+      count(lit(1)).cast("double").as("n"),
+      graft.expr.Exprs.exactAvg(col("dl").cast("double")).as("avgdl")).head()
+    val n = st.getDouble(0)
+    val avgdl = st.getDouble(1)
+    val tf = base.select(col("doc_id"), explode(col("w")).as("term"))
+      .filter(col("term").isInCollection(query))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).cast("long").as("tf"))
+    val dfT = tf.groupBy(col("term"))
+      .agg(count(lit(1)).cast("double").as("df"))
+    val termScore =
+      log(lit(1.0) + (lit(n) - col("df") + lit(0.5)) / (col("df") + lit(0.5))) *
+        (col("tf").cast("double") * lit(k1 + 1.0)) /
+        (col("tf").cast("double") +
+          lit(k1) * (lit(1.0 - b) + lit(b) * col("dl").cast("double") / lit(avgdl)))
+    tf.join(dfT, Seq("term"))
+      .join(dl, Seq("doc_id"))
+      .select(col("doc_id"), termScore.cast(DecimalType(30, 6)).as("s"))
+      .groupBy(col("doc_id"))
+      .agg(round(sum(col("s")).cast("double"), 6).as("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(k)
+  }
+
   /** Document fingerprints: exact content hash, an order-insensitive
     * bag-of-words hash, and a rolling-shingle minimizer (the min
     * 60-bit hash over 3-word shingles — the winnowing primitive). */

@@ -728,6 +728,46 @@ object TextQueries {
         |FROM packed""".stripMargin)),
 
     Q(
+      "qt14_bm25_search",
+      "BM25 keyword search (TextAnalysis.bm25TopK): rank the corpus " +
+        "against query terms ('hash', 'join', 'vector'), global " +
+        "top-10. Lucene idf form (positive for any df), one cached " +
+        "tokenized scan, query-pruned explode, orderBy+limit top-k " +
+        "(per-partition heaps, no global window). Scores quantize to " +
+        "DECIMAL(30,6) per term before the order-invariant sum; " +
+        "round-6 output absorbs ln() ulp differences (the qm01 " +
+        "discipline).",
+      (s, dir) =>
+        graft.operators.TextAnalysis.bm25TopK(
+          graft.core.Partitioning.parallelize(
+            Tables.load(s, dir, "documents"), col("doc_id")),
+          "doc_id", "text", Seq("hash", "join", "vector"), k = 10),
+      Some("""WITH w AS (
+        |  SELECT doc_id, string_split(coalesce(text, ''), ' ') AS w FROM documents),
+        |dl AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS dl FROM w),
+        |st AS (
+        |  SELECT CAST(count(*) AS DOUBLE) AS n,
+        |    CAST(sum(CAST(CAST(dl AS DOUBLE) AS DECIMAL(30,6))) AS DOUBLE) /
+        |      CAST(count(*) AS DOUBLE) AS avgdl
+        |  FROM dl),
+        |tf AS (
+        |  SELECT doc_id, t AS term, CAST(count(*) AS BIGINT) AS tf
+        |  FROM (SELECT doc_id, unnest(w) AS t FROM w)
+        |  WHERE t IN ('hash', 'join', 'vector') GROUP BY 1, 2),
+        |dfx AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY 1),
+        |sc AS (
+        |  SELECT tf.doc_id,
+        |    CAST(ln(1.0 + (st.n - dfx.df + 0.5) / (dfx.df + 0.5)) *
+        |      (CAST(tf.tf AS DOUBLE) * 2.2) /
+        |      (CAST(tf.tf AS DOUBLE) +
+        |        1.2 * (0.25 + 0.75 * CAST(dl.dl AS DOUBLE) / st.avgdl))
+        |      AS DECIMAL(30,6)) AS s
+        |  FROM tf JOIN dfx USING (term) JOIN dl USING (doc_id), st),
+        |agg AS (SELECT doc_id, round(CAST(sum(s) AS DOUBLE), 6) AS score
+        |        FROM sc GROUP BY 1)
+        |SELECT doc_id, score FROM agg ORDER BY score DESC, doc_id LIMIT 10""".stripMargin)),
+
+    Q(
       "qd12_incremental_dedup",
       "Incremental dedup — the daily-ingest lifecycle: admit a new " +
         "batch (doc_id % 10 = 0) against the existing corpus. Exact " +
