@@ -335,6 +335,78 @@ object Similarity {
       .select(col("vec_id"), col("nbr_id"), col("rnk").cast("long").as("rnk"))
   }
 
+  /** Per-dimension symmetric int8 calibration table (dim, scale):
+    * scale_d = max |x_d| over the corpus (1.0 for an identically-zero
+    * dimension, so quantization never divides by zero). One
+    * posexplode + hash-agg pass; partial aggregation collapses each
+    * map task to dims-many rows, so the shuffle moves dims ×
+    * partitions values no matter how large the corpus is. */
+  def sqCalibrate(em: DataFrame, vecCol: String): DataFrame =
+    em.select(posexplode(col(vecCol)).as(Seq("dim", "x")))
+      .groupBy(col("dim"))
+      .agg(max(abs(col("x").cast("double"))).as("mx"))
+      .select(col("dim"),
+        when(col("mx") === 0.0, lit(1.0)).otherwise(col("mx")).as("scale"))
+
+  /** (vec_id, q) with q = the int8-quantized embedding:
+    * q_d = clamp(⌊x_d / scale_d · 127 + 0.5⌋, −127, 127) stored as
+    * `array<tinyint>` — 4× smaller than the float vector, the whole
+    * point of scalar quantization at corpus scale. `scales` is the
+    * dims-sized [[sqCalibrate]] table, folded to a single array row
+    * and broadcast — the quantize pass itself is map-side only (the
+    * one-row nested-loop join ships one array to every task; no
+    * shuffle of the corpus). The expression shape (/, ·127, +0.5,
+    * floor, clamp — all IEEE doubles) is mirrored verbatim in oracle
+    * SQL, so quantized codes are bit-identical across engines. */
+  def sqQuantize(
+      em: DataFrame, idCol: String, vecCol: String,
+      scales: DataFrame): DataFrame = {
+    val scalesArr = scales.groupBy()
+      .agg(transform(
+        array_sort(collect_list(struct(col("dim"), col("scale")))),
+        s => s.getField("scale")).as("scales"))
+    em.select(col(idCol).as("vec_id"), col(vecCol).as("embedding"))
+      .crossJoin(broadcast(scalesArr))
+      .select(col("vec_id"),
+        zip_with(col("embedding"), col("scales"), (x, s) =>
+          least(greatest(floor(x.cast("double") / s * lit(127.0) + lit(0.5)),
+            lit(-127L)), lit(127L)).cast("byte")).as("q"))
+  }
+
+  /** Scalar-quantized top-k scan (the memory-bound ANN tier, the
+    * IndexScalarQuantizer shape): corpus and query batch are both
+    * int8-quantized against CORPUS-calibrated scales, scored by the
+    * exact integer dot product Σ qa_d·qb_d (widened to long — no
+    * rounding anywhere, so ranks are engine-exact), ranked per query
+    * by (score DESC, nbr_id).
+    *
+    * Scale story: the quantized corpus is 4× smaller than the floats
+    * (tinyint codes), the scan is one linear pass of the corpus per
+    * broadcast query batch (no pair shuffle — the classic "small query
+    * set against a huge corpus" shape), and integer dot products
+    * vectorize. Recall dial: take top-(k·m) by quantized score, then
+    * exact-rerank the survivors with [[bruteForceTopK]]'s scorer —
+    * composition left to the caller so the quantized ranking itself
+    * stays oracle-checkable. */
+  def scalarQuantTopK(
+      corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int): DataFrame = {
+    val e = graft.core.Partitioning.parallelize(corpus, col(idCol))
+    val scales = sqCalibrate(e, vecCol)
+    val qv = graft.core.OpCache.persist(sqQuantize(e, idCol, vecCol, scales))
+    val qq = sqQuantize(queries, idCol, vecCol, scales)
+    val scored = broadcast(qq.as("a"))
+      .join(qv.as("b"), col("a.vec_id") =!= col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_id"), col("b.vec_id").as("nbr_id"),
+        aggregate(zip_with(col("a.q"), col("b.q"),
+          (x, y) => x.cast("long") * y.cast("long")),
+          lit(0L), (acc, v) => acc + v).as("score"))
+    val w = Window.partitionBy(col("vec_id")).orderBy(col("score").desc, col("nbr_id"))
+    scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("vec_id"), col("nbr_id"), col("rnk").cast("long").as("rnk"))
+  }
+
   /** Per-label centroid table: element-wise mean of the embedding
     * vectors of each label, one row per (label, dimension).
     *

@@ -258,6 +258,42 @@ object SimilarityQueries {
       }),
 
     Q(
+      "qs10_scalar_quant",
+      "Int8 scalar-quantized top-k scan (the memory-bound ANN tier): " +
+        "per-dim max-abs calibration (one partial-agg pass), corpus + " +
+        "query batch quantized to tinyint codes (4× smaller than the " +
+        "floats), exact integer-dot scoring — no rounding after " +
+        "quantization, so ranks are engine-exact. One linear corpus " +
+        "pass per broadcast query batch; no pair shuffle.",
+      (s, dir) => {
+        val em = Tables.load(s, dir, "embeddings")
+        Similarity.scalarQuantTopK(em,
+          em.filter(org.apache.spark.sql.functions.col("vec_id") % 50 === 0),
+          "vec_id", "embedding", k = 10)
+      },
+      Some("""WITH sc AS (
+        |  SELECT t.i AS dim,
+        |    CASE WHEN max(abs(CAST(e.embedding[t.i] AS DOUBLE))) = 0 THEN 1.0
+        |         ELSE max(abs(CAST(e.embedding[t.i] AS DOUBLE))) END AS scale
+        |  FROM embeddings e, unnest(range(1, len(e.embedding) + 1)) t(i)
+        |  GROUP BY t.i),
+        |scl AS (SELECT list(scale ORDER BY dim) AS s FROM sc),
+        |qv AS (
+        |  SELECT vec_id,
+        |    list_transform(range(1, len(embedding) + 1), i ->
+        |      CAST(least(greatest(floor(CAST(embedding[i] AS DOUBLE) / s[i] * 127 + 0.5),
+        |        -127), 127) AS BIGINT)) AS q
+        |  FROM embeddings, scl),
+        |qq AS (SELECT * FROM qv WHERE vec_id % 50 = 0)
+        |SELECT vec_id, nbr_id, rnk FROM (
+        |  SELECT a.vec_id AS vec_id, b.vec_id AS nbr_id,
+        |    row_number() OVER (PARTITION BY a.vec_id ORDER BY
+        |      list_sum(list_transform(list_zip(a.q, b.q), p -> p[1] * p[2])) DESC,
+        |      b.vec_id) AS rnk
+        |  FROM qq a JOIN qv b ON a.vec_id <> b.vec_id)
+        |WHERE rnk <= 10""".stripMargin)),
+
+    Q(
       "qs06_label_centroids",
       "Per-label centroid table (element-wise embedding mean): " +
         "posexplode to (label, dim, x) and hash-aggregate on the " +

@@ -150,6 +150,43 @@ class SimilaritySpec extends SparkSuite {
     graft.core.OpCache.releaseAll(blocking = true)
   }
 
+  test("scalarQuantTopK: tinyint codes, clamped range, exact-rank agreement") {
+    import org.apache.spark.sql.functions.col
+    val df = vecs.toDF("vec_id", "embedding")
+    // codes are genuinely int8: array<tinyint>, every value in [-127, 127]
+    val qv = Similarity.sqQuantize(df, "vec_id", "embedding",
+      Similarity.sqCalibrate(df, "embedding"))
+    assert(qv.schema("q").dataType.simpleString == "array<tinyint>")
+    val codes = qv.collect().flatMap(_.getSeq[Byte](1))
+    assert(codes.forall(c => c >= -127 && c <= 127))
+    // the max-magnitude element of each dim quantizes to ±127 (calibration
+    // maps the observed range onto the full code range)
+    assert(codes.exists(c => c == 127 || c == -127))
+    // quantized ranking ≈ exact ranking: with 8 dims and int8 codes the
+    // top-1 neighbor must agree with bruteForceTopK for most queries
+    val queries = df.filter(col("vec_id") % 5 === 0)
+    val sq = Similarity.scalarQuantTopK(df, queries, "vec_id", "embedding", k = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val exact = Similarity.bruteForceTopK(df, "vec_id", "embedding", k = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val agree = sq.count { case (q, nbr) => exact(q) == nbr }
+    assert(agree >= sq.size - 1, s"top-1 agreement $agree/${sq.size}")
+    graft.core.OpCache.releaseAll(blocking = true)
+  }
+
+  test("sqCalibrate: zero dimension gets scale 1 (no divide-by-zero)") {
+    val df = Seq(
+      (0L, Array(0.0f, 2.0f)), (1L, Array(0.0f, -4.0f))
+    ).toDF("vec_id", "embedding")
+    val scales = Similarity.sqCalibrate(df, "embedding")
+      .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    assert(scales == Map(0 -> 1.0, 1 -> 4.0))
+    val qv = Similarity.sqQuantize(df, "vec_id", "embedding",
+      Similarity.sqCalibrate(df, "embedding"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Byte](1)).toMap
+    assert(qv(0L) == Seq[Byte](0, 64) && qv(1L) == Seq[Byte](0, -127))
+  }
+
   test("multiTableLshNearDup: union recall, verified once, dedup'd pairs") {
     import org.apache.spark.sql.functions.col
     // identical vectors collide in EVERY table yet emit exactly one pair

@@ -16,7 +16,10 @@ class PlanAuditSpec extends SparkSuite {
   private val allowedNestedLoop =
     Set("qs01_cosine_topk", "qs03_cosine_neardup", "qs02_ivf_ann",
       "qs07_ivf_from_index", // qs02's centroid cross join, from storage
-      "qs08_kmeans_ivf") // same broadcast centroid-scoring cross join
+      "qs08_kmeans_ivf", // same broadcast centroid-scoring cross join
+      // one-row calibration-array broadcast + broadcast query batch ×
+      // corpus scan — both linear in the corpus, neither a pair join
+      "qs10_scalar_quant")
 
   test("no unexpected cartesian/nested-loop joins anywhere in the registry") {
     val dir = "/root/testdata/sf0.001"
