@@ -191,6 +191,41 @@ object TextAnalysis {
       .limit(k)
   }
 
+  /** Corpus-frequency rarity score — the CCNet-style quality signal:
+    * how common a document's vocabulary is across the corpus. Each
+    * document's DISTINCT tokens join the corpus document-frequency
+    * table; the score is mean df = Σ df / n_types — one exact BIGINT
+    * sum and one IEEE division, engine-exact. (A production CCNet
+    * filter scores LM perplexity; this is the rational surrogate —
+    * monotone in every token's corpus frequency, no libm — and the
+    * pipeline seam is identical: a per-token corpus statistic joined
+    * back, aggregated per document, thresholded downstream. Natural
+    * text scores high; hash-garbage and boilerplate-free junk score
+    * low because their tokens appear nowhere else.)
+    *
+    * Scale shape: distinct-per-doc happens BEFORE the explode
+    * (array_distinct is narrow), the df build is a hash agg with
+    * map-side partials (hot stopwords collapse to one row per map
+    * task), and the df join back is an equi-join on the token. The
+    * token key is Zipfian — at web scale enable AQE skew-join or
+    * broadcast the head of the vocabulary (df is tiny per term; only
+    * the join fan-in is hot) — same mitigation family as qd04's
+    * df-cut. The final per-doc aggregate is uniform in doc_id. */
+  def rarityScore(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tok = graft.core.OpCache.persist(docs.select(
+      col(idCol).as("doc_id"),
+      explode(array_distinct(split(coalesce(col(textCol), lit("")), " ")))
+        .as("token")))
+    val dfT = tok.groupBy(col("token")).agg(count(lit(1)).cast("long").as("df"))
+    tok.join(dfT, Seq("token"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).cast("long").as("n_types"),
+        sum(col("df")).cast("long").as("sum_df"))
+      .select(col("doc_id"), col("n_types"), col("sum_df"),
+        (col("sum_df").cast("double") / col("n_types").cast("double"))
+          .as("mean_df"))
+  }
+
   /** Document fingerprints: exact content hash, an order-insensitive
     * bag-of-words hash, and a rolling-shingle minimizer (the min
     * 60-bit hash over 3-word shingles — the winnowing primitive). */

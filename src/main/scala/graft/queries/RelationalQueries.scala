@@ -708,6 +708,33 @@ object RelationalQueries {
         |  CAST(sum(CAST(value AS DECIMAL(30,6))) OVER w AS DOUBLE) AS sum_1h
         |FROM events
         |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(CAST(ts AS TIMESTAMP))
-        |  RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)""".stripMargin))
+        |  RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)""".stripMargin)),
+
+    Q(
+      "q36_grouping_sets",
+      "Arbitrary GROUPING SETS (beyond-reference; the generalization " +
+        "of q26's rollup): ((returnflag, linestatus), (linestatus), ()) " +
+        "— NOT a rollup lattice — computed in ONE pass via Spark's " +
+        "Expand (each input row fans out once per set, partial " +
+        "aggregation absorbs the fan-out map-side) instead of three " +
+        "separate jobs over the fact table. Explicit grouping() flags " +
+        "disambiguate real nulls from subtotal rows.",
+      (s, dir) =>
+        t(s, dir, "lineitem")
+          .groupingSets(
+            Seq(Seq(col("l_returnflag"), col("l_linestatus")),
+              Seq(col("l_linestatus")), Seq.empty),
+            col("l_returnflag"), col("l_linestatus"))
+          .agg(grouping(col("l_returnflag")).cast("long").as("g_rf"),
+            grouping(col("l_linestatus")).cast("long").as("g_ls"),
+            exactSum(col("l_quantity")).as("sum_qty"),
+            count(lit(1)).as("n_items")),
+      Some("""SELECT l_returnflag, l_linestatus,
+        |  CAST(grouping(l_returnflag) AS BIGINT) AS g_rf,
+        |  CAST(grouping(l_linestatus) AS BIGINT) AS g_ls,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(30,6))) AS DOUBLE) AS sum_qty,
+        |  count(*) AS n_items
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_linestatus), ())""".stripMargin))
   )
 }

@@ -768,6 +768,31 @@ object TextQueries {
         |SELECT doc_id, score FROM agg ORDER BY score DESC, doc_id LIMIT 10""".stripMargin)),
 
     Q(
+      "qt15_rarity_score",
+      "Corpus-frequency rarity score (TextAnalysis.rarityScore, the " +
+        "CCNet-style quality signal): mean document frequency of each " +
+        "document's distinct tokens — exact BIGINT sum of the joined " +
+        "df table, one IEEE division. Distinct-per-doc before the " +
+        "explode, partial-agg df build, token equi-join (Zipfian key — " +
+        "AQE skew-join / head-of-vocabulary broadcast at web scale).",
+      (s, dir) =>
+        graft.operators.TextAnalysis.rarityScore(
+          graft.core.Partitioning.parallelize(
+            Tables.load(s, dir, "documents"), col("doc_id")),
+          "doc_id", "text"),
+      Some("""WITH tok AS (
+        |  SELECT doc_id, unnest(list_distinct(string_split(coalesce(text, ''), ' '))) AS token
+        |  FROM documents),
+        |dfT AS (SELECT token, CAST(count(*) AS BIGINT) AS df FROM tok GROUP BY 1),
+        |agg AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_types,
+        |    CAST(sum(df) AS BIGINT) AS sum_df
+        |  FROM tok JOIN dfT USING (token) GROUP BY 1)
+        |SELECT doc_id, n_types, sum_df,
+        |  CAST(sum_df AS DOUBLE) / CAST(n_types AS DOUBLE) AS mean_df
+        |FROM agg""".stripMargin)),
+
+    Q(
       "qd12_incremental_dedup",
       "Incremental dedup — the daily-ingest lifecycle: admit a new " +
         "batch (doc_id % 10 = 0) against the existing corpus. Exact " +

@@ -107,6 +107,33 @@ object WarehouseQueries {
         |  strftime(lead(o_orderdate) OVER w, '%Y-%m-%d %H:%M:%S') AS valid_to,
         |  lead(o_orderdate) OVER w IS NULL AS is_current
         |FROM orders
-        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)""".stripMargin))
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)""".stripMargin)),
+
+    Q(
+      "qw04_cdc_apply",
+      "CDC snapshot materialization (Cdc.applyChanges, beyond-reference " +
+        "warehouse op): collapse a change feed (events per user; " +
+        "'error' rows are delete tombstones) into current state — " +
+        "latest (ts, event_id) wins per key, a key whose last change " +
+        "is a tombstone is absent. One shuffle on the key, a bounded " +
+        "per-key window, NO join against the previous snapshot — the " +
+        "set-based mirror transform that scales where row-at-a-time " +
+        "MERGE does not (the executed-MERGE serving path is K5/K6).",
+      (s, dir) =>
+        graft.warehouse.Cdc.applyChanges(
+          graft.core.Tables.load(s, dir, "events")
+            .select(col("user_id"), col("event_id"), col("event_type"),
+              col("value"), col("ts")),
+          keyCols = Seq("user_id"),
+          orderBy = Seq(col("ts"), col("event_id")),
+          isDelete = col("event_type") === "error")
+          .select(col("user_id"), col("event_id").as("last_event_id"),
+            col("event_type").as("last_type"), col("value").as("last_value")),
+      Some("""SELECT user_id, last_event_id, last_type, last_value FROM (
+        |  SELECT user_id, event_id AS last_event_id, event_type AS last_type,
+        |    value AS last_value,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events)
+        |WHERE rn = 1 AND last_type <> 'error'""".stripMargin))
   )
 }

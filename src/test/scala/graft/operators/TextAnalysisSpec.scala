@@ -47,4 +47,27 @@ class TextAnalysisSpec extends SparkSuite {
     assert(out(1L)._1 != out(2L)._1)
     assert(out(1L)._2 == out(2L)._2)
   }
+
+  test("rarityScore: common vocabulary scores high, junk scores low") {
+    // docs 1-3 share every token; doc 4 is all-singleton garbage
+    val df = Seq(
+      (1L, "the cat sat"), (2L, "the cat ran"), (3L, "the cat hid"),
+      (4L, "xq9 zzv1 qqj8")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.rarityScore(df, "doc_id", "text")
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toMap
+    // doc 1: tokens the(df 3) cat(df 3) sat(df 1) -> sum 7, mean 7/3
+    assert(out(1L) == ((3L, 7L, 7.0 / 3.0)))
+    // garbage doc: every token df 1 -> mean exactly 1 (the floor)
+    assert(out(4L) == ((3L, 3L, 1.0)))
+    assert(out.values.filter(_._3 > 1.0).map(_._3).min > out(4L)._3)
+    // repeated tokens inside one doc count once (distinct-per-doc)
+    val rep = Seq((1L, "a a a b"), (2L, "a b")).toDF("doc_id", "text")
+    val repOut = TextAnalysis.rarityScore(rep, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(repOut(1L) == ((2L, 4L)) && repOut(2L) == ((2L, 4L)))
+    graft.core.OpCache.releaseAll(blocking = true)
+  }
 }

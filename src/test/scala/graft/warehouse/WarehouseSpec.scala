@@ -93,6 +93,24 @@ class WarehouseSpec extends SparkSuite {
     assert(readBack().size == 5)
   }
 
+  test("CDC apply: latest wins, tombstone removes, re-insert resurrects") {
+    import org.apache.spark.sql.functions.col
+    val feed = Seq(
+      // key 1: insert → update — update wins
+      (1L, 10L, "upsert", 1.0), (1L, 11L, "upsert", 2.0),
+      // key 2: insert → delete — absent from the snapshot
+      (2L, 20L, "upsert", 5.0), (2L, 21L, "delete", 0.0),
+      // key 3: insert → delete → re-insert — resurrected with the new row
+      (3L, 30L, "upsert", 7.0), (3L, 31L, "delete", 0.0), (3L, 32L, "upsert", 9.0),
+      // key 4: same ts tie broken by change id
+      (4L, 40L, "upsert", 1.0), (4L, 41L, "upsert", 3.0)
+    ).toDF("k", "chg_id", "op", "v")
+    val out = Cdc.applyChanges(feed, Seq("k"),
+      orderBy = Seq(col("chg_id")), isDelete = col("op") === "delete")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(3))).toMap
+    assert(out == Map(1L -> (11L, 2.0), 3L -> (32L, 9.0), 4L -> (41L, 3.0)))
+  }
+
   test("upsert SQL generation (K5/K6)") {
     assert(JdbcUpsert.upsertSql("series",
       Seq("country_id", "indicator_id", "year", "value"),
