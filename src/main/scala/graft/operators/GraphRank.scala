@@ -1,0 +1,68 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Fixed-iteration PageRank over an undirected pair graph — the graph
+  * analytics sibling of [[Dedup]]'s connected components. In a
+  * training-data pipeline, centrality over the near-duplicate /
+  * similarity graph is a curation signal: a document sitting in the
+  * middle of a dense template cluster ranks high (boilerplate), an
+  * isolated document keeps the base rank.
+  *
+  * Determinism: the whole iteration runs in BIGINT fixed-point
+  * (`scale` = 1e12 ≙ rank 1.0). Per-edge contributions are integer
+  * floor divisions (pr div deg), the per-node combine is an exact
+  * BIGINT sum (order-invariant — no IEEE addition anywhere), and the
+  * damping step is (pct · s) div 100. Two runs — or two engines —
+  * produce identical integers; the floor rounding loses a bounded,
+  * deterministic dust mass per iteration (≤ deg ulps per node), the
+  * standard price of fixed-point PR. Dangling mass is NOT
+  * redistributed (the simplified formulation); the oracle replays the
+  * same choice.
+  *
+  * Scale shape: each iteration is one equi-join of the edge list with
+  * the rank table (both partitioned by src) plus one hash aggregation
+  * on dst — linear in |E| per iteration, the power-iteration shape
+  * that runs at web scale. A FIXED iteration count keeps the plan
+  * statically analyzable (no data-dependent convergence loop), same
+  * policy as [[Similarity.trainIvfCentroids]].
+  */
+object GraphRank {
+
+  /** @param nodes  one row per node (ranks cover nodes with no edges)
+    * @param edges  undirected pairs (aCol, bCol); each pair counts as
+    *               one edge in each direction
+    * @param dampingPct damping factor as an integer percentage (85 =
+    *               the classic 0.85) so the damping step stays exact
+    * @return (node_id, pr_int) with pr_int ≙ rank · scale */
+  def pageRank(
+      nodes: DataFrame, idCol: String,
+      edges: DataFrame, aCol: String = "a_id", bCol: String = "b_id",
+      iters: Int = 2, dampingPct: Int = 85,
+      scale: Long = 1000000000000L): DataFrame = {
+    require(iters >= 1 && dampingPct >= 0 && dampingPct <= 100)
+    val ids = graft.core.OpCache.persist(
+      graft.core.Partitioning.parallelize(nodes, col(idCol))
+        .select(col(idCol).as("node_id")))
+    val n = ids.count()
+    val sym = edges.select(col(aCol).as("src"), col(bCol).as("dst"))
+      .unionByName(edges.select(col(bCol).as("src"), col(aCol).as("dst")))
+    val e = graft.core.OpCache.persist(sym.join(
+      sym.groupBy(col("src")).agg(count(lit(1)).cast("long").as("deg")),
+      Seq("src")))
+    val base = (scale * (100 - dampingPct) / 100) / n
+    var pr = ids.select(col("node_id"), lit(scale / n).as("pr"))
+    (0 until iters).foreach { _ =>
+      val contrib = e.join(pr, col("src") === col("node_id"))
+        .select(col("dst"), expr("pr div deg").as("c"))
+        .groupBy(col("dst")).agg(sum(col("c")).cast("long").as("s"))
+      pr = ids.join(contrib, col("node_id") === col("dst"), "left")
+        .select(col("node_id"),
+          (lit(base) +
+            expr(s"($dampingPct * coalesce(s, CAST(0 AS BIGINT))) div 100"))
+            .as("pr"))
+    }
+    pr.select(col("node_id"), col("pr").cast("long").as("pr_int"))
+  }
+}

@@ -735,6 +735,35 @@ object RelationalQueries {
         |  CAST(sum(CAST(l_quantity AS DECIMAL(30,6))) AS DOUBLE) AS sum_qty,
         |  count(*) AS n_items
         |FROM lineitem
-        |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_linestatus), ())""".stripMargin))
+        |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_linestatus), ())""".stripMargin)),
+
+    Q(
+      "q37_funnel",
+      "Ordered funnel (Funnel.funnel, beyond-reference event " +
+        "analytics): users reaching view → click → purchase, each " +
+        "stage strictly after the user's FIRST prior-stage event " +
+        "(first-touch). Per stage: predicate-pruned scan, equi-join " +
+        "on the shrinking reached-set, min-aggregate — no global " +
+        "window, no per-user sort; hot users collapse to one row per " +
+        "stage before the next join.",
+      (s, dir) =>
+        graft.operators.Funnel.funnel(
+          t(s, dir, "events"), "user_id", "ts",
+          Seq("view" -> (col("event_type") === "view"),
+            "click" -> (col("event_type") === "click"),
+            "purchase" -> (col("event_type") === "purchase"))),
+      Some("""WITH s1 AS (
+        |  SELECT user_id, min(ts) AS t FROM events
+        |  WHERE event_type = 'view' GROUP BY 1),
+        |s2 AS (
+        |  SELECT e.user_id, min(e.ts) AS t FROM events e JOIN s1 USING (user_id)
+        |  WHERE e.event_type = 'click' AND e.ts > s1.t GROUP BY 1),
+        |s3 AS (
+        |  SELECT e.user_id, min(e.ts) AS t FROM events e JOIN s2 USING (user_id)
+        |  WHERE e.event_type = 'purchase' AND e.ts > s2.t GROUP BY 1)
+        |SELECT CAST(1 AS BIGINT) AS stage_idx, 'view' AS stage,
+        |  CAST(count(*) AS BIGINT) AS n_users FROM s1
+        |UNION ALL SELECT CAST(2 AS BIGINT), 'click', CAST(count(*) AS BIGINT) FROM s2
+        |UNION ALL SELECT CAST(3 AS BIGINT), 'purchase', CAST(count(*) AS BIGINT) FROM s3""".stripMargin))
   )
 }

@@ -238,6 +238,35 @@ object StreamingQueries {
         |    ON p.a_id = b3.doc_id AND p.b_id = b.doc_id)""".stripMargin)),
 
     Q(
+      "qst07_stream_cdc",
+      "Streaming CDC snapshot (EventStreams.cdcSnapshot): the change " +
+        "feed (events per user, 'error' = tombstone) maintained as a " +
+        "live materialized view — max_by streaming aggregation, state " +
+        "= one row per key. The feed is delivered TWICE (two unioned " +
+        "file streams): max_by idempotence must absorb the duplicate " +
+        "delivery with no separate dedup stage. Tombstone filtering " +
+        "is the consumer projection on read. Oracle = qw04's batch " +
+        "CDC apply — batch/stream parity on the same feed.",
+      (s, dir) => {
+        val doubled = eventsFileStream(s, dir).union(eventsFileStream(s, dir))
+        val snap = EventStreams.cdcSnapshot(doubled,
+          keyCols = Seq("user_id"),
+          orderCols = Seq("ts", "event_id"),
+          payloadCols = Seq("event_id", "event_type", "value"))
+        runToMemory(s, "graft_stream_cdc", "complete")(snap)
+          .filter(col("last_event_type") =!= "error")
+          .select(col("user_id"), col("last_event_id"),
+            col("last_event_type").as("last_type"),
+            col("last_value"))
+      },
+      Some("""SELECT user_id, last_event_id, last_type, last_value FROM (
+        |  SELECT user_id, event_id AS last_event_id, event_type AS last_type,
+        |    value AS last_value,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events)
+        |WHERE rn = 1 AND last_type <> 'error'""".stripMargin)),
+
+    Q(
       "qm01_media_features",
       "Multimodal plumbing: wrap document text bytes as media rows, " +
         "extract per-partition batched byte-level features (stub " +

@@ -875,6 +875,49 @@ object TextQueries {
         |  SELECT s, t FROM sym
         |  UNION
         |  SELECT r.s, sym.t FROM r JOIN sym ON r.t = sym.s)
-        |SELECT s AS doc_id, min(t) AS component FROM r GROUP BY s""".stripMargin))
+        |SELECT s AS doc_id, min(t) AS component FROM r GROUP BY s""".stripMargin)),
+
+    Q(
+      "qd14_pagerank",
+      "Fixed-point PageRank over the near-duplicate graph " +
+        "(GraphRank.pageRank, 2 iterations, damping 85%): centrality " +
+        "as a curation signal — documents inside dense template " +
+        "clusters rank high, isolated documents keep the base rank. " +
+        "The ENTIRE iteration is BIGINT fixed-point (1e12 = rank 1): " +
+        "floor-division contributions, exact integer sums — " +
+        "bit-reproducible across engines and partitionings with no " +
+        "decimal casts anywhere. Per iteration: one edge⋈rank " +
+        "equi-join + one hash agg on dst, linear in |E|.",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        graft.operators.GraphRank.pageRank(
+          docs, "doc_id",
+          Dedup.lshNearDupPairs(docs, "doc_id", "text",
+            nShingle = 3, k = 16, bands = 4, threshold = 0.5),
+          iters = 2)
+          .select(col("node_id").as("doc_id"), col("pr_int"))
+      },
+      Some(s"""WITH ${lshCtes()},
+        |pairs AS ($lshPairSelect),
+        |e2 AS (SELECT a_id AS src, b_id AS dst FROM pairs
+        |       UNION ALL SELECT b_id, a_id FROM pairs),
+        |deg AS (SELECT src, CAST(count(*) AS BIGINT) AS deg FROM e2 GROUP BY 1),
+        |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+        |p0 AS (SELECT doc_id, 1000000000000 // nn.n AS pr FROM documents, nn),
+        |c1 AS (SELECT e2.dst, CAST(sum(p0.pr // deg.deg) AS BIGINT) AS s
+        |       FROM e2 JOIN p0 ON e2.src = p0.doc_id
+        |       JOIN deg ON e2.src = deg.src GROUP BY 1),
+        |p1 AS (SELECT d.doc_id,
+        |         (1000000000000 * 15 // 100) // nn.n +
+        |         (85 * coalesce(c1.s, 0)) // 100 AS pr
+        |       FROM documents d LEFT JOIN c1 ON d.doc_id = c1.dst, nn),
+        |c2 AS (SELECT e2.dst, CAST(sum(p1.pr // deg.deg) AS BIGINT) AS s
+        |       FROM e2 JOIN p1 ON e2.src = p1.doc_id
+        |       JOIN deg ON e2.src = deg.src GROUP BY 1),
+        |p2 AS (SELECT d.doc_id,
+        |         (1000000000000 * 15 // 100) // nn.n +
+        |         (85 * coalesce(c2.s, 0)) // 100 AS pr
+        |       FROM documents d LEFT JOIN c2 ON d.doc_id = c2.dst, nn)
+        |SELECT doc_id, CAST(pr AS BIGINT) AS pr_int FROM p2""".stripMargin))
   )
 }

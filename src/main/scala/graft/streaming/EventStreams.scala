@@ -96,6 +96,35 @@ object EventStreams {
     if (!q.awaitTermination(180000)) q.stop()
   }
 
+  /** Streaming CDC snapshot — [[graft.warehouse.Cdc.applyChanges]] as
+    * a continuously-maintained materialized view: per key, keep the
+    * change row with the greatest order tuple seen so far (`max_by`
+    * over a struct — a regular streaming aggregation, so partial
+    * aggregation and state updates are incremental per micro-batch).
+    * Run in Complete/Update mode; the sink always holds the current
+    * snapshot. Duplicate upstream delivery is absorbed for free —
+    * max_by is idempotent — so at-least-once sources need no separate
+    * dedup stage. Tombstone filtering is the CONSUMER's projection
+    * (filter last_* on read): dropping tombstones inside the stream
+    * would lose the state needed to suppress a key whose latest change
+    * is a delete.
+    *
+    * State is one row per live key — the inherent size of the snapshot
+    * being maintained, not a leak; keys partition uniformly and the
+    * aggregation never holds history (contrast qw03's SCD2, which is
+    * the batch path when history must survive). */
+  def cdcSnapshot(
+      changes: DataFrame,
+      keyCols: Seq[String],
+      orderCols: Seq[String],
+      payloadCols: Seq[String]): DataFrame =
+    changes
+      .groupBy(keyCols.map(col): _*)
+      .agg(max_by(struct(payloadCols.map(col): _*),
+        struct(orderCols.map(col): _*)).as("last"))
+      .select(keyCols.map(col) ++
+        payloadCols.map(c => col(s"last.$c").as(s"last_$c")): _*)
+
   /** Streaming exact deduplication by event id within the watermark
     * (`dropDuplicatesWithinWatermark`): the event-dedup stage of a
     * streaming ingest — at-least-once upstream delivery becomes

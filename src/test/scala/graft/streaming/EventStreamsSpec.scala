@@ -56,6 +56,39 @@ class EventStreamsSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("cdcSnapshot: latest wins across micro-batches, duplicates absorbed") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val snap = EventStreams.cdcSnapshot(input.toDF(),
+      keyCols = Seq("user_id"), orderCols = Seq("ts", "event_id"),
+      payloadCols = Seq("event_id", "event_type", "value"))
+    val q = snap.writeStream.format("memory").queryName("cdc_test")
+      .outputMode(OutputMode.Complete()).start()
+    try {
+      input.addData(
+        Event(1, ts(0), 10, "upsert", 1.0),
+        Event(2, ts(1), 10, "upsert", 2.0),
+        Event(3, ts(0), 11, "upsert", 5.0))
+      q.processAllAvailable()
+      // batch 2: user 10 re-delivered (older — must NOT win), user 11
+      // tombstoned, user 12 appears
+      input.addData(
+        Event(1, ts(0), 10, "upsert", 1.0),
+        Event(4, ts(2), 11, "error", 0.0),
+        Event(5, ts(0), 12, "upsert", 9.0))
+      q.processAllAvailable()
+      val rows = spark.table("cdc_test")
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+      assert(rows == Map(
+        10L -> (2L, "upsert"), 11L -> (4L, "error"), 12L -> (5L, "upsert")))
+      // consumer projection: tombstoned key 11 drops from the snapshot
+      val live = spark.table("cdc_test")
+        .filter($"last_event_type" =!= "error")
+        .collect().map(_.getLong(0)).toSet
+      assert(live == Set(10L, 12L))
+    } finally q.stop()
+  }
+
   test("streaming aggregate lands in a JDBC table via foreachBatch upsert") {
     implicit val sqlCtx = spark.sqlContext
     System.setProperty("derby.system.home",
