@@ -319,6 +319,77 @@ object TextQueries {
         |FROM agg""".stripMargin)),
 
     Q(
+      "qd15_kmv_setops",
+      "Sketch-based set algebra between sub-corpora: per-source KMV " +
+        "(bottom-64) sketches of 3-shingle hashes, then pairwise " +
+        "union/intersection/jaccard ESTIMATES computed from sketches " +
+        "alone — the mergeable-sketch path for cross-corpus overlap " +
+        "when exact distincts stop fitting (|union| from the merged " +
+        "bottom-k, |intersect| = jaccard × union). The pair join runs " +
+        "over the per-source sketch table — one row per source, " +
+        "dim-sized by construction; the corpus-scale work is the one " +
+        "partial-agg sketch build.",
+      (s, dir) => {
+        import org.apache.spark.sql.Column
+        graft.functions.GraftFunctions.register(s)
+        val k = 64
+        val docs = Tables.load(s, dir, "documents")
+        val sh = graft.core.Partitioning.parallelize(docs, col("doc_id"))
+          .select(col("source"), split(col("text"), " ").as("w"))
+          .filter(size(col("w")) >= 3)
+          .select(col("source"),
+            explode(Dedup.wordShingles(col("w"), 3)).as("sg"))
+          .select(col("source"), Dedup.hash60(col("sg")).as("h"))
+        val sk = sh.groupBy(col("source"))
+          .agg(call_function("graft_bottom_k", col("h"), lit(k)).as("sk"))
+        def est(c: Column): Column =
+          when(size(c) < k, size(c).cast("double"))
+            .otherwise(lit((k - 1).toDouble) * pow(lit(2.0), lit(60.0)) /
+              element_at(c, k).cast("double"))
+        val paired = sk.as("a").join(sk.as("b"), col("a.source") < col("b.source"))
+          .select(col("a.source").as("src_a"), col("b.source").as("src_b"),
+            col("a.sk").as("ska"), col("b.sk").as("skb"),
+            slice(array_sort(array_union(col("a.sk"), col("b.sk"))), 1, k).as("u"))
+        val scored = paired.select(col("src_a"), col("src_b"),
+          est(col("ska")).as("est_a"), est(col("skb")).as("est_b"),
+          est(col("u")).as("est_union"),
+          (size(filter(col("u"), x =>
+            array_contains(col("ska"), x) && array_contains(col("skb"), x)))
+            .cast("double") / size(col("u")).cast("double")).as("est_jaccard"))
+        scored.withColumn("est_intersect", col("est_jaccard") * col("est_union"))
+      },
+      Some(s"""WITH w AS (
+        |  SELECT source, string_split(text, ' ') AS w FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 3),
+        |g AS (
+        |  SELECT DISTINCT source, ${dkHash60("sg")} AS h FROM (
+        |    SELECT source, unnest(list_transform(range(1, len(w)-1),
+        |      i -> concat(w[i], ' ', w[i+1], ' ', w[i+2]))) AS sg FROM w)),
+        |sk AS (SELECT source, list_slice(list_sort(list(h)), 1, 64) AS sk
+        |       FROM g GROUP BY source),
+        |p AS (
+        |  SELECT a.source AS src_a, b.source AS src_b, a.sk AS ska, b.sk AS skb,
+        |    list_slice(list_sort(list_distinct(a.sk || b.sk)), 1, 64) AS u
+        |  FROM sk a JOIN sk b ON a.source < b.source),
+        |f AS (
+        |  SELECT src_a, src_b,
+        |    CASE WHEN len(ska) < 64 THEN CAST(len(ska) AS DOUBLE)
+        |         ELSE CAST(63 AS DOUBLE) * power(CAST(2 AS DOUBLE), CAST(60 AS DOUBLE))
+        |              / CAST(ska[64] AS DOUBLE) END AS est_a,
+        |    CASE WHEN len(skb) < 64 THEN CAST(len(skb) AS DOUBLE)
+        |         ELSE CAST(63 AS DOUBLE) * power(CAST(2 AS DOUBLE), CAST(60 AS DOUBLE))
+        |              / CAST(skb[64] AS DOUBLE) END AS est_b,
+        |    CASE WHEN len(u) < 64 THEN CAST(len(u) AS DOUBLE)
+        |         ELSE CAST(63 AS DOUBLE) * power(CAST(2 AS DOUBLE), CAST(60 AS DOUBLE))
+        |              / CAST(u[64] AS DOUBLE) END AS est_union,
+        |    CAST(len(list_filter(u, x -> list_contains(ska, x) AND list_contains(skb, x))) AS DOUBLE)
+        |      / CAST(len(u) AS DOUBLE) AS est_jaccard
+        |  FROM p)
+        |SELECT src_a, src_b, est_a, est_b, est_union, est_jaccard,
+        |  est_jaccard * est_union AS est_intersect
+        |FROM f""".stripMargin)),
+
+    Q(
       "qt01_lang_id",
       "Language-ID heuristic: CJK codepoint check then stopword-count " +
         "argmax with fixed tiebreak. Pure narrow transform.",

@@ -134,6 +134,61 @@ object WarehouseQueries {
         |    value AS last_value,
         |    row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
         |  FROM events)
-        |WHERE rn = 1 AND last_type <> 'error'""".stripMargin))
+        |WHERE rn = 1 AND last_type <> 'error'""".stripMargin)),
+
+    Q(
+      "qw05_incremental_agg",
+      "Incremental view maintenance (beyond-reference warehouse op): " +
+        "a stored per-type aggregate state (count, DECIMAL sum, KMV " +
+        "user sketch — all MERGEABLE partials) absorbs a delta batch " +
+        "by merging states, never rescanning history: counts add, " +
+        "decimal sums add exactly, sketches union-truncate " +
+        "(order-invariant, so the merge is partitioning-proof). " +
+        "Oracle = the full recompute over all events — merged " +
+        "incremental state must equal it bit-for-bit, distinct-user " +
+        "estimate included.",
+      (s, dir) => {
+        import org.apache.spark.sql.types.DecimalType
+        import org.apache.spark.sql.{Column, DataFrame}
+        graft.functions.GraftFunctions.register(s)
+        val k = 64
+        val ev = graft.core.Tables.load(s, dir, "events")
+        def state(df: DataFrame): DataFrame = df
+          .select(col("event_type"), col("value"),
+            graft.operators.Dedup.hash60(col("user_id").cast("string")).as("uh"))
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).cast("long").as("n"),
+            sum(col("value").cast(DecimalType(30, 6))).as("sv"),
+            call_function("graft_bottom_k", col("uh"), lit(k)).as("sk"))
+        val stored = state(ev.filter(pmod(col("event_id"), lit(5)) =!= 0))
+        val delta = state(ev.filter(pmod(col("event_id"), lit(5)) === 0))
+        def est(c: Column): Column =
+          when(size(c) < k, size(c).cast("double"))
+            .otherwise(lit((k - 1).toDouble) * pow(lit(2.0), lit(60.0)) /
+              element_at(c, k).cast("double"))
+        stored.unionByName(delta)
+          .groupBy(col("event_type"))
+          .agg(sum(col("n")).cast("long").as("n_events"),
+            sum(col("sv")).cast("double").as("total_value"),
+            aggregate(collect_list(col("sk")),
+              array().cast("array<bigint>"),
+              (acc, x) => slice(array_sort(array_union(acc, x)), 1, k)).as("sk"))
+          .select(col("event_type"), col("n_events"), col("total_value"),
+            est(col("sk")).as("est_users"))
+      },
+      Some("""WITH h AS (
+        |  SELECT event_type, value,
+        |    CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) AS uh
+        |  FROM events),
+        |agg AS (
+        |  SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+        |    CAST(sum(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS total_value,
+        |    list_slice(list_sort(list(DISTINCT uh)), 1, 64) AS sk
+        |  FROM h GROUP BY 1)
+        |SELECT event_type, n_events, total_value,
+        |  CASE WHEN len(sk) < 64 THEN CAST(len(sk) AS DOUBLE)
+        |       ELSE CAST(63 AS DOUBLE) * power(CAST(2 AS DOUBLE), CAST(60 AS DOUBLE))
+        |            / CAST(sk[64] AS DOUBLE) END AS est_users
+        |FROM agg""".stripMargin))
   )
 }

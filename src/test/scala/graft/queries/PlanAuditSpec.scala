@@ -19,7 +19,10 @@ class PlanAuditSpec extends SparkSuite {
       "qs08_kmeans_ivf", // same broadcast centroid-scoring cross join
       // one-row calibration-array broadcast + broadcast query batch ×
       // corpus scan — both linear in the corpus, neither a pair join
-      "qs10_scalar_quant")
+      "qs10_scalar_quant",
+      // pairwise join over the per-source SKETCH table — one row per
+      // source (dim-sized by construction), corpus work is the sketch agg
+      "qd15_kmv_setops")
 
   test("no unexpected cartesian/nested-loop joins anywhere in the registry") {
     val dir = "/root/testdata/sf0.001"
