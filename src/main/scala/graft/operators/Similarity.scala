@@ -407,6 +407,43 @@ object Similarity {
       .select(col("vec_id"), col("nbr_id"), col("rnk").cast("long").as("rnk"))
   }
 
+  /** IVF-SQ top-k — the production ANN configuration (the IVF+SQ8
+    * shape): coarse quantization and probing stay in float (centroid
+    * cosine ranks, exactly [[ivfTopK]]'s recall dial), but IN-CELL
+    * scoring runs over int8 codes with the exact integer dot product —
+    * the cell tables ship 4× less data through the probe join and the
+    * scoring kernel is integer math. Ranks are engine-exact: float
+    * cosine decides only WHICH cells are probed; every tie-able
+    * comparison inside a cell is integer. Composes [[buildIvfIndex]]'s
+    * structure with [[sqQuantize]]'s codes; at corpus scale both the
+    * centroid table and the calibration array broadcast, and the cell
+    * join stays the one equi-join shuffle. */
+  def ivfSqTopK(
+      em: DataFrame, idCol: String, vecCol: String,
+      k: Int, centroidStride: Int = 40, nProbe: Int = 4): DataFrame = {
+    val e = graft.core.OpCache.persist(withNorm(em, idCol, vecCol))
+    val cents = e.filter(col("vec_id") % centroidStride === 0)
+      .select(col("vec_id").as("cent_id"), col("embedding").as("cemb"),
+        col("nrm").as("cnrm"))
+    val ranks = centroidRanks(e, broadcast(cents))
+    val assign = ranks.filter(col("rn") === 1).select(col("vec_id"), col("cent_id"))
+    val probes = ranks.filter(col("rn") <= nProbe).select(col("vec_id"), col("cent_id"))
+    val qv = graft.core.OpCache.persist(
+      sqQuantize(e, "vec_id", "embedding", sqCalibrate(e, "embedding")))
+    val cells = qv.join(assign, Seq("vec_id"))
+    val probe = qv.join(probes, Seq("vec_id"))
+    val scored = probe.as("p").join(cells.as("c"),
+        col("p.cent_id") === col("c.cent_id") && col("p.vec_id") =!= col("c.vec_id"))
+      .select(col("p.vec_id").as("vec_id"), col("c.vec_id").as("nbr_id"),
+        aggregate(zip_with(col("p.q"), col("c.q"),
+          (x, y) => x.cast("long") * y.cast("long")),
+          lit(0L), (acc, v) => acc + v).as("score"))
+    val w = Window.partitionBy(col("vec_id")).orderBy(col("score").desc, col("nbr_id"))
+    scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("vec_id"), col("nbr_id"), col("rnk").cast("long").as("rnk"))
+  }
+
   /** Per-label centroid table: element-wise mean of the embedding
     * vectors of each label, one row per (label, dimension).
     *

@@ -17,6 +17,24 @@ object SimilarityQueries {
   private def dkNorm(a: String): String =
     s"sqrt(list_reduce(list_transform($a, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (x, y) -> x + y))"
 
+  /** DuckDB rendition of Similarity.sqCalibrate + sqQuantize (shared
+    * by qs10 and qs11): per-dim max-abs scales, the scales folded to a
+    * list in dim order, and the clamped ⌊x/s·127+0.5⌋ int8 codes —
+    * expression shapes mirrored verbatim from the Spark side. */
+  private def sqCtes: String = """sc AS (
+    |  SELECT t.i AS dim,
+    |    CASE WHEN max(abs(CAST(e.embedding[t.i] AS DOUBLE))) = 0 THEN 1.0
+    |         ELSE max(abs(CAST(e.embedding[t.i] AS DOUBLE))) END AS scale
+    |  FROM embeddings e, unnest(range(1, len(e.embedding) + 1)) t(i)
+    |  GROUP BY t.i),
+    |scl AS (SELECT list(scale ORDER BY dim) AS s FROM sc),
+    |qv AS (
+    |  SELECT vec_id,
+    |    list_transform(range(1, len(embedding) + 1), i ->
+    |      CAST(least(greatest(floor(CAST(embedding[i] AS DOUBLE) / s[i] * 127 + 0.5),
+    |        -127), 127) AS BIGINT)) AS q
+    |  FROM embeddings, scl)""".stripMargin
+
   /** Shared by qs02 (build-and-search) and qs07 (search against the
     * parquet-round-tripped index): the from-index path is semantics-
     * identical, so one oracle checks both. */
@@ -271,19 +289,7 @@ object SimilarityQueries {
           em.filter(org.apache.spark.sql.functions.col("vec_id") % 50 === 0),
           "vec_id", "embedding", k = 10)
       },
-      Some("""WITH sc AS (
-        |  SELECT t.i AS dim,
-        |    CASE WHEN max(abs(CAST(e.embedding[t.i] AS DOUBLE))) = 0 THEN 1.0
-        |         ELSE max(abs(CAST(e.embedding[t.i] AS DOUBLE))) END AS scale
-        |  FROM embeddings e, unnest(range(1, len(e.embedding) + 1)) t(i)
-        |  GROUP BY t.i),
-        |scl AS (SELECT list(scale ORDER BY dim) AS s FROM sc),
-        |qv AS (
-        |  SELECT vec_id,
-        |    list_transform(range(1, len(embedding) + 1), i ->
-        |      CAST(least(greatest(floor(CAST(embedding[i] AS DOUBLE) / s[i] * 127 + 0.5),
-        |        -127), 127) AS BIGINT)) AS q
-        |  FROM embeddings, scl),
+      Some(s"""WITH $sqCtes,
         |qq AS (SELECT * FROM qv WHERE vec_id % 50 = 0)
         |SELECT vec_id, nbr_id, rnk FROM (
         |  SELECT a.vec_id AS vec_id, b.vec_id AS nbr_id,
@@ -292,6 +298,40 @@ object SimilarityQueries {
         |      b.vec_id) AS rnk
         |  FROM qq a JOIN qv b ON a.vec_id <> b.vec_id)
         |WHERE rnk <= 10""".stripMargin)),
+
+    Q(
+      "qs11_ivf_sq",
+      "IVF-SQ ANN (Similarity.ivfSqTopK — the production IVF+SQ8 " +
+        "configuration): float cosine picks the probe cells (qs02's " +
+        "recall dial unchanged), in-cell scoring runs over int8 codes " +
+        "with the exact integer dot — cells ship 4× less data through " +
+        "the probe join and every in-cell comparison is integer, so " +
+        "ranks are engine-exact with no float-tie risk.",
+      (s, dir) =>
+        Similarity.ivfSqTopK(Tables.load(s, dir, "embeddings"),
+          "vec_id", "embedding", k = 5, centroidStride = 40, nProbe = 4),
+      Some(s"""WITH e AS (
+        |  SELECT vec_id, embedding, ${dkNorm("embedding")} AS nrm
+        |  FROM embeddings),
+        |c AS (SELECT vec_id AS cent_id, embedding AS cemb, nrm AS cnrm FROM e WHERE vec_id % 40 = 0),
+        |ranked AS (
+        |  SELECT e.vec_id, c.cent_id,
+        |    row_number() OVER (PARTITION BY e.vec_id ORDER BY
+        |      ${dkDot("e.embedding", "c.cemb")} / (e.nrm * c.cnrm) DESC,
+        |      c.cent_id) AS rn
+        |  FROM e, c),
+        |assign AS (SELECT vec_id, cent_id FROM ranked WHERE rn = 1),
+        |probes AS (SELECT vec_id, cent_id FROM ranked WHERE rn <= 4),
+        |$sqCtes,
+        |b AS (SELECT qv.vec_id, qv.q, a.cent_id FROM qv JOIN assign a USING (vec_id)),
+        |p AS (SELECT qv.vec_id, qv.q, pr.cent_id FROM qv JOIN probes pr USING (vec_id))
+        |SELECT vec_id, nbr_id, rnk FROM (
+        |  SELECT p.vec_id AS vec_id, q.vec_id AS nbr_id,
+        |    row_number() OVER (PARTITION BY p.vec_id ORDER BY
+        |      list_sum(list_transform(list_zip(p.q, q.q), s -> s[1] * s[2])) DESC,
+        |      q.vec_id) AS rnk
+        |  FROM p JOIN b q ON p.cent_id = q.cent_id AND p.vec_id <> q.vec_id)
+        |WHERE rnk <= 5""".stripMargin)),
 
     Q(
       "qs06_label_centroids",

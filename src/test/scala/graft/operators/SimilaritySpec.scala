@@ -174,6 +174,29 @@ class SimilaritySpec extends SparkSuite {
     graft.core.OpCache.releaseAll(blocking = true)
   }
 
+  test("ivfSqTopK: probes cells like IVF, ranks by integer dot, deterministic") {
+    val df = vecs.toDF("vec_id", "embedding")
+    val sq = Similarity.ivfSqTopK(df, "vec_id", "embedding",
+      k = 3, centroidStride = 7, nProbe = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // every query emits at most k ranked rows, ranks contiguous from 1
+    val byQuery = sq.groupBy(_._1)
+    byQuery.foreach { case (q, rows) =>
+      assert(rows.map(_._3).sorted.sameElements(1L to rows.length), s"query $q")
+    }
+    // candidate set ⊆ the float-IVF candidate set at the same probes:
+    // both probe identical cells (float cosine picks cells in both)
+    val fl = Similarity.ivfTopK(df, "vec_id", "embedding",
+      k = 20, centroidStride = 7, nProbe = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(sq.forall { case (q, n, _) => fl.contains((q, n)) })
+    val again = Similarity.ivfSqTopK(df, "vec_id", "embedding",
+      k = 3, centroidStride = 7, nProbe = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(sq.toSet == again.toSet)
+    graft.core.OpCache.releaseAll(blocking = true)
+  }
+
   test("sqCalibrate: zero dimension gets scale 1 (no divide-by-zero)") {
     val df = Seq(
       (0L, Array(0.0f, 2.0f)), (1L, Array(0.0f, -4.0f))
