@@ -783,4 +783,55 @@ object Dedup {
     graft.core.OpCache.track(labels)
     labels.select(col("node"), col("label").as("component"))
   }
+
+  /** Winnowing fingerprints — the MOSS document-fingerprinting
+    * algorithm: over each document's ORDERED 60-bit n-gram hash
+    * sequence, slide a window of `window` consecutive hashes and keep
+    * each window's minimum; the distinct minima are the fingerprint
+    * set. Guarantee: any shared run of ≥ window + n − 1 words
+    * contributes at least one SHARED fingerprint (both documents see
+    * the same window of hashes somewhere inside the run), while
+    * expected density is only 2/(window+1) of the grams — a
+    * substring-sensitive index at a fraction of the full inverted
+    * index's size. Narrow per-document transform, no shuffle. */
+  def winnowingFingerprints(
+      docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, window: Int = 4): DataFrame = {
+    val w = split(col(textCol), " ")
+    val hs = transform(wordGrams(w, n), g => hash60(g))
+    docs.filter(size(split(col(textCol), " ")) >= n + window - 1)
+      .select(col(idCol).as("doc_id"),
+        explode(array_distinct(transform(
+          sequence(lit(1), size(hs) - (window - 1)),
+          i => array_min(slice(hs, i, lit(window)))))).as("fp"))
+  }
+
+  /** Winnowing candidate pairs: documents sharing ≥ `minShared`
+    * fingerprints — the plagiarism/boilerplate-overlap detector that
+    * catches shared SUBSTRINGS (ordered runs), where MinHash/SimHash
+    * measure bag-of-shingles similarity. Inverted-index equi-join on
+    * the fingerprint (qd04's join family), pair counting by hash agg.
+    * The fingerprint key inherits gram skew: a hot boilerplate phrase
+    * is exactly what `maxDocFreq` drops before the join (same df-cut
+    * semantics as [[blockedJaccardPairs]]). */
+  def winnowingPairs(
+      docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, window: Int = 4, minShared: Int = 2,
+      maxDocFreq: Option[Long] = None): DataFrame = {
+    val fps = graft.core.OpCache.persist(
+      winnowingFingerprints(docs, idCol, textCol, n, window))
+    val inv = maxDocFreq match {
+      case None => fps
+      case Some(cut) =>
+        val hot = fps.groupBy(col("fp"))
+          .agg(count(lit(1)).as("df")).filter(col("df") > cut)
+        fps.join(hot.select(col("fp")), Seq("fp"), "left_anti")
+    }
+    inv.as("a").join(inv.as("b"),
+        col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+      .groupBy(col("a_id"), col("b_id"))
+      .agg(count(lit(1)).cast("long").as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
 }

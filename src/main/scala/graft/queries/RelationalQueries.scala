@@ -764,6 +764,48 @@ object RelationalQueries {
         |SELECT CAST(1 AS BIGINT) AS stage_idx, 'view' AS stage,
         |  CAST(count(*) AS BIGINT) AS n_users FROM s1
         |UNION ALL SELECT CAST(2 AS BIGINT), 'click', CAST(count(*) AS BIGINT) FROM s2
-        |UNION ALL SELECT CAST(3 AS BIGINT), 'purchase', CAST(count(*) AS BIGINT) FROM s3""".stripMargin))
+        |UNION ALL SELECT CAST(3 AS BIGINT), 'purchase', CAST(count(*) AS BIGINT) FROM s3""".stripMargin)),
+
+    Q(
+      "q38_hist_quantile",
+      "Equi-width histogram quantile estimation (Histogram." +
+        "quantileEstimates, beyond-reference): p50/p95/p99 of " +
+        "l_extendedprice per returnflag from a 1000-bin histogram — " +
+        "one calibration aggregate + ONE linear pass with partial " +
+        "aggregation, versus q28's exact percentile whose per-group " +
+        "sort IS the job at scale. Estimates are right-bin-edge upper " +
+        "bounds (error ≤ one bin width); bin counts are mergeable " +
+        "state, the same incremental-maintenance shape as qw05.",
+      (s, dir) =>
+        graft.operators.Histogram.quantileEstimates(
+          t(s, dir, "lineitem"), "l_returnflag", "l_extendedprice",
+          bins = 1000,
+          quantiles = Seq("p50" -> 0.5, "p95" -> 0.95, "p99" -> 0.99)),
+      Some("""WITH mm AS (
+        |  SELECT min(CAST(l_extendedprice AS DOUBLE)) AS mn,
+        |         max(CAST(l_extendedprice AS DOUBLE)) AS mx
+        |  FROM lineitem),
+        |h AS (
+        |  SELECT l_returnflag AS grp,
+        |    least(CAST(floor((CAST(l_extendedprice AS DOUBLE) - mn) /
+        |      ((mx - mn) / 1000)) AS BIGINT), 999) AS bin,
+        |    CAST(count(*) AS BIGINT) AS c
+        |  FROM lineitem, mm GROUP BY 1, 2),
+        |c2 AS (
+        |  SELECT grp, bin, c,
+        |    sum(c) OVER (PARTITION BY grp ORDER BY bin) AS cum,
+        |    sum(c) OVER (PARTITION BY grp) AS n
+        |  FROM h),
+        |sel AS (
+        |  SELECT grp, CAST(max(n) AS BIGINT) AS n_rows,
+        |    min(CASE WHEN cum >= ceil(0.5 * n) THEN bin END) AS b_p50,
+        |    min(CASE WHEN cum >= ceil(0.95 * n) THEN bin END) AS b_p95,
+        |    min(CASE WHEN cum >= ceil(0.99 * n) THEN bin END) AS b_p99
+        |  FROM c2 GROUP BY 1)
+        |SELECT grp AS l_returnflag, n_rows,
+        |  mn + (b_p50 + 1) * ((mx - mn) / 1000) AS est_p50,
+        |  mn + (b_p95 + 1) * ((mx - mn) / 1000) AS est_p95,
+        |  mn + (b_p99 + 1) * ((mx - mn) / 1000) AS est_p99
+        |FROM sel, mm""".stripMargin))
   )
 }

@@ -390,6 +390,43 @@ object TextQueries {
         |FROM f""".stripMargin)),
 
     Q(
+      "qd16_winnowing",
+      "Winnowing fingerprint pairs (Dedup.winnowingPairs — the MOSS " +
+        "algorithm): min-hash per sliding window of 4 consecutive " +
+        "ordered 3-gram hashes, distinct minima = the fingerprint " +
+        "set; documents sharing ≥ 2 fingerprints pair up. Catches " +
+        "shared SUBSTRINGS (ordered runs ≥ 6 words guarantee a shared " +
+        "fingerprint) where MinHash measures bag similarity, at " +
+        "2/(window+1) of the full index density. Inverted-index " +
+        "equi-join + hash-agg pair counting; df-cut available for " +
+        "hot-boilerplate skew.",
+      (s, dir) =>
+        Dedup.winnowingPairs(
+          graft.core.Partitioning.parallelize(
+            Tables.load(s, dir, "documents"), col("doc_id")),
+          "doc_id", "text", n = 3, window = 4, minShared = 2),
+      Some(s"""WITH wd AS (
+        |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 6),
+        |hs AS (
+        |  SELECT doc_id,
+        |    list_transform(
+        |      list_transform(range(1, len(w) - 1),
+        |        i -> concat(w[i], ' ', w[i+1], ' ', w[i+2])),
+        |      g -> ${dkHash60("g")}) AS h
+        |  FROM wd),
+        |fp AS (
+        |  SELECT doc_id, unnest(list_distinct(
+        |    list_transform(range(1, len(h) - 2),
+        |      i -> list_min(list_slice(h, i, i + 3))))) AS fp
+        |  FROM hs)
+        |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+        |  CAST(count(*) AS BIGINT) AS n_shared
+        |FROM fp a JOIN fp b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        |GROUP BY 1, 2
+        |HAVING count(*) >= 2""".stripMargin)),
+
+    Q(
       "qt01_lang_id",
       "Language-ID heuristic: CJK codepoint check then stopword-count " +
         "argmax with fixed tiebreak. Pure narrow transform.",

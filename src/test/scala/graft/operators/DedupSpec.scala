@@ -222,4 +222,29 @@ class DedupSpec extends SparkSuite {
       .as[(Long, Long)].collect().toMap
     assert(got.size == 64 && got.values.forall(_ == 0L))
   }
+
+  test("winnowing: shared 6-word run guarantees a shared fingerprint") {
+    // docs 1 and 2 share the contiguous run "p q r s t u" (6 words =
+    // window + n − 1) embedded in different surroundings; doc 3 shares
+    // nothing. With minShared = 1 the run must surface pair (1,2) only.
+    val docs = Seq(
+      (1L, "a b c p q r s t u x y z"),
+      (2L, "m n p q r s t u o w k j"),
+      (3L, "one two three four five six seven eight")
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.winnowingPairs(docs, "doc_id", "text",
+      n = 3, window = 4, minShared = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L)))
+    // density: fingerprints ≤ windows, and far fewer than grams
+    val fps = Dedup.winnowingFingerprints(docs, "doc_id", "text", 3, 4)
+    val byDoc = fps.groupBy("doc_id").count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // doc 1: 12 words → 10 grams → 7 windows → ≤ 7 distinct minima
+    assert(byDoc(1L) <= 7)
+    // short doc below window + n − 1 words yields no fingerprints
+    val tiny = Seq((9L, "a b c d e")).toDF("doc_id", "text")
+    assert(Dedup.winnowingFingerprints(tiny, "doc_id", "text", 3, 4).count() == 0)
+    graft.core.OpCache.releaseAll(blocking = true)
+  }
 }
