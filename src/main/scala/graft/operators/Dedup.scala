@@ -798,12 +798,19 @@ object Dedup {
       docs: DataFrame, idCol: String, textCol: String,
       n: Int = 3, window: Int = 4): DataFrame = {
     val w = split(col(textCol), " ")
-    val hs = transform(wordGrams(w, n), g => hash60(g))
-    docs.filter(size(split(col(textCol), " ")) >= n + window - 1)
+    // Materialize the gram-hash sequence as its own projection: the
+    // window lambda below references it once per window, and lambda
+    // bodies get no common-subexpression elimination — inlining the
+    // md5 chain there would recompute EVERY hash for EVERY window
+    // (O(len²) md5 calls per document). CollapseProject keeps the
+    // split because the alias is non-cheap and multiply-referenced.
+    val hashed = docs.filter(size(split(col(textCol), " ")) >= n + window - 1)
       .select(col(idCol).as("doc_id"),
-        explode(array_distinct(transform(
-          sequence(lit(1), size(hs) - (window - 1)),
-          i => array_min(slice(hs, i, lit(window)))))).as("fp"))
+        transform(wordGrams(w, n), g => hash60(g)).as("h"))
+    hashed.select(col("doc_id"),
+      explode(array_distinct(transform(
+        sequence(lit(1), size(col("h")) - (window - 1)),
+        i => array_min(slice(col("h"), i, lit(window)))))).as("fp"))
   }
 
   /** Winnowing candidate pairs: documents sharing ≥ `minShared`

@@ -398,13 +398,17 @@ object TextQueries {
         "shared SUBSTRINGS (ordered runs ≥ 6 words guarantee a shared " +
         "fingerprint) where MinHash measures bag similarity, at " +
         "2/(window+1) of the full index density. Inverted-index " +
-        "equi-join + hash-agg pair counting; df-cut available for " +
-        "hot-boilerplate skew.",
+        "equi-join + hash-agg pair counting. Benched skew-mitigated " +
+        "(qd04's discipline): maxDocFreq=15 drops boilerplate " +
+        "fingerprints shared by >15 docs before the join — exactly " +
+        "the hot keys that concentrate a partition — and the oracle " +
+        "replays the identical cut.",
       (s, dir) =>
         Dedup.winnowingPairs(
           graft.core.Partitioning.parallelize(
             Tables.load(s, dir, "documents"), col("doc_id")),
-          "doc_id", "text", n = 3, window = 4, minShared = 2),
+          "doc_id", "text", n = 3, window = 4, minShared = 2,
+          maxDocFreq = Some(15L)),
       Some(s"""WITH wd AS (
         |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
         |  WHERE len(string_split(text, ' ')) >= 6),
@@ -419,10 +423,12 @@ object TextQueries {
         |  SELECT doc_id, unnest(list_distinct(
         |    list_transform(range(1, len(h) - 2),
         |      i -> list_min(list_slice(h, i, i + 3))))) AS fp
-        |  FROM hs)
+        |  FROM hs),
+        |hot AS (SELECT fp FROM fp GROUP BY fp HAVING count(*) > 15),
+        |inv AS (SELECT doc_id, fp FROM fp WHERE fp NOT IN (SELECT fp FROM hot))
         |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
         |  CAST(count(*) AS BIGINT) AS n_shared
-        |FROM fp a JOIN fp b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        |FROM inv a JOIN inv b ON a.fp = b.fp AND a.doc_id < b.doc_id
         |GROUP BY 1, 2
         |HAVING count(*) >= 2""".stripMargin)),
 
