@@ -199,4 +199,40 @@ object Multimodal {
     (0 until dims).map(j =>
       when(element_at(emb, j + 1) >= 0.5, lit(1L << j)).otherwise(lit(0L)))
       .reduce(_ + _)
+
+  /** Content-chunk deduplication over binary payloads — the
+    * storage-dedup primitive for media lakes: split each payload into
+    * fixed-size chunks, hash each, and count how many chunk instances
+    * are the FIRST occurrence of their hash corpus-wide ("stored");
+    * the rest would deduplicate away in content-addressed storage.
+    * First occurrence is total-ordered by (media_id, chunk idx), so
+    * the stored/duplicate split is deterministic.
+    *
+    * Fixed-stride chunking is the stub for content-defined chunking
+    * (a production CDC cutter needs a rolling hash over the byte
+    * stream — per-partition imperative code, the [[decodeImage]]
+    * seam); the relational shape downstream — chunk-hash shuffle,
+    * first-occurrence window, per-media rollup — is identical and is
+    * what scales. A pathological hot chunk (e.g. a zero block shared
+    * by everything) concentrates its window partition; production
+    * runs cap or df-cut such hashes exactly like qd04's stop-phrase
+    * shingles. */
+  def chunkDedupStats(media: DataFrame, chunkLen: Int = 64): DataFrame = {
+    require(chunkLen >= 1)
+    import org.apache.spark.sql.expressions.Window
+    val nChunks = expr(s"(length(bytes) + ${chunkLen - 1}) div $chunkLen")
+    val chunks = media.filter(length(col("bytes")) >= 1)
+      .select(col("media_id"),
+        posexplode(transform(sequence(lit(1), nChunks),
+          i => md5(col("bytes").substr((i - lit(1)) * chunkLen + 1,
+            lit(chunkLen))))).as(Seq("idx", "h")))
+    val w = Window.partitionBy(col("h")).orderBy(col("media_id"), col("idx"))
+    chunks.withColumn("rn", row_number().over(w))
+      .groupBy(col("media_id"))
+      .agg(count(lit(1)).cast("long").as("n_chunks"),
+        sum(when(col("rn") === 1, 1L).otherwise(0L)).cast("long").as("n_stored"))
+      .select(col("media_id"), col("n_chunks"), col("n_stored"),
+        (col("n_stored").cast("double") / col("n_chunks").cast("double"))
+          .as("stored_ratio"))
+  }
 }

@@ -267,6 +267,103 @@ object StreamingQueries {
         |WHERE rn = 1 AND last_type <> 'error'""".stripMargin)),
 
     Q(
+      "qst08_stream_histogram",
+      "Streaming quantile maintenance: the equi-width histogram's " +
+        "mergeable bin counts (q38's state) maintained as a streaming " +
+        "aggregation over the event stream — per-batch increments " +
+        "merge into per-(type, bin) state; quantile extraction is a " +
+        "cheap batch read over the drained bins (types × bins rows). " +
+        "Calibration bounds come from a static profile (the batch " +
+        "min/max), the production pattern for streaming histograms. " +
+        "Oracle = the batch histogram over the same events.",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val ev = graft.core.Tables.load(s, dir, "events")
+        val mm = ev.agg(min(col("value").cast("double")).as("mn"),
+          max(col("value").cast("double")).as("mx")).head()
+        val mn = mm.getDouble(0); val mx = mm.getDouble(1)
+        val w = (mx - mn) / 200
+        val hist = eventsFileStream(s, dir)
+          .select(col("event_type"),
+            least(floor((col("value").cast("double") - lit(mn)) / lit(w)),
+              lit(199L)).as("bin"))
+          .groupBy(col("event_type"), col("bin"))
+          .agg(count(lit(1)).cast("long").as("c"))
+        val drained = runToMemory(s, "graft_stream_hist", "complete")(hist)
+        val cum = drained
+          .withColumn("cum", sum(col("c")).over(
+            Window.partitionBy(col("event_type")).orderBy(col("bin"))))
+          .withColumn("n", sum(col("c")).over(
+            Window.partitionBy(col("event_type"))))
+        cum.groupBy(col("event_type")).agg(
+          max(col("n")).cast("long").as("n_rows"),
+          min(when(col("cum") >= ceil(lit(0.5) * col("n").cast("double")),
+            col("bin"))).as("b_p50"),
+          min(when(col("cum") >= ceil(lit(0.95) * col("n").cast("double")),
+            col("bin"))).as("b_p95"))
+          .select(col("event_type"), col("n_rows"),
+            (lit(mn) + (col("b_p50") + 1).cast("double") * lit(w)).as("est_p50"),
+            (lit(mn) + (col("b_p95") + 1).cast("double") * lit(w)).as("est_p95"))
+      },
+      Some("""WITH mm AS (
+        |  SELECT min(CAST(value AS DOUBLE)) AS mn,
+        |         max(CAST(value AS DOUBLE)) AS mx
+        |  FROM events),
+        |h AS (
+        |  SELECT event_type,
+        |    least(CAST(floor((CAST(value AS DOUBLE) - mn) /
+        |      ((mx - mn) / 200)) AS BIGINT), 199) AS bin,
+        |    CAST(count(*) AS BIGINT) AS c
+        |  FROM events, mm GROUP BY 1, 2),
+        |c2 AS (
+        |  SELECT event_type, bin, c,
+        |    sum(c) OVER (PARTITION BY event_type ORDER BY bin) AS cum,
+        |    sum(c) OVER (PARTITION BY event_type) AS n
+        |  FROM h),
+        |sel AS (
+        |  SELECT event_type, CAST(max(n) AS BIGINT) AS n_rows,
+        |    min(CASE WHEN cum >= ceil(0.5 * n) THEN bin END) AS b_p50,
+        |    min(CASE WHEN cum >= ceil(0.95 * n) THEN bin END) AS b_p95
+        |  FROM c2 GROUP BY 1)
+        |SELECT event_type, n_rows,
+        |  mn + (b_p50 + 1) * ((mx - mn) / 200) AS est_p50,
+        |  mn + (b_p95 + 1) * ((mx - mn) / 200) AS est_p95
+        |FROM sel, mm""".stripMargin)),
+
+    Q(
+      "qm04_chunk_dedup",
+      "Content-chunk dedup over binary payloads " +
+        "(Multimodal.chunkDedupStats — the storage-dedup primitive): " +
+        "fixed 64-byte chunks (stub for content-defined chunking), " +
+        "md5 per chunk, 'stored' = first occurrence of the hash " +
+        "corpus-wide (total-ordered by media, offset), per-media " +
+        "rollup of the dedup ratio. Chunk-hash shuffle + one window + " +
+        "one hash agg — the relational shape of a media-lake " +
+        "dedupe at any scale.",
+      (s, dir) =>
+        Multimodal.chunkDedupStats(
+          Multimodal.asMedia(
+            graft.core.Tables.load(s, dir, "documents"),
+            "doc_id", "text", "application/octet-stream"),
+          chunkLen = 64),
+      Some("""WITH m AS (
+        |  SELECT doc_id AS media_id, text FROM documents
+        |  WHERE length(text) >= 1),
+        |ch AS (
+        |  SELECT media_id, t.i AS idx,
+        |    md5(substring(text, CAST((t.i - 1) * 64 + 1 AS INT), 64)) AS h
+        |  FROM m, unnest(range(1, (length(text) + 63) // 64 + 1)) t(i)),
+        |st AS (
+        |  SELECT media_id,
+        |    row_number() OVER (PARTITION BY h ORDER BY media_id, idx) AS rn
+        |  FROM ch)
+        |SELECT media_id, CAST(count(*) AS BIGINT) AS n_chunks,
+        |  CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_stored,
+        |  CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS DOUBLE) /
+        |    CAST(count(*) AS DOUBLE) AS stored_ratio
+        |FROM st GROUP BY 1""".stripMargin)),
+
+    Q(
       "qm01_media_features",
       "Multimodal plumbing: wrap document text bytes as media rows, " +
         "extract per-partition batched byte-level features (stub " +

@@ -110,4 +110,22 @@ class MultimodalSpec extends SparkSuite {
     assert(Multimodal.frameSceneStats(media3, frameLen = 4, stride = 4,
       maxFrames = 5).select("n_frames").as[Long].head == 5L)
   }
+
+  test("chunkDedupStats: shared aligned chunk dedupes, first wins") {
+    import spark.implicits._
+    val x = "X" * 64; val y = "Y" * 64; val z = "Z" * 64
+    val media = Multimodal.asMedia(Seq(
+      (1L, x + y), // chunks hX, hY — both first occurrences
+      (2L, x + z), // hX already stored by media 1, hZ new
+      (3L, "ab")   // short payload: one 2-byte chunk
+    ).toDF("id", "payload"), "id", "payload", "application/octet-stream")
+    val got = Multimodal.chunkDedupStats(media, chunkLen = 64)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3))))
+      .toMap
+    assert(got == Map(
+      1L -> ((2L, 2L, 1.0)),
+      2L -> ((2L, 1L, 0.5)),
+      3L -> ((1L, 1L, 1.0))))
+  }
 }
