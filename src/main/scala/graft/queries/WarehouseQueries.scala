@@ -189,6 +189,36 @@ object WarehouseQueries {
         |  CASE WHEN len(sk) < 64 THEN CAST(len(sk) AS DOUBLE)
         |       ELSE CAST(63 AS DOUBLE) * power(CAST(2 AS DOUBLE), CAST(60 AS DOUBLE))
         |            / CAST(sk[64] AS DOUBLE) END AS est_users
-        |FROM agg""".stripMargin))
+        |FROM agg""".stripMargin)),
+
+    Q(
+      "qw06_snapshot_diff",
+      "Snapshot diff (Cdc.snapshotDiff — mirror reconciliation): two " +
+        "versions of the orders table (keys dropped on one side, " +
+        "added on the other, prices bumped on a third subset) reduce " +
+        "to (key, row-hash), one full-outer equi-join classifies " +
+        "added/removed/changed, unchanged keys are filtered out — the " +
+        "diff is output-proportional, the row width collapses to a " +
+        "hash before the shuffle. The oracle replays the diff " +
+        "SEMANTICS set-wise (which keys differ and why), so the " +
+        "hashing is checked by consequence, not by format.",
+      (s, dir) => {
+        val ord = graft.core.Tables.load(s, dir, "orders")
+        val oldV = ord.filter(col("o_orderkey") % 13 =!= 0)
+        val newV = ord.filter(col("o_orderkey") % 11 =!= 0)
+          .withColumn("o_totalprice",
+            when(col("o_orderkey") % 7 === 0, col("o_totalprice") + lit(1.0))
+              .otherwise(col("o_totalprice")))
+        graft.warehouse.Cdc.snapshotDiff(oldV, newV, Seq("o_orderkey"))
+      },
+      Some("""SELECT o_orderkey, 'removed' AS status FROM orders
+        |WHERE o_orderkey % 13 <> 0 AND o_orderkey % 11 = 0
+        |UNION ALL
+        |SELECT o_orderkey, 'added' FROM orders
+        |WHERE o_orderkey % 13 = 0 AND o_orderkey % 11 <> 0
+        |UNION ALL
+        |SELECT o_orderkey, 'changed' FROM orders
+        |WHERE o_orderkey % 13 <> 0 AND o_orderkey % 11 <> 0
+        |  AND o_orderkey % 7 = 0""".stripMargin))
   )
 }

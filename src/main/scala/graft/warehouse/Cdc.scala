@@ -43,4 +43,41 @@ object Cdc {
       .filter(col("__rn") === 1 && !isDelete)
       .drop("__rn")
   }
+
+  /** Snapshot diff — the reconciliation half of mirroring: which keys
+    * were added, removed, or changed between two versions of a table.
+    * Rows reduce to (key, row-hash) on each side — the non-key columns
+    * hash in SORTED NAME ORDER with a null sentinel (concat_ws skips
+    * nulls, which would make ("a", null) collide with (null, "a")) —
+    * then one full-outer equi-join on the key classifies every key.
+    * Only differences are returned: the diff is output-proportional,
+    * never snapshot-proportional, which is what makes auditing a
+    * 100 TB mirror nightly feasible (both sides shuffle once on the
+    * key; the hash collapses row width to 32 bytes before the join).
+    */
+  def snapshotDiff(
+      oldDf: DataFrame, newDf: DataFrame,
+      keyCols: Seq[String]): DataFrame = {
+    def hashed(df: DataFrame): DataFrame = {
+      val others = df.columns.filterNot(keyCols.contains).sorted
+      // control-byte separator + null sentinel: ("a", null) never
+      // collides with (null, "a") and adjacent values cannot merge.
+      // Doubles stringify shortest-roundtrip, so distinct values hash
+      // distinct; values containing the control bytes are out of scope.
+      df.select(keyCols.map(col) :+
+        md5(concat_ws("\u0001",
+          others.map(c => coalesce(col(c).cast("string"), lit("\u0000"))): _*))
+          .as("__h"): _*)
+    }
+    val o = hashed(oldDf).withColumnRenamed("__h", "__h_old")
+    val n = hashed(newDf).withColumnRenamed("__h", "__h_new")
+    o.join(n, keyCols, "full_outer")
+      .withColumn("status",
+        when(col("__h_new").isNull, lit("removed"))
+          .when(col("__h_old").isNull, lit("added"))
+          .when(col("__h_old") =!= col("__h_new"), lit("changed"))
+          .otherwise(lit("unchanged")))
+      .filter(col("status") =!= "unchanged")
+      .select(keyCols.map(col) :+ col("status"): _*)
+  }
 }

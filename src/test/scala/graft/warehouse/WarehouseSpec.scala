@@ -111,6 +111,28 @@ class WarehouseSpec extends SparkSuite {
     assert(out == Map(1L -> (11L, 2.0), 3L -> (32L, 9.0), 4L -> (41L, 3.0)))
   }
 
+  test("snapshot diff: added/removed/changed, null-safe, unchanged dropped") {
+    val oldV = Seq(
+      (1L, "a", Some(1.0)), (2L, "b", Some(2.0)),
+      (3L, "c", None), (4L, "d", Some(4.0))
+    ).toDF("k", "s", "v")
+    val newV = Seq(
+      (1L, "a", Some(1.0)),   // unchanged — absent from the diff
+      (2L, "B", Some(2.0)),   // changed string
+      (3L, "c", Some(3.0)),   // null -> value = changed
+      (5L, "e", Some(5.0))    // added; 4 removed
+    ).toDF("k", "s", "v")
+    val got = Cdc.snapshotDiff(oldV, newV, Seq("k"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(2L -> "changed", 3L -> "changed",
+      4L -> "removed", 5L -> "added"))
+    // null/value placement is not ambiguous: (null, "x") vs ("x", null)
+    val a = Seq((1L, None: Option[String], Some("x"))).toDF("k", "c1", "c2")
+    val b = Seq((1L, Some("x"), None: Option[String])).toDF("k", "c1", "c2")
+    assert(Cdc.snapshotDiff(a, b, Seq("k"))
+      .collect().map(_.getString(1)).toSeq == Seq("changed"))
+  }
+
   test("upsert SQL generation (K5/K6)") {
     assert(JdbcUpsert.upsertSql("series",
       Seq("country_id", "indicator_id", "year", "value"),
