@@ -26,6 +26,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (exprs: Seq[Expression]) => FloatVecDot(exprs(0), exprs(1)))
       : (FunctionIdentifier, ExpressionInfo, FunctionRegistry.FunctionBuilder))
     ext.injectFunction((
+      FunctionIdentifier("graft_byte_dot"),
+      new ExpressionInfo(classOf[ByteVecDot].getName, "graft_byte_dot"),
+      (exprs: Seq[Expression]) => ByteVecDot(exprs(0), exprs(1)))
+      : (FunctionIdentifier, ExpressionInfo, FunctionRegistry.FunctionBuilder))
+    ext.injectFunction((
       FunctionIdentifier("graft_simhash60"),
       new ExpressionInfo(classOf[Simhash60].getName, "graft_simhash60"),
       (exprs: Seq[Expression]) => Simhash60(exprs(0)))

@@ -391,6 +391,7 @@ object Similarity {
   def scalarQuantTopK(
       corpus: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String, k: Int): DataFrame = {
+    graft.functions.GraftFunctions.register(corpus.sparkSession)
     val e = graft.core.Partitioning.parallelize(corpus, col(idCol))
     val scales = sqCalibrate(e, vecCol)
     val qv = graft.core.OpCache.persist(sqQuantize(e, idCol, vecCol, scales))
@@ -398,9 +399,7 @@ object Similarity {
     val scored = broadcast(qq.as("a"))
       .join(qv.as("b"), col("a.vec_id") =!= col("b.vec_id"))
       .select(col("a.vec_id").as("vec_id"), col("b.vec_id").as("nbr_id"),
-        aggregate(zip_with(col("a.q"), col("b.q"),
-          (x, y) => x.cast("long") * y.cast("long")),
-          lit(0L), (acc, v) => acc + v).as("score"))
+        call_function("graft_byte_dot", col("a.q"), col("b.q")).as("score"))
     val w = Window.partitionBy(col("vec_id")).orderBy(col("score").desc, col("nbr_id"))
     scored.withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= k)
@@ -435,9 +434,7 @@ object Similarity {
     val scored = probe.as("p").join(cells.as("c"),
         col("p.cent_id") === col("c.cent_id") && col("p.vec_id") =!= col("c.vec_id"))
       .select(col("p.vec_id").as("vec_id"), col("c.vec_id").as("nbr_id"),
-        aggregate(zip_with(col("p.q"), col("c.q"),
-          (x, y) => x.cast("long") * y.cast("long")),
-          lit(0L), (acc, v) => acc + v).as("score"))
+        call_function("graft_byte_dot", col("p.q"), col("c.q")).as("score"))
     val w = Window.partitionBy(col("vec_id")).orderBy(col("score").desc, col("nbr_id"))
     scored.withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= k)

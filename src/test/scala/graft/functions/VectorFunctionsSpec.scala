@@ -57,6 +57,33 @@ class VectorFunctionsSpec extends SparkSuite {
     rows.foreach(r => assert(r.getLong(0) == r.getLong(1)))
   }
 
+  test("ByteVecDot matches the higher-order-function fold and interpreted eval") {
+    GraftFunctions.register(spark)
+    // Seq[Byte], not Array[Byte]: the latter encodes as BINARY, and
+    // the quantized codes in Similarity are genuine array<tinyint>
+    val vs = (0 until 50).map { i =>
+      (Seq.tabulate(64)(j => ((i * 31 + j * 7) % 255 - 127).toByte),
+        Seq.tabulate(64)(j => ((i * 13 + j * 11) % 255 - 127).toByte))
+    }
+    val df = vs.toDF("a", "b")
+    val rows = df.select(
+      call_function("graft_byte_dot", $"a", $"b").as("fast"),
+      aggregate(zip_with($"a", $"b", (x, y) => x.cast("long") * y.cast("long")),
+        lit(0L), (acc, x) => acc + x).as("ref")).collect()
+    rows.foreach(r => assert(r.getLong(0) == r.getLong(1)))
+    // interpreted eval
+    val e = ByteVecDot(
+      org.apache.spark.sql.catalyst.expressions.Literal.create(
+        Seq[Byte](127, -127, 3)),
+      org.apache.spark.sql.catalyst.expressions.Literal.create(
+        Seq[Byte](127, 127, 2)))
+    assert(e.eval(null) == 127L * 127 - 127L * 127 + 6L)
+    // SQL-surface registration (extensions path)
+    assert(spark.sql(
+      "SELECT graft_byte_dot(array(cast(2 as tinyint)), array(cast(3 as tinyint)))")
+      .collect()(0).getLong(0) == 6L)
+  }
+
   test("FloatVecDot interpreted eval agrees with codegen path") {
     GraftFunctions.register(spark)
     val df = Seq((Array(1.5f, 2.5f), Array(2.0f, -1.0f))).toDF("a", "b")
