@@ -331,6 +331,38 @@ object StreamingQueries {
         |FROM sel, mm""".stripMargin)),
 
     Q(
+      "qst09_stream_static_join",
+      "Stream-static join: the event stream enriched against a " +
+        "BROADCAST dimension (event_type → category) — stateless, " +
+        "map-side, re-planned per micro-batch (a dim update is picked " +
+        "up at the next batch; no join state store at all — contrast " +
+        "qst04's stream-stream state) — then a streaming aggregate per " +
+        "category. The enrich-then-aggregate shape of every streaming " +
+        "mart load. Oracle = the batch join + aggregate.",
+      (s, dir) => {
+        import s.implicits._
+        val dim = Seq(
+          ("click", "engage"), ("view", "engage"),
+          ("purchase", "convert"), ("signup", "convert"),
+          ("error", "ops")).toDF("event_type", "category")
+        val agg = eventsFileStream(s, dir)
+          .join(broadcast(dim), Seq("event_type"))
+          .groupBy(col("category"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("value").cast(org.apache.spark.sql.types.DecimalType(30, 6)))
+              .cast("double").as("total_value"))
+        runToMemory(s, "graft_stream_static", "complete")(agg)
+      },
+      Some("""WITH dim(event_type, category) AS (VALUES
+        |  ('click', 'engage'), ('view', 'engage'),
+        |  ('purchase', 'convert'), ('signup', 'convert'),
+        |  ('error', 'ops'))
+        |SELECT category, count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS total_value
+        |FROM events JOIN dim USING (event_type)
+        |GROUP BY 1""".stripMargin)),
+
+    Q(
       "qm04_chunk_dedup",
       "Content-chunk dedup over binary payloads " +
         "(Multimodal.chunkDedupStats — the storage-dedup primitive): " +
