@@ -74,4 +74,48 @@ class EdgeCasesSpec extends SparkSuite {
       empty, "doc_id", "text", "lang", "source", Seq("en"),
       Map("src0" -> 500), defaultPermille = 100).count() == 0)
   }
+
+  test("round-6 operators: empty and degenerate inputs") {
+    // PageRank with no edges: every node keeps the base rank
+    val nodes = Seq(1L, 2L).toDF("id")
+    val noEdges = Seq.empty[(Long, Long)].toDF("a_id", "b_id")
+    val pr = GraphRank.pageRank(nodes, "id", noEdges, iters = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(pr == Map(1L -> 75000000000L, 2L -> 75000000000L))
+    // funnel where a later stage matches nothing: zero, not absent
+    val ev = Seq((1L, new java.sql.Timestamp(0L), "view"))
+      .toDF("user_id", "ts", "event_type")
+    val fn = Funnel.funnel(ev, "user_id", "ts",
+      Seq("view" -> (col("event_type") === "view"),
+        "click" -> (col("event_type") === "click")))
+      .collect().map(r => r.getString(1) -> r.getLong(2)).toMap
+    assert(fn == Map("view" -> 1L, "click" -> 0L))
+    // winnowing / rarity on an empty corpus
+    assert(Dedup.winnowingPairs(emptyDocs, "doc_id", "text").count() == 0)
+    assert(TextAnalysis.rarityScore(emptyDocs, "doc_id", "text").count() == 0)
+    // chunk dedup over an empty media frame
+    val emptyMedia = Multimodal.asMedia(emptyDocs, "doc_id", "text", "x")
+    assert(Multimodal.chunkDedupStats(emptyMedia).count() == 0)
+    // snapshot diff of identical frames is empty
+    assert(graft.warehouse.Cdc.snapshotDiff(someDocs, someDocs, Seq("doc_id"))
+      .count() == 0)
+    // CDC apply of an empty feed is empty
+    assert(graft.warehouse.Cdc.applyChanges(
+      Seq.empty[(Long, Long, String)].toDF("k", "chg", "op"),
+      Seq("k"), Seq(col("chg")), col("op") === "delete").count() == 0)
+    graft.core.OpCache.releaseAll(blocking = true)
+  }
+
+  test("scalar quantization: empty query batch and empty corpus calibration") {
+    val em = Seq((1L, Array(1.0f, 2.0f)), (2L, Array(2.0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    val noQueries = em.filter(col("vec_id") < 0)
+    assert(Similarity.scalarQuantTopK(em, noQueries,
+      "vec_id", "embedding", k = 3).count() == 0)
+    // calibration of an empty corpus yields an empty scale table (and
+    // quantization against it produces no rows rather than throwing)
+    val emptyEm = Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding")
+    assert(Similarity.sqCalibrate(emptyEm, "embedding").count() == 0)
+    graft.core.OpCache.releaseAll(blocking = true)
+  }
 }
