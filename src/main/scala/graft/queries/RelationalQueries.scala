@@ -806,6 +806,30 @@ object RelationalQueries {
         |  mn + (b_p50 + 1) * ((mx - mn) / 1000) AS est_p50,
         |  mn + (b_p95 + 1) * ((mx - mn) / 1000) AS est_p95,
         |  mn + (b_p99 + 1) * ((mx - mn) / 1000) AS est_p99
-        |FROM sel, mm""".stripMargin))
+        |FROM sel, mm""".stripMargin)),
+
+    Q(
+      "q39_interval_coverage",
+      "Interval coverage via bounded fan-out (beyond-reference): " +
+        "active orders per day, each order live for 7 days from its " +
+        "order date — every interval explodes to its covered grain " +
+        "rows (constant 7× fan-out) and a hash aggregate counts per " +
+        "day, with partial aggregation collapsing map-side. The " +
+        "scale-safe alternative to a point-in-interval NON-EQUI join " +
+        "(which plans a range join); unbounded interval lengths " +
+        "bucket like q33 instead.",
+      (s, dir) =>
+        t(s, dir, "orders")
+          .select(col("o_orderdate"),
+            explode(sequence(lit(0), lit(6))).as("off"))
+          .select(date_format(
+            date_add(col("o_orderdate").cast("date"), col("off")),
+            "yyyy-MM-dd").as("day"))
+          .groupBy(col("day"))
+          .agg(count(lit(1)).as("n_active")),
+      Some("""SELECT strftime(CAST(o_orderdate AS DATE) + CAST(t.i AS INTEGER), '%Y-%m-%d') AS day,
+        |  count(*) AS n_active
+        |FROM orders, unnest(range(0, 7)) t(i)
+        |GROUP BY 1""".stripMargin))
   )
 }

@@ -167,6 +167,38 @@ object ScaleSmoke {
             .cells.count()
         }
       },
+      time("sq_scan") {
+        // scalar-quantized scan tier: ~1% query batch against the
+        // int8-coded corpus (calibrate + quantize + integer-dot scan)
+        Similarity.scalarQuantTopK(emb,
+          emb.filter(pmod($"vec_id", lit(101)) === 0),
+          "vec_id", "embedding", k = 5).count()
+      },
+      {
+        // isolate the PR power iterations from pair generation: the
+        // edge list materializes before the timer starts
+        val edges = Dedup.lshNearDupPairs(docs, "doc_id", "text")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        edges.count()
+        val t = time("pagerank_2iter") {
+          graft.operators.GraphRank.pageRank(docs, "doc_id", edges, iters = 2)
+            .count()
+        }
+        edges.unpersist(true)
+        t
+      },
+      time("winnowing_pairs") {
+        // benched configuration (df-cut 15) — the duplicated corpus
+        // multiplies every fingerprint's df by the factor, so the cut
+        // exercises the hot-key path by construction
+        Dedup.winnowingPairs(docs, "doc_id", "text",
+          maxDocFreq = Some(15L)).count()
+      },
+      time("chunk_dedup") {
+        graft.operators.Multimodal.chunkDedupStats(
+          graft.operators.Multimodal.asMedia(
+            docs, "doc_id", "text", "application/octet-stream")).count()
+      },
       time("asof_join") {
         val ev = {
           val raw = spark.read.parquet(s"$out/events.parquet")
