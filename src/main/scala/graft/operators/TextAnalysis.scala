@@ -226,6 +226,33 @@ object TextAnalysis {
           .as("mean_df"))
   }
 
+  /** Unigram token entropy per document — the information-density
+    * quality signal (low entropy = repetitive/template text, the same
+    * family as qt06's repetition rules but distribution-level):
+    * H = −Σ p·log2(p) over the document's token distribution.
+    *
+    * Determinism discipline (the bm25TopK pattern): the only libm
+    * call is log2; each token's contribution quantizes to
+    * DECIMAL(30,6) BEFORE the cross-token sum (order-invariant exact
+    * addition) and the output rounds to 6 decimals, absorbing log2
+    * ulp differences across engines. Shape: one explode + two hash
+    * aggs + one equi-join back on the doc — linear, uniform keys. */
+  def tokenEntropy(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val tf = docs.select(col(idCol).as("doc_id"),
+        explode(split(coalesce(col(textCol), lit("")), " ")).as("token"))
+      .groupBy(col("doc_id"), col("token"))
+      .agg(count(lit(1)).cast("long").as("tf"))
+    val n = tf.groupBy(col("doc_id")).agg(sum(col("tf")).cast("long").as("n"))
+    val p = col("tf").cast("double") / col("n").cast("double")
+    tf.join(n, Seq("doc_id"))
+      .select(col("doc_id"), col("n"),
+        (-(p * log2(p))).cast(DecimalType(30, 6)).as("s"))
+      .groupBy(col("doc_id"))
+      .agg(max(col("n")).cast("long").as("n_tokens"),
+        round(sum(col("s")).cast("double"), 6).as("entropy"))
+  }
+
   /** Document fingerprints: exact content hash, an order-insensitive
     * bag-of-words hash, and a rolling-shingle minimizer (the min
     * 60-bit hash over 3-word shingles — the winnowing primitive). */

@@ -907,6 +907,34 @@ object TextQueries {
         |FROM agg""".stripMargin)),
 
     Q(
+      "qt16_token_entropy",
+      "Unigram token entropy per document (TextAnalysis.tokenEntropy " +
+        "— the information-density quality signal; low entropy = " +
+        "template/repetitive text): exact tf counts, per-token " +
+        "−p·log2(p) quantized to DECIMAL(30,6) before the " +
+        "order-invariant sum, round-6 output (the bm25 libm " +
+        "discipline). One explode + two hash aggs + one equi-join.",
+      (s, dir) =>
+        graft.operators.TextAnalysis.tokenEntropy(
+          graft.core.Partitioning.parallelize(
+            Tables.load(s, dir, "documents"), col("doc_id")),
+          "doc_id", "text"),
+      Some("""WITH tf AS (
+        |  SELECT doc_id, t AS token, CAST(count(*) AS BIGINT) AS tf
+        |  FROM (SELECT doc_id, unnest(string_split(coalesce(text, ''), ' ')) AS t
+        |        FROM documents)
+        |  GROUP BY 1, 2),
+        |nn AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n FROM tf GROUP BY 1),
+        |c AS (
+        |  SELECT tf.doc_id, nn.n,
+        |    CAST(-((CAST(tf AS DOUBLE) / CAST(n AS DOUBLE)) *
+        |      log2(CAST(tf AS DOUBLE) / CAST(n AS DOUBLE))) AS DECIMAL(30,6)) AS s
+        |  FROM tf JOIN nn USING (doc_id))
+        |SELECT doc_id, CAST(max(n) AS BIGINT) AS n_tokens,
+        |  round(CAST(sum(s) AS DOUBLE), 6) AS entropy
+        |FROM c GROUP BY 1""".stripMargin)),
+
+    Q(
       "qd12_incremental_dedup",
       "Incremental dedup — the daily-ingest lifecycle: admit a new " +
         "batch (doc_id % 10 = 0) against the existing corpus. Exact " +

@@ -48,6 +48,20 @@ class TextAnalysisSpec extends SparkSuite {
     assert(out(1L)._2 == out(2L)._2)
   }
 
+  test("tokenEntropy: uniform distribution maxes, constant doc is zero") {
+    val df = Seq(
+      (1L, "a a a a"),          // one token: H = 0
+      (2L, "a b c d"),          // uniform over 4: H = 2 bits
+      (3L, "a a b b b b b b")   // p(a)=1/4, p(b)=3/4
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.tokenEntropy(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(got(1L) == ((4L, 0.0)))
+    assert(got(2L) == ((4L, 2.0)))
+    // H = 0.25*2 + 0.75*log2(4/3) = 0.811278 at 6dp
+    assert(got(3L)._1 == 8L && math.abs(got(3L)._2 - 0.811278) < 1e-6)
+  }
+
   test("rarityScore: common vocabulary scores high, junk scores low") {
     // docs 1-3 share every token; doc 4 is all-singleton garbage
     val df = Seq(
