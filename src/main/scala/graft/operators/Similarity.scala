@@ -393,7 +393,10 @@ object Similarity {
       idCol: String, vecCol: String, k: Int): DataFrame = {
     graft.functions.GraftFunctions.register(corpus.sparkSession)
     val e = graft.core.Partitioning.parallelize(corpus, col(idCol))
-    val scales = sqCalibrate(e, vecCol)
+    // the scales table is dims-sized but COSTS a corpus scan — persist
+    // it so quantizing the query batch reuses the calibration instead
+    // of re-aggregating the corpus
+    val scales = graft.core.OpCache.persist(sqCalibrate(e, vecCol))
     val qv = graft.core.OpCache.persist(sqQuantize(e, idCol, vecCol, scales))
     val qq = sqQuantize(queries, idCol, vecCol, scales)
     val scored = broadcast(qq.as("a"))
