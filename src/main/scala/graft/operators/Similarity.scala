@@ -390,17 +390,63 @@ object Similarity {
     * stays oracle-checkable. */
   def scalarQuantTopK(
       corpus: DataFrame, queries: DataFrame,
-      idCol: String, vecCol: String, k: Int): DataFrame = {
-    graft.functions.GraftFunctions.register(corpus.sparkSession)
-    val e = graft.core.Partitioning.parallelize(corpus, col(idCol))
-    // the scales table is dims-sized but COSTS a corpus scan — persist
-    // it so quantizing the query batch reuses the calibration instead
-    // of re-aggregating the corpus
+      idCol: String, vecCol: String, k: Int): DataFrame =
+    // build-and-search = the from-index path over a fresh build; the
+    // scales persist inside buildSqIndex keeps the query-batch
+    // quantize from re-aggregating the corpus
+    scalarQuantTopKWithIndex(buildSqIndex(corpus, idCol, vecCol),
+      queries, idCol, vecCol, k)
+
+  /** The materialized scalar-quantization artifacts a similarity
+    * service stores between query batches ([[IvfIndex]]'s sibling for
+    * the SQ tier): the dims-sized calibration table and the int8 code
+    * table. Build once per corpus ([[buildSqIndex]]), persist across
+    * runs ([[writeSqIndex]]/[[readSqIndex]]), probe with
+    * [[scalarQuantTopKWithIndex]] — the corpus is neither re-calibrated
+    * nor re-quantized per batch, and the stored codes are 4× smaller
+    * than the float vectors they replace (the index IS the compressed
+    * corpus). Integer scoring means a reloaded index ranks
+    * bit-identically to a fresh build, with no stored-norm subtlety. */
+  final case class SqIndex(
+      scales: DataFrame, // (dim, scale)
+      codes: DataFrame) { // (vec_id, q)
+    def unpersist(blocking: Boolean = false): Unit = {
+      scales.unpersist(blocking)
+      codes.unpersist(blocking)
+      graft.core.OpCache.untrack(scales)
+      graft.core.OpCache.untrack(codes)
+    }
+  }
+
+  def buildSqIndex(em: DataFrame, idCol: String, vecCol: String): SqIndex = {
+    graft.functions.GraftFunctions.register(em.sparkSession)
+    val e = graft.core.Partitioning.parallelize(em, col(idCol))
     val scales = graft.core.OpCache.persist(sqCalibrate(e, vecCol))
-    val qv = graft.core.OpCache.persist(sqQuantize(e, idCol, vecCol, scales))
-    val qq = sqQuantize(queries, idCol, vecCol, scales)
+    SqIndex(scales, sqQuantize(e, idCol, vecCol, scales))
+  }
+
+  def writeSqIndex(index: SqIndex, dir: String): Unit = {
+    index.scales.write.mode("overwrite").parquet(s"$dir/scales.parquet")
+    index.codes.write.mode("overwrite").parquet(s"$dir/codes.parquet")
+  }
+
+  def readSqIndex(spark: org.apache.spark.sql.SparkSession,
+      dir: String): SqIndex =
+    SqIndex(
+      spark.read.parquet(s"$dir/scales.parquet"),
+      spark.read.parquet(s"$dir/codes.parquet"))
+
+  /** [[scalarQuantTopK]] against a prebuilt (typically storage-read)
+    * index: the query batch quantizes against the STORED calibration
+    * (so codes are comparable by construction) and scans the stored
+    * code table. */
+  def scalarQuantTopKWithIndex(
+      index: SqIndex, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int): DataFrame = {
+    graft.functions.GraftFunctions.register(queries.sparkSession)
+    val qq = sqQuantize(queries, idCol, vecCol, index.scales)
     val scored = broadcast(qq.as("a"))
-      .join(qv.as("b"), col("a.vec_id") =!= col("b.vec_id"))
+      .join(index.codes.as("b"), col("a.vec_id") =!= col("b.vec_id"))
       .select(col("a.vec_id").as("vec_id"), col("b.vec_id").as("nbr_id"),
         call_function("graft_byte_dot", col("a.q"), col("b.q")).as("score"))
     val w = Window.partitionBy(col("vec_id")).orderBy(col("score").desc, col("nbr_id"))

@@ -830,6 +830,32 @@ object RelationalQueries {
       Some("""SELECT strftime(CAST(o_orderdate AS DATE) + CAST(t.i AS INTEGER), '%Y-%m-%d') AS day,
         |  count(*) AS n_active
         |FROM orders, unnest(range(0, 7)) t(i)
-        |GROUP BY 1""".stripMargin))
+        |GROUP BY 1""".stripMargin)),
+
+    Q(
+      "q40_event_transitions",
+      "Markov transition counts (beyond-reference sequence mining): " +
+        "per-user consecutive event-type pairs via lag() over " +
+        "(user ORDER BY ts, id), aggregated into the from→to " +
+        "transition matrix — one shuffle on the user key, bounded " +
+        "per-key sort, then a hash agg over a |types|² key space. " +
+        "The building block for session path analysis and " +
+        "next-action models.",
+      (s, dir) => {
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("event_id"))
+        t(s, dir, "events")
+          .withColumn("from_type", lag(col("event_type"), 1).over(w))
+          .filter(col("from_type").isNotNull)
+          .groupBy(col("from_type"), col("event_type").as("to_type"))
+          .agg(count(lit(1)).as("n"))
+      },
+      Some("""SELECT from_type, event_type AS to_type, count(*) AS n
+        |FROM (
+        |  SELECT event_type, lag(event_type) OVER (
+        |    PARTITION BY user_id ORDER BY ts, event_id) AS from_type
+        |  FROM events)
+        |WHERE from_type IS NOT NULL
+        |GROUP BY 1, 2""".stripMargin))
   )
 }

@@ -300,6 +300,36 @@ object SimilarityQueries {
         |WHERE rnk <= 10""".stripMargin)),
 
     Q(
+      "qs12_sq_from_index",
+      "Scalar-quantized search against a STORED index " +
+        "(Similarity.SqIndex — the qs07 pattern for the SQ tier): " +
+        "calibration + int8 codes build once, round-trip through " +
+        "parquet (the stored codes ARE the 4×-compressed corpus), and " +
+        "the query batch quantizes against the RELOADED calibration — " +
+        "integer scoring makes the reload rank bit-identically, no " +
+        "stored-norm subtlety. Same oracle as qs10.",
+      (s, dir) => {
+        val em = Tables.load(s, dir, "embeddings")
+        val idxDir = java.nio.file.Files
+          .createTempDirectory("graft_sq_").toString
+        Similarity.writeSqIndex(
+          Similarity.buildSqIndex(em, "vec_id", "embedding"), idxDir)
+        Similarity.scalarQuantTopKWithIndex(
+          Similarity.readSqIndex(s, idxDir),
+          em.filter(org.apache.spark.sql.functions.col("vec_id") % 50 === 0),
+          "vec_id", "embedding", k = 10)
+      },
+      Some(s"""WITH $sqCtes,
+        |qq AS (SELECT * FROM qv WHERE vec_id % 50 = 0)
+        |SELECT vec_id, nbr_id, rnk FROM (
+        |  SELECT a.vec_id AS vec_id, b.vec_id AS nbr_id,
+        |    row_number() OVER (PARTITION BY a.vec_id ORDER BY
+        |      list_sum(list_transform(list_zip(a.q, b.q), p -> p[1] * p[2])) DESC,
+        |      b.vec_id) AS rnk
+        |  FROM qq a JOIN qv b ON a.vec_id <> b.vec_id)
+        |WHERE rnk <= 10""".stripMargin)),
+
+    Q(
       "qs11_ivf_sq",
       "IVF-SQ ANN (Similarity.ivfSqTopK — the production IVF+SQ8 " +
         "configuration): float cosine picks the probe cells (qs02's " +

@@ -197,6 +197,24 @@ class SimilaritySpec extends SparkSuite {
     graft.core.OpCache.releaseAll(blocking = true)
   }
 
+  test("SqIndex parquet round-trip answers identically to fresh build") {
+    import org.apache.spark.sql.functions.col
+    val df = vecs.toDF("vec_id", "embedding")
+    val queries = df.filter(col("vec_id") % 5 === 0)
+    val fresh = Similarity.scalarQuantTopK(df, queries, "vec_id", "embedding", 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val dir = java.nio.file.Files.createTempDirectory("sq_rt_").toString
+    Similarity.writeSqIndex(Similarity.buildSqIndex(df, "vec_id", "embedding"), dir)
+    val reloaded = Similarity.readSqIndex(spark, dir)
+    val stored = Similarity.scalarQuantTopKWithIndex(
+      reloaded, queries, "vec_id", "embedding", 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(stored == fresh)
+    // stored codes are tinyint on disk — the 4x compression is real
+    assert(reloaded.codes.schema("q").dataType.simpleString == "array<tinyint>")
+    graft.core.OpCache.releaseAll(blocking = true)
+  }
+
   test("sqCalibrate: zero dimension gets scale 1 (no divide-by-zero)") {
     val df = Seq(
       (0L, Array(0.0f, 2.0f)), (1L, Array(0.0f, -4.0f))

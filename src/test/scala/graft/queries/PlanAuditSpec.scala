@@ -21,6 +21,7 @@ class PlanAuditSpec extends SparkSuite {
       // one-row calibration-array broadcast + broadcast query batch ×
       // corpus scan — both linear in the corpus, neither a pair join
       "qs10_scalar_quant",
+      "qs12_sq_from_index", // qs10's scan against the stored codes
       // pairwise join over the per-source SKETCH table — one row per
       // source (dim-sized by construction), corpus work is the sketch agg
       "qd15_kmv_setops")
