@@ -41,6 +41,16 @@ object AnnRecall {
     val hitT = exact.intersect(ivfT).count()
     val recallT = hitT.toDouble / (n * k)
     println(f"""{"metric":"ann_recall_trained@$k","value":$recallT%.4f,"n":$n,"stride":$stride,"nprobe":$nProbe,"sf":"$sfDir"}""")
+    // scalar-quantized full scan: how much ranking quality the int8
+    // codes keep relative to exact float cosine. Note SQ ranks by raw
+    // integer DOT (inner product), exact by cosine — for unit-ish
+    // vectors the orders nearly coincide; the measured gap is the
+    // honest price of the 4× compression.
+    val sq = Similarity.scalarQuantTopK(em, em, "vec_id", "embedding", k)
+      .select(col("vec_id"), col("nbr_id"))
+    val hitQ = exact.intersect(sq).count()
+    val recallQ = hitQ.toDouble / (n * k)
+    println(f"""{"metric":"sq_recall@$k","value":$recallQ%.4f,"n":$n,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
