@@ -821,6 +821,34 @@ object Dedup {
     * The fingerprint key inherits gram skew: a hot boilerplate phrase
     * is exactly what `maxDocFreq` drops before the join (same df-cut
     * semantics as [[blockedJaccardPairs]]). */
+  /** Winnowing-based benchmark contamination — [[graft.operators.Overlap.contaminationHits]]
+    * with SUBSTRING sensitivity: a corpus document is flagged by the
+    * number of winnowing fingerprints it shares with the benchmark
+    * set, so only ordered runs of ≥ window + n − 1 words trigger (a
+    * bag-of-words paraphrase that reorders the grams does not — the
+    * precision complement to qd08's recall-oriented n-gram hits).
+    * Benchmark fingerprints are winnowed to 2/(window+1) density and
+    * broadcast (benchmarks are small by definition); the corpus side
+    * is one narrow fingerprint pass + a broadcast semi-join — linear,
+    * no shuffle of the corpus. Every corpus document appears in the
+    * output (zero hits included), so the result joins straight onto
+    * curation filters. */
+  def winnowingContamination(
+      docs: DataFrame, bench: DataFrame,
+      idCol: String, textCol: String,
+      n: Int = 3, window: Int = 4): DataFrame = {
+    val cfp = winnowingFingerprints(docs, idCol, textCol, n, window)
+    val bfp = winnowingFingerprints(bench, idCol, textCol, n, window)
+      .select(col("fp")).distinct()
+    val hits = cfp.join(broadcast(bfp), Seq("fp"), "left_semi")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).cast("long").as("n_shared_fp"))
+    docs.select(col(idCol).as("doc_id"))
+      .join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_shared_fp"), lit(0L)).as("n_shared_fp"))
+  }
+
   def winnowingPairs(
       docs: DataFrame, idCol: String, textCol: String,
       n: Int = 3, window: Int = 4, minShared: Int = 2,

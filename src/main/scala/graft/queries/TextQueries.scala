@@ -433,6 +433,47 @@ object TextQueries {
         |HAVING count(*) >= 2""".stripMargin)),
 
     Q(
+      "qd17_winnowing_contamination",
+      "Winnowing-based benchmark contamination " +
+        "(Dedup.winnowingContamination): corpus docs scored by shared " +
+        "winnowed fingerprints with the benchmark split (doc_id % 50 " +
+        "= 0) — only ORDERED runs ≥ 6 words trigger, the precision " +
+        "complement to qd08's bag-of-ngram hits. Benchmark " +
+        "fingerprints broadcast; corpus side is one narrow pass + " +
+        "semi-join, zero corpus shuffle. Zero-hit docs stay in the " +
+        "output for direct curation joins.",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        Dedup.winnowingContamination(
+          docs.filter(pmod(col("doc_id"), lit(50)) =!= 0),
+          docs.filter(pmod(col("doc_id"), lit(50)) === 0),
+          "doc_id", "text", n = 3, window = 4)
+      },
+      Some(s"""WITH wd AS (
+        |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 6),
+        |hs AS (
+        |  SELECT doc_id,
+        |    list_transform(
+        |      list_transform(range(1, len(w) - 1),
+        |        i -> concat(w[i], ' ', w[i+1], ' ', w[i+2])),
+        |      g -> ${dkHash60("g")}) AS h
+        |  FROM wd),
+        |fp AS (
+        |  SELECT doc_id, unnest(list_distinct(
+        |    list_transform(range(1, len(h) - 2),
+        |      i -> list_min(list_slice(h, i, i + 3))))) AS fp
+        |  FROM hs),
+        |cfp AS (SELECT doc_id, fp FROM fp WHERE doc_id % 50 <> 0),
+        |bfp AS (SELECT DISTINCT fp FROM fp WHERE doc_id % 50 = 0),
+        |hits AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shared_fp
+        |  FROM cfp WHERE fp IN (SELECT fp FROM bfp) GROUP BY 1)
+        |SELECT d.doc_id, CAST(coalesce(h.n_shared_fp, 0) AS BIGINT) AS n_shared_fp
+        |FROM (SELECT doc_id FROM documents WHERE doc_id % 50 <> 0) d
+        |LEFT JOIN hits h USING (doc_id)""".stripMargin)),
+
+    Q(
       "qt01_lang_id",
       "Language-ID heuristic: CJK codepoint check then stopword-count " +
         "argmax with fixed tiebreak. Pure narrow transform.",

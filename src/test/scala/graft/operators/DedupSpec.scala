@@ -223,6 +223,23 @@ class DedupSpec extends SparkSuite {
     assert(got.size == 64 && got.values.forall(_ == 0L))
   }
 
+  test("winnowingContamination: ordered run triggers, bag paraphrase does not") {
+    val bench = Seq((100L, "m n p q r s t u o w")).toDF("doc_id", "text")
+    val corpus = Seq(
+      // contains the benchmark's ordered run "p q r s t u"
+      (1L, "a b c p q r s t u x y z"),
+      // same WORDS as the run but reordered — no shared ordered window
+      (2L, "a b c u t s r q p x y z"),
+      (3L, "one two three four five six seven")
+    ).toDF("doc_id", "text")
+    val got = Dedup.winnowingContamination(corpus, bench, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got(1L) >= 1L, s"ordered run must share a fingerprint: $got")
+    assert(got(2L) == 0L, s"reordered bag must NOT trigger: $got")
+    assert(got(3L) == 0L && got.size == 3)
+    graft.core.OpCache.releaseAll(blocking = true)
+  }
+
   test("winnowing: shared 6-word run guarantees a shared fingerprint") {
     // docs 1 and 2 share the contiguous run "p q r s t u" (6 words =
     // window + n − 1) embedded in different surroundings; doc 3 shares
