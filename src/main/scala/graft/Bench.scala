@@ -2,12 +2,14 @@ package graft
 import org.apache.spark.sql.SparkSession
 
 /** Benchmark runner. Emits per-query JSON lines first (diagnostics:
-  * safe to lose if the caller's output capture truncates), then the
-  * single driver-parseable totals line LAST:
-  * {"metric":"total","value":N,"unit":"sec","queries":{...},"sf":...}.
-  * Times are rounded to 3 decimals to keep the line small; a query
-  * that throws is recorded in an "errors" map (name -> exception class
-  * + message) instead of being silently timed as a pass.
+  * safe to lose if the caller's output capture truncates), then a
+  * "detail" line with the full per-query/error maps, then the SHORT
+  * driver-parseable totals line LAST:
+  * {"metric":"total","value":N,"unit":"sec","n":104,"errors":0,"sf":...}.
+  * The total line embeds no maps so a bounded tail capture always
+  * retains it intact. Times are rounded to 3 decimals; a query that
+  * throws is recorded in the detail "errors" map (name -> exception
+  * class + message) instead of being silently timed as a pass.
   */
 object Bench {
   private def r3(v: Double): String =
@@ -60,7 +62,11 @@ object Bench {
       s"\"" + k + "\":\"" + jsonEscape(m) + "\""
     }.mkString("{", ",", "}")
     val total = timed.map(_._2).sum
-    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
+    // Penultimate line carries the bulky per-query/error maps; the FINAL
+    // line is short (<120 bytes) so no tail-capture window can lose the
+    // headline total (r6: a 3.7 KB final line lost its front → parsed:null).
+    println(s"""{"metric":"detail","queries":$qs,"errors":$errs}""")
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","n":${timed.size},"errors":${timed.count(_._3.isDefined)},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

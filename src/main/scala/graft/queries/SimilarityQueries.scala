@@ -330,6 +330,44 @@ object SimilarityQueries {
         |WHERE rnk <= 10""".stripMargin)),
 
     Q(
+      "qs13_sq_rerank",
+      "Quantized-candidates + exact-rerank composition (the " +
+        "production ANN serving shape): int8 scan nominates " +
+        "top-(k·4) candidates per query over the 4×-compressed " +
+        "corpus, exact float cosine re-scores ONLY those rows (two " +
+        "id equi-joins, never a corpus-wide float scan), top-k by " +
+        "(cos DESC, nbr_id). Buys quantization's recall gap back: " +
+        "recall@5 0.794 (qs10) → 1.0 at overfetch=4 (tools/AnnRecall).",
+      (s, dir) => {
+        val em = Tables.load(s, dir, "embeddings")
+        Similarity.scalarQuantRerankTopK(em,
+          em.filter(org.apache.spark.sql.functions.col("vec_id") % 50 === 0),
+          "vec_id", "embedding", k = 10, overfetch = 4)
+      },
+      Some(s"""WITH $sqCtes,
+        |qq AS (SELECT * FROM qv WHERE vec_id % 50 = 0),
+        |cand AS (
+        |  SELECT vec_id, nbr_id FROM (
+        |    SELECT a.vec_id AS vec_id, b.vec_id AS nbr_id,
+        |      row_number() OVER (PARTITION BY a.vec_id ORDER BY
+        |        list_sum(list_transform(list_zip(a.q, b.q), p -> p[1] * p[2])) DESC,
+        |        b.vec_id) AS rnk
+        |    FROM qq a JOIN qv b ON a.vec_id <> b.vec_id)
+        |  WHERE rnk <= 40),
+        |e AS (
+        |  SELECT vec_id, embedding, ${dkNorm("embedding")} AS nrm
+        |  FROM embeddings)
+        |SELECT vec_id, nbr_id, rnk FROM (
+        |  SELECT c.vec_id AS vec_id, c.nbr_id AS nbr_id,
+        |    row_number() OVER (PARTITION BY c.vec_id ORDER BY
+        |      ${dkDot("a.embedding", "b.embedding")} / (a.nrm * b.nrm) DESC,
+        |      c.nbr_id) AS rnk
+        |  FROM cand c
+        |  JOIN e a ON a.vec_id = c.vec_id
+        |  JOIN e b ON b.vec_id = c.nbr_id)
+        |WHERE rnk <= 10""".stripMargin)),
+
+    Q(
       "qs11_ivf_sq",
       "IVF-SQ ANN (Similarity.ivfSqTopK — the production IVF+SQ8 " +
         "configuration): float cosine picks the probe cells (qs02's " +

@@ -51,6 +51,15 @@ object AnnRecall {
     val hitQ = exact.intersect(sq).count()
     val recallQ = hitQ.toDouble / (n * k)
     println(f"""{"metric":"sq_recall@$k","value":$recallQ%.4f,"n":$n,"sf":"$sfDir"}""")
+    // quantized-candidates + exact-rerank composition: what the
+    // overfetch window buys back of the SQ gap (qs13's operator)
+    Seq(2, 4).foreach { m =>
+      val rr = Similarity.scalarQuantRerankTopK(em, em, "vec_id", "embedding", k, m)
+        .select(col("vec_id"), col("nbr_id"))
+      val hitR = exact.intersect(rr).count()
+      val recallR = hitR.toDouble / (n * k)
+      println(f"""{"metric":"sq_rerank_recall@$k","value":$recallR%.4f,"overfetch":$m,"n":$n,"sf":"$sfDir"}""")
+    }
     spark.stop()
   }
 }

@@ -249,4 +249,21 @@ class SimilaritySpec extends SparkSuite {
     assert(one.subsetOf(three), "extra tables can only ADD verified pairs")
     graft.core.OpCache.releaseAll(blocking = true)
   }
+
+  test("scalarQuantRerankTopK: overfetch covering the corpus equals exact") {
+    val df = vecs.toDF("vec_id", "embedding")
+    // overfetch window spans the whole corpus → the rerank sees every
+    // candidate, so the composition must reproduce brute force exactly
+    val rr = rowsOf(Similarity.scalarQuantRerankTopK(
+      df, df, "vec_id", "embedding", k = 3, overfetch = 20))
+    val exact = rowsOf(Similarity.bruteForceTopK(df, "vec_id", "embedding", k = 3))
+    assert(rr == exact)
+    // small overfetch still returns exactly k rows per query, ranked 1..k
+    val tight = Similarity.scalarQuantRerankTopK(
+      df, df, "vec_id", "embedding", k = 3, overfetch = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(2)))
+    assert(tight.groupBy(_._1).forall { case (_, rs) =>
+      rs.map(_._2).sorted.sameElements(Array(1L, 2L, 3L)) })
+    graft.core.OpCache.releaseAll(blocking = true)
+  }
 }
