@@ -28,12 +28,16 @@ object Funnel {
     stages.zipWithIndex.foreach { case ((name, pred), i) =>
       val hits = events.filter(pred)
         .select(col(userCol).as("u"), col(tsCol).as("t"))
-      reached =
+      // Each stage's reached-set is consumed twice (next stage's join +
+      // this stage's count in the final union) — persist it, or the
+      // union re-executes every prior stage's join per branch and the
+      // log gets rescanned O(k²) times for a k-stage funnel.
+      reached = graft.core.OpCache.persist(
         if (i == 0) hits.groupBy(col("u")).agg(min(col("t")).as("t"))
         else hits
           .join(reached.select(col("u"), col("t").as("prev_t")), Seq("u"))
           .filter(col("t") > col("prev_t"))
-          .groupBy(col("u")).agg(min(col("t")).as("t"))
+          .groupBy(col("u")).agg(min(col("t")).as("t")))
       outs += reached.agg(count(lit(1)).cast("long").as("n_users"))
         .select(lit(i + 1).cast("long").as("stage_idx"),
           lit(name).as("stage"), col("n_users"))

@@ -30,9 +30,13 @@ import org.apache.spark.sql.functions._
   */
 object GraphRank {
 
-  /** @param nodes  one row per node (ranks cover nodes with no edges)
+  /** @param nodes  one row per node (ranks cover nodes with no edges);
+    *               must be non-empty
     * @param edges  undirected pairs (aCol, bCol); each pair counts as
-    *               one edge in each direction
+    *               one edge in each direction. Pairs must be DISTINCT —
+    *               a duplicated pair silently inflates both endpoints'
+    *               degree and contribution (pass `edges.distinct()` if
+    *               the source may repeat pairs)
     * @param dampingPct damping factor as an integer percentage (85 =
     *               the classic 0.85) so the damping step stays exact
     * @return (node_id, pr_int) with pr_int ≙ rank · scale */
@@ -42,10 +46,13 @@ object GraphRank {
       iters: Int = 2, dampingPct: Int = 85,
       scale: Long = 1000000000000L): DataFrame = {
     require(iters >= 1 && dampingPct >= 0 && dampingPct <= 100)
+    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val spark = nodes.sparkSession
     val ids = graft.core.OpCache.persist(
       graft.core.Partitioning.parallelize(nodes, col(idCol))
         .select(col(idCol).as("node_id")))
     val n = ids.count()
+    require(n > 0, "pageRank needs at least one node (empty node table)")
     val sym = edges.select(col(aCol).as("src"), col(bCol).as("dst"))
       .unionByName(edges.select(col(bCol).as("src"), col(aCol).as("dst")))
     val e = graft.core.OpCache.persist(sym.join(
@@ -53,6 +60,11 @@ object GraphRank {
       Seq("src")))
     val base = (scale * (100 - dampingPct) / 100) / n
     var pr = ids.select(col("node_id"), lit(scale / n).as("pr"))
+    // Past a few rounds the nested join+agg lineage explodes the plan
+    // (analysis cost grows per round); cut it to the RDD and re-persist
+    // each round, same pattern as Dedup.connectedComponentsStars. Below
+    // the threshold the plain nested plan is cheaper (no RDD hop).
+    val cutLineage = iters > 4
     (0 until iters).foreach { _ =>
       val contrib = e.join(pr, col("src") === col("node_id"))
         .select(col("dst"), expr("pr div deg").as("c"))
@@ -62,6 +74,11 @@ object GraphRank {
           (lit(base) +
             expr(s"($dampingPct * coalesce(s, CAST(0 AS BIGINT))) div 100"))
             .as("pr"))
+      if (cutLineage) {
+        val cutDf = spark.createDataFrame(pr.rdd, pr.schema).persist(MEMORY_AND_DISK)
+        graft.core.OpCache.track(cutDf)
+        pr = cutDf
+      }
     }
     pr.select(col("node_id"), col("pr").cast("long").as("pr_int"))
   }

@@ -33,16 +33,23 @@ object Histogram {
       bins: Int, quantiles: Seq[(String, Double)]): DataFrame = {
     require(bins >= 1 && quantiles.nonEmpty)
     require(quantiles.forall { case (_, q) => q > 0.0 && q <= 1.0 })
+    // Null values are excluded up front: they carry no position on the
+    // value axis, and counting them would inflate n while landing in a
+    // bin no quantile can select (they'd also diverge from engines that
+    // sort nulls last, e.g. DuckDB, vs Spark's nulls-first windows).
+    val dfNn = df.filter(col(valCol).isNotNull)
     // calibration pass: global value range (two scalars; the second
     // scan below is the histogram build — bounds are inherently a
     // separate pass unless supplied by table statistics)
-    val mm = df.agg(min(col(valCol).cast("double")).as("mn"),
+    val mm = dfNn.agg(min(col(valCol).cast("double")).as("mn"),
       max(col(valCol).cast("double")).as("mx")).head()
+    require(!mm.isNullAt(0),
+      s"quantileEstimates: input has no non-null '$valCol' values")
     val mn = mm.getDouble(0)
     val mx = mm.getDouble(1)
     require(mx > mn, s"degenerate value range [$mn, $mx]: all values equal")
     val w = (mx - mn) / bins
-    val hist = df.select(col(groupCol).as("grp"),
+    val hist = dfNn.select(col(groupCol).as("grp"),
         least(floor((col(valCol).cast("double") - lit(mn)) / lit(w)),
           lit((bins - 1).toLong)).as("bin"))
       .groupBy(col("grp"), col("bin")).agg(count(lit(1)).cast("long").as("c"))

@@ -54,23 +54,39 @@ object Cdc {
     * never snapshot-proportional, which is what makes auditing a
     * 100 TB mirror nightly feasible (both sides shuffle once on the
     * key; the hash collapses row width to 32 bytes before the join).
+    *
+    * CONTRACT: each side must be unique per key (i.e. a snapshot, not
+    * a feed — run [[applyChanges]] first if in doubt). A duplicated key
+    * fans out through the full-outer join and emits one status row per
+    * old×new pairing, which is enforced here with a loud failure
+    * instead of silently multiplied output.
     */
   def snapshotDiff(
       oldDf: DataFrame, newDf: DataFrame,
       keyCols: Seq[String]): DataFrame = {
-    def hashed(df: DataFrame): DataFrame = {
+    def hashed(df: DataFrame, side: String): DataFrame = {
       val others = df.columns.filterNot(keyCols.contains).sorted
       // control-byte separator + null sentinel: ("a", null) never
       // collides with (null, "a") and adjacent values cannot merge.
       // Doubles stringify shortest-roundtrip, so distinct values hash
       // distinct; values containing the control bytes are out of scope.
-      df.select(keyCols.map(col) :+
+      val perRow = df.select(keyCols.map(col) :+
         md5(concat_ws("\u0001",
           others.map(c => coalesce(col(c).cast("string"), lit("\u0000"))): _*))
           .as("__h"): _*)
+      // one-row-per-key contract, enforced at execution time: the agg
+      // shares the join's key partitioning (one shuffle either way) and
+      // max(__h) is the identity for a well-formed snapshot
+      perRow.groupBy(keyCols.map(col): _*)
+        .agg(max(col("__h")).as("__hm"), count(lit(1)).as("__c"))
+        .select(keyCols.map(col) :+
+          when(col("__c") > 1, raise_error(concat(
+            lit(s"snapshotDiff: duplicate key in $side snapshot: "),
+            concat_ws(",", keyCols.map(c => col(c).cast("string")): _*))))
+            .otherwise(col("__hm")).as("__h"): _*)
     }
-    val o = hashed(oldDf).withColumnRenamed("__h", "__h_old")
-    val n = hashed(newDf).withColumnRenamed("__h", "__h_new")
+    val o = hashed(oldDf, "old").withColumnRenamed("__h", "__h_old")
+    val n = hashed(newDf, "new").withColumnRenamed("__h", "__h_new")
     o.join(n, keyCols, "full_outer")
       .withColumn("status",
         when(col("__h_new").isNull, lit("removed"))

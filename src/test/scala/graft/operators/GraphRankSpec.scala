@@ -34,4 +34,28 @@ class GraphRankSpec extends SparkSuite {
     assert(a.values.sum <= 1000000000000L)
     graft.core.OpCache.releaseAll(blocking = true)
   }
+
+  test("pageRank: deep iteration runs under the lineage cut") {
+    // iters=12 crosses the cut threshold: each round's plan restarts
+    // from an RDD scan instead of nesting 12 join+agg layers. The
+    // result must still be the convergent ranking (hub > leaf > isolated).
+    val nodes = (1L to 20L).toDF("id")
+    val edges = (2L to 10L).map(i => (1L, i)).toDF("a_id", "b_id")
+    val got = GraphRank.pageRank(nodes, "id", edges, iters = 12)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.size == 20)
+    assert(got(1L) > got(2L) && got(2L) > got(15L))
+    assert(got.values.sum <= 1000000000000L)
+    graft.core.OpCache.releaseAll(blocking = true)
+  }
+
+  test("pageRank: empty node table is refused loudly") {
+    val nodes = Seq.empty[Long].toDF("id")
+    val edges = Seq.empty[(Long, Long)].toDF("a_id", "b_id")
+    val e = intercept[IllegalArgumentException] {
+      GraphRank.pageRank(nodes, "id", edges)
+    }
+    assert(e.getMessage.contains("at least one node"))
+    graft.core.OpCache.releaseAll(blocking = true)
+  }
 }

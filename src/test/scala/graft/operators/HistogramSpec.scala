@@ -39,4 +39,28 @@ class HistogramSpec extends SparkSuite {
       Histogram.quantileEstimates(df, "grp", "v", 10, Seq("p50" -> 0.5))
     }
   }
+
+  test("quantileEstimates: nulls excluded from n and bins; empty refused") {
+    // nulls must not inflate the count or occupy a bin: with them
+    // filtered, 1..100 + 50 nulls estimates like plain 1..100
+    val withNulls = ((1 to 100).map(i => ("g", Some(i.toDouble))) ++
+      (1 to 50).map(_ => ("g", None: Option[Double]))).toDF("grp", "v")
+    val clean = (1 to 100).map(i => ("g", i.toDouble)).toDF("grp", "v")
+    val a = Histogram.quantileEstimates(withNulls, "grp", "v", 20, Seq("p50" -> 0.5))
+      .collect()(0)
+    val b = Histogram.quantileEstimates(clean, "grp", "v", 20, Seq("p50" -> 0.5))
+      .collect()(0)
+    assert(a.getLong(1) == 100L && a.getLong(1) == b.getLong(1))
+    assert(a.getDouble(2) == b.getDouble(2))
+    // all-null and empty inputs fail with the explicit message, not an NPE
+    val allNull = Seq(("g", None: Option[Double])).toDF("grp", "v")
+    val e = intercept[IllegalArgumentException] {
+      Histogram.quantileEstimates(allNull, "grp", "v", 10, Seq("p50" -> 0.5))
+    }
+    assert(e.getMessage.contains("no non-null"))
+    val empty = Seq.empty[(String, Double)].toDF("grp", "v")
+    intercept[IllegalArgumentException] {
+      Histogram.quantileEstimates(empty, "grp", "v", 10, Seq("p50" -> 0.5))
+    }
+  }
 }

@@ -22,6 +22,9 @@ class PlanAuditSpec extends SparkSuite {
       // corpus scan — both linear in the corpus, neither a pair join
       "qs10_scalar_quant",
       "qs12_sq_from_index", // qs10's scan against the stored codes
+      // qs10's candidate scan + two id EQUI-joins for the rerank; the
+      // only BNLJ is the inherited one-row calibration/query broadcast
+      "qs13_sq_rerank",
       // pairwise join over the per-source SKETCH table — one row per
       // source (dim-sized by construction), corpus work is the sketch agg
       "qd15_kmv_setops")
@@ -50,6 +53,32 @@ class PlanAuditSpec extends SparkSuite {
         }
       }
     assert(offenders.isEmpty, s"partitionless windows (single-reducer sort): $offenders")
+  }
+
+  /** Queries allowed a CONSTANT-key window (a single-reducer window in
+    * disguise — partitionBy(lit(0)) satisfies "has a partition spec" on
+    * a technicality). Each entry needs the same justification a global
+    * window would: the windowed frame is driver-sized by construction. */
+  private val allowedConstantKeyWindow =
+    Set("q16_window_ffill") // W1: order-sensitive Excel-sheet forward-fill,
+                           // sheet-sized input (MoreTransformers.scala)
+
+  test("no constant-key (de-facto global) windows outside the allow-list") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    val dir = "/root/testdata/sf0.001"
+    val offenders = Registry.all
+      .filterNot(_.name.startsWith("qst"))
+      .flatMap { q =>
+        q.run(spark, dir).queryExecution.optimizedPlan.collect {
+          // every partition key folded to a literal → one reducer gets
+          // the whole input, same failure mode the empty-spec test bans
+          case w: LWindow if w.partitionSpec.nonEmpty &&
+            w.partitionSpec.forall(_.foldable) => q.name
+        }
+      }.distinct
+    val bad = offenders.filterNot(allowedConstantKeyWindow)
+    assert(bad.isEmpty, s"constant-key windows (single-reducer in disguise): $bad")
   }
 
   test("column pruning reaches the parquet scan (narrow projections)") {

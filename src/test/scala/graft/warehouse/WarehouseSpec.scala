@@ -133,6 +133,16 @@ class WarehouseSpec extends SparkSuite {
       .collect().map(_.getString(1)).toSeq == Seq("changed"))
   }
 
+  test("snapshot diff: duplicate key fails loudly instead of fanning out") {
+    val oldV = Seq((1L, "a"), (1L, "b")).toDF("k", "s") // 1 duplicated
+    val newV = Seq((1L, "a")).toDF("k", "s")
+    val e = intercept[Exception] {
+      Cdc.snapshotDiff(oldV, newV, Seq("k")).collect()
+    }
+    assert(e.getMessage.contains("duplicate key in old snapshot"),
+      s"got: ${e.getMessage}")
+  }
+
   test("upsert SQL generation (K5/K6)") {
     assert(JdbcUpsert.upsertSql("series",
       Seq("country_id", "indicator_id", "year", "value"),
