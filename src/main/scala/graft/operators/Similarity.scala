@@ -527,6 +527,176 @@ object Similarity {
       .select(col("vec_id"), col("nbr_id"), col("rnk").cast("long").as("rnk"))
   }
 
+  // ---------------------------------------------------------------
+  // Product quantization (PQ) — the ANN ladder's compression endgame
+  // ---------------------------------------------------------------
+
+  /** (vec_id, m, sv): each vector split into `nSub` contiguous
+    * subvectors of `subDim` dimensions — the decomposition PQ
+    * quantizes independently. */
+  private def subvectors(e: DataFrame, nSub: Int, subDim: Int): DataFrame =
+    e.select(col("vec_id"), posexplode(array((0 until nSub).map(m =>
+      slice(col("embedding"), m * subDim + 1, subDim)): _*)).as(Seq("m", "sv")))
+
+  /** (vec_id, m, cent_id, d2, rn): codebook entries of subquantizer m
+    * ranked per (vector, m) by squared L2 distance (ties → lowest
+    * cent_id). rn=1 is the PQ code. Distance runs in the native
+    * [[graft.functions.FloatVecL2]] kernel — fixed-fold, engine-exact. */
+  private def codeRanks(sv: DataFrame, cb: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("vec_id"), col("m"))
+      .orderBy(col("d2"), col("cent_id"))
+    sv.join(cb, Seq("m"))
+      .select(col("vec_id"), col("m"), col("cent_id"),
+        call_function("graft_vec_l2sq", col("sv"), col("cvec")).as("d2"))
+      .withColumn("rn", row_number().over(w))
+  }
+
+  /** Per-subvector PQ codebooks (m, cent_id, cvec), trained with the
+    * same bit-reproducible k-means discipline as [[trainIvfCentroids]]
+    * but over ALL subquantizers in ONE composite-keyed job: seeds are
+    * the deterministic stride vectors' subvectors, each Lloyd round is
+    * one broadcast-assign (squared-L2 rank, ties → lowest cent_id) +
+    * one exploded (m, cent_id, dim)-keyed DECIMAL(30,6)-exact mean
+    * repacked in dim order and cast to float. No per-subquantizer
+    * driver loop — nSub inflates the key space, not the job count. */
+  def pqTrainCodebooks(
+      em: DataFrame, idCol: String, vecCol: String,
+      nSub: Int = 8, dim: Int = 64, centroidStride: Int = 40,
+      iters: Int = 1): DataFrame = {
+    require(dim % nSub == 0, s"dim $dim must split evenly into $nSub subvectors")
+    graft.functions.GraftFunctions.register(em.sparkSession)
+    val subDim = dim / nSub
+    val e = graft.core.Partitioning.parallelize(em, col(idCol))
+      .select(col(idCol).as("vec_id"), col(vecCol).as("embedding"))
+    val sv = graft.core.OpCache.persist(subvectors(e, nSub, subDim))
+    var cb = sv.filter(col("vec_id") % centroidStride === 0)
+      .select(col("m"), col("vec_id").as("cent_id"), col("sv").as("cvec"))
+    (0 until iters).foreach { _ =>
+      val assign = codeRanks(sv, broadcast(cb))
+        .filter(col("rn") === 1).select(col("vec_id"), col("m"), col("cent_id"))
+      val means = sv.join(assign, Seq("vec_id", "m"))
+        .select(col("m"), col("cent_id"), posexplode(col("sv")).as(Seq("dim", "x")))
+        .groupBy(col("m"), col("cent_id"), col("dim"))
+        .agg((graft.expr.Exprs.exactSum(col("x").cast("double")) /
+          count(lit(1)).cast("double")).as("mu"))
+      cb = means.groupBy(col("m"), col("cent_id"))
+        .agg(transform(
+          array_sort(collect_list(struct(col("dim"), col("mu")))),
+          s => s.getField("mu")).cast("array<float>").as("cvec"))
+    }
+    cb
+  }
+
+  /** The materialized PQ artifacts ([[IvfIndex]]/[[SqIndex]]'s sibling
+    * for the PQ tier): the trained codebooks (nSub·K subvector
+    * centroids — KBs, always broadcastable) and the code table
+    * (vec_id, codes) with codes(m) = the id of subquantizer m's
+    * nearest centroid. Codes here are the centroid ids themselves
+    * (bigint, transparent to the oracle); the production packing is a
+    * trivial dictionary remap to dense int8 — nSub bytes per vector,
+    * 32× smaller than the 64-float embedding it replaces. The corpus
+    * floats are NOT part of the index: ADC search never touches them. */
+  final case class PqIndex(
+      codebooks: DataFrame, // (m, cent_id, cvec)
+      codes: DataFrame) { // (vec_id, codes array<bigint>)
+    def unpersist(blocking: Boolean = false): Unit = {
+      codebooks.unpersist(blocking)
+      codes.unpersist(blocking)
+      graft.core.OpCache.untrack(codebooks)
+      graft.core.OpCache.untrack(codes)
+    }
+  }
+
+  def buildPqIndex(
+      em: DataFrame, idCol: String, vecCol: String,
+      nSub: Int = 8, dim: Int = 64, centroidStride: Int = 40,
+      iters: Int = 1): PqIndex = {
+    val subDim = dim / nSub
+    val cb = graft.core.OpCache.persist(
+      pqTrainCodebooks(em, idCol, vecCol, nSub, dim, centroidStride, iters))
+    val e = graft.core.Partitioning.parallelize(em, col(idCol))
+      .select(col(idCol).as("vec_id"), col(vecCol).as("embedding"))
+    val codes = codeRanks(subvectors(e, nSub, subDim), broadcast(cb))
+      .filter(col("rn") === 1)
+      .groupBy(col("vec_id"))
+      .agg(transform(
+        array_sort(collect_list(struct(col("m"), col("cent_id")))),
+        s => s.getField("cent_id")).as("codes"))
+    PqIndex(cb, codes)
+  }
+
+  def writePqIndex(index: PqIndex, dir: String): Unit = {
+    index.codebooks.write.mode("overwrite").parquet(s"$dir/codebooks.parquet")
+    index.codes.write.mode("overwrite").parquet(s"$dir/codes.parquet")
+  }
+
+  def readPqIndex(spark: org.apache.spark.sql.SparkSession,
+      dir: String): PqIndex =
+    PqIndex(
+      spark.read.parquet(s"$dir/codebooks.parquet"),
+      spark.read.parquet(s"$dir/codes.parquet"))
+
+  /** Asymmetric-distance (ADC) top-k against a PQ index — the 100 TB
+    * default ANN configuration (IVF-PQ's scoring half): each query
+    * precomputes its distance TABLE d2(q, m, cent_id) against the
+    * broadcast codebooks (queries × nSub × K rows — query-batch-sized,
+    * broadcastable), and a corpus vector's approximate distance is the
+    * table lookup sum Σ_m d2(q, m, code_m) — the corpus contributes
+    * only its codes, never floats.
+    *
+    * Scale shape: one equi-join of the exploded code table with the
+    * broadcast distance table on (m, cent_id) + one hash agg on
+    * (query, vector) with map-side partials — linear in corpus × nSub,
+    * zero corpus shuffle beyond the agg of 16-byte rows. Determinism:
+    * each d2 is the fixed-fold L2 kernel (bit-exact both engines); the
+    * per-pair sum runs in DECIMAL(30,6) (order-invariant), so ranks
+    * (dist ASC, nbr_id) are engine-exact. Approximation error is the
+    * PQ reconstruction error; compose with [[scalarQuantRerankTopK]]'s
+    * rerank pattern when exact final ranks are needed.
+    *
+    * Measured recall@5 vs exact L2 (tools/AnnRecall, synthetic
+    * near-random test embeddings — PQ's worst case, no cluster
+    * structure to exploit): 0.17 / 0.28 / 0.32 / 0.37 at
+    * (stride, iters) = (40,1) / (10,1) / (10,2) / (5,2). Codebook
+    * resolution is the dial (production uses K=256/subquantizer);
+    * the sanity anchor is exact: an exhaustive codebook reproduces
+    * true L2 ranks bit-for-bit (SimilaritySpec). */
+  def pqAdcTopKWithIndex(
+      index: PqIndex, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int,
+      nSub: Int = 8, dim: Int = 64): DataFrame = {
+    require(dim % nSub == 0, s"dim $dim must split evenly into $nSub subvectors")
+    graft.functions.GraftFunctions.register(queries.sparkSession)
+    val subDim = dim / nSub
+    val q = queries.select(col(idCol).as("vec_id"), col(vecCol).as("embedding"))
+    val qd = subvectors(q, nSub, subDim)
+      .join(broadcast(index.codebooks), Seq("m"))
+      .select(col("vec_id").as("q_id"), col("m"), col("cent_id"),
+        call_function("graft_vec_l2sq", col("sv"), col("cvec")).as("d2"))
+    val cc = index.codes.select(col("vec_id").as("nbr_id"),
+      posexplode(col("codes")).as(Seq("m", "cent_id")))
+    val scored = cc.join(broadcast(qd), Seq("m", "cent_id"))
+      .filter(col("q_id") =!= col("nbr_id"))
+      .groupBy(col("q_id"), col("nbr_id"))
+      .agg(graft.expr.Exprs.exactSum(col("d2")).as("dist"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("dist"), col("nbr_id"))
+    scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("q_id").as("vec_id"), col("nbr_id"),
+        col("rnk").cast("long").as("rnk"))
+  }
+
+  /** Build-and-search PQ ADC top-k (the from-index path over a fresh
+    * build, like [[scalarQuantTopK]]). */
+  def pqTopK(
+      corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int,
+      nSub: Int = 8, dim: Int = 64, centroidStride: Int = 40,
+      iters: Int = 1): DataFrame =
+    pqAdcTopKWithIndex(
+      buildPqIndex(corpus, idCol, vecCol, nSub, dim, centroidStride, iters),
+      queries, idCol, vecCol, k, nSub, dim)
+
   /** Per-label centroid table: element-wise mean of the embedding
     * vectors of each label, one row per (label, dimension).
     *

@@ -97,6 +97,63 @@ object SimilarityQueries {
       |  FROM e, cn2 c)
       |SELECT vec_id, cent_id FROM rf WHERE rn = 1""".stripMargin
 
+  /** DuckDB rendition of the fixed-fold squared-L2 distance
+    * (FloatVecL2's contract). */
+  private def dkL2(a: String, b: String): String =
+    s"list_reduce(list_transform(list_zip($a, $b), " +
+      s"s -> (CAST(s[1] AS DOUBLE) - CAST(s[2] AS DOUBLE)) * " +
+      s"(CAST(s[1] AS DOUBLE) - CAST(s[2] AS DOUBLE))), (x, y) -> x + y)"
+
+  /** qs14 oracle: PQ train (1 Lloyd round from stride seeds, per-
+    * subquantizer decimal-exact means) → encode → ADC distance-table
+    * scoring — the SQL rendition of Similarity.pqTopK with nSub=8,
+    * dim=64, stride=40, iters=1, queries = vec_id % 50. */
+  private def pqOracle: String =
+    s"""WITH sv AS (
+      |  SELECT vec_id, t.m AS m,
+      |    e.embedding[t.m*8+1 : t.m*8+8] AS sv
+      |  FROM embeddings e, unnest(range(0, 8)) t(m)),
+      |c0 AS (SELECT m, vec_id AS cent_id, sv AS cvec FROM sv WHERE vec_id % 40 = 0),
+      |r1 AS (
+      |  SELECT sv.vec_id, sv.m, c.cent_id,
+      |    row_number() OVER (PARTITION BY sv.vec_id, sv.m ORDER BY
+      |      ${dkL2("sv.sv", "c.cvec")} ASC, c.cent_id) AS rn
+      |  FROM sv JOIN c0 c ON sv.m = c.m),
+      |a1 AS (SELECT vec_id, m, cent_id FROM r1 WHERE rn = 1),
+      |m1 AS (
+      |  SELECT a1.m, a1.cent_id, u.i AS dim,
+      |    CAST(sum(CAST(CAST(sv.sv[u.i] AS DOUBLE) AS DECIMAL(30,6))) AS DOUBLE) /
+      |      CAST(count(*) AS DOUBLE) AS mu
+      |  FROM sv JOIN a1 ON sv.vec_id = a1.vec_id AND sv.m = a1.m,
+      |    unnest(range(1, len(sv.sv) + 1)) u(i)
+      |  GROUP BY 1, 2, 3),
+      |cb AS (
+      |  SELECT m, cent_id,
+      |    list_transform(list(mu ORDER BY dim), x -> CAST(x AS FLOAT)) AS cvec
+      |  FROM m1 GROUP BY 1, 2),
+      |re AS (
+      |  SELECT sv.vec_id, sv.m, c.cent_id,
+      |    row_number() OVER (PARTITION BY sv.vec_id, sv.m ORDER BY
+      |      ${dkL2("sv.sv", "c.cvec")} ASC, c.cent_id) AS rn
+      |  FROM sv JOIN cb c ON sv.m = c.m),
+      |codes AS (SELECT vec_id, m, cent_id FROM re WHERE rn = 1),
+      |qd AS (
+      |  SELECT sv.vec_id AS q_id, sv.m, c.cent_id,
+      |    ${dkL2("sv.sv", "c.cvec")} AS d2
+      |  FROM sv JOIN cb c ON sv.m = c.m
+      |  WHERE sv.vec_id % 50 = 0),
+      |scored AS (
+      |  SELECT qd.q_id, codes.vec_id AS nbr_id,
+      |    CAST(sum(CAST(qd.d2 AS DECIMAL(30,6))) AS DOUBLE) AS dist
+      |  FROM codes JOIN qd ON codes.m = qd.m AND codes.cent_id = qd.cent_id
+      |  WHERE qd.q_id <> codes.vec_id
+      |  GROUP BY 1, 2)
+      |SELECT vec_id, nbr_id, rnk FROM (
+      |  SELECT q_id AS vec_id, nbr_id,
+      |    row_number() OVER (PARTITION BY q_id ORDER BY dist ASC, nbr_id) AS rnk
+      |  FROM scored)
+      |WHERE rnk <= 10""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q(
       "qs01_cosine_topk",
@@ -400,6 +457,25 @@ object SimilarityQueries {
         |      q.vec_id) AS rnk
         |  FROM p JOIN b q ON p.cent_id = q.cent_id AND p.vec_id <> q.vec_id)
         |WHERE rnk <= 5""".stripMargin)),
+
+    Q(
+      "qs14_pq_adc",
+      "Product-quantization ADC top-k (the 100 TB ANN default's " +
+        "scoring half): 8 per-subvector codebooks trained with the " +
+        "bit-reproducible k-means discipline (stride seeds + 1 " +
+        "decimal-exact Lloyd round, ONE composite-keyed job for all " +
+        "subquantizers), corpus stored as codes only (32× smaller " +
+        "packed), queries score via a broadcast distance table + one " +
+        "(m,code) equi-join + decimal-exact sum — corpus floats never " +
+        "touched at query time.",
+      (s, dir) => {
+        val em = Tables.load(s, dir, "embeddings")
+        Similarity.pqTopK(em,
+          em.filter(org.apache.spark.sql.functions.col("vec_id") % 50 === 0),
+          "vec_id", "embedding", k = 10,
+          nSub = 8, dim = 64, centroidStride = 40, iters = 1)
+      },
+      Some(pqOracle)),
 
     Q(
       "qs06_label_centroids",

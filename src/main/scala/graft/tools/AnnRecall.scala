@@ -51,6 +51,34 @@ object AnnRecall {
     val hitQ = exact.intersect(sq).count()
     val recallQ = hitQ.toDouble / (n * k)
     println(f"""{"metric":"sq_recall@$k","value":$recallQ%.4f,"n":$n,"sf":"$sfDir"}""")
+    // PQ ADC (L2-ranked): measured against the exact L2 baseline —
+    // PQ approximates DISTANCE, so its recall target is L2 top-k,
+    // not the cosine baseline the tiers above use
+    locally {
+      val eL2 = {
+        import graft.functions.VectorFunctions._
+        val e = em.select(col("vec_id"), col("embedding"))
+        val scored = e.as("a").join(e.as("b"), col("a.vec_id") =!= col("b.vec_id"))
+          .select(col("a.vec_id").as("vec_id"), col("b.vec_id").as("nbr_id"),
+            call_function("graft_vec_l2sq", col("a.embedding"), col("b.embedding")).as("d2"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("vec_id")).orderBy(col("d2"), col("nbr_id"))
+        scored.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= k)
+          .select(col("vec_id"), col("nbr_id"))
+      }
+      graft.functions.GraftFunctions.register(spark)
+      val eL2c = eL2.persist()
+      Seq((40, 1), (10, 1), (10, 2), (5, 2)).foreach { case (pqStride, pqIters) =>
+        val pq = Similarity.pqTopK(em, em, "vec_id", "embedding", k,
+          nSub = 8, dim = 64, centroidStride = pqStride, iters = pqIters)
+          .select(col("vec_id"), col("nbr_id"))
+        val hitP = eL2c.intersect(pq).count()
+        val recallP = hitP.toDouble / (n * k)
+        println(f"""{"metric":"pq_adc_recall_l2@$k","value":$recallP%.4f,"stride":$pqStride,"iters":$pqIters,"n":$n,"sf":"$sfDir"}""")
+        graft.core.OpCache.releaseAll(blocking = true)
+      }
+      eL2c.unpersist()
+    }
     // quantized-candidates + exact-rerank composition: what the
     // overfetch window buys back of the SQ gap (qs13's operator)
     Seq(2, 4).foreach { m =>

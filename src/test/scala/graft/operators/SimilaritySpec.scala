@@ -250,6 +250,45 @@ class SimilaritySpec extends SparkSuite {
     graft.core.OpCache.releaseAll(blocking = true)
   }
 
+  test("pqTopK: exhaustive codebook (stride=1, iters=0) is exact L2") {
+    // with every vector a seed and no Lloyd rounds, each subvector's
+    // code reconstructs an identical subvector (d2=0 assignment), so
+    // the ADC table-lookup sum IS the true squared L2 distance — the
+    // composition must reproduce exact L2 ranking
+    val df = vecs.toDF("vec_id", "embedding")
+    val got = Similarity.pqTopK(df, df, "vec_id", "embedding", k = 3,
+      nSub = 4, dim = 8, centroidStride = 1, iters = 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .groupBy(_._1).view.mapValues(_.sortBy(_._3).map(_._2).toSeq).toMap
+    def l2(a: Array[Float], b: Array[Float]): Double =
+      (0 until dim).map { i =>
+        val d = a(i).toDouble - b(i).toDouble; d * d
+      }.sum
+    vecs.foreach { case (id, a) =>
+      val want = vecs.filter(_._1 != id)
+        .map { case (oid, b) => (oid, l2(a, b)) }
+        .sortBy { case (oid, d) => (d, oid) }
+        .take(3).map(_._1)
+      assert(got(id) == want, s"query $id")
+    }
+    graft.core.OpCache.releaseAll(blocking = true)
+  }
+
+  test("PqIndex parquet round-trip answers identically to fresh build") {
+    val df = vecs.toDF("vec_id", "embedding")
+    val fresh = Similarity.buildPqIndex(df, "vec_id", "embedding",
+      nSub = 4, dim = 8, centroidStride = 5, iters = 1)
+    val dir = java.nio.file.Files.createTempDirectory("graft_pq_").toString
+    Similarity.writePqIndex(fresh, dir)
+    val stored = Similarity.readPqIndex(spark, dir)
+    val a = rowsOf(Similarity.pqAdcTopKWithIndex(fresh, df,
+      "vec_id", "embedding", k = 3, nSub = 4, dim = 8))
+    val b = rowsOf(Similarity.pqAdcTopKWithIndex(stored, df,
+      "vec_id", "embedding", k = 3, nSub = 4, dim = 8))
+    assert(a == b && a.nonEmpty)
+    graft.core.OpCache.releaseAll(blocking = true)
+  }
+
   test("scalarQuantRerankTopK: overfetch covering the corpus equals exact") {
     val df = vecs.toDF("vec_id", "embedding")
     // overfetch window spans the whole corpus → the rerank sees every
