@@ -80,6 +80,47 @@ object Curation {
     Packing.sequencePack(mixed, idCol, textCol, maxLen, nStrata)
   }
 
+  /** [[trainingPipeline]] with the stage every REAL pre-training run
+    * adds and qt13 lacked: BENCHMARK DECONTAMINATION. After curation,
+    * each pool document is scored by the winnowing fingerprints it
+    * shares with the benchmark set
+    * ([[graft.operators.Dedup.winnowingContamination]] — substring-
+    * sensitive, so only ordered runs ≥ window+n−1 words trigger, not
+    * bag-of-words coincidence) and documents above `maxSharedFp` are
+    * excluded BEFORE near-dedup/mixing/packing — contaminated text
+    * must never reach a training sequence, and excluding it early also
+    * keeps it from claiming a near-dup cluster's representative slot.
+    *
+    * Scale: the added stage is qd17's audited shape — benchmark
+    * fingerprints winnowed to 2/(window+1) density and broadcast, the
+    * pool side one narrow fingerprint pass + broadcast semi-join; no
+    * new shuffle of the pool. */
+  def trainingPipelineDecontaminated(
+      docs: DataFrame,
+      bench: DataFrame,
+      idCol: String,
+      textCol: String,
+      langCol: String,
+      sourceCol: String,
+      langs: Seq[String],
+      permille: Map[String, Int],
+      defaultPermille: Int,
+      maxLen: Int = 1024,
+      nStrata: Int = 4,
+      maxSharedFp: Long = 0L): DataFrame = {
+    val curated = curate(docs, idCol, textCol, langCol, langs)
+    val pool0 = graft.core.OpCache.persist(
+      docs.join(curated.select(col("doc_id").as(idCol)), Seq(idCol), "left_semi"))
+    val cont = Dedup.winnowingContamination(pool0, bench, idCol, textCol)
+    val pool = graft.core.OpCache.persist(
+      pool0.join(cont.filter(col("n_shared_fp") <= maxSharedFp)
+        .select(col("doc_id").as(idCol)), Seq(idCol), "left_semi"))
+    val kept = Dedup.dedupCorpus(pool, idCol, textCol)
+    val surv = pool.join(kept.select(col("keep_id").as(idCol)), Seq(idCol), "left_semi")
+    val mixed = weightedMix(surv, idCol, sourceCol, permille, defaultPermille)
+    Packing.sequencePack(mixed, idCol, textCol, maxLen, nStrata)
+  }
+
   /** Deterministic weighted data mixing: keep each document with its
     * source's sampling rate (permille), decided by a content-stable
     * hash — the per-source up/down-weighting step that turns a curated

@@ -217,6 +217,81 @@ object Multimodal {
     * by everything) concentrates its window partition; production
     * runs cap or df-cut such hashes exactly like qd04's stop-phrase
     * shingles. */
+  /** Deterministic Gear byte table, low 8 bits only: gear8(b) = the
+    * first byte of md5("gear:b") — reproducible by any engine, and the
+    * only bits the cut mask below can observe. */
+  def gearTable8: Array[Int] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    Array.tabulate(256)(b => md.digest(s"gear:$b".getBytes("UTF-8"))(0) & 0xFF)
+  }
+
+  /** Content-DEFINED chunk dedup — the production replacement for
+    * [[chunkDedupStats]]'s fixed stride: chunk boundaries are Gear
+    * rolling-hash cut points, so an insertion or deletion only
+    * disturbs the chunks overlapping the edit and every later chunk
+    * re-aligns on content (shift resistance — the property that makes
+    * content-addressed storage dedupe across near-identical media).
+    *
+    * Gear semantics, made per-position for engine parity: the rolling
+    * state is h_i = (h_{i-1} << 1) + gear[b_i], and the cut test is
+    * (h_i & 255) == 0. Because a term shifted j positions contributes
+    * nothing BELOW bit j (and carries only propagate upward), the
+    * masked low 8 bits of h_i depend on exactly the trailing 8 bytes:
+    * h_i & 255 = (Σ_{j=0..7} gear8(b_{i-j}) · 2^j) & 255. That makes
+    * the cut rule a pure per-position expression — no sequential fold,
+    * no custom partition iterator — which both Spark and the SQL
+    * oracle evaluate identically. Mean chunk ≈ 256 bytes (the mask's
+    * zero probability); no min/max clamp (documented simplification —
+    * a clamp re-introduces sequential state).
+    *
+    * Operates on a TEXT column under an enforced ASCII contract
+    * (byte-positional and char-positional chunking coincide only when
+    * 1 char = 1 byte; a non-ASCII row raise_errors instead of silently
+    * diverging from the oracle). Downstream is [[chunkDedupStats]]'s
+    * relational shape unchanged: chunk-hash shuffle, first-occurrence
+    * window, per-media rollup — that is what scales.
+    */
+  def gearChunkDedupStats(
+      docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val gearLit = typedLit(gearTable8)
+    val base = docs.filter(length(col(textCol)) >= 1)
+      .select(col(idCol).as("media_id"), col(textCol).as("txt"))
+    // ASCII gate folded into the length so it cannot be pruned away
+    val lenCk = length(col("txt")) +
+      when(octet_length(col("txt")) =!= length(col("txt")),
+        raise_error(concat(lit("gearChunkDedupStats: non-ASCII text in media "),
+          col("media_id").cast("string"))).cast("int"))
+        .otherwise(lit(0))
+    val gearAt = (i: Column, j: Int) =>
+      element_at(gearLit, ascii(col("txt").substr(i - lit(j), lit(1))) + 1) *
+        lit(1 << j)
+    val cutsExpr = filter(
+      when(col("len") >= 8, sequence(lit(8), col("len")))
+        .otherwise(array().cast("array<int>")),
+      i => (0 until 8).map(j => gearAt(i, j)).reduce(_ + _)
+        .bitwiseAND(lit(255)) === 0)
+    val bounds = array_sort(array_distinct(concat(
+      array(lit(0)), col("cuts"), array(col("len")))))
+    val chunks = base
+      .withColumn("len", lenCk)
+      .withColumn("cuts", cutsExpr)
+      .withColumn("bounds", bounds)
+      .select(col("media_id"),
+        posexplode(transform(sequence(lit(1), size(col("bounds")) - 1),
+          k => md5(col("txt").substr(element_at(col("bounds"), k) + 1,
+            element_at(col("bounds"), k + 1) - element_at(col("bounds"), k)))))
+          .as(Seq("idx", "h")))
+    val w = Window.partitionBy(col("h")).orderBy(col("media_id"), col("idx"))
+    chunks.withColumn("rn", row_number().over(w))
+      .groupBy(col("media_id"))
+      .agg(count(lit(1)).cast("long").as("n_chunks"),
+        sum(when(col("rn") === 1, 1L).otherwise(0L)).cast("long").as("n_stored"))
+      .select(col("media_id"), col("n_chunks"), col("n_stored"),
+        (col("n_stored").cast("double") / col("n_chunks").cast("double"))
+          .as("stored_ratio"))
+  }
+
   def chunkDedupStats(media: DataFrame, chunkLen: Int = 64): DataFrame = {
     require(chunkLen >= 1)
     import org.apache.spark.sql.expressions.Window

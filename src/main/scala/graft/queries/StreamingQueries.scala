@@ -378,6 +378,12 @@ object StreamingQueries {
             graft.core.Tables.load(s, dir, "documents"),
             "doc_id", "text", "application/octet-stream"),
           chunkLen = 64),
+      // NOTE the oracle slices CHARACTERS where the engine slices the
+      // payload BYTES — the comparison holds under the documents
+      // generator's ASCII-only contract (1 char = 1 byte, asserted in
+      // MultimodalSpec and enforced with raise_error by qm05's
+      // operator); a non-ASCII corpus would need octet-based slicing
+      // (encode(text)) here.
       Some("""WITH m AS (
         |  SELECT doc_id AS media_id, text FROM documents
         |  WHERE length(text) >= 1),
@@ -394,6 +400,58 @@ object StreamingQueries {
         |  CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS DOUBLE) /
         |    CAST(count(*) AS DOUBLE) AS stored_ratio
         |FROM st GROUP BY 1""".stripMargin)),
+
+    Q(
+      "qm05_gear_chunk_dedup",
+      "Content-DEFINED chunk dedup (Multimodal.gearChunkDedupStats — " +
+        "the production CAS cutter qm04 stubs): boundaries are Gear " +
+        "rolling-hash cut points, per-position computable because the " +
+        "8-bit cut mask only observes the trailing 8 bytes (shift " +
+        "terms can't reach below their offset; carries only go up). " +
+        "Insertions re-align later chunks on content — shift " +
+        "resistance asserted in MultimodalSpec. Downstream relational " +
+        "shape identical to qm04.",
+      (s, dir) =>
+        graft.operators.Multimodal.gearChunkDedupStats(
+          graft.core.Tables.load(s, dir, "documents"), "doc_id", "text"),
+      Some {
+        val tb = graft.operators.Multimodal.gearTable8.mkString("[", ", ", "]")
+        // per-position Gear window sum: byte at (i - j) weighted 2^j
+        val gsum = (0 until 8).map(j =>
+          s"tb[ascii(substring(text, CAST(t.i - $j AS INT), 1)) + 1] * ${1 << j}")
+          .mkString(" + ")
+        s"""WITH g AS (SELECT $tb AS tb),
+          |m AS (
+          |  SELECT doc_id AS media_id, text FROM documents
+          |  WHERE length(text) >= 1),
+          |cuts AS (
+          |  SELECT media_id, t.i AS cut
+          |  FROM m, g, unnest(range(8, length(text) + 1)) t(i)
+          |  WHERE (($gsum) & 255) = 0),
+          |bl AS (
+          |  SELECT m.media_id, m.text,
+          |    list_sort(list_distinct(
+          |      [0] ||
+          |      coalesce(list(c.cut ORDER BY c.cut)
+          |        FILTER (WHERE c.cut IS NOT NULL), []) ||
+          |      [CAST(length(m.text) AS BIGINT)])) AS bounds
+          |  FROM m LEFT JOIN cuts c ON m.media_id = c.media_id
+          |  GROUP BY m.media_id, m.text),
+          |ch AS (
+          |  SELECT media_id, u.k AS idx,
+          |    md5(substring(text, CAST(bounds[u.k] + 1 AS INT),
+          |      CAST(bounds[u.k + 1] - bounds[u.k] AS INT))) AS h
+          |  FROM bl, unnest(range(1, len(bounds))) u(k)),
+          |st AS (
+          |  SELECT media_id,
+          |    row_number() OVER (PARTITION BY h ORDER BY media_id, idx) AS rn
+          |  FROM ch)
+          |SELECT media_id, CAST(count(*) AS BIGINT) AS n_chunks,
+          |  CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_stored,
+          |  CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS DOUBLE) /
+          |    CAST(count(*) AS DOUBLE) AS stored_ratio
+          |FROM st GROUP BY 1""".stripMargin
+      }),
 
     Q(
       "qm01_media_features",

@@ -59,14 +59,15 @@ object TextQueries {
 
   /** DuckDB rendition of Curation.curate's CTE chain (lang filter →
     * quality → repetition → PII-redacted md5), ending at CTE `red`.
-    * Shared by qt11 (curated table) and qt13 (the composed training
-    * pipeline). */
-  private def curationCtes: String =
-    """lf AS (
+    * Shared by qt11 (curated table), qt13 (the composed training
+    * pipeline) and qt17 (the decontaminated pipeline, which curates a
+    * restricted corpus — `src` parameterizes the source relation). */
+  private def curationCtes(src: String = "documents"): String =
+    raw"""lf AS (
         |  SELECT doc_id, lang, text,
         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
         |    CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_types
-        |  FROM documents WHERE lang IN ('en', 'es', 'fr')),
+        |  FROM $src WHERE lang IN ('en', 'es', 'fr')),
         |q AS (
         |  SELECT doc_id, lang, text, n_tokens FROM lf
         |  WHERE n_tokens >= 20 AND n_tokens <= 100000
@@ -804,7 +805,7 @@ object TextQueries {
           graft.core.Partitioning.parallelize(
             Tables.load(s, dir, "documents"), col("doc_id")),
           "doc_id", "text", "lang", Seq("en", "es", "fr")),
-      Some(s"""WITH $curationCtes
+      Some(s"""WITH ${curationCtes()}
         |SELECT doc_id, lang, n_tokens, redacted_md5 FROM (
         |  SELECT *, row_number() OVER (
         |    PARTITION BY redacted_md5 ORDER BY doc_id) AS rn FROM red)
@@ -847,7 +848,7 @@ object TextQueries {
           "doc_id", "text", "lang", "source", Seq("en", "es", "fr"),
           Map("src0" -> 900, "src1" -> 700, "src2" -> 500, "src3" -> 200),
           defaultPermille = 100, maxLen = 1024, nStrata = 4),
-      Some(s"""WITH $curationCtes,
+      Some(s"""WITH ${curationCtes()},
         |curated AS (
         |  SELECT doc_id FROM (
         |    SELECT doc_id, row_number() OVER (
@@ -880,6 +881,202 @@ object TextQueries {
         |SELECT doc_id, stratum, n_tokens,
         |  CAST(floor(start_tok / 1024) AS BIGINT) AS seq_id,
         |  CAST(start_tok % 1024 AS BIGINT) AS seq_offset
+        |FROM packed""".stripMargin)),
+
+    Q(
+      "qt17_decontaminated_pipeline",
+      "The training pipeline WITH benchmark decontamination " +
+        "(Curation.trainingPipelineDecontaminated) — the stage qt13 " +
+        "lacked and every real pre-training run includes: after " +
+        "curation, documents sharing ANY winnowing fingerprint with " +
+        "the benchmark split (doc_id % 50 = 0) are excluded before " +
+        "near-dedup/mixing/packing, so contaminated text never " +
+        "reaches a training sequence (nor claims a near-dup cluster's " +
+        "representative). Added cost is qd17's audited shape: " +
+        "broadcast benchmark fingerprints, one narrow corpus pass, no " +
+        "new pool shuffle.",
+      (s, dir) => {
+        val docs = graft.core.Partitioning.parallelize(
+          Tables.load(s, dir, "documents"), col("doc_id"))
+        graft.operators.Curation.trainingPipelineDecontaminated(
+          docs.filter(pmod(col("doc_id"), lit(50)) =!= 0),
+          docs.filter(pmod(col("doc_id"), lit(50)) === 0),
+          "doc_id", "text", "lang", "source", Seq("en", "es", "fr"),
+          Map("src0" -> 900, "src1" -> 700, "src2" -> 500, "src3" -> 200),
+          defaultPermille = 100, maxLen = 1024, nStrata = 4,
+          maxSharedFp = 0L)
+      },
+      Some(s"""WITH corp AS (
+        |  SELECT * FROM documents WHERE doc_id % 50 <> 0),
+        |${curationCtes("corp")},
+        |curated AS (
+        |  SELECT doc_id FROM (
+        |    SELECT doc_id, row_number() OVER (
+        |      PARTITION BY redacted_md5 ORDER BY doc_id) AS rn FROM red)
+        |  WHERE rn = 1),
+        |d2 AS (
+        |  SELECT d.doc_id, d.text, d.source FROM corp d
+        |  JOIN curated USING (doc_id)),
+        |wdc AS (
+        |  SELECT doc_id, string_split(text, ' ') AS w FROM d2
+        |  WHERE len(string_split(text, ' ')) >= 6),
+        |hsc AS (
+        |  SELECT doc_id,
+        |    list_transform(
+        |      list_transform(range(1, len(w) - 1),
+        |        i -> concat(w[i], ' ', w[i+1], ' ', w[i+2])),
+        |      g -> ${dkHash60("g")}) AS h
+        |  FROM wdc),
+        |cfp AS (
+        |  SELECT doc_id, unnest(list_distinct(
+        |    list_transform(range(1, len(h) - 2),
+        |      i -> list_min(list_slice(h, i, i + 3))))) AS fp
+        |  FROM hsc),
+        |wdb AS (
+        |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+        |  WHERE doc_id % 50 = 0 AND len(string_split(text, ' ')) >= 6),
+        |hsb AS (
+        |  SELECT doc_id,
+        |    list_transform(
+        |      list_transform(range(1, len(w) - 1),
+        |        i -> concat(w[i], ' ', w[i+1], ' ', w[i+2])),
+        |      g -> ${dkHash60("g")}) AS h
+        |  FROM wdb),
+        |bfp AS (
+        |  SELECT DISTINCT unnest(list_distinct(
+        |    list_transform(range(1, len(h) - 2),
+        |      i -> list_min(list_slice(h, i, i + 3))))) AS fp
+        |  FROM hsb),
+        |contaminated AS (
+        |  SELECT DISTINCT doc_id FROM cfp WHERE fp IN (SELECT fp FROM bfp)),
+        |clean AS (
+        |  SELECT d2.* FROM d2
+        |  WHERE d2.doc_id NOT IN (SELECT doc_id FROM contaminated)),
+        |reps AS (SELECT min(doc_id) AS doc_id FROM clean GROUP BY md5(text)),
+        |d3 AS (SELECT clean.doc_id, clean.text FROM clean JOIN reps USING (doc_id)),
+        |${lshCtes("d3")},
+        |pairs AS ($lshPairSelect),
+        |kept AS (
+        |  SELECT r.doc_id FROM reps r
+        |  WHERE r.doc_id NOT IN (SELECT DISTINCT b_id FROM pairs)),
+        |mixed AS (
+        |  SELECT clean.doc_id, clean.text FROM clean JOIN kept USING (doc_id)
+        |  WHERE ${dkHash60("concat(CAST(clean.doc_id AS VARCHAR), ':', clean.source)")} % 1000 <
+        |    CASE clean.source WHEN 'src0' THEN 900 WHEN 'src1' THEN 700
+        |      WHEN 'src2' THEN 500 WHEN 'src3' THEN 200 ELSE 100 END),
+        |base AS (
+        |  SELECT doc_id, ${dkHash60("CAST(doc_id AS VARCHAR)")} % 4 AS stratum,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        |  FROM mixed),
+        |packed AS (
+        |  SELECT doc_id, stratum, n_tokens,
+        |    sum(n_tokens) OVER (PARTITION BY stratum ORDER BY doc_id
+        |      ROWS UNBOUNDED PRECEDING) - n_tokens AS start_tok
+        |  FROM base)
+        |SELECT doc_id, stratum, n_tokens,
+        |  CAST(floor(start_tok / 1024) AS BIGINT) AS seq_id,
+        |  CAST(start_tok % 1024 AS BIGINT) AS seq_offset
+        |FROM packed""".stripMargin)),
+
+    Q(
+      "qt18_vocab_tokens",
+      "Vocab-driven greedy longest-match token counts " +
+        "(VocabTokenizer + the graft_vocab_tokens codegen kernel): " +
+        "vocab = top-15 corpus words + printable-ASCII char fallback " +
+        "(the synthetic corpus has only 31 distinct words, so top-15 " +
+        "forces real subword splits), tokens never cross spaces, " +
+        "unmatched positions consume one char. The oracle replays the " +
+        "greedy advance as a recursive CTE — counts are deterministic " +
+        "because longest-match has no ties. Counted subset: doc_id % " +
+        "10 = 0; the vocab builds from the FULL corpus.",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        val va = graft.operators.VocabTokenizer.vocabArray(
+          graft.operators.VocabTokenizer.buildVocab(docs, "text", topN = 15))
+        graft.operators.VocabTokenizer.tokenCounts(
+          docs.filter(pmod(col("doc_id"), lit(10)) === 0),
+          "doc_id", "text", va)
+      },
+      Some("""WITH RECURSIVE vocab AS (
+        |  SELECT tok FROM (
+        |    SELECT tok, count(*) AS c FROM (
+        |      SELECT unnest(string_split(coalesce(text, ''), ' ')) AS tok
+        |      FROM documents)
+        |    WHERE length(tok) >= 1 GROUP BY tok
+        |    ORDER BY c DESC, tok LIMIT 15)
+        |  UNION
+        |  SELECT chr(CAST(x AS INT)) AS tok FROM range(32, 127) t(x)),
+        |words AS (
+        |  SELECT doc_id, t.i AS widx, ws[t.i] AS word
+        |  FROM (SELECT doc_id, string_split(coalesce(text, ''), ' ') AS ws
+        |        FROM documents WHERE doc_id % 10 = 0),
+        |    unnest(range(1, len(ws) + 1)) t(i)),
+        |tok AS (
+        |  SELECT doc_id, widx, word, 1 AS pos, 0 AS cnt FROM words
+        |  UNION ALL
+        |  SELECT doc_id, widx, word,
+        |    pos + coalesce((SELECT max(length(v.tok)) FROM vocab v
+        |      WHERE v.tok = substring(word, CAST(pos AS INT), length(v.tok))), 1),
+        |    cnt + 1
+        |  FROM tok WHERE pos <= length(word))
+        |SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_vocab_tokens
+        |FROM tok WHERE pos > length(word)
+        |GROUP BY doc_id""".stripMargin)),
+
+    Q(
+      "qt19_vocab_pack",
+      "Sequence packing fed by VOCAB token lengths end-to-end " +
+        "(VocabTokenizer.packWithVocab): the tokenizer seam qt09 " +
+        "packs whitespace counts through, now closed with the " +
+        "in-engine greedy tokenizer — stratified contiguous fill over " +
+        "real subword counts. Same subset/vocab as qt18.",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        val va = graft.operators.VocabTokenizer.vocabArray(
+          graft.operators.VocabTokenizer.buildVocab(docs, "text", topN = 15))
+        graft.operators.VocabTokenizer.packWithVocab(
+          graft.core.Partitioning.parallelize(
+            docs.filter(pmod(col("doc_id"), lit(10)) === 0), col("doc_id")),
+          "doc_id", "text", va, maxLen = 256, nStrata = 4)
+      },
+      Some(s"""WITH RECURSIVE vocab AS (
+        |  SELECT tok FROM (
+        |    SELECT tok, count(*) AS c FROM (
+        |      SELECT unnest(string_split(coalesce(text, ''), ' ')) AS tok
+        |      FROM documents)
+        |    WHERE length(tok) >= 1 GROUP BY tok
+        |    ORDER BY c DESC, tok LIMIT 15)
+        |  UNION
+        |  SELECT chr(CAST(x AS INT)) AS tok FROM range(32, 127) t(x)),
+        |words AS (
+        |  SELECT doc_id, t.i AS widx, ws[t.i] AS word
+        |  FROM (SELECT doc_id, string_split(coalesce(text, ''), ' ') AS ws
+        |        FROM documents WHERE doc_id % 10 = 0),
+        |    unnest(range(1, len(ws) + 1)) t(i)),
+        |tok AS (
+        |  SELECT doc_id, widx, word, 1 AS pos, 0 AS cnt FROM words
+        |  UNION ALL
+        |  SELECT doc_id, widx, word,
+        |    pos + coalesce((SELECT max(length(v.tok)) FROM vocab v
+        |      WHERE v.tok = substring(word, CAST(pos AS INT), length(v.tok))), 1),
+        |    cnt + 1
+        |  FROM tok WHERE pos <= length(word)),
+        |counts AS (
+        |  SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_tokens
+        |  FROM tok WHERE pos > length(word)
+        |  GROUP BY doc_id),
+        |base AS (
+        |  SELECT doc_id, ${dkHash60("CAST(doc_id AS VARCHAR)")} % 4 AS stratum,
+        |    n_tokens
+        |  FROM counts),
+        |packed AS (
+        |  SELECT doc_id, stratum, n_tokens,
+        |    sum(n_tokens) OVER (PARTITION BY stratum ORDER BY doc_id
+        |      ROWS UNBOUNDED PRECEDING) - n_tokens AS start_tok
+        |  FROM base)
+        |SELECT doc_id, stratum, n_tokens,
+        |  CAST(floor(start_tok / 256) AS BIGINT) AS seq_id,
+        |  CAST(start_tok % 256 AS BIGINT) AS seq_offset
         |FROM packed""".stripMargin)),
 
     Q(

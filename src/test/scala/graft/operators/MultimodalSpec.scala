@@ -128,4 +128,55 @@ class MultimodalSpec extends SparkSuite {
       2L -> ((2L, 1L, 0.5)),
       3L -> ((1L, 1L, 1.0))))
   }
+
+  test("gearChunkDedupStats: shift resistance — insertion re-aligns chunks") {
+    // a deterministic pseudo-random ASCII body long enough for ~8 chunks
+    val rnd = new scala.util.Random(42)
+    val body = (1 to 2048).map(_ => (33 + rnd.nextInt(94)).toChar).mkString
+    val shifted = "INSERTED-PREFIX-" + body // 16-byte insertion at front
+    // chunk both versions in one corpus but measure overlap directly:
+    // re-chunk each doc alone and compare chunk hash multisets
+    def chunkHashes(text: String): Seq[String] = {
+      val df = Seq((1L, text)).toDF("doc_id", "text")
+      // n_stored on a single doc counts distinct first occurrences;
+      // to get the hashes, replay the public cut rule driver-side
+      val tb = Multimodal.gearTable8
+      val bytes = text.map(_.toInt)
+      val cuts = (8 to text.length).filter { i =>
+        val s = (0 until 8).map(j => tb(bytes(i - 1 - j)) << j).sum
+        (s & 255) == 0
+      }
+      val bounds = (0 +: cuts :+ text.length).distinct.sorted
+      val hashes = bounds.sliding(2).map { case Seq(a, b) =>
+        java.security.MessageDigest.getInstance("MD5")
+          .digest(text.substring(a, b).getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString
+      }.toSeq
+      // the operator must agree with this replay on chunk count
+      val n = Multimodal.gearChunkDedupStats(df, "doc_id", "text")
+        .collect()(0).getLong(1)
+      assert(n == hashes.size, s"operator chunks $n != replay ${hashes.size}")
+      hashes
+    }
+    val a = chunkHashes(body)
+    val b = chunkHashes(shifted)
+    assert(a.size >= 4, s"body should cut into several chunks, got ${a.size}")
+    // all but the first chunk(s) re-align: the overlap must dominate —
+    // a fixed-stride cutter would share ZERO chunks after a 16-byte shift
+    val overlap = a.toSet.intersect(b.toSet).size
+    assert(overlap >= a.size - 2,
+      s"expected >=${a.size - 2} shared chunks after insertion, got $overlap")
+    // fixed-stride contrast on the same edit: no chunk survives the shift
+    val fsA = body.grouped(64).toSeq
+    val fsB = shifted.grouped(64).toSeq
+    assert(fsA.toSet.intersect(fsB.toSet).isEmpty)
+  }
+
+  test("gearChunkDedupStats: non-ASCII text fails loudly, not silently") {
+    val df = Seq((7L, "café " * 100)).toDF("doc_id", "text")
+    val e = intercept[Exception] {
+      Multimodal.gearChunkDedupStats(df, "doc_id", "text").collect()
+    }
+    assert(e.getMessage.contains("non-ASCII"), s"got: ${e.getMessage}")
+  }
 }
