@@ -697,6 +697,68 @@ object Similarity {
       buildPqIndex(corpus, idCol, vecCol, nSub, dim, centroidStride, iters),
       queries, idCol, vecCol, k, nSub, dim)
 
+  /** IVF-PQ top-k — the canonical 100 TB ANN configuration assembled
+    * from its two audited halves: IVF coarse quantization restricts
+    * each query to its `nProbe` nearest cells (float cosine ranks,
+    * exactly [[ivfTopK]]'s recall dial), and IN-CELL scoring is PQ's
+    * ADC table lookup — the probed cells contribute only their codes,
+    * so the per-probe data volume is nSub bytes/vector instead of the
+    * full float embedding (what makes a 10¹⁰-vector index fit a
+    * cluster's memory).
+    *
+    * Plan shape: centroids and codebooks broadcast; the probe join is
+    * one equi-join on cent_id; the code→distance-table join is one
+    * equi-join on (query, m, code) against the broadcast per-query
+    * table; the final agg is hash-partitioned on (query, vector) with
+    * map-side partials. Every join is an equi-join; nothing pairwise.
+    *
+    * Simplification vs textbook IVF-PQ, documented: codebooks train on
+    * RAW vectors, not per-cell residuals (residual training subtracts
+    * the broadcast cell centroid before encoding — same mechanics, one
+    * more zip_with — and buys quantization accuracy; the plan shape is
+    * unchanged). Determinism matches [[pqAdcTopKWithIndex]]: fixed-fold
+    * L2 kernel + DECIMAL(30,6) sums, ranks (dist ASC, nbr_id). */
+  def ivfPqTopK(
+      em: DataFrame, idCol: String, vecCol: String, k: Int,
+      centroidStride: Int = 40, nProbe: Int = 4,
+      nSub: Int = 8, dim: Int = 64, pqStride: Int = 40,
+      iters: Int = 1): DataFrame = {
+    require(dim % nSub == 0, s"dim $dim must split evenly into $nSub subvectors")
+    graft.functions.GraftFunctions.register(em.sparkSession)
+    val subDim = dim / nSub
+    val e = graft.core.OpCache.persist(withNorm(em, idCol, vecCol))
+    val cents = e.filter(col("vec_id") % centroidStride === 0)
+      .select(col("vec_id").as("cent_id"), col("embedding").as("cemb"),
+        col("nrm").as("cnrm"))
+    val ranks = centroidRanks(e, broadcast(cents))
+    val assign = ranks.filter(col("rn") === 1)
+      .select(col("vec_id"), col("cent_id").as("cell_id"))
+    val probes = ranks.filter(col("rn") <= nProbe)
+      .select(col("vec_id").as("q_id"), col("cent_id").as("cell_id"))
+    val cb = graft.core.OpCache.persist(
+      pqTrainCodebooks(em, idCol, vecCol, nSub, dim, pqStride, iters))
+    val ev = e.select(col("vec_id"), col("embedding"))
+    val codes = codeRanks(subvectors(ev, nSub, subDim), broadcast(cb))
+      .filter(col("rn") === 1).select(col("vec_id"), col("m"), col("cent_id"))
+    val qd = subvectors(ev, nSub, subDim)
+      .join(broadcast(cb), Seq("m"))
+      .select(col("vec_id").as("q_id"), col("m"), col("cent_id"),
+        call_function("graft_vec_l2sq", col("sv"), col("cvec")).as("d2"))
+    val scored = codes
+      .join(assign, Seq("vec_id"))
+      .withColumnRenamed("vec_id", "nbr_id")
+      .join(probes, Seq("cell_id"))
+      .filter(col("q_id") =!= col("nbr_id"))
+      .join(broadcast(qd), Seq("q_id", "m", "cent_id"))
+      .groupBy(col("q_id"), col("nbr_id"))
+      .agg(graft.expr.Exprs.exactSum(col("d2")).as("dist"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("dist"), col("nbr_id"))
+    scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("q_id").as("vec_id"), col("nbr_id"),
+        col("rnk").cast("long").as("rnk"))
+  }
+
   /** Per-label centroid table: element-wise mean of the embedding
     * vectors of each label, one row per (label, dimension).
     *

