@@ -254,7 +254,7 @@ object Multimodal {
   def gearChunkDedupStats(
       docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val gearLit = typedLit(gearTable8)
+    graft.functions.GraftFunctions.register(docs.sparkSession)
     val base = docs.filter(length(col(textCol)) >= 1)
       .select(col(idCol).as("media_id"), col(textCol).as("txt"))
     // ASCII gate folded into the length so it cannot be pruned away
@@ -263,14 +263,11 @@ object Multimodal {
         raise_error(concat(lit("gearChunkDedupStats: non-ASCII text in media "),
           col("media_id").cast("string"))).cast("int"))
         .otherwise(lit(0))
-    val gearAt = (i: Column, j: Int) =>
-      element_at(gearLit, ascii(col("txt").substr(i - lit(j), lit(1))) + 1) *
-        lit(1 << j)
-    val cutsExpr = filter(
-      when(col("len") >= 8, sequence(lit(8), col("len")))
-        .otherwise(array().cast("array<int>")),
-      i => (0 until 8).map(j => gearAt(i, j)).reduce(_ + _)
-        .bitwiseAND(lit(255)) === 0)
+    // the true single-pass rolling form, as a codegen kernel: two
+    // integer ops per byte vs 8 × (substr + ascii + element_at) per
+    // position for the expression form (measured ~20× on sf0.1; the
+    // kernel and the windowed oracle provably agree — see GearCuts)
+    val cutsExpr = call_function("graft_gear_cuts", col("txt"))
     val bounds = array_sort(array_distinct(concat(
       array(lit(0)), col("cuts"), array(col("len")))))
     val chunks = base

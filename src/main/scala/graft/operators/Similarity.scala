@@ -675,7 +675,12 @@ object Similarity {
         call_function("graft_vec_l2sq", col("sv"), col("cvec")).as("d2"))
     val cc = index.codes.select(col("vec_id").as("nbr_id"),
       posexplode(col("codes")).as(Seq("m", "cent_id")))
-    val scored = cc.join(broadcast(qd), Seq("m", "cent_id"))
+    // no broadcast hint on the distance table: it is query-batch ×
+    // nSub × K rows — AQE broadcasts it when the batch is small (the
+    // serving case) and falls back to a shuffled join when a caller
+    // scores the whole corpus against itself (the audit case), where
+    // forcing a corpus-sized broadcast would be the bottleneck
+    val scored = cc.join(qd, Seq("m", "cent_id"))
       .filter(col("q_id") =!= col("nbr_id"))
       .groupBy(col("q_id"), col("nbr_id"))
       .agg(graft.expr.Exprs.exactSum(col("d2")).as("dist"))
@@ -744,12 +749,15 @@ object Similarity {
       .join(broadcast(cb), Seq("m"))
       .select(col("vec_id").as("q_id"), col("m"), col("cent_id"),
         call_function("graft_vec_l2sq", col("sv"), col("cvec")).as("d2"))
+    // distance table un-hinted for the same reason as
+    // [[pqAdcTopKWithIndex]]: AQE broadcasts a small query batch,
+    // shuffles the corpus-sized self-query audit case
     val scored = codes
       .join(assign, Seq("vec_id"))
       .withColumnRenamed("vec_id", "nbr_id")
       .join(probes, Seq("cell_id"))
       .filter(col("q_id") =!= col("nbr_id"))
-      .join(broadcast(qd), Seq("q_id", "m", "cent_id"))
+      .join(qd, Seq("q_id", "m", "cent_id"))
       .groupBy(col("q_id"), col("nbr_id"))
       .agg(graft.expr.Exprs.exactSum(col("d2")).as("dist"))
     val w = Window.partitionBy(col("q_id")).orderBy(col("dist"), col("nbr_id"))

@@ -21,7 +21,7 @@ object SimilarityQueries {
     * by qs10 and qs11): per-dim max-abs scales, the scales folded to a
     * list in dim order, and the clamped ⌊x/s·127+0.5⌋ int8 codes —
     * expression shapes mirrored verbatim from the Spark side. */
-  private def sqCtes: String = """sc AS (
+  private[queries] def sqCtes: String = """sc AS (
     |  SELECT t.i AS dim,
     |    CASE WHEN max(abs(CAST(e.embedding[t.i] AS DOUBLE))) = 0 THEN 1.0
     |         ELSE max(abs(CAST(e.embedding[t.i] AS DOUBLE))) END AS scale

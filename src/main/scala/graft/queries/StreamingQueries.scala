@@ -363,6 +363,57 @@ object StreamingQueries {
         |GROUP BY 1""".stripMargin)),
 
     Q(
+      "qst10_stream_ann_serve",
+      "Streaming ANN serving (EventStreams.annServe): the stored SQ " +
+        "index (calibration + int8 codes, parquet round-trip) loads " +
+        "once; query vectors arrive as a file stream split across TWO " +
+        "micro-batches (maxFilesPerTrigger=1, disjoint halves), each " +
+        "batch probes the index in foreachBatch and appends its " +
+        "top-10. Stateless per query, so batch boundaries cannot " +
+        "change any result — the oracle is the single-batch scan over " +
+        "the union of both halves; any cross-batch dependency or " +
+        "re-quantization drift fails the hash.",
+      (s, dir) => {
+        val em = graft.core.Tables.load(s, dir, "embeddings")
+        val idxDir = java.nio.file.Files
+          .createTempDirectory("graft_sqidx_").toString
+        graft.operators.Similarity.writeSqIndex(
+          graft.operators.Similarity.buildSqIndex(em, "vec_id", "embedding"),
+          idxDir)
+        val index = graft.operators.Similarity.readSqIndex(s, idxDir)
+        val in = java.nio.file.Files.createTempDirectory("graft_ann_in")
+        val out = java.nio.file.Files.createTempDirectory("graft_ann_out")
+          .resolve("topk").toString
+        // stage two DISJOINT query halves as one parquet file each:
+        // %50=0 in batch 1, %50=25 in batch 2
+        def stage(cond: org.apache.spark.sql.Column, name: String): Unit = {
+          val tmp = java.nio.file.Files.createTempDirectory("graft_stage_")
+          em.filter(cond).coalesce(1).write.mode("overwrite")
+            .parquet(tmp.toString)
+          val part = java.nio.file.Files.list(tmp).filter(p =>
+            p.getFileName.toString.startsWith("part-")).findFirst().get()
+          java.nio.file.Files.copy(part, in.resolve(name))
+        }
+        stage(pmod(col("vec_id"), lit(50)) === 0, "q1.parquet")
+        stage(pmod(col("vec_id"), lit(50)) === 25, "q2.parquet")
+        val stream = s.readStream.schema(em.schema)
+          .option("maxFilesPerTrigger", 1)
+          .parquet(in.toString + "/*.parquet")
+        EventStreams.annServe(stream, index, "vec_id", "embedding",
+          k = 10, out)
+        s.read.parquet(out)
+      },
+      Some(s"""WITH ${SimilarityQueries.sqCtes},
+        |qq AS (SELECT * FROM qv WHERE vec_id % 25 = 0)
+        |SELECT vec_id, nbr_id, rnk FROM (
+        |  SELECT a.vec_id AS vec_id, b.vec_id AS nbr_id,
+        |    row_number() OVER (PARTITION BY a.vec_id ORDER BY
+        |      list_sum(list_transform(list_zip(a.q, b.q), p -> p[1] * p[2])) DESC,
+        |      b.vec_id) AS rnk
+        |  FROM qq a JOIN qv b ON a.vec_id <> b.vec_id)
+        |WHERE rnk <= 10""".stripMargin)),
+
+    Q(
       "qm04_chunk_dedup",
       "Content-chunk dedup over binary payloads " +
         "(Multimodal.chunkDedupStats — the storage-dedup primitive): " +

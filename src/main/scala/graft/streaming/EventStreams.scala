@@ -96,6 +96,41 @@ object EventStreams {
     if (!q.awaitTermination(180000)) q.stop()
   }
 
+  /** Streaming ANN serving — the query-side loop of a similarity
+    * service: the corpus artifacts (a STORED
+    * [[graft.operators.Similarity.SqIndex]] — calibration + int8
+    * codes) load once, and each micro-batch of query vectors probes
+    * them via [[graft.operators.Similarity.scalarQuantTopKWithIndex]],
+    * appending its top-k rows to `outDir`. Stateless per query — no
+    * cross-batch streaming state at all, so batch boundaries cannot
+    * change any query's result (asserted by the registry query, which
+    * splits the query set across two micro-batches and compares
+    * against the single-batch oracle). Blocks until the stream drains
+    * (AvailableNow). At-least-once upstream delivery re-emits
+    * identical rows for a re-delivered query; a sink keyed on
+    * (vec_id, rnk) absorbs them. */
+  def annServe(
+      queries: DataFrame,
+      index: graft.operators.Similarity.SqIndex,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      outDir: String,
+      queryName: String = "graft_ann_serve"): Unit = {
+    val q = queries.writeStream
+      .queryName(queryName)
+      .outputMode(OutputMode.Append())
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        graft.operators.Similarity
+          .scalarQuantTopKWithIndex(index, batch.toDF(), idCol, vecCol, k)
+          .write.mode("append").parquet(outDir)
+        ()
+      }
+      .start()
+    if (!q.awaitTermination(180000)) q.stop()
+  }
+
   /** Streaming CDC snapshot — [[graft.warehouse.Cdc.applyChanges]] as
     * a continuously-maintained materialized view: per key, keep the
     * change row with the greatest order tuple seen so far (`max_by`
