@@ -475,6 +475,36 @@ object TextQueries {
         |LEFT JOIN hits h USING (doc_id)""".stripMargin)),
 
     Q(
+      "qd18_edit_distance_dedup",
+      "Edit-distance near-dup pairs over short strings " +
+        "(Dedup.editDistanceNearDup on part names — the record-" +
+        "linkage family, where shingle operators measure the wrong " +
+        "thing: one-edit variants share zero 3-gram shingles). " +
+        "Blocking = first-token ∪ last-token passes (one edit away " +
+        "from both endpoints still collides somewhere) with an " +
+        "in-join |Δlen| ≤ 2 band (levenshtein ≥ length gap — lossless " +
+        "prune); verify = exact integer levenshtein ≤ 2. Both joins " +
+        "equi on vocabulary-sized block keys.",
+      (s, dir) =>
+        Dedup.editDistanceNearDup(Tables.load(s, dir, "part"),
+          "p_partkey", "p_name", maxDist = 2),
+      Some("""WITH s AS (
+        |  SELECT p_partkey AS sid, p_name AS str, length(p_name) AS len,
+        |    string_split(p_name, ' ')[1] AS k1,
+        |    string_split(p_name, ' ')[-1] AS k2
+        |  FROM part),
+        |cand AS (
+        |  SELECT a.sid AS a_id, b.sid AS b_id, a.str AS sa, b.str AS sb
+        |  FROM s a JOIN s b ON a.k1 = b.k1 AND a.sid < b.sid
+        |    AND abs(a.len - b.len) <= 2
+        |  UNION
+        |  SELECT a.sid AS a_id, b.sid AS b_id, a.str AS sa, b.str AS sb
+        |  FROM s a JOIN s b ON a.k2 = b.k2 AND a.sid < b.sid
+        |    AND abs(a.len - b.len) <= 2)
+        |SELECT a_id, b_id, CAST(levenshtein(sa, sb) AS BIGINT) AS dist
+        |FROM cand WHERE levenshtein(sa, sb) <= 2""".stripMargin)),
+
+    Q(
       "qt01_lang_id",
       "Language-ID heuristic: CJK codepoint check then stopword-count " +
         "argmax with fixed tiebreak. Pure narrow transform.",

@@ -264,4 +264,28 @@ class DedupSpec extends SparkSuite {
     assert(Dedup.winnowingFingerprints(tiny, "doc_id", "text", 3, 4).count() == 0)
     graft.core.OpCache.releaseAll(blocking = true)
   }
+
+  test("editDistanceNearDup: blocking union, length band, exact verify") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "red widget"),   // base
+      (2L, "red widgets"),  // +1 char, k1 collides -> dist 1
+      (3L, "xed widget"),   // first char edited: k1 differs, k2 catches -> dist 1
+      (4L, "blu widget"),   // k2 collides but dist 3 > 2 -> verified away
+      (5L, "xed widgex"),   // both endpoints edited vs 1: no block collides
+      (6L, "red widget")    // exact duplicate of 1 -> dist 0, emitted ONCE
+    ).toDF("id", "name")
+    val got = Dedup.editDistanceNearDup(df, "id", "name", maxDist = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got.get((1L, 2L)).contains(1L), s"suffix edit: $got")
+    assert(got.get((1L, 3L)).contains(1L), "prefix edit must be caught by the last-token pass")
+    assert(!got.contains((1L, 4L)), "distance 3 must not survive verification")
+    assert(!got.contains((1L, 5L)), "both endpoints edited: documented blocking miss")
+    assert(got.get((1L, 6L)).contains(0L), "exact dup, exactly one row despite colliding in both passes")
+    // each surviving pair appears exactly once (map building would hide dups; re-check raw)
+    val raw = Dedup.editDistanceNearDup(df, "id", "name", maxDist = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(raw.length == raw.distinct.length)
+    graft.core.OpCache.releaseAll(blocking = true)
+  }
 }
