@@ -767,6 +767,80 @@ object Similarity {
         col("rnk").cast("long").as("rnk"))
   }
 
+  /** RESIDUAL IVF-PQ top-k — [[ivfPqTopK]] upgraded to the textbook
+    * formulation: PQ quantizes each vector's RESIDUAL against its
+    * assigned cell centroid (r = x − c), not the raw vector. Residuals
+    * concentrate near the origin, so the same codebook budget spends
+    * its resolution where the data actually lives — the accuracy step
+    * every production IVF-PQ (FAISS-style) takes.
+    *
+    * The query side makes this per-cell: probing cell c means scoring
+    * with the QUERY'S residual against c (q − c_c), so the distance
+    * table is keyed (query, cell, m, cent_id) — query-batch × nProbe ×
+    * nSub × K rows, still batch-proportional, and each corpus vector
+    * scores only inside its own cell (one equi-join on the cell plus
+    * the (m, code) lookup, exactly [[ivfPqTopK]]'s joins with one more
+    * key column). Residual subtraction is double-exact per element and
+    * rounds once to float — deterministic IEEE in both engines — so
+    * codes, tables, and ranks stay engine-exact end-to-end. */
+  def ivfPqResidualTopK(
+      em: DataFrame, idCol: String, vecCol: String, k: Int,
+      centroidStride: Int = 40, nProbe: Int = 4,
+      nSub: Int = 8, dim: Int = 64, pqStride: Int = 40,
+      iters: Int = 1): DataFrame = {
+    require(dim % nSub == 0, s"dim $dim must split evenly into $nSub subvectors")
+    graft.functions.GraftFunctions.register(em.sparkSession)
+    val subDim = dim / nSub
+    val e = graft.core.OpCache.persist(withNorm(em, idCol, vecCol))
+    val cents = e.filter(col("vec_id") % centroidStride === 0)
+      .select(col("vec_id").as("cent_id"), col("embedding").as("cemb"),
+        col("nrm").as("cnrm"))
+    val ranks = centroidRanks(e, broadcast(cents))
+    val assign = ranks.filter(col("rn") === 1)
+      .select(col("vec_id"), col("cent_id").as("cell_id"))
+    val probes = ranks.filter(col("rn") <= nProbe)
+      .select(col("vec_id").as("q_id"), col("cent_id").as("cell_id"))
+    val cellCents = broadcast(
+      cents.select(col("cent_id").as("cell_id"), col("cemb")))
+    def residual(x: org.apache.spark.sql.Column,
+        c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      zip_with(x, c, (xi, ci) =>
+        (xi.cast("double") - ci.cast("double")).cast("float"))
+    val res = graft.core.OpCache.persist(
+      e.join(assign, Seq("vec_id")).join(cellCents, Seq("cell_id"))
+        .select(col("vec_id"), residual(col("embedding"), col("cemb")).as("rv")))
+    val cb = graft.core.OpCache.persist(
+      pqTrainCodebooks(res, "vec_id", "rv", nSub, dim, pqStride, iters))
+    val codes = codeRanks(
+      subvectors(res.select(col("vec_id"), col("rv").as("embedding")),
+        nSub, subDim), broadcast(cb))
+      .filter(col("rn") === 1).select(col("vec_id"), col("m"), col("cent_id"))
+    val qres = e.select(col("vec_id").as("q_id"), col("embedding"))
+      .join(probes, Seq("q_id")).join(cellCents, Seq("cell_id"))
+      .select(col("q_id"), col("cell_id"),
+        residual(col("embedding"), col("cemb")).as("rv"))
+    val qsv = qres.select(col("q_id"), col("cell_id"),
+      posexplode(array((0 until nSub).map(m =>
+        slice(col("rv"), m * subDim + 1, subDim)): _*)).as(Seq("m", "sv")))
+    val qd = qsv.join(broadcast(cb), Seq("m"))
+      .select(col("q_id"), col("cell_id"), col("m"), col("cent_id"),
+        call_function("graft_vec_l2sq", col("sv"), col("cvec")).as("d2"))
+    // distance table un-hinted: AQE broadcasts small batches, shuffles
+    // the corpus-sized self-query audit case (same as ivfPqTopK)
+    val scored = codes
+      .join(assign, Seq("vec_id"))
+      .withColumnRenamed("vec_id", "nbr_id")
+      .join(qd, Seq("cell_id", "m", "cent_id"))
+      .filter(col("q_id") =!= col("nbr_id"))
+      .groupBy(col("q_id"), col("nbr_id"))
+      .agg(graft.expr.Exprs.exactSum(col("d2")).as("dist"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("dist"), col("nbr_id"))
+    scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("q_id").as("vec_id"), col("nbr_id"),
+        col("rnk").cast("long").as("rnk"))
+  }
+
   /** Per-label centroid table: element-wise mean of the embedding
     * vectors of each label, one row per (label, dimension).
     *

@@ -856,6 +856,39 @@ object RelationalQueries {
         |    PARTITION BY user_id ORDER BY ts, event_id) AS from_type
         |  FROM events)
         |WHERE from_type IS NOT NULL
+        |GROUP BY 1, 2""".stripMargin)),
+
+    Q(
+      "q41_retention_cohorts",
+      "Weekly retention cohorts (the product-analytics matrix every " +
+        "event warehouse serves): cohort = the user's first-event " +
+        "week, activity = distinct (user, week) pairs, cell = users " +
+        "from cohort w active at offset k. Two hash aggs on the user " +
+        "key + one equi-join — the (user, week) distinct bounds state " +
+        "at users × weeks regardless of event volume, and both week " +
+        "truncations are Monday-anchored in either engine. Offsets " +
+        "divide exactly (both sides week-truncated), so the integer " +
+        "division is lossless.",
+      (s, dir) => {
+        val ev = t(s, dir, "events")
+        val f = ev.groupBy(col("user_id"))
+          .agg(date_trunc("week", min(col("ts"))).as("cw"))
+        val a = ev.select(col("user_id"),
+          date_trunc("week", col("ts")).as("w")).distinct()
+        f.join(a, Seq("user_id"))
+          .groupBy(col("cw").cast("date").as("cohort_week"),
+            expr("datediff(w, cw) div 7").cast("long").as("week_offset"))
+          .agg(count(lit(1)).cast("long").as("n_users"))
+      },
+      Some("""WITH f AS (
+        |  SELECT user_id, date_trunc('week', min(ts)) AS cw
+        |  FROM events GROUP BY 1),
+        |a AS (
+        |  SELECT DISTINCT user_id, date_trunc('week', ts) AS w FROM events)
+        |SELECT CAST(f.cw AS DATE) AS cohort_week,
+        |  CAST(date_diff('day', CAST(f.cw AS DATE), CAST(a.w AS DATE)) // 7 AS BIGINT) AS week_offset,
+        |  CAST(count(*) AS BIGINT) AS n_users
+        |FROM f JOIN a USING (user_id)
         |GROUP BY 1, 2""".stripMargin))
   )
 }

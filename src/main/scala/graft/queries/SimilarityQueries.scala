@@ -105,14 +105,18 @@ object SimilarityQueries {
       s"(CAST(s[1] AS DOUBLE) - CAST(s[2] AS DOUBLE))), (x, y) -> x + y)"
 
   /** PQ train + encode CTE chain (sv → c0 → one Lloyd round → cb →
-    * codes), shared by qs14 (pure ADC scan) and qs15 (IVF-PQ):
-    * nSub=8, dim=64, pqStride=40, iters=1. Ends at `codes`
+    * codes), shared by qs14 (pure ADC scan), qs15 (IVF-PQ) and qs16
+    * (residual IVF-PQ, which quantizes a residual relation instead of
+    * raw embeddings — `rel`/`vec` parameterize the source): nSub=8,
+    * dim=64, pqStride=40, iters=1. Ends at `codes`
     * (vec_id, m, cent_id). */
-  private def pqCtes: String =
+  private def pqCtes: String = pqCtesFrom("embeddings", "embedding")
+
+  private def pqCtesFrom(rel: String, vec: String): String =
     s"""sv AS (
       |  SELECT vec_id, t.m AS m,
-      |    e.embedding[t.m*8+1 : t.m*8+8] AS sv
-      |  FROM embeddings e, unnest(range(0, 8)) t(m)),
+      |    e.$vec[t.m*8+1 : t.m*8+8] AS sv
+      |  FROM $rel e, unnest(range(0, 8)) t(m)),
       |c0 AS (SELECT m, vec_id AS cent_id, sv AS cvec FROM sv WHERE vec_id % 40 = 0),
       |r1 AS (
       |  SELECT sv.vec_id, sv.m, c.cent_id,
@@ -523,6 +527,68 @@ object SimilarityQueries {
         |  JOIN assign a ON codes.vec_id = a.vec_id
         |  JOIN probes p ON p.cell_id = a.cell_id AND p.q_id <> codes.vec_id
         |  JOIN qd ON qd.q_id = p.q_id AND qd.m = codes.m AND qd.cent_id = codes.cent_id
+        |  GROUP BY 1, 2)
+        |SELECT vec_id, nbr_id, rnk FROM (
+        |  SELECT q_id AS vec_id, nbr_id,
+        |    row_number() OVER (PARTITION BY q_id ORDER BY dist ASC, nbr_id) AS rnk
+        |  FROM scored)
+        |WHERE rnk <= 5""".stripMargin)),
+
+    Q(
+      "qs16_ivf_pq_residual",
+      "RESIDUAL IVF-PQ (Similarity.ivfPqResidualTopK — the textbook " +
+        "formulation): PQ quantizes each vector's residual against " +
+        "its cell centroid, spending codebook resolution where the " +
+        "data lives; probing cell c scores with the QUERY's residual " +
+        "vs c, so the distance table gains a cell key and each corpus " +
+        "vector scores only in its own cell. Residual subtraction is " +
+        "double-exact with one float rounding — deterministic in both " +
+        "engines — keeping codes and ranks engine-exact.",
+      (s, dir) =>
+        Similarity.ivfPqResidualTopK(Tables.load(s, dir, "embeddings"),
+          "vec_id", "embedding", k = 5, centroidStride = 40, nProbe = 4,
+          nSub = 8, dim = 64, pqStride = 40, iters = 1),
+      Some(s"""WITH e AS (
+        |  SELECT vec_id, embedding, ${dkNorm("embedding")} AS nrm
+        |  FROM embeddings),
+        |c AS (SELECT vec_id AS cent_id, embedding AS cemb, nrm AS cnrm FROM e WHERE vec_id % 40 = 0),
+        |ranked AS (
+        |  SELECT e.vec_id, c.cent_id,
+        |    row_number() OVER (PARTITION BY e.vec_id ORDER BY
+        |      ${dkDot("e.embedding", "c.cemb")} / (e.nrm * c.cnrm) DESC,
+        |      c.cent_id) AS rn
+        |  FROM e, c),
+        |assign AS (SELECT vec_id, cent_id AS cell_id FROM ranked WHERE rn = 1),
+        |probes AS (SELECT vec_id AS q_id, cent_id AS cell_id FROM ranked WHERE rn <= 4),
+        |resv AS (
+        |  SELECT e.vec_id,
+        |    list_transform(list_zip(e.embedding, c.cemb),
+        |      s -> CAST(CAST(s[1] AS DOUBLE) - CAST(s[2] AS DOUBLE) AS FLOAT)) AS rv
+        |  FROM e JOIN assign a ON e.vec_id = a.vec_id
+        |  JOIN c ON c.cent_id = a.cell_id),
+        |${pqCtesFrom("resv", "rv")},
+        |qres AS (
+        |  SELECT p.q_id, p.cell_id,
+        |    list_transform(list_zip(e.embedding, c.cemb),
+        |      s -> CAST(CAST(s[1] AS DOUBLE) - CAST(s[2] AS DOUBLE) AS FLOAT)) AS rv
+        |  FROM probes p JOIN e ON e.vec_id = p.q_id
+        |  JOIN c ON c.cent_id = p.cell_id),
+        |qsv AS (
+        |  SELECT q_id, cell_id, t.m AS m,
+        |    q.rv[t.m*8+1 : t.m*8+8] AS sv
+        |  FROM qres q, unnest(range(0, 8)) t(m)),
+        |qd AS (
+        |  SELECT q.q_id, q.cell_id, q.m, c2.cent_id,
+        |    ${dkL2("q.sv", "c2.cvec")} AS d2
+        |  FROM qsv q JOIN cb c2 ON q.m = c2.m),
+        |scored AS (
+        |  SELECT qd.q_id, codes.vec_id AS nbr_id,
+        |    CAST(sum(CAST(qd.d2 AS DECIMAL(30,6))) AS DOUBLE) AS dist
+        |  FROM codes
+        |  JOIN assign a ON codes.vec_id = a.vec_id
+        |  JOIN qd ON qd.cell_id = a.cell_id AND qd.m = codes.m
+        |    AND qd.cent_id = codes.cent_id
+        |  WHERE qd.q_id <> codes.vec_id
         |  GROUP BY 1, 2)
         |SELECT vec_id, nbr_id, rnk FROM (
         |  SELECT q_id AS vec_id, nbr_id,

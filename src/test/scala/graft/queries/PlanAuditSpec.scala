@@ -19,6 +19,7 @@ class PlanAuditSpec extends SparkSuite {
       "qs08_kmeans_ivf", // same broadcast centroid-scoring cross join
       "qs11_ivf_sq", // same centroid cross join; in-cell scoring is int8
       "qs15_ivf_pq", // same centroid cross join; in-cell scoring is PQ-ADC
+      "qs16_ivf_pq_residual", // same centroid cross join; residual PQ-ADC
       // one-row calibration-array broadcast + broadcast query batch ×
       // corpus scan — both linear in the corpus, neither a pair join
       "qs10_scalar_quant",
