@@ -82,4 +82,54 @@ object GraphRank {
     }
     pr.select(col("node_id"), col("pr").cast("long").as("pr_int"))
   }
+
+  /** Per-node triangle counts over an undirected pair graph — the
+    * clustering-density signal of the graph family (a document inside
+    * a dense template clique participates in many triangles; a chance
+    * near-dup pair participates in none), computed with the
+    * DEGREE-ORIENTED algorithm that runs at web scale: orient every
+    * edge from its lower (degree, id) endpoint to the higher, generate
+    * wedges only from common SOURCES, and close each wedge with one
+    * oriented-edge lookup. Orientation bounds wedge generation by
+    * O(|E|^1.5) regardless of hot nodes (a star's hub receives its
+    * edges and sources none of them — the skew that kills the naive
+    * Σdeg² wedge join is structurally removed), and counts each
+    * triangle exactly once. Three equi-joins + one hash agg; the
+    * (degree, id) total order makes the result partition-independent.
+    *
+    * @param edges distinct undirected pairs (aCol < bCol), the
+    *              [[pageRank]] edge contract
+    * @return (node_id, n_triangles) covering every node in `nodes`,
+    *         zero-participation nodes included */
+  def triangleCounts(
+      nodes: DataFrame, idCol: String,
+      edges: DataFrame, aCol: String = "a_id", bCol: String = "b_id"): DataFrame = {
+    val e0 = graft.core.OpCache.persist(
+      edges.select(col(aCol).cast("long").as("u"), col(bCol).cast("long").as("v")))
+    val sym = e0.unionByName(e0.select(col("v").as("u"), col("u").as("v")))
+    val dg = graft.core.OpCache.persist(
+      sym.groupBy(col("u")).agg(count(lit(1)).as("d"))
+        .select(col("u").as("n"), col("d")))
+    val lower = col("du") < col("dv") ||
+      (col("du") === col("dv") && col("u") < col("v"))
+    val o = graft.core.OpCache.persist(
+      e0.join(dg.select(col("n").as("u"), col("d").as("du")), Seq("u"))
+        .join(dg.select(col("n").as("v"), col("d").as("dv")), Seq("v"))
+        .select(when(lower, col("u")).otherwise(col("v")).as("s"),
+          when(lower, col("v")).otherwise(col("u")).as("t")))
+    val otd = o.join(dg.select(col("n").as("t"), col("d").as("dt")), Seq("t"))
+    val wedgeOrder = col("w1.dt") < col("w2.dt") ||
+      (col("w1.dt") === col("w2.dt") && col("w1.t") < col("w2.t"))
+    val tris = otd.as("w1").join(otd.as("w2"),
+        col("w1.s") === col("w2.s") && wedgeOrder)
+      .select(col("w1.s").as("tu"), col("w1.t").as("tv"), col("w2.t").as("tw"))
+      .join(o.select(col("s").as("tv"), col("t").as("tw")), Seq("tv", "tw"))
+    val perNode = tris
+      .select(explode(array(col("tu"), col("tv"), col("tw"))).as("node_id"))
+      .groupBy(col("node_id")).agg(count(lit(1)).as("n_triangles"))
+    nodes.select(col(idCol).cast("long").as("node_id")).distinct()
+      .join(perNode, Seq("node_id"), "left")
+      .select(col("node_id"),
+        coalesce(col("n_triangles"), lit(0L)).as("n_triangles"))
+  }
 }

@@ -782,7 +782,16 @@ object Similarity {
     * the (m, code) lookup, exactly [[ivfPqTopK]]'s joins with one more
     * key column). Residual subtraction is double-exact per element and
     * rounds once to float — deterministic IEEE in both engines — so
-    * codes, tables, and ranks stay engine-exact end-to-end. */
+    * codes, tables, and ranks stay engine-exact end-to-end.
+    *
+    * Measured honestly (tools/AnnRecall, pqStride=10, nProbe=4,
+    * recall@5 vs exact L2): raw codebooks 0.240, residual 0.164 on
+    * the SYNTHETIC near-random test vectors — residuals only
+    * concentrate when cells capture real cluster structure, which
+    * structure-free data by construction lacks; on production
+    * embedding corpora the concentration is the whole premise of the
+    * formulation (and why FAISS defaults to it). Both variants stay
+    * oracle-checked; pick by measuring on the target corpus. */
   def ivfPqResidualTopK(
       em: DataFrame, idCol: String, vecCol: String, k: Int,
       centroidStride: Int = 40, nProbe: Int = 4,

@@ -505,6 +505,60 @@ object TextQueries {
         |FROM cand WHERE levenshtein(sa, sb) <= 2""".stripMargin)),
 
     Q(
+      "qd19_triangle_count",
+      "Per-node triangle counts over the edit-distance similarity " +
+        "graph (GraphRank.triangleCounts on qd18's maxDist=1 pairs): " +
+        "the clustering-density curation signal — dense template " +
+        "cliques score high, chance pairs score zero. Degree-oriented " +
+        "wedge generation (edges point low→high (degree, id); wedges " +
+        "only from common sources) bounds work at O(|E|^1.5) and " +
+        "structurally removes hot-node skew; three equi-joins + one " +
+        "hash agg, each triangle counted once.",
+      (s, dir) => {
+        val part = Tables.load(s, dir, "part")
+        val edges = Dedup.editDistanceNearDup(part, "p_partkey", "p_name",
+          maxDist = 1).select(col("a_id"), col("b_id"))
+        graft.operators.GraphRank.triangleCounts(part, "p_partkey", edges)
+      },
+      Some("""WITH s AS (
+        |  SELECT p_partkey AS sid, p_name AS str, length(p_name) AS len,
+        |    string_split(p_name, ' ')[1] AS k1,
+        |    string_split(p_name, ' ')[-1] AS k2
+        |  FROM part),
+        |cand AS (
+        |  SELECT a.sid AS a_id, b.sid AS b_id, a.str AS sa, b.str AS sb
+        |  FROM s a JOIN s b ON a.k1 = b.k1 AND a.sid < b.sid
+        |    AND abs(a.len - b.len) <= 1
+        |  UNION
+        |  SELECT a.sid AS a_id, b.sid AS b_id, a.str AS sa, b.str AS sb
+        |  FROM s a JOIN s b ON a.k2 = b.k2 AND a.sid < b.sid
+        |    AND abs(a.len - b.len) <= 1),
+        |e AS (SELECT a_id, b_id FROM cand WHERE levenshtein(sa, sb) <= 1),
+        |sym AS (SELECT a_id AS u, b_id AS v FROM e
+        |        UNION ALL SELECT b_id, a_id FROM e),
+        |dg AS (SELECT u AS n, count(*) AS d FROM sym GROUP BY 1),
+        |o AS (
+        |  SELECT CASE WHEN (da.d, e.a_id) < (db.d, e.b_id)
+        |           THEN e.a_id ELSE e.b_id END AS s,
+        |         CASE WHEN (da.d, e.a_id) < (db.d, e.b_id)
+        |           THEN e.b_id ELSE e.a_id END AS t
+        |  FROM e JOIN dg da ON da.n = e.a_id JOIN dg db ON db.n = e.b_id),
+        |otd AS (SELECT o.s, o.t, dg.d AS dt FROM o JOIN dg ON dg.n = o.t),
+        |tri AS (
+        |  SELECT w1.s AS tu, w1.t AS tv, w2.t AS tw
+        |  FROM otd w1 JOIN otd w2
+        |    ON w1.s = w2.s AND (w1.dt, w1.t) < (w2.dt, w2.t)
+        |  JOIN o ON o.s = w1.t AND o.t = w2.t),
+        |pn AS (
+        |  SELECT node_id, CAST(count(*) AS BIGINT) AS n_triangles FROM (
+        |    SELECT unnest([tu, tv, tw]) AS node_id FROM tri)
+        |  GROUP BY 1)
+        |SELECT p.p_partkey AS node_id,
+        |  coalesce(pn.n_triangles, 0) AS n_triangles
+        |FROM (SELECT DISTINCT p_partkey FROM part) p
+        |LEFT JOIN pn ON pn.node_id = p.p_partkey""".stripMargin)),
+
+    Q(
       "qt01_lang_id",
       "Language-ID heuristic: CJK codepoint check then stopword-count " +
         "argmax with fixed tiebreak. Pure narrow transform.",

@@ -77,6 +77,22 @@ object AnnRecall {
         println(f"""{"metric":"pq_adc_recall_l2@$k","value":$recallP%.4f,"stride":$pqStride,"iters":$pqIters,"n":$n,"sf":"$sfDir"}""")
         graft.core.OpCache.releaseAll(blocking = true)
       }
+      // IVF-PQ raw vs RESIDUAL codebooks at the same budget: the
+      // recall delta is the measured value of residual quantization
+      Seq(false, true).foreach { residual =>
+        val ipq = (if (residual)
+          Similarity.ivfPqResidualTopK(em, "vec_id", "embedding", k,
+            nProbe = 4, pqStride = 10, iters = 1)
+        else
+          Similarity.ivfPqTopK(em, "vec_id", "embedding", k,
+            nProbe = 4, pqStride = 10, iters = 1))
+          .select(col("vec_id"), col("nbr_id"))
+        val hitI = eL2c.intersect(ipq).count()
+        val recallI = hitI.toDouble / (n * k)
+        val tag = if (residual) "residual" else "raw"
+        println(f"""{"metric":"ivfpq_recall_l2@$k","value":$recallI%.4f,"codebooks":"$tag","n":$n,"sf":"$sfDir"}""")
+        graft.core.OpCache.releaseAll(blocking = true)
+      }
       eL2c.unpersist()
     }
     // quantized-candidates + exact-rerank composition: what the

@@ -49,6 +49,21 @@ class GraphRankSpec extends SparkSuite {
     graft.core.OpCache.releaseAll(blocking = true)
   }
 
+  test("triangleCounts: K4, star, and path on known answers") {
+    // K4 on {1..4}: C(4,3)=4 triangles, every node in 3 of them
+    val k4 = Seq((1L,2L),(1L,3L),(1L,4L),(2L,3L),(2L,4L),(3L,4L)).toDF("a_id","b_id")
+    val nodes = (1L to 8L).toDF("id")
+    // star 5-{6,7,8}: wedges but no closures; 5 isolated from K4
+    val star = Seq((5L,6L),(5L,7L),(5L,8L)).toDF("a_id","b_id")
+    val got = GraphRank.triangleCounts(nodes, "id", k4.unionByName(star))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert((1L to 4L).forall(got(_) == 3L), got.toString)
+    assert((5L to 8L).forall(got(_) == 0L), got.toString)
+    // total triangle mass = 3 * number of triangles
+    assert(got.values.sum == 3 * 4)
+    graft.core.OpCache.releaseAll(blocking = true)
+  }
+
   test("pageRank: empty node table is refused loudly") {
     val nodes = Seq.empty[Long].toDF("id")
     val edges = Seq.empty[(Long, Long)].toDF("a_id", "b_id")
