@@ -1,0 +1,79 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Time-series regularization — the gap-filling stage of an indicator
+  * pipeline (the reference's domain is yearly indicator series; the
+  * same shapes serve any regular grid).
+  */
+object Timeseries {
+
+  /** Per-key daily resample + LINEAR interpolation of interior gaps:
+    * observations aggregate to (key, day) with order-invariant decimal
+    * sums, each key's grid spans its own [min, max] day (sequence
+    * explode — fan-out bounded by the key's span, never a global
+    * calendar join), and a missing day takes
+    * prev + (next − prev) · (day − prevDay)/(nextDay − prevDay) from
+    * the nearest observed neighbors on each side (two frame-bounded
+    * windows with IGNORE NULLS — the W1 forward-fill pattern run in
+    * both directions). Grid endpoints are observed by construction, so
+    * every interior day has both neighbors; values round to 6 decimals
+    * (the qm01 discipline) so the one interpolation division stays
+    * engine-comparable.
+    *
+    * Scale shape: one hash agg on (key, day), one per-key explode, two
+    * windows over the same (key ORDER BY day) sort — a single shuffle
+    * on the key reused by every stage after the agg. */
+  def resampleInterpolateDaily(
+      df: DataFrame, keyCol: String, tsCol: String,
+      valCol: String): DataFrame = {
+    val obs = df.groupBy(col(keyCol).as("k"), to_date(col(tsCol)).as("day"))
+      .agg(graft.expr.Exprs.exactSum(col(valCol).cast("double")).as("v"))
+    val grid = obs.groupBy(col("k"))
+      .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+      .select(col("k"), explode(sequence(col("d0"), col("d1"))).as("day"))
+    val j = grid.join(obs, Seq("k", "day"), "left")
+    val wPrev = Window.partitionBy(col("k")).orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wNext = Window.partitionBy(col("k")).orderBy(col("day"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    j.withColumn("pv", last(col("v"), ignoreNulls = true).over(wPrev))
+      .withColumn("pd",
+        last(when(col("v").isNotNull, col("day")), ignoreNulls = true).over(wPrev))
+      .withColumn("nv", first(col("v"), ignoreNulls = true).over(wNext))
+      .withColumn("nd",
+        first(when(col("v").isNotNull, col("day")), ignoreNulls = true).over(wNext))
+      .select(col("k").as(keyCol), col("day"),
+        round(when(col("v").isNotNull, col("v"))
+          .otherwise(col("pv") + (col("nv") - col("pv")) *
+            (datediff(col("day"), col("pd")).cast("double") /
+              datediff(col("nd"), col("pd")).cast("double"))), 6)
+          .as("value"))
+  }
+
+  /** Per-group z-score outliers: flag rows with |x − μ| > z·σ using
+    * population moments from ONE aggregation pass (decimal-exact sum
+    * and sum-of-squares — order-invariant, so μ and σ are
+    * bit-reproducible; σ via one correctly-rounded sqrt). Groups with
+    * zero variance produce no flags (nothing deviates). The
+    * data-quality sibling of the validation stage: one hash agg + one
+    * broadcast-sized stats join + a narrow filter. */
+  def zScoreOutliers(
+      df: DataFrame, groupCol: String, valCol: String,
+      z: Double = 3.0): DataFrame = {
+    val x = col(valCol).cast("double")
+    val st = df.groupBy(col(groupCol))
+      .agg(count(lit(1)).cast("double").as("n"),
+        graft.expr.Exprs.exactSum(x).as("s"),
+        graft.expr.Exprs.exactSum(x * x).as("s2"))
+      .select(col(groupCol), (col("s") / col("n")).as("mu"),
+        sqrt(col("s2") / col("n") - (col("s") / col("n")) * (col("s") / col("n")))
+          .as("sigma"))
+    df.join(broadcast(st), Seq(groupCol))
+      .filter(col("sigma") > 0.0 && abs(x - col("mu")) > lit(z) * col("sigma"))
+      .withColumn("z_score", round((x - col("mu")) / col("sigma"), 6))
+      .drop("mu", "sigma")
+  }
+}

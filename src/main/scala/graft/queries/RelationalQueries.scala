@@ -889,6 +889,75 @@ object RelationalQueries {
         |  CAST(date_diff('day', CAST(f.cw AS DATE), CAST(a.w AS DATE)) // 7 AS BIGINT) AS week_offset,
         |  CAST(count(*) AS BIGINT) AS n_users
         |FROM f JOIN a USING (user_id)
-        |GROUP BY 1, 2""".stripMargin))
+        |GROUP BY 1, 2""".stripMargin)),
+
+    Q(
+      "q42_zscore_outliers",
+      "Per-group z-score outliers (Timeseries.zScoreOutliers, the " +
+        "data-quality anomaly flag): population μ/σ from ONE " +
+        "aggregation pass with decimal-exact sum and sum-of-squares " +
+        "(order-invariant — μ and σ bit-reproducible; σ via one " +
+        "correctly-rounded sqrt), stats broadcast back, narrow " +
+        "|x−μ| > 3σ filter. Zero-variance groups flag nothing.",
+      (s, dir) =>
+        graft.operators.Timeseries.zScoreOutliers(
+          t(s, dir, "events"), "event_type", "value", z = 3.0)
+          .select(col("event_id"), col("event_type"),
+            col("value"), col("z_score")),
+      Some("""WITH st AS (
+        |  SELECT event_type, CAST(count(*) AS DOUBLE) AS n,
+        |    CAST(sum(CAST(CAST(value AS DOUBLE) AS DECIMAL(30,6))) AS DOUBLE) AS s,
+        |    CAST(sum(CAST(CAST(value AS DOUBLE) * CAST(value AS DOUBLE)
+        |      AS DECIMAL(30,6))) AS DOUBLE) AS s2
+        |  FROM events GROUP BY 1),
+        |m AS (SELECT event_type, s/n AS mu,
+        |        sqrt(s2/n - (s/n)*(s/n)) AS sigma FROM st)
+        |SELECT e.event_id, e.event_type, e.value,
+        |  round((CAST(e.value AS DOUBLE) - mu) / sigma, 6) AS z_score
+        |FROM events e JOIN m USING (event_type)
+        |WHERE sigma > 0 AND abs(CAST(e.value AS DOUBLE) - mu) > 3.0 * sigma""".stripMargin)),
+
+    Q(
+      "q43_interpolate_daily",
+      "Per-user daily resample + linear interpolation of interior " +
+        "gaps (Timeseries.resampleInterpolateDaily — the gap-filling " +
+        "stage of an indicator pipeline): per-key [min,max] day grid " +
+        "via bounded sequence explode (no global calendar join), " +
+        "nearest observed neighbor each side via two frame-bounded " +
+        "IGNORE NULLS windows over ONE (key, day) sort, one " +
+        "interpolation division rounded to 6 decimals.",
+      (s, dir) =>
+        graft.operators.Timeseries.resampleInterpolateDaily(
+          t(s, dir, "events"), "user_id", "ts", "value"),
+      Some("""WITH obs AS (
+        |  SELECT user_id AS k, CAST(ts AS DATE) AS day,
+        |    CAST(sum(CAST(CAST(value AS DOUBLE) AS DECIMAL(30,6))) AS DOUBLE) AS v
+        |  FROM events GROUP BY 1, 2),
+        |grid AS (
+        |  SELECT k, CAST(unnest(generate_series(CAST(d0 AS TIMESTAMP),
+        |    CAST(d1 AS TIMESTAMP), INTERVAL 1 DAY)) AS DATE) AS day
+        |  FROM (SELECT k, min(day) AS d0, max(day) AS d1 FROM obs GROUP BY 1)),
+        |j AS (
+        |  SELECT g.k, g.day, o.v FROM grid g
+        |  LEFT JOIN obs o ON o.k = g.k AND o.day = g.day),
+        |w AS (
+        |  SELECT k, day, v,
+        |    last_value(v IGNORE NULLS) OVER (PARTITION BY k ORDER BY day
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+        |    last_value(CASE WHEN v IS NOT NULL THEN day END IGNORE NULLS)
+        |      OVER (PARTITION BY k ORDER BY day
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pd,
+        |    first_value(v IGNORE NULLS) OVER (PARTITION BY k ORDER BY day
+        |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+        |    first_value(CASE WHEN v IS NOT NULL THEN day END IGNORE NULLS)
+        |      OVER (PARTITION BY k ORDER BY day
+        |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nd
+        |  FROM j)
+        |SELECT k AS user_id, day,
+        |  round(CASE WHEN v IS NOT NULL THEN v
+        |    ELSE pv + (nv - pv) *
+        |      (CAST(date_diff('day', pd, day) AS DOUBLE) /
+        |       CAST(date_diff('day', pd, nd) AS DOUBLE)) END, 6) AS value
+        |FROM w""".stripMargin))
   )
 }

@@ -1,0 +1,43 @@
+package graft.operators
+
+import java.sql.Timestamp
+import graft.SparkSuite
+
+class TimeseriesSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def ts(day: Int): Timestamp =
+    Timestamp.valueOf(f"2024-01-$day%02d 12:00:00")
+
+  test("resampleInterpolateDaily: linear fill between observed neighbors") {
+    // key 1: days 1, 4 observed (10.0, 40.0) → days 2, 3 interpolate
+    // to 20, 30; key 2: single day — grid of one, no interpolation
+    val df = Seq(
+      (1L, ts(1), 10.0), (1L, ts(4), 40.0),
+      (2L, ts(7), 5.0)
+    ).toDF("user_id", "ts", "value")
+    val got = Timeseries.resampleInterpolateDaily(df, "user_id", "ts", "value")
+      .collect()
+      .map(r => (r.getLong(0), r.getDate(1).toString) -> r.getDouble(2)).toMap
+    assert(got == Map(
+      (1L, "2024-01-01") -> 10.0, (1L, "2024-01-02") -> 20.0,
+      (1L, "2024-01-03") -> 30.0, (1L, "2024-01-04") -> 40.0,
+      (2L, "2024-01-07") -> 5.0))
+    // same-day observations aggregate before gridding
+    val dup = Seq((1L, ts(1), 1.0), (1L, ts(1), 2.0)).toDF("user_id", "ts", "value")
+    val one = Timeseries.resampleInterpolateDaily(dup, "user_id", "ts", "value")
+      .collect()
+    assert(one.length == 1 && one(0).getDouble(2) == 3.0)
+  }
+
+  test("zScoreOutliers: flags only beyond z sigma; zero-variance silent") {
+    // group a: 9 values at 0 and one at 10 → the 10 is ~3 sigma out
+    val a = (1 to 9).map(i => ("a", i.toLong, 0.0)) :+ (("a", 10L, 10.0))
+    // group b: constant → sigma 0, nothing flagged
+    val b = (1 to 5).map(i => ("b", 100L + i, 7.0))
+    val df = (a ++ b).toDF("grp", "id", "value")
+    val got = Timeseries.zScoreOutliers(df, "grp", "value", z = 2.5)
+      .collect().map(r => (r.getAs[String]("grp"), r.getAs[Long]("id")))
+    assert(got.toSeq == Seq(("a", 10L)), got.mkString(","))
+  }
+}
