@@ -884,14 +884,17 @@ object Dedup {
     *
     * Scale shape: each pass is an equi-join on the block key; blocks
     * are vocabulary-sized (first/last tokens), so a hot block (every
-    * "red ..." product) is the qd02 mega-bucket problem — compose the
-    * same cap/df-cut on the block key for adversarial corpora; the
-    * length band already bounds each row's in-block matches.
+    * "red ..." product) is the qd02 mega-bucket problem — `maxBlock`
+    * caps each block at its lowest-id members before the self-join
+    * (the capBuckets discipline; in-block pairs grow quadratically in
+    * block size, and ScaleSmoke's duplicated-corpus fixture measures
+    * exactly that blowup without the cap). The length band bounds each
+    * row's in-block matches losslessly (levenshtein ≥ length gap).
     * Output: (a_id, b_id, dist), a_id < b_id, dist ≤ maxDist. */
   def editDistanceNearDup(
       df: DataFrame, idCol: String, strCol: String,
-      maxDist: Int = 2): DataFrame = {
-    require(maxDist >= 0)
+      maxDist: Int = 2, maxBlock: Int = 500): DataFrame = {
+    require(maxDist >= 0 && maxBlock >= 2)
     val s = graft.core.Partitioning.parallelize(df, col(idCol))
       .select(col(idCol).as("sid"), col(strCol).as("str"),
         length(col(strCol)).as("len"),
@@ -899,6 +902,10 @@ object Dedup {
         element_at(split(col(strCol), " "), -1).as("k2"))
     def pass(key: String): DataFrame = {
       val b = s.select(col("sid"), col("str"), col("len"), col(key).as("blk"))
+        .withColumn("__rn", row_number().over(
+          Window.partitionBy(col("blk")).orderBy(col("sid"))))
+        .filter(col("__rn") <= maxBlock)
+        .drop("__rn")
       b.as("a").join(b.as("b"),
           col("a.blk") === col("b.blk") && col("a.sid") < col("b.sid") &&
             abs(col("a.len") - col("b.len")) <= maxDist)

@@ -538,18 +538,23 @@ object Similarity {
     e.select(col("vec_id"), posexplode(array((0 until nSub).map(m =>
       slice(col("embedding"), m * subDim + 1, subDim)): _*)).as(Seq("m", "sv")))
 
-  /** (vec_id, m, cent_id, d2, rn): codebook entries of subquantizer m
-    * ranked per (vector, m) by squared L2 distance (ties → lowest
-    * cent_id). rn=1 is the PQ code. Distance runs in the native
-    * [[graft.functions.FloatVecL2]] kernel — fixed-fold, engine-exact. */
-  private def codeRanks(sv: DataFrame, cb: DataFrame): DataFrame = {
-    val w = Window.partitionBy(col("vec_id"), col("m"))
-      .orderBy(col("d2"), col("cent_id"))
+  /** (vec_id, m, cent_id): each (vector, subquantizer)'s nearest
+    * codebook entry by squared L2 (ties → lowest cent_id) — the PQ
+    * code. Computed as an ARGMIN AGGREGATE (lexicographic min of
+    * (d2, cent_id) structs), not a ranking window: partial aggregation
+    * collapses the corpus × K scored rows map-side, so nothing
+    * K-proportional ever shuffles — the window form sorted 100M+ rows
+    * at ScaleSmoke ×10 where this shuffles 400K. Distance runs in the
+    * native [[graft.functions.FloatVecL2]] kernel — fixed-fold,
+    * engine-exact, so the argmin matches the oracle's rank-1 row. */
+  private def pqEncode(sv: DataFrame, cb: DataFrame): DataFrame =
     sv.join(cb, Seq("m"))
-      .select(col("vec_id"), col("m"), col("cent_id"),
-        call_function("graft_vec_l2sq", col("sv"), col("cvec")).as("d2"))
-      .withColumn("rn", row_number().over(w))
-  }
+      .select(col("vec_id"), col("m"),
+        struct(call_function("graft_vec_l2sq", col("sv"), col("cvec")).as("d2"),
+          col("cent_id")).as("sc"))
+      .groupBy(col("vec_id"), col("m"))
+      .agg(min(col("sc")).as("best"))
+      .select(col("vec_id"), col("m"), col("best.cent_id").as("cent_id"))
 
   /** Per-subvector PQ codebooks (m, cent_id, cvec), trained with the
     * same bit-reproducible k-means discipline as [[trainIvfCentroids]]
@@ -558,22 +563,31 @@ object Similarity {
     * one broadcast-assign (squared-L2 rank, ties → lowest cent_id) +
     * one exploded (m, cent_id, dim)-keyed DECIMAL(30,6)-exact mean
     * repacked in dim order and cast to float. No per-subquantizer
-    * driver loop — nSub inflates the key space, not the job count. */
+    * driver loop — nSub inflates the key space, not the job count.
+    *
+    * `maxCentroids` caps K (the codebook size) independent of corpus
+    * size: stride-only seeding makes K ∝ n, which silently turns
+    * encoding (a per-(vector, m) rank over K entries) quadratic as
+    * the corpus grows and bloats every per-query distance table —
+    * production PQ runs a FIXED K (256 = one byte per code, the
+    * standard). Seeds are the lowest-id stride vectors, so the cap is
+    * a pure predicate both engines replay (a no-op when the corpus
+    * has fewer than stride·K rows). */
   def pqTrainCodebooks(
       em: DataFrame, idCol: String, vecCol: String,
       nSub: Int = 8, dim: Int = 64, centroidStride: Int = 40,
-      iters: Int = 1): DataFrame = {
+      iters: Int = 1, maxCentroids: Int = 256): DataFrame = {
     require(dim % nSub == 0, s"dim $dim must split evenly into $nSub subvectors")
     graft.functions.GraftFunctions.register(em.sparkSession)
     val subDim = dim / nSub
     val e = graft.core.Partitioning.parallelize(em, col(idCol))
       .select(col(idCol).as("vec_id"), col(vecCol).as("embedding"))
     val sv = graft.core.OpCache.persist(subvectors(e, nSub, subDim))
-    var cb = sv.filter(col("vec_id") % centroidStride === 0)
+    var cb = sv.filter(col("vec_id") % centroidStride === 0 &&
+        col("vec_id") < centroidStride.toLong * maxCentroids)
       .select(col("m"), col("vec_id").as("cent_id"), col("sv").as("cvec"))
     (0 until iters).foreach { _ =>
-      val assign = codeRanks(sv, broadcast(cb))
-        .filter(col("rn") === 1).select(col("vec_id"), col("m"), col("cent_id"))
+      val assign = pqEncode(sv, broadcast(cb))
       val means = sv.join(assign, Seq("vec_id", "m"))
         .select(col("m"), col("cent_id"), posexplode(col("sv")).as(Seq("dim", "x")))
         .groupBy(col("m"), col("cent_id"), col("dim"))
@@ -616,8 +630,7 @@ object Similarity {
       pqTrainCodebooks(em, idCol, vecCol, nSub, dim, centroidStride, iters))
     val e = graft.core.Partitioning.parallelize(em, col(idCol))
       .select(col(idCol).as("vec_id"), col(vecCol).as("embedding"))
-    val codes = codeRanks(subvectors(e, nSub, subDim), broadcast(cb))
-      .filter(col("rn") === 1)
+    val codes = pqEncode(subvectors(e, nSub, subDim), broadcast(cb))
       .groupBy(col("vec_id"))
       .agg(transform(
         array_sort(collect_list(struct(col("m"), col("cent_id")))),
@@ -743,8 +756,7 @@ object Similarity {
     val cb = graft.core.OpCache.persist(
       pqTrainCodebooks(em, idCol, vecCol, nSub, dim, pqStride, iters))
     val ev = e.select(col("vec_id"), col("embedding"))
-    val codes = codeRanks(subvectors(ev, nSub, subDim), broadcast(cb))
-      .filter(col("rn") === 1).select(col("vec_id"), col("m"), col("cent_id"))
+    val codes = pqEncode(subvectors(ev, nSub, subDim), broadcast(cb))
     val qd = subvectors(ev, nSub, subDim)
       .join(broadcast(cb), Seq("m"))
       .select(col("vec_id").as("q_id"), col("m"), col("cent_id"),
@@ -820,10 +832,9 @@ object Similarity {
         .select(col("vec_id"), residual(col("embedding"), col("cemb")).as("rv")))
     val cb = graft.core.OpCache.persist(
       pqTrainCodebooks(res, "vec_id", "rv", nSub, dim, pqStride, iters))
-    val codes = codeRanks(
+    val codes = pqEncode(
       subvectors(res.select(col("vec_id"), col("rv").as("embedding")),
         nSub, subDim), broadcast(cb))
-      .filter(col("rn") === 1).select(col("vec_id"), col("m"), col("cent_id"))
     val qres = e.select(col("vec_id").as("q_id"), col("embedding"))
       .join(probes, Seq("q_id")).join(cellCents, Seq("cell_id"))
       .select(col("q_id"), col("cell_id"),

@@ -117,7 +117,8 @@ object SimilarityQueries {
       |  SELECT vec_id, t.m AS m,
       |    e.$vec[t.m*8+1 : t.m*8+8] AS sv
       |  FROM $rel e, unnest(range(0, 8)) t(m)),
-      |c0 AS (SELECT m, vec_id AS cent_id, sv AS cvec FROM sv WHERE vec_id % 40 = 0),
+      |c0 AS (SELECT m, vec_id AS cent_id, sv AS cvec FROM sv
+      |       WHERE vec_id % 40 = 0 AND vec_id < 10240),
       |r1 AS (
       |  SELECT sv.vec_id, sv.m, c.cent_id,
       |    row_number() OVER (PARTITION BY sv.vec_id, sv.m ORDER BY

@@ -493,13 +493,17 @@ object TextQueries {
         |    string_split(p_name, ' ')[1] AS k1,
         |    string_split(p_name, ' ')[-1] AS k2
         |  FROM part),
+        |b1 AS (SELECT sid, str, len, k1 FROM s
+        |       QUALIFY row_number() OVER (PARTITION BY k1 ORDER BY sid) <= 500),
+        |b2 AS (SELECT sid, str, len, k2 FROM s
+        |       QUALIFY row_number() OVER (PARTITION BY k2 ORDER BY sid) <= 500),
         |cand AS (
         |  SELECT a.sid AS a_id, b.sid AS b_id, a.str AS sa, b.str AS sb
-        |  FROM s a JOIN s b ON a.k1 = b.k1 AND a.sid < b.sid
+        |  FROM b1 a JOIN b1 b ON a.k1 = b.k1 AND a.sid < b.sid
         |    AND abs(a.len - b.len) <= 2
         |  UNION
         |  SELECT a.sid AS a_id, b.sid AS b_id, a.str AS sa, b.str AS sb
-        |  FROM s a JOIN s b ON a.k2 = b.k2 AND a.sid < b.sid
+        |  FROM b2 a JOIN b2 b ON a.k2 = b.k2 AND a.sid < b.sid
         |    AND abs(a.len - b.len) <= 2)
         |SELECT a_id, b_id, CAST(levenshtein(sa, sb) AS BIGINT) AS dist
         |FROM cand WHERE levenshtein(sa, sb) <= 2""".stripMargin)),
@@ -525,13 +529,17 @@ object TextQueries {
         |    string_split(p_name, ' ')[1] AS k1,
         |    string_split(p_name, ' ')[-1] AS k2
         |  FROM part),
+        |b1 AS (SELECT sid, str, len, k1 FROM s
+        |       QUALIFY row_number() OVER (PARTITION BY k1 ORDER BY sid) <= 500),
+        |b2 AS (SELECT sid, str, len, k2 FROM s
+        |       QUALIFY row_number() OVER (PARTITION BY k2 ORDER BY sid) <= 500),
         |cand AS (
         |  SELECT a.sid AS a_id, b.sid AS b_id, a.str AS sa, b.str AS sb
-        |  FROM s a JOIN s b ON a.k1 = b.k1 AND a.sid < b.sid
+        |  FROM b1 a JOIN b1 b ON a.k1 = b.k1 AND a.sid < b.sid
         |    AND abs(a.len - b.len) <= 1
         |  UNION
         |  SELECT a.sid AS a_id, b.sid AS b_id, a.str AS sa, b.str AS sb
-        |  FROM s a JOIN s b ON a.k2 = b.k2 AND a.sid < b.sid
+        |  FROM b2 a JOIN b2 b ON a.k2 = b.k2 AND a.sid < b.sid
         |    AND abs(a.len - b.len) <= 1),
         |e AS (SELECT a_id, b_id FROM cand WHERE levenshtein(sa, sb) <= 1),
         |sym AS (SELECT a_id AS u, b_id AS v FROM e

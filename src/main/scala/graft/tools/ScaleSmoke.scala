@@ -199,6 +199,30 @@ object ScaleSmoke {
           graft.operators.Multimodal.asMedia(
             docs, "doc_id", "text", "application/octet-stream")).count()
       },
+      time("gear_chunk_dedup") {
+        // content-defined chunking (rolling-hash kernel): should track
+        // chunk_dedup's slope — the cutter adds no shuffle
+        graft.operators.Multimodal.gearChunkDedupStats(
+          docs, "doc_id", "text").count()
+      },
+      time("edit_distance_dedup") {
+        // production order (the dedup_corpus discipline): the
+        // duplicated corpus's exact-duplicate titles collapse to
+        // distinct representatives BEFORE blocking, so in-block pair
+        // counts scale with the distinct vocabulary, not the raw row
+        // count; maxBlock caps whatever adversarial mass remains
+        val distinctTitles = docs
+          .select(substring($"text", 1, 24).as("title"), $"doc_id")
+          .groupBy($"title").agg(min($"doc_id").as("doc_id"))
+        graft.operators.Dedup.editDistanceNearDup(
+          distinctTitles, "doc_id", "title", maxDist = 2).count()
+      },
+      time("pq_adc_scan") {
+        // PQ tier: train + encode + ADC-score a ~1% query batch
+        Similarity.pqTopK(emb,
+          emb.filter(pmod($"vec_id", lit(101)) === 0),
+          "vec_id", "embedding", k = 5).count()
+      },
       time("asof_join") {
         val ev = {
           val raw = spark.read.parquet(s"$out/events.parquet")
