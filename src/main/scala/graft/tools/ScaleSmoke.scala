@@ -218,9 +218,16 @@ object ScaleSmoke {
           distinctTitles, "doc_id", "title", maxDist = 2).count()
       },
       time("pq_adc_scan") {
-        // PQ tier: train + encode + ADC-score a ~1% query batch
+        // PQ tier: train + encode + ADC-score a FIXED 100-query batch
+        // (original ids 0..99, copy 0 — constant across factors).
+        // ADC cost is batch × corpus × nSub at join grain; scaling
+        // the batch with the corpus (the other fixtures' 1% rule)
+        // would measure a quadratic no serving deployment runs — the
+        // operator's contract is a bounded query batch against a
+        // growing corpus, and THIS curve is that contract's slope.
         Similarity.pqTopK(emb,
-          emb.filter(pmod($"vec_id", lit(101)) === 0),
+          emb.filter($"vec_id" < factor.toLong * 100 &&
+            pmod($"vec_id", lit(factor)) === 0),
           "vec_id", "embedding", k = 5).count()
       },
       time("asof_join") {
