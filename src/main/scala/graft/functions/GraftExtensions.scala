@@ -31,6 +31,21 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (exprs: Seq[Expression]) => ByteVecDot(exprs(0), exprs(1)))
       : (FunctionIdentifier, ExpressionInfo, FunctionRegistry.FunctionBuilder))
     ext.injectFunction((
+      FunctionIdentifier("graft_vec_l2sq"),
+      new ExpressionInfo(classOf[FloatVecL2].getName, "graft_vec_l2sq"),
+      (exprs: Seq[Expression]) => FloatVecL2(exprs(0), exprs(1)))
+      : (FunctionIdentifier, ExpressionInfo, FunctionRegistry.FunctionBuilder))
+    ext.injectFunction((
+      FunctionIdentifier("graft_vocab_tokens"),
+      new ExpressionInfo(classOf[VocabTokenCount].getName, "graft_vocab_tokens"),
+      (exprs: Seq[Expression]) => VocabTokenCount(exprs(0), exprs(1)))
+      : (FunctionIdentifier, ExpressionInfo, FunctionRegistry.FunctionBuilder))
+    ext.injectFunction((
+      FunctionIdentifier("graft_gear_cuts"),
+      new ExpressionInfo(classOf[GearCuts].getName, "graft_gear_cuts"),
+      (exprs: Seq[Expression]) => GearCuts(exprs(0)))
+      : (FunctionIdentifier, ExpressionInfo, FunctionRegistry.FunctionBuilder))
+    ext.injectFunction((
       FunctionIdentifier("graft_simhash60"),
       new ExpressionInfo(classOf[Simhash60].getName, "graft_simhash60"),
       (exprs: Seq[Expression]) => Simhash60(exprs(0)))

@@ -110,6 +110,54 @@ object WarehouseQueries {
         |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)""".stripMargin)),
 
     Q(
+      "qw07_point_in_time",
+      "Point-in-time (PIT) enrichment against SCD2-style history " +
+        "(beyond-reference warehouse op; composes AsofJoin with " +
+        "qw03's history shape): each lineitem takes the customer's " +
+        "order status valid AT SHIP TIME — the latest history row " +
+        "with valid_from <= ship date (ties → greatest order key), " +
+        "null when the ship predates the customer's history (the " +
+        "generator breaks TPC-H's date invariant for 29k rows, so " +
+        "the null path is genuinely exercised). Plan = one equi-join " +
+        "for the customer key + AsofJoin's single union+window pass — " +
+        "no non-equi join anywhere.",
+      (s, dir) => {
+        val ord = graft.core.Tables.load(s, dir, "orders")
+        val li = graft.core.Tables.load(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_linenumber"), col("l_shipdate"))
+          .join(ord.select(col("o_orderkey"), col("o_custkey")),
+            col("l_orderkey") === col("o_orderkey"))
+          .drop("o_orderkey")
+        val hist = ord.select(col("o_custkey"), col("o_orderdate"),
+          col("o_orderkey"), col("o_orderstatus").as("status_at_ship"))
+        graft.operators.AsofJoin.asofBackward(
+          li, hist, key = "o_custkey", leftTs = "l_shipdate",
+          rightTs = "o_orderdate", payload = Seq("status_at_ship"),
+          rightTiebreak = Some("o_orderkey"))
+          .select(col("l_orderkey"), col("l_linenumber"), col("status_at_ship"))
+      },
+      // the as-of winner resolves per DISTINCT (key, ts) then joins
+      // back, so duplicated lineitem rows (the generator emits them)
+      // keep their multiplicity — a per-row rn=1 would collapse them
+      Some("""WITH li AS (
+        |  SELECT l.l_orderkey, l.l_linenumber, o.o_custkey, l.l_shipdate
+        |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+        |keys AS (SELECT DISTINCT o_custkey, l_shipdate FROM li),
+        |best AS (
+        |  SELECT o_custkey, l_shipdate, status_at_ship FROM (
+        |    SELECT k.o_custkey, k.l_shipdate,
+        |      h.o_orderstatus AS status_at_ship,
+        |      row_number() OVER (PARTITION BY k.o_custkey, k.l_shipdate
+        |        ORDER BY h.o_orderdate DESC NULLS LAST,
+        |          h.o_orderkey DESC NULLS LAST) AS rn
+        |    FROM keys k LEFT JOIN orders h
+        |      ON h.o_custkey = k.o_custkey AND h.o_orderdate <= k.l_shipdate)
+        |  WHERE rn = 1)
+        |SELECT li.l_orderkey, li.l_linenumber, best.status_at_ship
+        |FROM li JOIN best ON best.o_custkey = li.o_custkey
+        |  AND best.l_shipdate = li.l_shipdate""".stripMargin)),
+
+    Q(
       "qw04_cdc_apply",
       "CDC snapshot materialization (Cdc.applyChanges, beyond-reference " +
         "warehouse op): collapse a change feed (events per user; " +
