@@ -106,6 +106,52 @@ class EdgeCasesSpec extends SparkSuite {
     graft.core.OpCache.releaseAll(blocking = true)
   }
 
+  test("round-7 operators: empty and degenerate inputs") {
+    // edit-distance dedup: empty, single-row, and no-pair corpora
+    assert(Dedup.editDistanceNearDup(emptyDocs, "doc_id", "text").count() == 0)
+    assert(Dedup.editDistanceNearDup(
+      Seq((1L, "only row")).toDF("doc_id", "text"), "doc_id", "text")
+      .count() == 0)
+    // triangle counts: empty edges → all zeros; empty nodes → empty
+    val nodes = Seq(1L, 2L).toDF("id")
+    val noEdges = Seq.empty[(Long, Long)].toDF("a_id", "b_id")
+    val tc = GraphRank.triangleCounts(nodes, "id", noEdges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(tc == Map(1L -> 0L, 2L -> 0L))
+    assert(GraphRank.triangleCounts(
+      Seq.empty[Long].toDF("id"), "id", noEdges).count() == 0)
+    // gear chunking: empty corpus and sub-window-length payloads
+    assert(Multimodal.gearChunkDedupStats(emptyDocs, "doc_id", "text")
+      .count() == 0)
+    val tiny = Multimodal.gearChunkDedupStats(
+      Seq((1L, "abc")).toDF("doc_id", "text"), "doc_id", "text").collect()
+    assert(tiny.length == 1 && tiny(0).getLong(1) == 1L) // one whole-doc chunk
+    // vocab tokenizer: empty corpus vocab still tokenizes via fallback
+    val va = VocabTokenizer.vocabArray(
+      VocabTokenizer.buildVocab(emptyDocs, "text"))
+    assert(va.length == 95) // printable-ASCII fallback only
+    val counted = VocabTokenizer.tokenCounts(someDocs, "doc_id", "text", va)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(counted.values.forall(_ > 0))
+    // timeseries: empty inputs are empty, not throwing
+    val emptyEv = Seq.empty[(Long, java.sql.Timestamp, Double)]
+      .toDF("user_id", "ts", "value")
+    assert(Timeseries.resampleInterpolateDaily(
+      emptyEv, "user_id", "ts", "value").count() == 0)
+    assert(Timeseries.zScoreOutliers(
+      Seq.empty[(String, Double)].toDF("grp", "value"), "grp", "value")
+      .count() == 0)
+    // PQ: empty query batch scores nothing; rerank likewise
+    val em = Seq((0L, Array.fill(8)(1.0f)), (1L, Array.fill(8)(2.0f)))
+      .toDF("vec_id", "embedding")
+    val noQ = em.filter(col("vec_id") < 0)
+    assert(Similarity.pqTopK(em, noQ, "vec_id", "embedding", k = 2,
+      nSub = 4, dim = 8, centroidStride = 1, iters = 0).count() == 0)
+    assert(Similarity.scalarQuantRerankTopK(em, noQ,
+      "vec_id", "embedding", k = 2).count() == 0)
+    graft.core.OpCache.releaseAll(blocking = true)
+  }
+
   test("scalar quantization: empty query batch and empty corpus calibration") {
     val em = Seq((1L, Array(1.0f, 2.0f)), (2L, Array(2.0f, 1.0f)))
       .toDF("vec_id", "embedding")
