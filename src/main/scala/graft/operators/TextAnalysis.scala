@@ -253,6 +253,55 @@ object TextAnalysis {
         round(sum(col("s")).cast("double"), 6).as("entropy"))
   }
 
+  /** Bigram language-model perplexity — the CCNet-style quality
+    * filter: score each document by the mean surprisal (bits/bigram)
+    * of its word bigrams under an add-one-smoothed bigram LM trained
+    * on the CORPUS ITSELF. Template/boilerplate text scores low
+    * (predictable), lorem-garbage scores high — the standard
+    * perplexity-filtering signal, self-trained so no external model.
+    *
+    * Model: P(w2|w1) = (c2(w1,w2) + 1) / (c1(w1) + V) with c1 the
+    * bigram-PREFIX count (Σ_w2 c2 — histories, not raw unigrams, so
+    * probabilities normalize over the V-word vocabulary exactly) and
+    * V = |distinct corpus tokens|. Surprisal per bigram
+    * log2(c1+V) − log2(c2+1) quantizes to DECIMAL(30,6) BEFORE the
+    * order-invariant sum (the BM25/entropy libm-ulp discipline);
+    * output rounds to 6.
+    *
+    * Scale shape: bigram counting is one hash agg on the (w1,w2) key
+    * (Zipfian — the qt15 mitigation family applies: AQE skew join or
+    * broadcasting the head of the distribution); scoring is one join
+    * of doc-bigrams against the count tables; V is a 1-row broadcast.
+    * Docs with < 2 tokens carry no bigrams and are excluded. */
+  def ngramPerplexity(
+      docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val toks = docs.select(col(idCol).as("doc_id"),
+      split(coalesce(col(textCol), lit("")), " ").as("w"))
+    val big = graft.core.OpCache.persist(
+      toks.filter(size(col("w")) >= 2)
+        .select(col("doc_id"), explode(expr(
+          "transform(sequence(1, size(w) - 1), " +
+            "i -> struct(element_at(w, i) AS w1, element_at(w, i + 1) AS w2))"))
+          .as("bg"))
+        .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2")))
+    val bgc = big.groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).cast("long").as("c2"))
+    val pre = big.groupBy(col("w1")).agg(count(lit(1)).cast("long").as("c1"))
+    val vocab = toks.select(explode(col("w")).as("t"))
+      .agg(countDistinct(col("t")).cast("double").as("v"))
+    big.join(bgc, Seq("w1", "w2")).join(pre, Seq("w1"))
+      .crossJoin(broadcast(vocab))
+      .select(col("doc_id"),
+        (log2(col("c1").cast("double") + col("v")) -
+          log2(col("c2").cast("double") + 1.0))
+          .cast(DecimalType(30, 6)).as("s"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).cast("long").as("n_bigrams"),
+        round(sum(col("s")).cast("double") / count(lit(1)).cast("double"), 6)
+          .as("bits_per_bigram"))
+  }
+
   /** Document fingerprints: exact content hash, an order-insensitive
     * bag-of-words hash, and a rolling-shingle minimizer (the min
     * 60-bit hash over 3-word shingles — the winnowing primitive). */

@@ -1172,6 +1172,44 @@ object TextQueries {
         |FROM packed""".stripMargin)),
 
     Q(
+      "qt20_ngram_perplexity",
+      "Bigram LM perplexity (TextAnalysis.ngramPerplexity — the " +
+        "CCNet-style quality filter, self-trained): mean surprisal in " +
+        "bits/bigram under an add-one-smoothed bigram model with " +
+        "prefix-count histories and vocab-V normalization. Surprisal " +
+        "terms quantize to DECIMAL(30,6) before the order-invariant " +
+        "sum (the BM25/entropy libm discipline); one Zipfian-keyed " +
+        "hash agg + one scoring join; V is a 1-row broadcast.",
+      (s, dir) =>
+        graft.operators.TextAnalysis.ngramPerplexity(
+          graft.core.Partitioning.parallelize(
+            Tables.load(s, dir, "documents"), col("doc_id")),
+          "doc_id", "text"),
+      Some("""WITH toks AS (
+        |  SELECT doc_id, string_split(coalesce(text, ''), ' ') AS w
+        |  FROM documents),
+        |big AS (
+        |  SELECT doc_id, w[t.i] AS w1, w[t.i + 1] AS w2
+        |  FROM toks, unnest(range(1, len(w))) t(i)
+        |  WHERE len(w) >= 2),
+        |bgc AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c2
+        |        FROM big GROUP BY 1, 2),
+        |pre AS (SELECT w1, CAST(count(*) AS BIGINT) AS c1
+        |        FROM big GROUP BY 1),
+        |vv AS (SELECT CAST(count(DISTINCT t) AS DOUBLE) AS v
+        |       FROM (SELECT unnest(w) AS t FROM toks)),
+        |terms AS (
+        |  SELECT big.doc_id,
+        |    CAST(log2(CAST(pre.c1 AS DOUBLE) + vv.v) -
+        |         log2(CAST(bgc.c2 AS DOUBLE) + 1.0)
+        |      AS DECIMAL(30,6)) AS s
+        |  FROM big JOIN bgc USING (w1, w2) JOIN pre USING (w1), vv)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+        |  round(CAST(sum(s) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6)
+        |    AS bits_per_bigram
+        |FROM terms GROUP BY 1""".stripMargin)),
+
+    Q(
       "qt14_bm25_search",
       "BM25 keyword search (TextAnalysis.bm25TopK): rank the corpus " +
         "against query terms ('hash', 'join', 'vector'), global " +

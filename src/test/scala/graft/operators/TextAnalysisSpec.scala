@@ -84,4 +84,23 @@ class TextAnalysisSpec extends SparkSuite {
     assert(repOut(1L) == ((2L, 4L)) && repOut(2L) == ((2L, 4L)))
     graft.core.OpCache.releaseAll(blocking = true)
   }
+
+  test("ngramPerplexity: predictable text scores below one-off text") {
+    // doc 1 repeats the corpus-dominant bigram; doc 3 is all one-off
+    // bigrams — under the self-trained model, 1 must be the most
+    // predictable (lowest bits/bigram) and 3 the least
+    val df = Seq(
+      (1L, "the cat the cat the cat the cat"),
+      (2L, "the cat sat on a mat"),
+      (3L, "zig quux blorp wibble frotz")
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.ngramPerplexity(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(got(1L)._1 == 7L && got(2L)._1 == 5L && got(3L)._1 == 4L)
+    assert(got(1L)._2 < got(2L)._2 && got(2L)._2 < got(3L)._2, got.toString)
+    // sub-bigram docs are excluded, not zero-scored
+    val tiny = Seq((9L, "solo")).toDF("doc_id", "text")
+    assert(TextAnalysis.ngramPerplexity(tiny, "doc_id", "text").count() == 0)
+    graft.core.OpCache.releaseAll(blocking = true)
+  }
 }
