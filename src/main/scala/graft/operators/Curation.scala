@@ -121,6 +121,40 @@ object Curation {
     Packing.sequencePack(mixed, idCol, textCol, maxLen, nStrata)
   }
 
+  /** Exact per-group percentile cut — keep the top `keepPermille`‰ of
+    * each group by `scoreCol` (ties broken by ascending `idCol`, so
+    * the kept set is deterministic). The per-domain quality-percentile
+    * filter every curation run applies ("keep the longest/highest-
+    * quality 25% of each source"), with integer-exact boundary
+    * semantics: row kept iff rank·1000 ≤ count·permille, i.e. exactly
+    * floor(count·permille/1000) rows per group — no float percentile,
+    * so engines can't disagree at the boundary.
+    *
+    * Scale shape: one window pass partitioned by the group key. Sound
+    * when groups are numerous (domains at corpus scale — millions of
+    * keys, each reducer-sized); for a FEW huge groups use the
+    * histogram-quantile threshold ([[Histogram.quantileEstimates]],
+    * q38's machinery) to derive an approximate score cut and filter
+    * narrowly instead of ranking. Output keeps the rank so downstream
+    * stages can re-cut tighter without re-sorting. */
+  def percentileCut(
+      df: DataFrame,
+      groupCol: String,
+      scoreCol: String,
+      idCol: String,
+      keepPermille: Int): DataFrame = {
+    require(keepPermille >= 0 && keepPermille <= 1000,
+      "keepPermille is permille (0..1000)")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(groupCol))
+    val ranked = df
+      .withColumn("grp_rank", row_number().over(
+        w.orderBy(col(scoreCol).desc, col(idCol))).cast("long"))
+      .withColumn("grp_n", count(lit(1)).over(w))
+    ranked.filter(col("grp_rank") * 1000 <= col("grp_n") * keepPermille)
+      .select(col(idCol), col(groupCol), col(scoreCol), col("grp_rank"))
+  }
+
   /** Deterministic weighted data mixing: keep each document with its
     * source's sampling rate (permille), decided by a content-stable
     * hash — the per-source up/down-weighting step that turns a curated

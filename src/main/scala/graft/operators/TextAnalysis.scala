@@ -302,6 +302,50 @@ object TextAnalysis {
           .as("bits_per_bigram"))
   }
 
+  /** Pointwise-mutual-information collocations — the vocabulary-mining
+    * pass that surfaces multi-word terms ("new york", "machine
+    * learning") from a raw corpus: top-k word bigrams by
+    * PMI = log2(P(w1,w2) / (P(w1)·P(w2))), estimated from corpus
+    * bigram counts with prefix/suffix marginals, restricted to
+    * bigrams seen ≥ `minCount` times (PMI is noise below a support
+    * floor). Tie-break and boundary are deterministic: ordered by
+    * (rounded pmi DESC, w1, w2), the log2 argument is the single
+    * expression c2·N / (c1l·c1r) evaluated in the same operation
+    * order on both engines, and the result quantizes to 6 places
+    * before the sort so the top-k cut can't straddle a ULP.
+    *
+    * Scale shape: one Zipfian-keyed hash agg for c2 (qt15's skew
+    * mitigations apply), two aggs OVER the distinct-bigram table (not
+    * the corpus) for the marginals, a 1-row broadcast for N, and a
+    * TakeOrdered top-k — no global sort ever materializes. */
+  def pmiCollocations(
+      docs: DataFrame, idCol: String, textCol: String,
+      minCount: Int = 5, topK: Int = 100): DataFrame = {
+    val toks = docs.select(
+      split(coalesce(col(textCol), lit("")), " ").as("w"))
+    val big = toks.filter(size(col("w")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, size(w) - 1), " +
+          "i -> struct(element_at(w, i) AS w1, element_at(w, i + 1) AS w2))"))
+        .as("bg"))
+      .select(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    val bgc = graft.core.OpCache.persist(
+      big.groupBy(col("w1"), col("w2"))
+        .agg(count(lit(1)).cast("long").as("c2")))
+    val lm = bgc.groupBy(col("w1")).agg(sum(col("c2")).as("c1l"))
+    val rm = bgc.groupBy(col("w2")).agg(sum(col("c2")).as("c1r"))
+    val tot = bgc.agg(sum(col("c2")).as("n"))
+    bgc.filter(col("c2") >= minCount)
+      .join(lm, Seq("w1")).join(rm, Seq("w2"))
+      .crossJoin(broadcast(tot))
+      .select(col("w1"), col("w2"), col("c2"),
+        round(log2(col("c2").cast("double") * col("n").cast("double") /
+          (col("c1l").cast("double") * col("c1r").cast("double"))), 6)
+          .as("pmi"))
+      .orderBy(col("pmi").desc, col("w1"), col("w2"))
+      .limit(topK)
+  }
+
   /** Document fingerprints: exact content hash, an order-insensitive
     * bag-of-words hash, and a rolling-shingle minimizer (the min
     * 60-bit hash over 3-word shingles — the winnowing primitive). */

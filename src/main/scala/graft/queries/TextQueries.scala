@@ -1210,6 +1210,61 @@ object TextQueries {
         |FROM terms GROUP BY 1""".stripMargin)),
 
     Q(
+      "qt21_percentile_cut",
+      "Exact per-group percentile cut (Curation.percentileCut): keep " +
+        "the top 250‰ of each source by n_chars, ties broken by " +
+        "doc_id. Integer-exact boundary (rank*1000 <= count*permille) " +
+        "so no float percentile can disagree at the cut; one window " +
+        "pass partitioned by the group key — sound for numerous " +
+        "domain-sized groups, with the q38 histogram threshold as the " +
+        "documented few-huge-groups alternative.",
+      (s, dir) =>
+        graft.operators.Curation.percentileCut(
+          graft.core.Partitioning.parallelize(
+            Tables.load(s, dir, "documents"), col("doc_id")),
+          "source", "n_chars", "doc_id", keepPermille = 250),
+      Some("""SELECT doc_id, source, n_chars, grp_rank FROM (
+        |  SELECT doc_id, source, n_chars,
+        |    CAST(row_number() OVER (
+        |      PARTITION BY source ORDER BY n_chars DESC, doc_id)
+        |      AS BIGINT) AS grp_rank,
+        |    CAST(count(*) OVER (PARTITION BY source) AS BIGINT) AS grp_n
+        |  FROM documents)
+        |WHERE grp_rank * 1000 <= grp_n * 250""".stripMargin)),
+
+    Q(
+      "qt22_pmi_collocations",
+      "PMI collocation mining (TextAnalysis.pmiCollocations): top-100 " +
+        "word bigrams by pointwise mutual information with support " +
+        "c2 >= 5. Marginals aggregate the distinct-bigram table, not " +
+        "the corpus; N is a 1-row broadcast; top-k is TakeOrdered " +
+        "(no global sort). The log2 argument is one fixed-shape " +
+        "expression and pmi rounds to 6 before the deterministic " +
+        "(pmi DESC, w1, w2) cut.",
+      (s, dir) =>
+        graft.operators.TextAnalysis.pmiCollocations(
+          graft.core.Partitioning.parallelize(
+            Tables.load(s, dir, "documents"), col("doc_id")),
+          "doc_id", "text", minCount = 5, topK = 100),
+      Some("""WITH toks AS (
+        |  SELECT string_split(coalesce(text, ''), ' ') AS w FROM documents),
+        |big AS (
+        |  SELECT w[t.i] AS w1, w[t.i + 1] AS w2
+        |  FROM toks, unnest(range(1, len(w))) t(i)
+        |  WHERE len(w) >= 2),
+        |bgc AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c2
+        |        FROM big GROUP BY 1, 2),
+        |lm AS (SELECT w1, CAST(sum(c2) AS BIGINT) AS c1l FROM bgc GROUP BY 1),
+        |rm AS (SELECT w2, CAST(sum(c2) AS BIGINT) AS c1r FROM bgc GROUP BY 1),
+        |tot AS (SELECT CAST(sum(c2) AS BIGINT) AS n FROM bgc)
+        |SELECT w1, w2, c2,
+        |  round(log2(CAST(c2 AS DOUBLE) * CAST(n AS DOUBLE) /
+        |    (CAST(c1l AS DOUBLE) * CAST(c1r AS DOUBLE))), 6) AS pmi
+        |FROM bgc JOIN lm USING (w1) JOIN rm USING (w2), tot
+        |WHERE c2 >= 5
+        |ORDER BY pmi DESC, w1, w2 LIMIT 100""".stripMargin)),
+
+    Q(
       "qt14_bm25_search",
       "BM25 keyword search (TextAnalysis.bm25TopK): rank the corpus " +
         "against query terms ('hash', 'join', 'vector'), global " +

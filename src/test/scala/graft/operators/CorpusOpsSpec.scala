@@ -182,6 +182,41 @@ class CorpusOpsSpec extends SparkSuite {
     assert(bySrc(1L) > 60 && bySrc(1L) < 140, s"src1 kept ${bySrc(1L)}")
   }
 
+  test("percentileCut keeps exactly floor(n*p/1000) per group, ties by id") {
+    // group a: 8 rows, keep floor(8*250/1000)=2; score ties at the
+    // boundary must resolve to the LOWER doc_id
+    val df = ((1L to 8L).map(i => (i, "a", if (i <= 4) 100L else 50L)) ++
+      (11L to 13L).map(i => (i, "b", 10L * i))).toDF("doc_id", "source", "n_chars")
+    val got = Curation.percentileCut(df, "source", "n_chars", "doc_id", 250)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(3)))
+    val a = got.filter(_._2 == "a").map(x => x._1 -> x._3).sorted
+    assert(a.toSeq == Seq(1L -> 1L, 2L -> 2L), a.mkString(","))
+    // group b: 3 rows -> floor(0.75) = 0 kept
+    assert(!got.exists(_._2 == "b"))
+    // keepPermille=1000 keeps everything
+    assert(Curation.percentileCut(df, "source", "n_chars", "doc_id", 1000)
+      .count() == 11)
+  }
+
+  test("pmiCollocations ranks the glued pair above independent words") {
+    // "san francisco" is exclusive on both sides; "francisco the" is
+    // equally frequent but "the" is promiscuous (huge w2 marginal), so
+    // PMI must rank the glued pair strictly first
+    val docs = (1L to 20L).map { i =>
+      (i, s"the a$i the b$i the c$i san francisco the d$i")
+    }.toDF("doc_id", "text")
+    val got = TextAnalysis.pmiCollocations(docs, "doc_id", "text",
+      minCount = 5, topK = 10).collect()
+    val lab = got.map(r =>
+      (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    assert(lab.map(x => (x._1, x._2)).toSeq ==
+      Seq(("san", "francisco"), ("francisco", "the")), lab.mkString(","))
+    assert(lab(0)._4 > lab(1)._4, lab.mkString(","))
+    // support floor: every returned bigram has c2 >= 5
+    assert(got.forall(_.getLong(2) >= 5L))
+    graft.core.OpCache.releaseAll(blocking = true)
+  }
+
   test("contamination benchmark side is a broadcast semi-join") {
     val bench = Seq((100L, "one two three four five six seven eight"))
       .toDF("doc_id", "text")
