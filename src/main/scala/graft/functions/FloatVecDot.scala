@@ -86,5 +86,17 @@ object GraftFunctions {
         BottomKSketch(exprs(0), k)
       },
       "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_heavy_keys",
+      exprs => {
+        val k = exprs(1) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v, _) =>
+            v.toString.toInt
+          case other => throw new IllegalArgumentException(
+            s"graft_heavy_keys k must be a literal, got $other")
+        }
+        MisraGries(exprs(0), k)
+      },
+      "built-in")
   }
 }

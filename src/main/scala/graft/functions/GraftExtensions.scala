@@ -62,5 +62,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         }
         BottomKSketch(exprs(0), k)
       }): (FunctionIdentifier, ExpressionInfo, FunctionRegistry.FunctionBuilder))
+    ext.injectFunction((
+      FunctionIdentifier("graft_heavy_keys"),
+      new ExpressionInfo(classOf[MisraGries].getName, "graft_heavy_keys"),
+      (exprs: Seq[Expression]) => {
+        val k = exprs(1) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v, _) =>
+            v.toString.toInt
+          case other => throw new IllegalArgumentException(
+            s"graft_heavy_keys k must be a literal, got $other")
+        }
+        MisraGries(exprs(0), k)
+      }): (FunctionIdentifier, ExpressionInfo, FunctionRegistry.FunctionBuilder))
   }
 }

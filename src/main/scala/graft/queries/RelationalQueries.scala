@@ -958,6 +958,30 @@ object RelationalQueries {
         |    ELSE pv + (nv - pv) *
         |      (CAST(date_diff('day', pd, day) AS DOUBLE) /
         |       CAST(date_diff('day', pd, nd) AS DOUBLE)) END, 6) AS value
-        |FROM w""".stripMargin))
+        |FROM w""".stripMargin)),
+
+    Q(
+      "q44_heavy_hitters",
+      "Exact two-pass heavy hitters (HeavyHitters.heavyHitters): every " +
+        "user holding >= 8‰ of events, found by a mergeable " +
+        "Misra-Gries summary (graft_heavy_keys, capacity 256 — the " +
+        "only state shuffled in pass 1) then exact-counted over a " +
+        "broadcast candidate semi-join. capacity+1 > 1000/permille " +
+        "makes the candidate set a guaranteed superset, so the output " +
+        "equals the plain GROUP BY HAVING answer the oracle runs — " +
+        "deterministic result from a sketch-shaped, key-shuffle-free " +
+        "plan.",
+      (s, dir) => {
+        graft.functions.GraftFunctions.register(s)
+        graft.operators.HeavyHitters.heavyHitters(
+          graft.core.Partitioning.parallelize(
+            t(s, dir, "events"), col("event_id")),
+          "user_id", permille = 8, capacity = 256)
+      },
+      Some("""SELECT user_id AS hh_key,
+        |  CAST(count(*) AS BIGINT) AS cnt,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM events) AS n_total
+        |FROM events GROUP BY 1
+        |HAVING count(*) * 1000 >= (SELECT count(*) FROM events) * 8""".stripMargin))
   )
 }
