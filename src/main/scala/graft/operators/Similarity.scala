@@ -60,6 +60,45 @@ object Similarity {
       .select(col(idCol).as("keep_id"))
   }
 
+  /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540) — SEMANTIC
+    * deduplication: cluster the embedding space with the IVF coarse
+    * quantizer, then treat any within-cluster pair with cosine ≥
+    * `threshold` as duplicates and greedily keep the lower id. This is
+    * the embedding-space complement of MinHash near-dedup: it removes
+    * paraphrases and re-renderings that share no n-grams at all.
+    *
+    * The cluster restriction is the paper's scale move and its
+    * documented recall tradeoff in one: pairwise work is O(Σ cell²)
+    * instead of O(n²) — an equi-join on cent_id, shuffle-
+    * partitionable — and cross-cluster duplicates are out of scope by
+    * design (dial `centroidStride` up for bigger, higher-recall
+    * cells). `maxCell` bounds the quadratic term per cell: each
+    * cell's members rank by vec_id and only the first `maxCell`
+    * participate in pair generation (the qd04/qd18 bounded-block
+    * discipline — the cap is deterministic and replayed by the
+    * oracle, never silent).
+    *
+    * Output: one `keep_id` row per surviving vector. */
+  def semanticDedup(
+      em: DataFrame, idCol: String, vecCol: String, threshold: Double,
+      centroidStride: Int = 40, maxCell: Int = 512): DataFrame = {
+    val cells = graft.core.OpCache.persist(
+      buildIvfIndex(em, idCol, vecCol, centroidStride).cells
+        .withColumn("cr", row_number().over(
+          Window.partitionBy(col("cent_id")).orderBy(col("vec_id"))))
+        .filter(col("cr") <= maxCell)
+        .select(col("vec_id"), col("embedding"), col("nrm"), col("cent_id")))
+    val dropped = cells.as("a")
+      .join(cells.as("b"),
+        col("a.cent_id") === col("b.cent_id") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .filter(cosineWithNorms(col("a.embedding"), col("b.embedding"),
+        col("a.nrm"), col("b.nrm")) >= threshold)
+      .select(col("b.vec_id").as(idCol)).distinct()
+    em.join(dropped, Seq(idCol), "left_anti")
+      .select(col(idCol).as("keep_id"))
+  }
+
   /** Rows (vec_id, embedding, nrm) with precomputed L2 norm. */
   private def withNorm(em: DataFrame, idCol: String, vecCol: String): DataFrame = {
     graft.functions.GraftFunctions.register(em.sparkSession)

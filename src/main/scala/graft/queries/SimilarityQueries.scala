@@ -256,6 +256,45 @@ object SimilarityQueries {
       }),
 
     Q(
+      "qs17_semantic_dedup",
+      "SemDeDup (Similarity.semanticDedup, arXiv:2303.09540): cluster " +
+        "the embedding space with the stride-40 IVF quantizer, call " +
+        "any WITHIN-cluster pair with cos >= 0.45 semantic duplicates, " +
+        "greedily keep the lower id. Pairwise work is the bounded " +
+        "O(sum cell^2) equi-join on cent_id (maxCell=512 rank cap, " +
+        "replayed by the oracle); cross-cluster dups are the paper's " +
+        "documented recall tradeoff. The embedding-space complement " +
+        "of MinHash near-dedup (qd02).",
+      (s, dir) =>
+        Similarity.semanticDedup(Tables.load(s, dir, "embeddings"),
+          "vec_id", "embedding", threshold = 0.45,
+          centroidStride = 40, maxCell = 512),
+      Some(s"""WITH e AS (
+        |  SELECT vec_id, embedding, ${dkNorm("embedding")} AS nrm
+        |  FROM embeddings),
+        |c AS (SELECT vec_id AS cent_id, embedding AS cemb, nrm AS cnrm
+        |      FROM e WHERE vec_id % 40 = 0),
+        |ranked AS (
+        |  SELECT e.vec_id, c.cent_id,
+        |    row_number() OVER (PARTITION BY e.vec_id ORDER BY
+        |      ${dkDot("e.embedding", "c.cemb")} / (e.nrm * c.cnrm) DESC,
+        |      c.cent_id) AS rn
+        |  FROM e, c),
+        |assign AS (SELECT vec_id, cent_id FROM ranked WHERE rn = 1),
+        |b AS (
+        |  SELECT e.vec_id, e.embedding, e.nrm, a.cent_id,
+        |    row_number() OVER (PARTITION BY a.cent_id ORDER BY e.vec_id) AS cr
+        |  FROM e JOIN assign a USING (vec_id)),
+        |bc AS (SELECT * FROM b WHERE cr <= 512),
+        |dropped AS (
+        |  SELECT DISTINCT y.vec_id
+        |  FROM bc x JOIN bc y
+        |    ON x.cent_id = y.cent_id AND x.vec_id < y.vec_id
+        |  WHERE ${dkDot("x.embedding", "y.embedding")} / (x.nrm * y.nrm) >= 0.45)
+        |SELECT vec_id AS keep_id FROM embeddings
+        |WHERE vec_id NOT IN (SELECT vec_id FROM dropped)""".stripMargin)),
+
+    Q(
       "qs02_ivf_ann",
       "IVF-flat ANN: deterministic centroids (vec_id % 40 = 0), " +
         "nearest-centroid assignment, multi-probe (nProbe=4, the " +

@@ -334,4 +334,22 @@ class SimilaritySpec extends SparkSuite {
       rs.map(_._2).sorted.sameElements(Array(1L, 2L, 3L)) })
     graft.core.OpCache.releaseAll(blocking = true)
   }
+
+  test("semanticDedup drops the higher id of a within-cell duplicate pair") {
+    // id 0 is the sole stride centroid (0 % 40 == 0) -> everyone lands
+    // in one cell; 100/101 are identical clones, 101 must be dropped
+    val clone = Array.tabulate(dim)(i => i.toFloat + 1)
+    val df = (vecs :+ (100L -> clone) :+ (101L -> clone))
+      .toDF("vec_id", "embedding")
+    val kept = Similarity.semanticDedup(df, "vec_id", "embedding",
+      threshold = 0.999999, centroidStride = 40)
+      .collect().map(_.getLong(0)).toSet
+    assert(kept.contains(100L) && !kept.contains(101L), kept.toString)
+    assert(kept.size == df.count() - 1)
+    // maxCell=1: nobody has an in-cap partner, so nothing is dropped
+    val capped = Similarity.semanticDedup(df, "vec_id", "embedding",
+      threshold = 0.999999, centroidStride = 40, maxCell = 1)
+    assert(capped.count() == df.count())
+    graft.core.OpCache.releaseAll(blocking = true)
+  }
 }

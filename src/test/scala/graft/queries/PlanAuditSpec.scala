@@ -29,7 +29,13 @@ class PlanAuditSpec extends SparkSuite {
       "qs13_sq_rerank",
       // pairwise join over the per-source SKETCH table — one row per
       // source (dim-sized by construction), corpus work is the sketch agg
-      "qd15_kmv_setops")
+      "qd15_kmv_setops",
+      // one-row broadcast of the corpus total / vocab size / bigram
+      // total crossed into a linear scan — not a pair join
+      "q44_heavy_hitters", "qt20_ngram_perplexity", "qt22_pmi_collocations",
+      // qs02's broadcast centroid-scoring cross join, reused for the
+      // SemDeDup cell assignment; the pair stage is an equi-join
+      "qs17_semantic_dedup")
 
   test("no unexpected cartesian/nested-loop joins anywhere in the registry") {
     val dir = "/root/testdata/sf0.001"
