@@ -59,6 +59,14 @@ case class FloatVecDot(left: Expression, right: Expression)
 
 /** Session registration for graft's native expressions; idempotent. */
 object GraftFunctions {
+  /** Extract a literal Int argument (filter geometry must be constant
+    * so build and probe agree by construction). */
+  private[functions] def litInt(e: Expression, what: String): Int = e match {
+    case org.apache.spark.sql.catalyst.expressions.Literal(v, _) => v.toString.toInt
+    case other =>
+      throw new IllegalArgumentException(s"$what must be a literal, got $other")
+  }
+
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_vec_dot", exprs => FloatVecDot(exprs(0), exprs(1)), "built-in")
@@ -85,6 +93,14 @@ object GraftFunctions {
         // AggregateExpression during function resolution
         BottomKSketch(exprs(0), k)
       },
+      "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_bloom_build",
+      exprs => BloomBuild(exprs(0), litInt(exprs(1), "nBits"), litInt(exprs(2), "nHashes")),
+      "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_bloom_contains",
+      exprs => BloomMightContain(exprs(0), exprs(1), litInt(exprs(2), "nHashes")),
       "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_heavy_keys",

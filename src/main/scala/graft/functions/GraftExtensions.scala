@@ -63,6 +63,20 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         BottomKSketch(exprs(0), k)
       }): (FunctionIdentifier, ExpressionInfo, FunctionRegistry.FunctionBuilder))
     ext.injectFunction((
+      FunctionIdentifier("graft_bloom_build"),
+      new ExpressionInfo(classOf[BloomBuild].getName, "graft_bloom_build"),
+      (exprs: Seq[Expression]) => BloomBuild(
+        exprs(0),
+        GraftFunctions.litInt(exprs(1), "nBits"),
+        GraftFunctions.litInt(exprs(2), "nHashes")))
+      : (FunctionIdentifier, ExpressionInfo, FunctionRegistry.FunctionBuilder))
+    ext.injectFunction((
+      FunctionIdentifier("graft_bloom_contains"),
+      new ExpressionInfo(classOf[BloomMightContain].getName, "graft_bloom_contains"),
+      (exprs: Seq[Expression]) => BloomMightContain(
+        exprs(0), exprs(1), GraftFunctions.litInt(exprs(2), "nHashes")))
+      : (FunctionIdentifier, ExpressionInfo, FunctionRegistry.FunctionBuilder))
+    ext.injectFunction((
       FunctionIdentifier("graft_heavy_keys"),
       new ExpressionInfo(classOf[MisraGries].getName, "graft_heavy_keys"),
       (exprs: Seq[Expression]) => {

@@ -982,6 +982,63 @@ object RelationalQueries {
         |  CAST(count(*) AS BIGINT) AS cnt,
         |  (SELECT CAST(count(*) AS BIGINT) FROM events) AS n_total
         |FROM events GROUP BY 1
-        |HAVING count(*) * 1000 >= (SELECT count(*) FROM events) * 8""".stripMargin))
+        |HAVING count(*) * 1000 >= (SELECT count(*) FROM events) * 8""".stripMargin)),
+
+    Q(
+      "q45_bloom_semi_join",
+      "Bloom-prefiltered exact semi-join (BloomJoin.semiJoin): the " +
+        "urgent-order key set is aggregated into one 64 Kbit Bloom " +
+        "filter (graft_bloom_build — the only state broadcast), " +
+        "big-side lineitem rows failing the codegen'd probe are " +
+        "dropped before the join shuffle, and the exact left-semi " +
+        "join removes the ~1% false positives — so the output equals " +
+        "the plain semi-join the oracle runs while the shuffle sees " +
+        "only selectivity+fpr of the fact table. The explicit, " +
+        "persistable form of Spark's runtime bloom filter.",
+      (s, dir) => {
+        graft.functions.GraftFunctions.register(s)
+        val li = t(s, dir, "lineitem")
+        val urgent = t(s, dir, "orders")
+          .filter(col("o_orderpriority") === "1-URGENT")
+        graft.operators.BloomJoin
+          .semiJoin(li, "l_orderkey", urgent, "o_orderkey", nBits = 1 << 16)
+          .groupBy(col("l_returnflag"))
+          .agg(
+            count(lit(1)).as("n_li"),
+            exactSum(col("l_quantity")).as("sum_qty"))
+      },
+      Some("""SELECT l_returnflag, count(*) AS n_li,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(30,6))) AS DOUBLE) AS sum_qty
+        |FROM lineitem
+        |WHERE l_orderkey IN
+        |  (SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT')
+        |GROUP BY 1""".stripMargin)),
+
+    Q(
+      "q46_bloom_anti_join",
+      "Bloom-prefiltered exact anti-join (BloomJoin.antiJoin), the " +
+        "two-branch shape: rows FAILING the Bloom probe are definite " +
+        "non-matches (no false negatives) and bypass the join " +
+        "entirely; only the fpr+selectivity sliver that passes goes " +
+        "through the exact left-anti shuffle. Output equals the plain " +
+        "NOT IN anti-join.",
+      (s, dir) => {
+        graft.functions.GraftFunctions.register(s)
+        val li = t(s, dir, "lineitem")
+        val urgent = t(s, dir, "orders")
+          .filter(col("o_orderpriority") === "1-URGENT")
+        graft.operators.BloomJoin
+          .antiJoin(li, "l_orderkey", urgent, "o_orderkey", nBits = 1 << 16)
+          .groupBy(col("l_returnflag"))
+          .agg(
+            count(lit(1)).as("n_li"),
+            exactSum(col("l_quantity")).as("sum_qty"))
+      },
+      Some("""SELECT l_returnflag, count(*) AS n_li,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(30,6))) AS DOUBLE) AS sum_qty
+        |FROM lineitem
+        |WHERE l_orderkey NOT IN
+        |  (SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT')
+        |GROUP BY 1""".stripMargin))
   )
 }

@@ -35,7 +35,10 @@ class PlanAuditSpec extends SparkSuite {
       "q44_heavy_hitters", "qt20_ngram_perplexity", "qt22_pmi_collocations",
       // qs02's broadcast centroid-scoring cross join, reused for the
       // SemDeDup cell assignment; the pair stage is an equi-join
-      "qs17_semantic_dedup")
+      "qs17_semantic_dedup",
+      // one-row Bloom-filter broadcast crossed into the fact scan —
+      // linear prefilter, the join that follows is an equi-join
+      "q45_bloom_semi_join", "q46_bloom_anti_join")
 
   test("no unexpected cartesian/nested-loop joins anywhere in the registry") {
     val dir = "/root/testdata/sf0.001"
