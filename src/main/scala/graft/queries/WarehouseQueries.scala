@@ -267,6 +267,39 @@ object WarehouseQueries {
         |UNION ALL
         |SELECT o_orderkey, 'changed' FROM orders
         |WHERE o_orderkey % 13 <> 0 AND o_orderkey % 11 <> 0
-        |  AND o_orderkey % 7 = 0""".stripMargin))
+        |  AND o_orderkey % 7 = 0""".stripMargin)),
+
+    Q(
+      "qw08_bucketed_join",
+      "Co-bucketed fact join (warehouse/Bucketing — the write-time " +
+        "shuffle lever): orders and lineitem land as external " +
+        "bucketed+sorted tables hash-partitioned on the order key " +
+        "(the one shuffle, paid at write), then the recurring join " +
+        "reads co-located buckets — SortMergeJoin with ZERO Exchange " +
+        "on either side (BucketingSpec asserts the plan). At 100 TB " +
+        "this converts every repeated fact-fact join from two full " +
+        "shuffles to none; output equals the plain join the oracle " +
+        "runs.",
+      (s, dir) => {
+        val ord = graft.core.Tables.load(s, dir, "orders")
+        val li = graft.core.Tables.load(s, dir, "lineitem")
+        val base = java.nio.file.Files
+          .createTempDirectory("graft_bucket_").toString
+        graft.warehouse.Bucketing.writeBucketed(
+          ord, "graft_b_orders", s"$base/orders", "o_orderkey", 8)
+        graft.warehouse.Bucketing.writeBucketed(
+          li, "graft_b_lineitem", s"$base/lineitem", "l_orderkey", 8)
+        graft.warehouse.Bucketing
+          .bucketedJoin(s, "graft_b_lineitem", "graft_b_orders",
+            "l_orderkey", "o_orderkey")
+          .groupBy(col("o_orderpriority"))
+          .agg(
+            count(lit(1)).as("n_li"),
+            Exprs.exactSum(col("l_extendedprice")).as("sum_price"))
+      },
+      Some("""SELECT o_orderpriority, count(*) AS n_li,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(30,6))) AS DOUBLE) AS sum_price
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY 1""".stripMargin))
   )
 }
