@@ -917,4 +917,75 @@ object Dedup {
       .filter(col("dist") <= maxDist)
       .select(col("a_id"), col("b_id"), col("dist").cast("long").as("dist"))
   }
+
+  /** Prefix-filtered EXACT set-similarity join (the PPJoin family:
+    * Bayardo et al. WWW'07, Xiao et al. WWW'08) over distinct 3-gram
+    * shingle sets — the LOSSLESS complement to [[blockedJaccardPairs]]'
+    * df-cut: instead of dropping hot shingles (which changes which
+    * pairs can qualify), order each doc's shingles rarest-first by
+    * global document frequency and index only the PREFIX of length
+    * |x| − ⌈t·|x|⌉ + 1. Two sets with jaccard ≥ t must share a prefix
+    * token (if x∩y avoided x's prefix it would fit in the ⌈t·|x|⌉−1
+    * suffix, but jaccard ≥ t forces |x∩y| ≥ t·|x∪y| ≥ t·|x|), so no
+    * qualifying pair is lost — the oracle can be the direct all-pairs
+    * definition.
+    *
+    * Scale shape: the candidate join's buckets hold only docs whose
+    * PREFIX contains the token — and prefixes hold each doc's ~(1−t)
+    * RAREST shingles, so hot boilerplate shingles (the skew that
+    * forces qd04's cut) sit in the suffixes and never reach the join.
+    * A size-ratio prune (jaccard ≤ min/max) runs inside the join;
+    * survivors verify with one linear array_intersect per pair over
+    * 8-byte shingle hashes. Everything is equi-join + aggregate; the
+    * only per-pair work is the verify on the filtered candidate set. */
+  def prefixJaccardPairs(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      nShingle: Int = 3,
+      threshold: Double = 0.4): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0, "threshold in (0,1]")
+    val base = graft.core.Partitioning.parallelize(docs, col(idCol))
+      .select(col(idCol).as("doc_id"), split(col(textCol), " ").as("w"))
+      .filter(size(col("w")) >= nShingle)
+      .select(col("doc_id"),
+        array_distinct(transform(wordShingles(col("w"), nShingle), s => hash60(s)))
+          .as("sh"))
+    val tok = base.select(col("doc_id"), explode(col("sh")).as("tok"))
+    val dfTab = tok.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    // rarest-first canonical order: collect_list is order-nondeterministic
+    // but sort_array imposes a total order — (df, tok) is unique within a
+    // doc — so the layout is deterministic under any partitioning
+    val ordered = graft.core.OpCache.persist(
+      tok.join(dfTab, "tok")
+        .groupBy(col("doc_id"))
+        .agg(sort_array(collect_list(struct(col("df"), col("tok")))).as("ord"))
+        .select(col("doc_id"),
+          transform(col("ord"), s => s.getField("tok")).as("sh"),
+          size(col("ord")).as("n")))
+    val pre = ordered.select(col("doc_id"), col("n"),
+      explode(slice(col("sh"), lit(1),
+        (col("n") - ceil(lit(threshold) * col("n")) + lit(1)).cast("int")))
+        .as("ptok"))
+    val cand = pre.as("a").join(pre.as("b"),
+        col("a.ptok") === col("b.ptok") && col("a.doc_id") < col("b.doc_id") &&
+          // size-ratio prune: jaccard ≤ min/max — below-ratio pairs can
+          // never reach the threshold, drop before the distinct
+          least(col("a.n"), col("b.n")).cast("double") >=
+            lit(threshold) * greatest(col("a.n"), col("b.n")).cast("double"))
+      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+      .distinct()
+    val aS = ordered.select(col("doc_id").as("a_id"), col("sh").as("a_sh"),
+      col("n").as("na"))
+    val bS = ordered.select(col("doc_id").as("b_id"), col("sh").as("b_sh"),
+      col("n").as("nb"))
+    cand.join(aS, "a_id").join(bS, "b_id")
+      .select(col("a_id"), col("b_id"),
+        size(array_intersect(col("a_sh"), col("b_sh"))).as("inter"),
+        col("na"), col("nb"))
+      .select(col("a_id"), col("b_id"),
+        (col("inter").cast("double") /
+          (col("na") + col("nb") - col("inter")).cast("double")).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
 }

@@ -567,6 +567,37 @@ object TextQueries {
         |LEFT JOIN pn ON pn.node_id = p.p_partkey""".stripMargin)),
 
     Q(
+      "qd20_prefix_jaccard",
+      "Prefix-filtered EXACT set-similarity join (PPJoin family) over " +
+        "3-gram shingle sets: each doc's shingles are ordered " +
+        "rarest-first by global df and only the |x|-ceil(t|x|)+1 " +
+        "PREFIX is indexed — lossless (a qualifying pair must share a " +
+        "prefix token), so the oracle is the direct all-pairs jaccard " +
+        "definition with no replayed cut. The lossless complement to " +
+        "qd04's df-cut: hot boilerplate shingles sit in suffixes and " +
+        "never reach the join; candidates verify with one linear " +
+        "array_intersect over 8-byte hashes.",
+      (s, dir) =>
+        Dedup.prefixJaccardPairs(Tables.load(s, dir, "documents"),
+          "doc_id", "text", nShingle = 3, threshold = 0.4),
+      Some(s"""WITH s AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(
+        |      list_transform(range(1, len(w)-1),
+        |        i -> concat(w[i], ' ', w[i+1], ' ', w[i+2])),
+        |      g -> ${dkHash60("g")})) AS sh
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+        |  WHERE len(w) >= 3)
+        |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+        |  CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+        |  CAST(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        |    AS jaccard
+        |FROM s a JOIN s b ON a.doc_id < b.doc_id
+        |WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+        |  CAST(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        |    >= 0.4""".stripMargin)),
+
+    Q(
       "qt01_lang_id",
       "Language-ID heuristic: CJK codepoint check then stopword-count " +
         "argmax with fixed tiebreak. Pure narrow transform.",

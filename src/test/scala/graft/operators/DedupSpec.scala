@@ -288,4 +288,37 @@ class DedupSpec extends SparkSuite {
     assert(raw.length == raw.distinct.length)
     graft.core.OpCache.releaseAll(blocking = true)
   }
+
+  test("prefixJaccardPairs is lossless vs the all-pairs definition") {
+    // adversarial corpus: exact dups, boundary-similarity pairs, docs
+    // dominated by one hot shingle run (the case qd04's df-cut drops),
+    // and unrelated docs
+    val hot = (0 until 20).map(_ => "the quick brown").mkString(" ")
+    val docs = Seq(
+      (1L, "a b c d e f g h i j k l"),
+      (2L, "a b c d e f g h i j k l"),          // exact dup of 1
+      (3L, "a b c d e f g h i j zz yy"),        // high overlap with 1
+      (4L, s"$hot extra tokens here"),          // hot-shingle heavy
+      (5L, s"$hot extra tokens there"),         // near-dup of 4 via hot run
+      (6L, "totally different words only here now yes"),
+      (7L, "x1 x2 x3 x4 x5 x6 x7 x8 x9 x10 x11 x12")
+    ).toDF("doc_id", "text")
+    for (t <- Seq(0.3, 0.5, 0.8, 1.0)) {
+      val got = Dedup.prefixJaccardPairs(docs, "doc_id", "text", threshold = t)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      // brute force over the same hashed shingle sets
+      val sets = docs
+        .select($"doc_id", Dedup.wordShingles(split($"text", " "), 3).as("sh"))
+        .select($"doc_id", transform($"sh", s => Dedup.hash60(s)).as("sh"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSet)
+      val expect = (for {
+        (ai, as) <- sets; (bi, bs) <- sets if ai < bi
+        inter = (as & bs).size
+        j = inter.toDouble / (as.size + bs.size - inter).toDouble
+        if j >= t
+      } yield (ai, bi, j)).toSet
+      assert(got === expect, s"threshold $t")
+    }
+    graft.core.OpCache.releaseAll(blocking = true)
+  }
 }
