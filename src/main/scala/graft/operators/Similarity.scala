@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame}
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.VectorFunctions._
@@ -925,4 +925,45 @@ object Similarity {
       .select(col("label"), col("dim").cast("long").as("dim"),
         (col("sum_x") / col("n").cast("double")).as("centroid"),
         col("n").as("n_vectors"))
+
+  /** Random-projection (Johnson–Lindenstrauss) tier for the ANN
+    * ladder: project d-dim float vectors onto `kProj` deterministic
+    * ±1 hyperplanes ([[signPlanes]] — the dense-sign variant of
+    * Achlioptas' database-friendly projections) and rank by cosine in
+    * the PROJECTED space. 64→16 dims cuts per-pair scoring and the
+    * broadcast/shuffle bytes 4×; JL bounds the angle distortion by
+    * O(√(log n / kProj)), and the cheap ranking composes with the
+    * exact rerank exactly like qs13 does for int8 codes.
+    *
+    * Projections are exact: each is a codegen'd float-dot
+    * ([[graft.functions.FloatVecDot]], double accumulator, ascending
+    * fold) against a ±1 literal, and projected-space scoring folds
+    * ascending over doubles — bit-reproducible under any partitioning,
+    * so an external engine replays ranks exactly from the same plane
+    * literals. One linear corpus pass per broadcast query batch; no
+    * pair shuffle. Output: (vec_id, nbr_id, rnk), rank by
+    * (projected cos DESC, nbr_id). */
+  def randomProjectTopK(
+      em: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
+      kProj: Int = 16, k: Int = 10, dim: Int = 64): DataFrame = {
+    graft.functions.GraftFunctions.register(em.sparkSession)
+    val planes = signPlanes(kProj, dim)
+    def proj(c: Column): Column =
+      array(planes.map(p => call_function("graft_vec_dot", c, typedLit(p))): _*)
+    def pnorm(c: Column): Column =
+      sqrt(aggregate(c, lit(0.0), (acc, x) => acc + x * x))
+    val corpus = graft.core.Partitioning.parallelize(em, col(idCol))
+      .select(col(idCol).as("nbr_id"), proj(col(vecCol)).as("pv"))
+      .withColumn("pn", pnorm(col("pv")))
+    val qb = queries.select(col(idCol).as("vec_id"), proj(col(vecCol)).as("qv"))
+      .withColumn("qn", pnorm(col("qv")))
+    val scored = corpus.join(broadcast(qb), col("vec_id") =!= col("nbr_id"))
+      .select(col("vec_id"), col("nbr_id"),
+        (aggregate(zip_with(col("qv"), col("pv"), (x, y) => x * y), lit(0.0),
+          (acc, x) => acc + x) / (col("qn") * col("pn"))).as("pcos"))
+    val w = Window.partitionBy(col("vec_id")).orderBy(col("pcos").desc, col("nbr_id"))
+    scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("vec_id"), col("nbr_id"), col("rnk").cast("long").as("rnk"))
+  }
 }

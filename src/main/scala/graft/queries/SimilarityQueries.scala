@@ -652,6 +652,46 @@ object SimilarityQueries {
         |    CAST(count(*) AS DOUBLE) AS centroid,
         |  CAST(count(*) AS BIGINT) AS n_vectors
         |FROM embeddings e, unnest(range(1, len(e.embedding) + 1)) t(i)
-        |GROUP BY label, t.i""".stripMargin))
+        |GROUP BY label, t.i""".stripMargin)),
+
+    Q(
+      "qs18_random_projection",
+      "Random-projection (Johnson-Lindenstrauss) ANN tier: 64-dim " +
+        "float vectors project onto 16 deterministic ±1 hyperplanes " +
+        "(signPlanes literals shared with the oracle), ranking runs " +
+        "in the PROJECTED space — 4× fewer bytes per vector in the " +
+        "broadcast and per-pair scoring, with JL-bounded angle " +
+        "distortion. Projections are codegen float-dots with double " +
+        "accumulators and ascending folds, so projected ranks are " +
+        "bit-reproducible and the oracle replays them exactly. " +
+        "Composable with the qs13 exact rerank as a cheap first pass.",
+      (s, dir) => {
+        val em = Tables.load(s, dir, "embeddings")
+        Similarity.randomProjectTopK(em,
+          em.filter(org.apache.spark.sql.functions.col("vec_id") % 50 === 0),
+          "vec_id", "embedding", kProj = 16, k = 10)
+      },
+      Some {
+        def planeList(p: Array[Float]): String =
+          p.map(v => if (v > 0) "1.0" else "-1.0").mkString("[", ", ", "]")
+        val planes = Similarity.signPlanes(16, 64)
+        val projExpr = planes.map(p => dkDot("embedding", planeList(p)))
+          .mkString("[", ",\n        ", "]")
+        s"""WITH e AS (
+           |  SELECT vec_id, $projExpr AS pv FROM embeddings),
+           |e2 AS (
+           |  SELECT vec_id, pv,
+           |    sqrt(list_reduce(list_transform(pv, x -> x * x), (x, y) -> x + y)) AS pn
+           |  FROM e),
+           |qq AS (SELECT * FROM e2 WHERE vec_id % 50 = 0)
+           |SELECT vec_id, nbr_id, rnk FROM (
+           |  SELECT a.vec_id AS vec_id, b.vec_id AS nbr_id,
+           |    row_number() OVER (PARTITION BY a.vec_id ORDER BY
+           |      list_reduce(list_transform(list_zip(a.pv, b.pv), s -> s[1] * s[2]),
+           |        (x, y) -> x + y) / (a.pn * b.pn) DESC,
+           |      b.vec_id) AS rnk
+           |  FROM qq a JOIN e2 b ON a.vec_id <> b.vec_id)
+           |WHERE rnk <= 10""".stripMargin
+      })
   )
 }

@@ -352,4 +352,22 @@ class SimilaritySpec extends SparkSuite {
     assert(capped.count() == df.count())
     graft.core.OpCache.releaseAll(blocking = true)
   }
+
+  test("randomProjectTopK: exact dup ranks first; partitioning-invariant") {
+    // projected cosine of identical vectors is exactly 1.0 — a planted
+    // clone must be the clone-query's rank-1 neighbor in ANY projection
+    val clone = vecs.head._2.clone()
+    val df = (vecs :+ (100L -> clone)).toDF("vec_id", "embedding")
+    val qs = df.filter($"vec_id" === 100L)
+    val got = Similarity.randomProjectTopK(df, qs, "vec_id", "embedding",
+      kProj = 6, k = 3, dim = dim)
+      .collect().map(r => (r.getLong(1), r.getLong(2)))
+    assert(got.find(_._2 == 1L).map(_._1).contains(0L),
+      s"clone of id 0 must rank first: ${got.toSeq}")
+    // bit-identical under a different partitioning
+    val re = Similarity.randomProjectTopK(
+      df.repartition(7), qs, "vec_id", "embedding", kProj = 6, k = 3, dim = dim)
+      .collect().map(r => (r.getLong(1), r.getLong(2)))
+    assert(got.toSeq.sorted == re.toSeq.sorted)
+  }
 }
