@@ -985,6 +985,35 @@ object RelationalQueries {
         |HAVING count(*) * 1000 >= (SELECT count(*) FROM events) * 8""".stripMargin)),
 
     Q(
+      "q47_zorder_cluster",
+      "Z-order (Morton) clustering (operators/ZOrder): interleave the " +
+        "bits of (user_id, floor(value)) into one z-value — a pure " +
+        "shift/and/or expression chain, codegen'd, no UDF — then " +
+        "range-shuffle + sort so every output file is a small (x,y) " +
+        "RECTANGLE and min-max stats prune box predicates on EITHER " +
+        "dimension (the Delta/Iceberg ZORDER BY technique; skipping " +
+        "measured in ZOrderSpec). Output = (event_id, zval), replayed " +
+        "bit-for-bit by the oracle's integer bit ops.",
+      (s, dir) =>
+        graft.operators.ZOrder.clusterByZ(
+          graft.core.Partitioning.parallelize(
+            t(s, dir, "events"), col("event_id"))
+            .select(col("event_id"), col("user_id"),
+              floor(col("value")).cast("long").as("vb")),
+          "user_id", "vb", bits = 9, nPartitions = 16)
+          .select(col("event_id"), col("zval")),
+      Some {
+        // NB: joined on one line — stripMargin would eat a leading "|"
+        val terms = (0 until 9).map(b =>
+          s"((((xm >> $b) & 1) << ${2 * b}) | (((ym >> $b) & 1) << ${2 * b + 1}))")
+          .mkString(" | ")
+        s"""SELECT event_id, ($terms) AS zval
+           |FROM (SELECT event_id, user_id & 511 AS xm,
+           |        CAST(floor(value) AS BIGINT) & 511 AS ym
+           |      FROM events)""".stripMargin
+      }),
+
+    Q(
       "q45_bloom_semi_join",
       "Bloom-prefiltered exact semi-join (BloomJoin.semiJoin): the " +
         "urgent-order key set is aggregated into one 64 Kbit Bloom " +
