@@ -95,6 +95,10 @@ object GraftFunctions {
       },
       "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_topk",
+      exprs => TopKAgg(exprs(0), exprs(1), litInt(exprs(2), "k")),
+      "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_bloom_build",
       exprs => BloomBuild(exprs(0), litInt(exprs(1), "nBits"), litInt(exprs(2), "nHashes")),
       "built-in")

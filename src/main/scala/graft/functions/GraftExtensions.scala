@@ -63,6 +63,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         BottomKSketch(exprs(0), k)
       }): (FunctionIdentifier, ExpressionInfo, FunctionRegistry.FunctionBuilder))
     ext.injectFunction((
+      FunctionIdentifier("graft_topk"),
+      new ExpressionInfo(classOf[TopKAgg].getName, "graft_topk"),
+      (exprs: Seq[Expression]) => TopKAgg(
+        exprs(0), exprs(1), GraftFunctions.litInt(exprs(2), "k")))
+      : (FunctionIdentifier, ExpressionInfo, FunctionRegistry.FunctionBuilder))
+    ext.injectFunction((
       FunctionIdentifier("graft_bloom_build"),
       new ExpressionInfo(classOf[BloomBuild].getName, "graft_bloom_build"),
       (exprs: Seq[Expression]) => BloomBuild(

@@ -985,6 +985,34 @@ object RelationalQueries {
         |HAVING count(*) * 1000 >= (SELECT count(*) FROM events) * 8""".stripMargin)),
 
     Q(
+      "q48_topk_agg",
+      "Bounded top-k AGGREGATE (functions/TopKAgg, graft_topk): top-3 " +
+        "events by value per user via a mergeable (score, id) heap — " +
+        "the scale-correct replacement for the row_number window " +
+        "(q27's shape): the window sorts every group's full row set " +
+        "through the shuffle; this aggregate collapses map-side to " +
+        "k-pair summaries, so only O(groups·k) state moves. Total " +
+        "(value DESC, event_id ASC) order makes the result " +
+        "deterministic under any partitioning; oracle = the plain " +
+        "window form.",
+      (s, dir) => {
+        graft.functions.GraftFunctions.register(s)
+        graft.core.Partitioning.parallelize(t(s, dir, "events"), col("event_id"))
+          .groupBy(col("user_id"))
+          .agg(call_function("graft_topk",
+            col("value"), col("event_id"), lit(3)).as("top"))
+          .select(col("user_id"), posexplode(col("top")))
+          .select(col("user_id"), (col("pos") + 1).cast("long").as("rnk"),
+            col("col.id").as("event_id"), col("col.score").as("value"))
+      },
+      Some("""SELECT user_id, CAST(rnk AS BIGINT) AS rnk, event_id, value FROM (
+        |  SELECT user_id, event_id, value,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY value DESC, event_id) AS rnk
+        |  FROM events)
+        |WHERE rnk <= 3""".stripMargin)),
+
+    Q(
       "q47_zorder_cluster",
       "Z-order (Morton) clustering (operators/ZOrder): interleave the " +
         "bits of (user_id, floor(value)) into one z-value — a pure " +
