@@ -307,4 +307,84 @@ object Multimodal {
         (col("n_stored").cast("double") / col("n_chunks").cast("double"))
           .as("stored_ratio"))
   }
+
+  /** 60-bit average-hash (aHash) over a media payload — the
+    * perceptual-hash family's simplest member, on the stub decode:
+    * the byte stream stands in for the pixel stream (a real build
+    * decodes + downsamples first; the hash/threshold/banding below is
+    * the real aHash logic). The payload splits into 60 segments
+    * (byte p → segment p·60/n), bit j = 1 iff segment j's mean byte
+    * exceeds the global mean. Both compares are integer
+    * CROSS-MULTIPLIES (segSum·n > totalSum·segLen) — no doubles, no
+    * rounding, bit-reproducible on any engine with 64-bit ints.
+    * 60 bits keep the value a positive BIGINT everywhere (the
+    * hash60/simhash60 convention). */
+  def aHash60(mediaId: Long, bytes: Array[Byte]): Long = {
+    val n = bytes.length
+    if (n == 0) return 0L
+    val segSum = new Array[Long](60)
+    val segCnt = new Array[Long](60)
+    var total = 0L
+    var p = 0
+    while (p < n) {
+      val v = (bytes(p) & 0xff).toLong
+      val j = (p.toLong * 60L / n).toInt
+      segSum(j) += v
+      segCnt(j) += 1
+      total += v
+      p += 1
+    }
+    var h = 0L
+    var j = 0
+    while (j < 60) {
+      if (segSum(j) * n > total * segCnt(j)) h |= (1L << j)
+      j += 1
+    }
+    h
+  }
+
+  /** Per-media aHash table: (media_id, ahash). Runs in the decode
+    * seam ([[extractFeatures]]' mapPartitions discipline). */
+  def perceptualHashes(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id"), col("bytes"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.map { case (id, b) =>
+          (id, aHash60(id, if (b == null) Array.emptyByteArray else b))
+        }
+      }
+      .toDF("media_id", "ahash")
+  }
+
+  /** Near-duplicate media pairs by hamming distance on the aHash:
+    * banded equi-join (maxDist+1 bands over the 60 bits — pigeonhole
+    * guarantees any pair within maxDist matches on ≥1 band, so
+    * candidate generation is COMPLETE), exact popcount verify. The
+    * simhash60 discipline applied to media payloads; same linear
+    * shuffle, no all-pairs. */
+  def phashNearDupPairs(media: DataFrame, maxDist: Int = 3): DataFrame = {
+    require(maxDist >= 0 && maxDist < 60, "maxDist in 0..59")
+    val nBands = maxDist + 1
+    val h = perceptualHashes(media)
+    val banded = h.select(col("media_id"), col("ahash"),
+      explode(array((0 until nBands).map { b =>
+        val lo = b * 60 / nBands
+        val hi = (b + 1) * 60 / nBands
+        struct(lit(b).as("band"),
+          shiftright(col("ahash"), lo)
+            .bitwiseAND(lit((1L << (hi - lo)) - 1)).as("bkey"))
+      }: _*)).as("bs"))
+      .select(col("media_id"), col("ahash"),
+        col("bs.band").as("band"), col("bs.bkey").as("bkey"))
+    banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
+          col("a.media_id") < col("b.media_id"))
+      .select(col("a.media_id").as("a_id"), col("b.media_id").as("b_id"),
+        bit_count(col("a.ahash").bitwiseXOR(col("b.ahash"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxDist)
+      .select(col("a_id"), col("b_id"), col("hamming").cast("long").as("hamming"))
+  }
 }

@@ -505,6 +505,42 @@ object StreamingQueries {
       }),
 
     Q(
+      "qm06_perceptual_hash",
+      "60-bit average-hash (aHash) per media payload " +
+        "(Multimodal.aHash60 in the mapPartitions decode seam): byte " +
+        "stream stands in for the pixel stream (stub decode, real " +
+        "aHash logic) — 60 segments, bit j set iff segment j's mean " +
+        "beats the global mean, both compares integer CROSS-MULTIPLIES " +
+        "so the hash is bit-reproducible with zero float risk. Pair " +
+        "search (banded hamming join, pigeonhole-complete) is " +
+        "spec-tested on planted byte-twins; this corpus' near-dups " +
+        "differ in byte layout (min hamming 8), so the oracle checks " +
+        "the HASH table. ASCII contract as qm04.",
+      (s, dir) =>
+        graft.operators.Multimodal.perceptualHashes(
+          graft.operators.Multimodal.asMedia(
+            graft.core.Tables.load(s, dir, "documents"),
+            "doc_id", "text", "text/plain")),
+      Some("""WITH b AS (
+        |  SELECT doc_id, (t.i - 1) AS p,
+        |    unicode(substring(text, CAST(t.i AS INT), 1)) AS v,
+        |    length(text) AS n
+        |  FROM documents, unnest(range(1, length(text) + 1)) AS t(i)),
+        |seg AS (
+        |  SELECT doc_id, (p * 60) // n AS j, sum(v) AS s, count(*) AS c
+        |  FROM b GROUP BY 1, 2),
+        |tot AS (SELECT doc_id, sum(v) AS ts, count(*) AS tn FROM b GROUP BY 1),
+        |bits AS (
+        |  SELECT g.doc_id, g.j,
+        |    CASE WHEN coalesce(s.s, 0) * t.tn > t.ts * coalesce(s.c, 0)
+        |         THEN 1 ELSE 0 END AS bit
+        |  FROM (SELECT doc_id, unnest(range(0, 60)) AS j FROM documents) g
+        |  LEFT JOIN seg s ON s.doc_id = g.doc_id AND s.j = g.j
+        |  JOIN tot t ON t.doc_id = g.doc_id)
+        |SELECT doc_id AS media_id, sum(bit << j) AS ahash
+        |FROM bits GROUP BY 1""".stripMargin)),
+
+    Q(
       "qm01_media_features",
       "Multimodal plumbing: wrap document text bytes as media rows, " +
         "extract per-partition batched byte-level features (stub " +

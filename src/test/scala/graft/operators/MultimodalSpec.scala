@@ -179,4 +179,51 @@ class MultimodalSpec extends SparkSuite {
     }
     assert(e.getMessage.contains("non-ASCII"), s"got: ${e.getMessage}")
   }
+
+  // bimodal payload: 60 ten-byte segments, each clearly above (220) or
+  // below (30) the global mean, so aHash bits are unambiguous and a
+  // single-segment edit flips exactly that segment's bit
+  private def bimodal(pattern: Long): Array[Byte] =
+    Array.tabulate(600) { p =>
+      val j = p / 10
+      (if (((pattern >> j) & 1L) == 1L) 220 else 30).toByte
+    }
+
+  test("aHash60: identical payloads hash equal; a one-segment edit flips few bits") {
+    val base = bimodal(0x5555555555555L)       // alternating segments
+    val twin = bimodal(0x5555555555554L)       // segment 0 flipped low
+    val far = bimodal(0xAAAAAAAAAAAAAL)        // every segment inverted
+    val h0 = Multimodal.aHash60(0L, base)
+    assert(Multimodal.aHash60(9L, base.clone()) == h0, "content-addressed, id-independent")
+    val dTwin = java.lang.Long.bitCount(h0 ^ Multimodal.aHash60(1L, twin))
+    val dFar = java.lang.Long.bitCount(h0 ^ Multimodal.aHash60(2L, far))
+    assert(dTwin <= 3, s"local edit must flip few bits, flipped $dTwin")
+    assert(dFar > 10, s"unrelated payload should be far, was $dFar")
+  }
+
+  test("phashNearDupPairs: banded search finds planted twins, skips strangers") {
+    val mix = (id: Long) => {
+      // splitmix-ish 60-bit pattern per stranger
+      var x = id * 0x9e3779b97f4a7c15L
+      x = (x ^ (x >>> 30)) * 0xbf58476d1ce4e5b9L
+      (x ^ (x >>> 27)) & ((1L << 60) - 1)
+    }
+    val base = bimodal(0x5555555555555L)
+    val twin = bimodal(0x5555555555554L)
+    val rows = Seq(1L -> base, 2L -> twin) ++ (3L to 40L).map(i => i -> bimodal(mix(i)))
+    val media = rows.toDF("media_id", "bytes")
+      .select($"media_id", $"bytes", lit("application/octet-stream").as("mime"),
+        map(lit("k"), lit("v")).as("meta"))
+    val got = Multimodal.phashNearDupPairs(media, maxDist = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // brute-force ground truth over the same hashes
+    val hs = rows.map { case (id, b) => id -> Multimodal.aHash60(id, b) }
+    val expect = (for {
+      (ai, ah) <- hs; (bi, bh) <- hs if ai < bi
+      d = java.lang.Long.bitCount(ah ^ bh) if d <= 3
+    } yield (ai, bi, d.toLong)).toSet
+    assert(got.toSet === expect, "banding must be complete for d <= maxDist")
+    assert(expect.contains((1L, 2L, got.find(t => t._1 == 1L && t._2 == 2L).map(_._3).getOrElse(-1L))),
+      s"planted twin must surface: $expect")
+  }
 }
