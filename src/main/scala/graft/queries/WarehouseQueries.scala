@@ -270,6 +270,55 @@ object WarehouseQueries {
         |  AND o_orderkey % 7 = 0""".stripMargin)),
 
     Q(
+      "qw09_scd2_apply",
+      "Incremental SCD2 apply (Cdc.scd2Apply): a synthetic current " +
+        "history (keys %13≠0; segments overridden to 'OLD' for keys " +
+        "%7=0) advances by the true customer snapshot (keys %11≠0, " +
+        "simulating deletes). Changed keys close + reopen, deletes " +
+        "close, new keys open, unchanged pass through — only the " +
+        "CURRENT slice joins the snapshot (one full-outer equi-join, " +
+        "consumed once via a conditional struct explode); closed " +
+        "history is untouched storage. Oracle replays the four-way " +
+        "classification as unions.",
+      (s, dir) => {
+        val cust = graft.core.Tables.load(s, dir, "customer")
+        val hist = cust.filter(col("c_custkey") % 13 =!= 0)
+          .select(col("c_custkey"),
+            when(col("c_custkey") % 7 === 0, lit("OLD"))
+              .otherwise(col("c_mktsegment")).as("segment"),
+            lit("1990-01-01 00:00:00").as("valid_from"),
+            lit(null).cast("string").as("valid_to"),
+            lit(true).as("is_current"))
+        val snap = cust.filter(col("c_custkey") % 11 =!= 0)
+          .select(col("c_custkey"), col("c_mktsegment").as("segment"))
+        graft.warehouse.Cdc.scd2Apply(
+          hist, snap, "c_custkey", Seq("segment"),
+          effectiveTs = "2000-06-01 00:00:00")
+      },
+      Some("""WITH hist AS (
+        |  SELECT c_custkey, CASE WHEN c_custkey % 7 = 0 THEN 'OLD'
+        |           ELSE c_mktsegment END AS segment,
+        |    '1990-01-01 00:00:00' AS valid_from
+        |  FROM customer WHERE c_custkey % 13 <> 0),
+        |snap AS (
+        |  SELECT c_custkey, c_mktsegment AS segment
+        |  FROM customer WHERE c_custkey % 11 <> 0)
+        |SELECT h.c_custkey, h.segment, h.valid_from,
+        |  '2000-06-01 00:00:00' AS valid_to, FALSE AS is_current
+        |FROM hist h LEFT JOIN snap s ON h.c_custkey = s.c_custkey
+        |WHERE s.c_custkey IS NULL OR h.segment <> s.segment
+        |UNION ALL
+        |SELECT h.c_custkey, h.segment, h.valid_from,
+        |  CAST(NULL AS VARCHAR), TRUE
+        |FROM hist h JOIN snap s ON h.c_custkey = s.c_custkey
+        |WHERE h.segment = s.segment
+        |UNION ALL
+        |SELECT s.c_custkey, s.segment, '2000-06-01 00:00:00',
+        |  CAST(NULL AS VARCHAR), TRUE
+        |FROM snap s LEFT JOIN hist h ON h.c_custkey = s.c_custkey
+        |WHERE h.c_custkey IS NULL OR h.segment <> s.segment""".stripMargin)),
+
+    Q(
       "qw08_bucketed_join",
       "Co-bucketed fact join (warehouse/Bucketing — the write-time " +
         "shuffle lever): orders and lineitem land as external " +

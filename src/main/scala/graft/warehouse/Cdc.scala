@@ -96,4 +96,71 @@ object Cdc {
       .filter(col("status") =!= "unchanged")
       .select(keyCols.map(col) :+ col("status"): _*)
   }
+
+  /** Incremental SCD2 apply — advance a type-2 dimension history by
+    * one full snapshot, effective at `effectiveTs`:
+    *
+    *  - key in both, attrs EQUAL      → current row passes unchanged;
+    *  - key in both, attrs differ     → current row closes
+    *    (valid_to = effectiveTs) and a new open row starts;
+    *  - key only in snapshot          → new open row;
+    *  - key only in history (delete)  → current row closes, no
+    *    successor.
+    *
+    * Closed history rows pass through untouched — at 100 TB that is
+    * the point: only the CURRENT slice (dimension-sized) joins the
+    * snapshot (one equi-join), and the closed majority of the history
+    * is append-only storage no query rewrites. The join output is
+    * consumed ONCE: each joined row explodes into its 0–2 result rows
+    * via a conditional struct array, so no branch re-executes the
+    * join. History schema: key, attrs…, valid_from, valid_to (null =
+    * open), is_current. Contract: one current row per key, snapshot
+    * unique per key ([[snapshotDiff]]'s discipline applies upstream).
+    */
+  def scd2Apply(
+      history: DataFrame,
+      snapshot: DataFrame,
+      keyCol: String,
+      attrCols: Seq[String],
+      effectiveTs: String): DataFrame = {
+    val metaCols = Seq("valid_from", "valid_to", "is_current")
+    val outCols = (keyCol +: attrCols) ++ metaCols
+    val closedPass = history.filter(!col("is_current"))
+      .select(outCols.map(col): _*)
+    val cur = history.filter(col("is_current"))
+    val snap = snapshot.select(
+      col(keyCol).as("__sk") +: attrCols.map(a => col(a).as(s"__s_$a")): _*)
+    val j = cur.join(snap, col(keyCol) === col("__sk"), "full_outer")
+    val same = attrCols.map(a => col(a) <=> col(s"__s_$a")).reduce(_ && _)
+    val hEx = col(keyCol).isNotNull
+    val sEx = col("__sk").isNotNull
+    def rowStruct(
+        key: Column, attrs: Seq[Column],
+        from: Column, to: Column, current: Column): Column =
+      struct(key.as("__k") +:
+        attrs.zip(attrCols).map { case (c, a) => c.as(s"__a_$a") } :+
+        from.as("__vf") :+ to.as("__vt") :+ current.as("__ic"): _*)
+    val ts = lit(effectiveTs)
+    val emitted = j.select(explode(filter(array(
+      // close the current row (change or delete)
+      when(hEx && (!sEx || !same),
+        rowStruct(col(keyCol), attrCols.map(col),
+          col("valid_from"), ts, lit(false))),
+      // keep the current row open (no change)
+      when(hEx && sEx && same,
+        rowStruct(col(keyCol), attrCols.map(col),
+          col("valid_from"), col("valid_to"), lit(true))),
+      // open a new row (new key or changed attrs)
+      when(sEx && (!hEx || !same),
+        rowStruct(col("__sk"), attrCols.map(a => col(s"__s_$a")),
+          ts, lit(null).cast("string"), lit(true)))),
+      s => s.isNotNull)).as("r"))
+    val updated = emitted.select(
+      col("r.__k").as(keyCol) +:
+        attrCols.map(a => col(s"r.__a_$a").as(a)) :+
+        col("r.__vf").as("valid_from") :+
+        col("r.__vt").as("valid_to") :+
+        col("r.__ic").as("is_current"): _*)
+    closedPass.unionByName(updated)
+  }
 }

@@ -38,7 +38,10 @@ class PlanAuditSpec extends SparkSuite {
       "qs17_semantic_dedup",
       // one-row Bloom-filter broadcast crossed into the fact scan —
       // linear prefilter, the join that follows is an equi-join
-      "q45_bloom_semi_join", "q46_bloom_anti_join")
+      "q45_bloom_semi_join", "q46_bloom_anti_join",
+      // qs10's broadcast query-batch × corpus linear scan, in the
+      // 16-dim projected space — not a pair join
+      "qs18_random_projection")
 
   test("no unexpected cartesian/nested-loop joins anywhere in the registry") {
     val dir = "/root/testdata/sf0.001"

@@ -153,4 +153,34 @@ class WarehouseSpec extends SparkSuite {
     assert(JdbcUpsert.insertIgnoreSql("dimension", Seq("name"), Seq("name")) ==
       "INSERT INTO dimension (name) VALUES (?) ON CONFLICT (name) DO NOTHING")
   }
+
+  test("scd2Apply: change/delete/new/unchanged + closed pass-through + idempotence") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // key 1: will change; key 2: unchanged; key 3: deleted; key 4: new.
+    // key 1 also carries a CLOSED prior version that must pass through.
+    val hist = Seq(
+      (1L, "a0", "t0", Some("t1"), false), // closed row, untouched
+      (1L, "a1", "t1", None, true),
+      (2L, "b", "t0", None, true),
+      (3L, "c", "t0", None, true)
+    ).toDF("k", "attr", "valid_from", "valid_to", "is_current")
+    val snap = Seq((1L, "a2"), (2L, "b"), (4L, "d")).toDF("k", "attr")
+    val out = Cdc.scd2Apply(hist, snap, "k", Seq("attr"), "t2")
+    val got = out.collect().map(r => (r.getLong(0), r.getString(1),
+      r.getString(2), Option(r.getString(3)), r.getBoolean(4))).toSet
+    val expect = Set(
+      (1L, "a0", "t0", Some("t1"), false),  // pass-through
+      (1L, "a1", "t1", Some("t2"), false),  // closed by change
+      (1L, "a2", "t2", None, true),         // successor
+      (2L, "b", "t0", None, true),          // unchanged
+      (3L, "c", "t0", Some("t2"), false),   // closed by delete
+      (4L, "d", "t2", None, true))          // new key
+    assert(got === expect)
+    // re-applying the snapshot that matches current state changes nothing
+    val cur = out.filter($"is_current")
+      .select($"k", $"attr")
+    val again = Cdc.scd2Apply(out, cur, "k", Seq("attr"), "t3")
+    assert(rowsOf(again) === rowsOf(out), "apply is idempotent on a matching snapshot")
+  }
 }
