@@ -988,4 +988,71 @@ object Dedup {
           (col("na") + col("nb") - col("inter")).cast("double")).as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
+
+  /** Exact segment-level corpus REWRITE (the C4 / "Deduplicating
+    * Training Data" shape at fixed word-segment granularity): cut each
+    * document into consecutive non-overlapping `segWords`-word
+    * segments, keep only the globally FIRST occurrence of each
+    * distinct segment (ordered by (doc_id, seg_idx) — a total order,
+    * so the result is partitioning-invariant), and reassemble each
+    * document from its surviving segments in original order. Unlike
+    * the pair/cluster operators above (which FIND duplicates) and
+    * [[Overlap.duplicatedSpanStats]] (which MEASURES them), this one
+    * rewrites the corpus — the op that actually removes boilerplate
+    * repeated across crawled pages.
+    *
+    * Scale shape: one narrow explode to (doc_id, seg_idx, segment);
+    * keep-first is an argmin — `groupBy(md5(seg)).agg(min(struct(
+    * doc_id, seg_idx)))` — which partial-aggregates map-side, so only
+    * DISTINCT segments cross the wire (a window would shuffle+sort
+    * every occurrence). Survivors semi-join back on (doc_id, seg_idx)
+    * (8/4-byte keys), and reassembly is one groupBy(doc_id) whose
+    * `sort_array(collect_list(struct(...)))` imposes a deterministic
+    * layout. Two shuffles on narrow keys + one on doc_id; nothing is
+    * O(n²). Dedup identity is md5(segment) (128-bit — collision odds
+    * negligible at any corpus size, same contract as [[exactDedup]]).
+    *
+    * Output: (doc_id, text, n_kept, n_dropped) — one row per input
+    * document; a document whose every segment occurred earlier
+    * elsewhere survives with `text = ""` and n_kept = 0.
+    * Contract: non-null `textCol` (split(" ") semantics as the other
+    * text operators).
+    */
+  def segmentDedupRewrite(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      segWords: Int = 10): DataFrame = {
+    val w = split(col(textCol), " ")
+    // size(w) >= 1 always (split never yields an empty array), so the
+    // sequence upper bound is >= 0 and never runs backwards
+    val segs = graft.core.OpCache.persist(
+      docs.select(col(idCol).as("doc_id"), w.as("w"))
+        .select(col("doc_id"),
+          posexplode(transform(
+            sequence(lit(0),
+              ((size(col("w")) + (segWords - 1)) / segWords).cast("int") - 1),
+            i => array_join(slice(col("w"), i * segWords + 1, lit(segWords)), " ")))
+            .as(Seq("seg_idx", "seg")))
+        .select(col("doc_id"), col("seg_idx").cast("long").as("seg_idx"),
+          col("seg")))
+    val kept = segs
+      .groupBy(md5(col("seg")).as("h"))
+      .agg(min(struct(col("doc_id"), col("seg_idx"))).as("f"))
+      .select(col("f.doc_id").as("doc_id"), col("f.seg_idx").as("seg_idx"))
+    val rebuilt = segs.join(kept, Seq("doc_id", "seg_idx"), "left_semi")
+      .groupBy(col("doc_id"))
+      .agg(
+        array_join(transform(
+          array_sort(collect_list(struct(col("seg_idx"), col("seg")))),
+          s => s.getField("seg")), " ").as("text_new"),
+        count(lit(1)).cast("long").as("n_kept"))
+    segs.groupBy(col("doc_id"))
+      .agg(count(lit(1)).cast("long").as("n_segs"))
+      .join(rebuilt, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"),
+        coalesce(col("text_new"), lit("")).as("text"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        (col("n_segs") - coalesce(col("n_kept"), lit(0L))).as("n_dropped"))
+  }
 }

@@ -598,6 +598,38 @@ object TextQueries {
         |    >= 0.4""".stripMargin)),
 
     Q(
+      "qd21_segment_dedup",
+      "Exact segment-level corpus REWRITE (C4-style: every other " +
+        "dedup op here finds or measures duplicates; this one removes " +
+        "them): documents cut into non-overlapping 10-word segments, " +
+        "globally keep-FIRST per distinct segment ((doc_id, seg_idx) " +
+        "total order via an argmin groupBy — only distinct segments " +
+        "shuffle), survivors semi-join back and reassemble in " +
+        "original order. Output is the rewritten corpus + per-doc " +
+        "kept/dropped counts.",
+      (s, dir) =>
+        Dedup.segmentDedupRewrite(Tables.load(s, dir, "documents"),
+          "doc_id", "text", segWords = 10),
+      Some("""WITH segs AS (
+        |  SELECT doc_id, CAST(t.i AS BIGINT) AS seg_idx,
+        |    array_to_string(list_slice(w, CAST(t.i*10+1 AS BIGINT),
+        |      CAST(t.i*10+10 AS BIGINT)), ' ') AS seg
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents) d,
+        |       LATERAL unnest(range(0, (len(d.w) + 9) // 10)) AS t(i)),
+        |kept AS (
+        |  SELECT doc_id, seg_idx, seg FROM segs
+        |  QUALIFY row_number() OVER (PARTITION BY seg ORDER BY doc_id, seg_idx) = 1),
+        |reb AS (
+        |  SELECT doc_id, string_agg(seg, ' ' ORDER BY seg_idx) AS text_new,
+        |         count(*) AS n_kept
+        |  FROM kept GROUP BY doc_id),
+        |tot AS (SELECT doc_id, count(*) AS n_segs FROM segs GROUP BY doc_id)
+        |SELECT t.doc_id, COALESCE(r.text_new, '') AS text,
+        |  CAST(COALESCE(r.n_kept, 0) AS BIGINT) AS n_kept,
+        |  CAST(t.n_segs - COALESCE(r.n_kept, 0) AS BIGINT) AS n_dropped
+        |FROM tot t LEFT JOIN reb r ON t.doc_id = r.doc_id""".stripMargin)),
+
+    Q(
       "qt01_lang_id",
       "Language-ID heuristic: CJK codepoint check then stopword-count " +
         "argmax with fixed tiebreak. Pure narrow transform.",

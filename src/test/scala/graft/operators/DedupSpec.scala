@@ -321,4 +321,29 @@ class DedupSpec extends SparkSuite {
     }
     graft.core.OpCache.releaseAll(blocking = true)
   }
+
+  test("segmentDedupRewrite: keep-first rewrite, partial tail segments, emptied docs") {
+    // segWords=2 → doc 1: [a b][c d][e f]; doc 2 repeats [a b] and [e f]
+    // and contributes one new segment + a 1-word tail; doc 3 is entirely
+    // segments already seen → must survive with empty text.
+    val docs = Seq(
+      (1L, "a b c d e f"),
+      (2L, "a b x y e f z"),
+      (3L, "c d a b"))
+      .toDF("doc_id", "text")
+    val out = Dedup.segmentDedupRewrite(docs, "doc_id", "text", segWords = 2)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(out === Set(
+      (1L, "a b c d e f", 3L, 0L),
+      (2L, "x y z", 2L, 2L),      // [a b] and [e f] seen in doc 1; tail "z" kept
+      (3L, "", 0L, 2L)))          // both segments first occurred earlier
+    // keep-first is ordered by (doc_id, seg_idx), not input order: the
+    // duplicate inside one doc drops its LATER copy
+    val selfDup = Seq((7L, "p q r s p q")).toDF("doc_id", "text")
+    val out2 = Dedup.segmentDedupRewrite(selfDup, "doc_id", "text", segWords = 2)
+      .collect().map(r => (r.getString(1), r.getLong(2), r.getLong(3))).toSet
+    assert(out2 === Set(("p q r s", 2L, 1L)))
+    graft.core.OpCache.releaseAll(blocking = true)
+  }
 }
