@@ -45,6 +45,50 @@ object Partitioning {
     df.coalesce(1).sortWithinPartitions(order: _*)
       .withColumn(idCol, (monotonically_increasing_id() + 1).cast("long"))
 
+  /** CORPUS-SCALE global row numbers 1..n in `order`-sorted order,
+    * without a global window OR a single-partition coalesce (contrast
+    * [[denseIds]], which is for dim-sized frames): range-partition on
+    * the sort keys, sort within partitions, number rows per partition
+    * with `monotonically_increasing_id` (pid in the upper bits, a
+    * per-partition counter in the lower 33), then add per-partition
+    * start offsets — computed from a #partitions-row count aggregate
+    * collected at the driver (calibration-sized, like Histogram's
+    * range probe; NOT a data collect) and broadcast back. Equals
+    * `row_number() OVER (ORDER BY order*)` whenever the sort keys are
+    * a total order (pass a unique id as the last key): the rank is a
+    * pure order statistic, so it is partitioning-invariant and
+    * deterministic. The ranked frame is persisted (OpCache) so the
+    * count pass and every consumer read one materialization.
+    *
+    * The scalable-sort shape: at 100 TB the sort is P parallel
+    * within-partition sorts after one range exchange, and the only
+    * driver traffic is P (pid, count) rows. */
+  def globalRank(df: DataFrame, rankCol: String, order: Column*): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val target = spark.sessionState.conf.numShufflePartitions
+    val ranged = OpCache.persist(
+      df.repartitionByRange(target, order: _*)
+        .sortWithinPartitions(order: _*)
+        .withColumn("__mid", monotonically_increasing_id()))
+    val counts = ranged
+      .groupBy(shiftright(col("__mid"), 33).as("__pid"))
+      .agg(count(lit(1)).as("__cnt"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    val offsets = counts.scanLeft((0L, 0L)) { case ((_, acc), (pid, c)) =>
+      (pid, acc + c)
+    }.sliding(2).collect { case Array((_, start), (pid, _)) =>
+      (pid, start)
+    }.toSeq
+    // scanLeft pairs each pid with the cumulative count BEFORE it
+    val offDf = offsets.toDF("__pid", "__off")
+    ranged
+      .join(broadcast(offDf), shiftright(col("__mid"), 33) === col("__pid"))
+      .withColumn(rankCol,
+        col("__off") + col("__mid").bitwiseAND(lit((1L << 33) - 1)) + 1)
+      .drop("__mid", "__pid", "__off")
+  }
+
   /** Ensure a CPU-heavy narrow pipeline gets the session's full
     * shuffle parallelism. A small single-file parquet scan yields one
     * input split, which would serialize hashing/shingling/vector math

@@ -29,4 +29,24 @@ class PartitioningSpec extends SparkSuite {
       merge = Seq(Exprs.exactSum($"ps").as("s"), sum($"pn").as("n")))
     assert(rowsOf(direct) == rowsOf(salted))
   }
+
+  test("globalRank equals row_number over the total order, across many partitions") {
+    // keys deliberately collide so the id tiebreak matters; enough rows
+    // to spread over every range partition
+    val rows = (1 to 5000).map(i => (i.toLong, s"k${i % 97}"))
+    val df = rows.toDF("id", "key").repartition(13)
+    val ranked = Partitioning.globalRank(df, "rnk", col("key"), col("id"))
+      .collect().map(r => (r.getAs[String]("key"), r.getAs[Long]("id"),
+        r.getAs[Long]("rnk")))
+    val expect = rows.map { case (id, k) => (k, id) }.sorted
+      .zipWithIndex.map { case ((k, id), i) => (k, id, i + 1L) }
+    assert(ranked.sortBy(_._3).toSeq == expect)
+    graft.core.OpCache.releaseAll(blocking = true)
+  }
+
+  test("globalRank on an empty frame returns empty") {
+    val df = Seq.empty[(Long, String)].toDF("id", "key")
+    assert(Partitioning.globalRank(df, "rnk", col("key"), col("id")).count() == 0)
+    graft.core.OpCache.releaseAll(blocking = true)
+  }
 }

@@ -322,6 +322,24 @@ class DedupSpec extends SparkSuite {
     graft.core.OpCache.releaseAll(blocking = true)
   }
 
+  test("sortedNeighborhoodPairs: prefix pass catches tail edits, reversed pass head edits") {
+    val body = (0 until 40).map(i => s"w${i % 11} t$i").mkString(" ")
+    val tailEdit = body.replace("t39", "t999")   // same prefix → adjacent in pass 1
+    val headEdit = body.replace("t0", "t888")    // same suffix → adjacent in pass 2
+    val far = (0 until 40).map(i => s"z$i q${i * 7}").mkString(" ")
+    val docs = Seq((1L, body), (2L, tailEdit), (3L, headEdit), (4L, far))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.sortedNeighborhoodPairs(docs, "doc_id", "text",
+      Dedup.snmDefaultKeys("text"), window = 2, nShingle = 3, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // window=2 pairs only immediate sort successors: (1,2) are adjacent
+    // under the text-prefix key, (1,3) under the reversed-word key;
+    // (2,3) is adjacent under neither — the documented SNM trade
+    assert(pairs.contains((1L, 2L)) && pairs.contains((1L, 3L)))
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
+    graft.core.OpCache.releaseAll(blocking = true)
+  }
+
   test("segmentDedupRewrite: keep-first rewrite, partial tail segments, emptied docs") {
     // segWords=2 → doc 1: [a b][c d][e f]; doc 2 repeats [a b] and [e f]
     // and contributes one new segment + a 1-word tail; doc 3 is entirely
