@@ -95,6 +95,10 @@ object GraftFunctions {
       },
       "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_hll",
+      exprs => HllSketch(exprs(0), litInt(exprs(1), "p")),
+      "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_topk",
       exprs => TopKAgg(exprs(0), exprs(1), litInt(exprs(2), "k")),
       "built-in")

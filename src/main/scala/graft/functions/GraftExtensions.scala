@@ -63,6 +63,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         BottomKSketch(exprs(0), k)
       }): (FunctionIdentifier, ExpressionInfo, FunctionRegistry.FunctionBuilder))
     ext.injectFunction((
+      FunctionIdentifier("graft_hll"),
+      new ExpressionInfo(classOf[HllSketch].getName, "graft_hll"),
+      (exprs: Seq[Expression]) => HllSketch(
+        exprs(0), GraftFunctions.litInt(exprs(1), "p")))
+      : (FunctionIdentifier, ExpressionInfo, FunctionRegistry.FunctionBuilder))
+    ext.injectFunction((
       FunctionIdentifier("graft_topk"),
       new ExpressionInfo(classOf[TopKAgg].getName, "graft_topk"),
       (exprs: Seq[Expression]) => TopKAgg(
