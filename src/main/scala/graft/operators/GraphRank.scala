@@ -83,6 +83,58 @@ object GraphRank {
     pr.select(col("node_id"), col("pr").cast("long").as("pr_int"))
   }
 
+  /** Bounded-round k-core peel over an undirected pair graph: round r
+    * computes degrees over the surviving edge set, drops every node
+    * with degree < k, and keeps only edges whose BOTH endpoints
+    * survive. After `rounds` rounds, returns the remaining nodes with
+    * their degrees over the final edge set. With enough rounds this
+    * is exactly the k-core (the fixed point where every degree ≥ k);
+    * a FIXED round count keeps the plan statically analyzable and
+    * engine-replayable — the same bounded-iteration policy as
+    * [[pageRank]] and `Similarity.trainIvfCentroids`. Peeling
+    * converges fast in practice (most mass drops in round 1: a node
+    * that loses its low-degree neighbours rarely cascades far), and
+    * the curation reading is direct: the 2-core of a near-dup graph
+    * is the set of documents in non-trivial duplication structure —
+    * chains and isolated pairs peel away, template cliques stay.
+    *
+    * Scale shape per round: one hash agg for degrees + two semi-joins
+    * to filter edges — linear in |E|, all equi on 8-byte node ids.
+    * The edge set only SHRINKS, so later rounds get cheaper; lineage
+    * is cut per round above a small threshold (the [[pageRank]]
+    * pattern).
+    *
+    * @param edges distinct undirected pairs (the [[pageRank]] edge
+    *              contract: duplicates would inflate degrees)
+    * @return (node_id, degree) for nodes surviving `rounds` peels,
+    *         degree over the final surviving edge set */
+  def kCore(
+      edges: DataFrame, k: Int, rounds: Int,
+      aCol: String = "a_id", bCol: String = "b_id"): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val spark = edges.sparkSession
+    var e = edges.select(col(aCol).cast("long").as("u"), col(bCol).cast("long").as("v"))
+    val cutLineage = rounds > 4
+    def degrees(es: DataFrame): DataFrame =
+      es.unionByName(es.select(col("v").as("u"), col("u").as("v")))
+        .groupBy(col("u")).agg(count(lit(1)).cast("long").as("d"))
+        .select(col("u").as("n"), col("d"))
+    (0 until rounds).foreach { _ =>
+      val surv = degrees(e).filter(col("d") >= k).select(col("n"))
+      e = e.join(surv.select(col("n").as("u")), Seq("u"), "left_semi")
+        .join(surv.select(col("n").as("v")), Seq("v"), "left_semi")
+        .select(col("u"), col("v"))
+      if (cutLineage) {
+        val cutDf = spark.createDataFrame(e.rdd, e.schema).persist(MEMORY_AND_DISK)
+        graft.core.OpCache.track(cutDf)
+        e = cutDf
+      }
+    }
+    degrees(e).select(col("n").as("node_id"), col("d").as("degree"))
+  }
+
   /** Per-node triangle counts over an undirected pair graph — the
     * clustering-density signal of the graph family (a document inside
     * a dense template clique participates in many triangles; a chance

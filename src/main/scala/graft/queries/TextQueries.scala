@@ -15,6 +15,34 @@ object TextQueries {
   private def dkHash60(e: String): String =
     s"CAST(concat('0x', substr(md5($e), 1, 15)) AS BIGINT)"
 
+  /** DuckDB replay of GraphRank.kCore on the bipartite order–part
+    * graph: `rounds` unrolled peel rounds (degree agg → survivor
+    * filter → edge restriction), then degrees over the final edge
+    * set — the same fixed-round unrolling discipline as the Lloyd
+    * rounds in SimilarityQueries. */
+  private def kcoreOracle(k: Int, rounds: Int): String = {
+    // AS MATERIALIZED: each e_r is referenced three times by round
+    // r+1 — inlining would expand e0 3^rounds times (and exhaust file
+    // handles re-opening the parquet); materialization keeps the
+    // oracle linear, mirroring the Spark side's per-round lineage cut
+    val roundCtes = (1 to rounds).map { r =>
+      s"""d$r AS MATERIALIZED (SELECT u AS n, count(*) AS d FROM
+         |  (SELECT a_id AS u FROM e${r - 1} UNION ALL SELECT b_id FROM e${r - 1})
+         |  GROUP BY 1),
+         |v$r AS (SELECT n FROM d$r WHERE d >= $k),
+         |e$r AS MATERIALIZED (SELECT p.a_id, p.b_id FROM e${r - 1} p
+         |  JOIN v$r va ON p.a_id = va.n JOIN v$r vb ON p.b_id = vb.n)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e0 AS MATERIALIZED (
+       |  SELECT DISTINCT l_orderkey AS a_id,
+       |    CAST(l_partkey AS BIGINT) + 1000000000 AS b_id
+       |  FROM lineitem),
+       |$roundCtes
+       |SELECT u AS node_id, CAST(count(*) AS BIGINT) AS degree FROM
+       |  (SELECT a_id AS u FROM e$rounds UNION ALL SELECT b_id FROM e$rounds)
+       |GROUP BY 1""".stripMargin
+  }
+
   /** DuckDB rendition of Dedup.lshNearDupPairs (16 hashes, 4×4 bands,
     * jaccard ≥ 0.5): the CTE chain producing candidate pairs, and the
     * verified-pair SELECT. Shared by qd02 (pairs), qd10 (clusters =
@@ -671,6 +699,26 @@ object TextQueries {
         |WHERE CAST(len(list_intersect(da.sh, db.sh)) AS DOUBLE) /
         |  CAST(len(da.sh) + len(db.sh) - len(list_intersect(da.sh, db.sh)) AS DOUBLE)
         |    >= 0.4""".stripMargin)),
+
+    Q(
+      "qd23_kcore",
+      "Bounded-round k-core peel (GraphRank.kCore, k=6, rounds=6) " +
+        "over the bipartite order-part graph (distinct (l_orderkey, " +
+        "l_partkey) edges; partkeys offset into their own id range): " +
+        "each round drops nodes with degree < 6 and the edges " +
+        "touching them — a measured multi-round cascade on this " +
+        "graph (orders losing parts push parts under threshold and " +
+        "back). Per round: one hash agg + two semi-joins, edge set " +
+        "only shrinks; lineage cut per round (rounds > 4). Oracle " +
+        "unrolls the identical six rounds.",
+      (s, dir) => {
+        val e = Tables.load(s, dir, "lineitem")
+          .select(col("l_orderkey").as("a_id"),
+            (col("l_partkey").cast("long") + 1000000000L).as("b_id"))
+          .distinct()
+        graft.operators.GraphRank.kCore(e, k = 6, rounds = 6)
+      },
+      Some(kcoreOracle(k = 6, rounds = 6))),
 
     Q(
       "qt01_lang_id",

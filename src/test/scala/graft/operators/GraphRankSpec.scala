@@ -64,6 +64,28 @@ class GraphRankSpec extends SparkSuite {
     graft.core.OpCache.releaseAll(blocking = true)
   }
 
+  test("kCore: chain peels away, triangle survives; cascade needs multiple rounds") {
+    // chain 1-2-3-4 (endpoints degree 1) + triangle 5-6-7
+    val edges = Seq((1L,2L),(2L,3L),(3L,4L),(5L,6L),(5L,7L),(6L,7L))
+      .toDF("a_id","b_id")
+    // round 1: drop 1,4 → chain becomes 2-3 (degrees 1); round 2: drop
+    // 2,3 → only the triangle left. rounds=1 still shows the middle.
+    val r1 = GraphRank.kCore(edges, k = 2, rounds = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(r1.keySet == Set(2L,3L,5L,6L,7L) && r1(2L) == 1L)
+    val r3 = GraphRank.kCore(edges, k = 2, rounds = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(r3 == Map(5L -> 2L, 6L -> 2L, 7L -> 2L))
+    // rounds past convergence are idempotent, including the lineage-cut
+    // path (rounds > 4)
+    val r6 = GraphRank.kCore(edges, k = 2, rounds = 6)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(r6 == r3)
+    // k above the max degree empties the graph
+    assert(GraphRank.kCore(edges, k = 5, rounds = 2).count() == 0)
+    graft.core.OpCache.releaseAll(blocking = true)
+  }
+
   test("pageRank: empty node table is refused loudly") {
     val nodes = Seq.empty[Long].toDF("id")
     val edges = Seq.empty[(Long, Long)].toDF("a_id", "b_id")
