@@ -109,18 +109,33 @@ object Similarity {
 
   /** Exact cosine top-k neighbors for every vector (self excluded).
     * Output: (vec_id, nbr_id, rnk) — ids and rank only; ranking is by
-    * (cos DESC, nbr_id) so it is total and deterministic. */
+    * (cos DESC, nbr_id) so it is total and deterministic. Top-k is the
+    * mergeable [[graft.functions.TopKAgg]] heap, not a window: the
+    * O(n²) scored stream collapses map-side to k-pair summaries
+    * instead of shuffling+sorting in full (the q48 lesson applied to
+    * the ANN family). */
   def bruteForceTopK(em: DataFrame, idCol: String, vecCol: String, k: Int): DataFrame = {
     val e = withNorm(em, idCol, vecCol)
     val scored = e.as("a").join(e.as("b"), col("a.vec_id") =!= col("b.vec_id"))
       .select(col("a.vec_id").as("vec_id"), col("b.vec_id").as("nbr_id"),
         cosineWithNorms(col("a.embedding"), col("b.embedding"),
           col("a.nrm"), col("b.nrm")).as("cos"))
-    val w = Window.partitionBy(col("vec_id")).orderBy(col("cos").desc, col("nbr_id"))
-    scored.withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= k)
-      .select(col("vec_id"), col("nbr_id"), col("rnk").cast("long").as("rnk"))
+    topKHeap(scored, "vec_id", col("cos"), col("nbr_id"), "nbr_id", k)
   }
+
+  /** (groupCol, outIdCol, rnk): top-k rows per group by (score DESC,
+    * id ASC) via the mergeable graft_topk aggregate — map-side
+    * collapse to k-pair summaries, the scale-correct replacement for
+    * the row_number window every ANN ranking here used to run. */
+  private def topKHeap(
+      scored: DataFrame, groupCol: String,
+      score: org.apache.spark.sql.Column, id: org.apache.spark.sql.Column,
+      outIdCol: String, k: Int): DataFrame =
+    scored.groupBy(col(groupCol))
+      .agg(call_function("graft_topk", score, id, lit(k)).as("top"))
+      .select(col(groupCol), posexplode(col("top")))
+      .select(col(groupCol), col("col.id").as(outIdCol),
+        (col("pos") + 1).cast("long").as("rnk"))
 
   /** Deterministic ±1 random-hyperplane set for sign-LSH: the sign of
     * plane j, dimension d is the parity of the first byte of
@@ -269,7 +284,7 @@ object Similarity {
     val cents = e.filter(col("vec_id") % centroidStride === 0)
       .select(col("vec_id").as("cent_id"), col("embedding").as("cemb"),
         col("nrm").as("cnrm"))
-    val assign = centroidRanks(e, broadcast(cents))
+    val assign = centroidRanks(e, broadcast(cents), maxRank = 1)
       .filter(col("rn") === 1).select(col("vec_id"), col("cent_id"))
     IvfIndex(cents, e.join(assign, Seq("vec_id")))
   }
@@ -307,7 +322,7 @@ object Similarity {
       .select(col("vec_id").as("cent_id"), col("embedding").as("cemb"),
         col("nrm").as("cnrm"))
     (0 until iters).foreach { _ =>
-      val assign = centroidRanks(e, broadcast(cents))
+      val assign = centroidRanks(e, broadcast(cents), maxRank = 1)
         .filter(col("rn") === 1).select(col("vec_id"), col("cent_id"))
       val means = e.join(assign, Seq("vec_id"))
         .select(col("cent_id"), posexplode(col("embedding")).as(Seq("dim", "x")))
@@ -331,23 +346,26 @@ object Similarity {
       centroidStride: Int = 40, iters: Int = 2): IvfIndex = {
     val e = withNorm(em, idCol, vecCol)
     val cents = trainIvfCentroids(em, idCol, vecCol, centroidStride, iters)
-    val assign = centroidRanks(e, broadcast(cents))
+    val assign = centroidRanks(e, broadcast(cents), maxRank = 1)
       .filter(col("rn") === 1).select(col("vec_id"), col("cent_id"))
     IvfIndex(cents, e.join(assign, Seq("vec_id")))
   }
 
-  /** (vec_id, cent_id, rn) — each vector's centroids ranked by cosine
-    * (ties → lowest cent_id). rn=1 is the index assignment; rn ≤
-    * nProbe are the query-time probe cells. */
-  private def centroidRanks(e: DataFrame, cents: DataFrame): DataFrame = {
-    val wAssign = Window.partitionBy(col("vec_id"))
-      .orderBy(col("ccos").desc, col("cent_id"))
-    e.join(cents)
-      .select(col("vec_id"), col("cent_id"),
-        cosineWithNorms(col("embedding"), col("cemb"), col("nrm"), col("cnrm"))
-          .as("ccos"))
-      .withColumn("rn", row_number().over(wAssign))
-  }
+  /** (vec_id, cent_id, rn) — each vector's top-`maxRank` centroids by
+    * cosine (ties → lowest cent_id). rn=1 is the index assignment;
+    * rn ≤ nProbe are the query-time probe cells. The rank is a
+    * graft_topk heap, not a window: the corpus × centroids scored
+    * stream (n·C rows) collapses map-side to maxRank pairs per vector
+    * instead of being shuffled and sorted whole. */
+  private def centroidRanks(
+      e: DataFrame, cents: DataFrame, maxRank: Int): DataFrame =
+    topKHeap(
+      e.join(cents)
+        .select(col("vec_id"), col("cent_id"),
+          cosineWithNorms(col("embedding"), col("cemb"), col("nrm"), col("cnrm"))
+            .as("ccos")),
+      "vec_id", col("ccos"), col("cent_id"), "cent_id", maxRank)
+      .withColumnRenamed("rnk", "rn")
 
   /** IVF top-k against a prebuilt (typically storage-read) index — the
     * recurring-query entry point: queries rank the broadcast stored
@@ -359,8 +377,8 @@ object Similarity {
       queries: DataFrame, idCol: String, vecCol: String,
       k: Int, nProbe: Int = 4): DataFrame = {
     val q = withNorm(queries, idCol, vecCol)
-    val probes = centroidRanks(q, broadcast(index.centroids))
-      .filter(col("rn") <= nProbe).select(col("vec_id"), col("cent_id"))
+    val probes = centroidRanks(q, broadcast(index.centroids), maxRank = nProbe)
+      .select(col("vec_id"), col("cent_id"))
     val probe = q.join(probes, Seq("vec_id"))
     val scored = probe.as("p")
       .join(index.cells.as("q"),
@@ -549,7 +567,7 @@ object Similarity {
     val cents = e.filter(col("vec_id") % centroidStride === 0)
       .select(col("vec_id").as("cent_id"), col("embedding").as("cemb"),
         col("nrm").as("cnrm"))
-    val ranks = centroidRanks(e, broadcast(cents))
+    val ranks = centroidRanks(e, broadcast(cents), maxRank = nProbe)
     val assign = ranks.filter(col("rn") === 1).select(col("vec_id"), col("cent_id"))
     val probes = ranks.filter(col("rn") <= nProbe).select(col("vec_id"), col("cent_id"))
     val qv = graft.core.OpCache.persist(
@@ -787,7 +805,7 @@ object Similarity {
     val cents = e.filter(col("vec_id") % centroidStride === 0)
       .select(col("vec_id").as("cent_id"), col("embedding").as("cemb"),
         col("nrm").as("cnrm"))
-    val ranks = centroidRanks(e, broadcast(cents))
+    val ranks = centroidRanks(e, broadcast(cents), maxRank = nProbe)
     val assign = ranks.filter(col("rn") === 1)
       .select(col("vec_id"), col("cent_id").as("cell_id"))
     val probes = ranks.filter(col("rn") <= nProbe)
@@ -855,7 +873,7 @@ object Similarity {
     val cents = e.filter(col("vec_id") % centroidStride === 0)
       .select(col("vec_id").as("cent_id"), col("embedding").as("cemb"),
         col("nrm").as("cnrm"))
-    val ranks = centroidRanks(e, broadcast(cents))
+    val ranks = centroidRanks(e, broadcast(cents), maxRank = nProbe)
     val assign = ranks.filter(col("rn") === 1)
       .select(col("vec_id"), col("cent_id").as("cell_id"))
     val probes = ranks.filter(col("rn") <= nProbe)
