@@ -76,4 +76,57 @@ object Timeseries {
       .withColumn("z_score", round((x - col("mu")) / col("sigma"), 6))
       .drop("mu", "sigma")
   }
+
+  /** Classical seasonal decomposition by moving averages (the
+    * additive decompose every indicator/monitoring pipeline runs):
+    * daily totals → centered `maWindow`-observation moving-average
+    * TREND (full windows only; edge days get null) → SEASONAL index =
+    * mean detrended value per position-in-period → RESIDUAL.
+    *
+    * Determinism discipline: daily totals are order-invariant decimal
+    * sums; the moving-average and seasonal sums stay in DECIMAL (the
+    * detrended value is kept SCALED as maWindow·daily − trendSum, so
+    * no division happens before the seasonal aggregation); each
+    * output is one decimal→double cast and at most one division,
+    * rounded to 6 (the q42/q43 discipline). Position-in-period is
+    * pure date arithmetic (days since a fixed epoch mod `period`) —
+    * no engine-specific day-of-week convention.
+    *
+    * The single-partition window is deliberate and allow-listed: it
+    * runs over the DAILY AGGREGATE (one row per day — years of data
+    * is thousands of rows), not the event stream; the 100 TB of
+    * events collapse in the decimal hash agg before any window sees
+    * them. */
+  def seasonalDecompose(
+      df: DataFrame, tsCol: String, valCol: String,
+      period: Int = 7, maWindow: Int = 7): DataFrame = {
+    require(period >= 2, s"period must be >= 2, got $period")
+    require(maWindow >= 3 && maWindow % 2 == 1,
+      s"maWindow must be odd and >= 3, got $maWindow")
+    val half = maWindow / 2
+    val daily = df
+      .select(to_date(col(tsCol)).as("day"),
+        col(valCol).cast("double")
+          .cast(org.apache.spark.sql.types.DecimalType(30, 6)).as("v"))
+      .groupBy(col("day")).agg(sum(col("v")).as("dsum"))
+    val w = Window.partitionBy(lit(0)).orderBy(col("day"))
+      .rowsBetween(-half, half)
+    val base = daily
+      .withColumn("tsum",
+        when(count(lit(1)).over(w) === maWindow, sum(col("dsum")).over(w)))
+      .withColumn("sidx",
+        datediff(col("day"), lit("1970-01-05").cast("date")) % period)
+    val seas = base.filter(col("tsum").isNotNull)
+      .groupBy(col("sidx"))
+      .agg(sum(lit(maWindow) * col("dsum") - col("tsum")).as("ssum"),
+        count(lit(1)).as("sn"))
+    base.join(broadcast(seas), Seq("sidx"), "left")
+      .select(col("day"),
+        round(col("dsum").cast("double"), 6).as("daily"),
+        round(col("tsum").cast("double") / lit(maWindow.toDouble), 6).as("trend"),
+        round(col("ssum").cast("double") /
+          (lit(maWindow.toDouble) * col("sn").cast("double")), 6).as("seasonal"))
+      .select(col("day"), col("daily"), col("trend"), col("seasonal"),
+        round(col("daily") - col("trend") - col("seasonal"), 6).as("residual"))
+  }
 }

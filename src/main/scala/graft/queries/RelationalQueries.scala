@@ -1013,6 +1013,45 @@ object RelationalQueries {
         |WHERE rnk <= 3""".stripMargin)),
 
     Q(
+      "q50_seasonal_decompose",
+      "Classical additive seasonal decomposition by moving averages " +
+        "(Timeseries.seasonalDecompose): daily decimal-exact totals, " +
+        "centered 7-day moving-average trend (full windows only), " +
+        "seasonal index per position-in-period (days-since-epoch mod " +
+        "7 - no engine day-of-week convention), residual. Detrended " +
+        "values stay SCALED in decimal (7*daily - trendSum) until " +
+        "the final single divisions, rounded to 6. The event stream " +
+        "collapses in the hash agg before the (allow-listed, " +
+        "days-sized) series window sees it.",
+      (s, dir) =>
+        graft.operators.Timeseries.seasonalDecompose(
+          t(s, dir, "events"), "ts", "value", period = 7, maWindow = 7),
+      Some("""WITH daily AS (
+        |  SELECT CAST(ts AS DATE) AS day,
+        |    sum(CAST(CAST(value AS DOUBLE) AS DECIMAL(30,6))) AS dsum
+        |  FROM events GROUP BY 1),
+        |tw AS (
+        |  SELECT day, dsum,
+        |    CASE WHEN count(*) OVER (ORDER BY day
+        |        ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) = 7
+        |      THEN sum(dsum) OVER (ORDER BY day
+        |        ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) END AS tsum,
+        |    date_diff('day', DATE '1970-01-05', day) % 7 AS sidx
+        |  FROM daily),
+        |seas AS (
+        |  SELECT sidx, sum(7 * dsum - tsum) AS ssum, count(*) AS sn
+        |  FROM tw WHERE tsum IS NOT NULL GROUP BY 1),
+        |o AS (
+        |  SELECT b.day,
+        |    round(CAST(b.dsum AS DOUBLE), 6) AS daily,
+        |    round(CAST(b.tsum AS DOUBLE) / 7.0, 6) AS trend,
+        |    round(CAST(s.ssum AS DOUBLE) / (7.0 * CAST(s.sn AS DOUBLE)), 6) AS seasonal
+        |  FROM tw b LEFT JOIN seas s USING (sidx))
+        |SELECT day, daily, trend, seasonal,
+        |  round(daily - trend - seasonal, 6) AS residual
+        |FROM o""".stripMargin)),
+
+    Q(
       "q49_hll_distinct",
       "HyperLogLog distinct sketch (functions/HllSketch, graft_hll, " +
         "p=8): per-group register arrays over hash60(l_orderkey), " +

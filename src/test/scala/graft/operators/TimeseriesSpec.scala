@@ -40,4 +40,32 @@ class TimeseriesSpec extends SparkSuite {
       .collect().map(r => (r.getAs[String]("grp"), r.getAs[Long]("id")))
     assert(got.toSeq == Seq(("a", 10L)), got.mkString(","))
   }
+
+  test("seasonalDecompose: recovers a planted trend+seasonal signal") {
+    // 28 days: flat level 100 + seasonal bump (+14 on sidx 0, -14/6 on
+    // the rest → zero-mean over the period) — on a constant trend the
+    // 7-day MA is exactly 100 and the seasonal means recover the bump.
+    import java.sql.Timestamp
+    val rows = (0 until 28).map { d =>
+      val bump = if (d % 7 == 4) 14.0 else -14.0 / 6.0
+      (Timestamp.valueOf(f"2024-01-${d + 1}%02d 12:00:00"), 100.0 + bump)
+    }
+    val out = Timeseries.seasonalDecompose(rows.toDF("ts", "value"), "ts", "value")
+      .collect().map(r => (r.getDate(0).toString,
+        r.getDouble(1),
+        Option(r.get(2)).map(_.asInstanceOf[Double]),
+        Option(r.get(3)).map(_.asInstanceOf[Double]),
+        Option(r.get(4)).map(_.asInstanceOf[Double])))
+      .sortBy(_._1)
+    assert(out.length == 28)
+    // edge days (first/last 3) have no full MA window → null trend/residual
+    assert(out.take(3).forall(_._3.isEmpty) && out.takeRight(3).forall(_._3.isEmpty))
+    val interior = out.drop(3).dropRight(3)
+    assert(interior.forall(r => math.abs(r._3.get - 100.0) < 1e-6),
+      "constant-level MA must be 100")
+    // seasonal index recovered: +14 on the bump day, ≈ -2.333333 elsewhere
+    val bumpDays = interior.filter(_._2 > 110.0)
+    assert(bumpDays.nonEmpty && bumpDays.forall(r => math.abs(r._4.get - 14.0) < 1e-6))
+    assert(interior.forall(r => math.abs(r._5.get) < 1e-5), "residual ≈ 0")
+  }
 }
