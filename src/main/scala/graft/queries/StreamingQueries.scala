@@ -331,6 +331,35 @@ object StreamingQueries {
         |FROM sel, mm""".stripMargin)),
 
     Q(
+      "qst11_stream_topk",
+      "Streaming top-k maintenance: q48's mergeable top-k heap " +
+        "(graft_topk) run AS the streaming aggregate — per-batch " +
+        "partials merge into per-user (score, id) heap state, so the " +
+        "state store holds at most k pairs per user forever (bounded " +
+        "state without a watermark: the heap is idempotent under " +
+        "re-merge). The custom TypedImperativeAggregate working " +
+        "unchanged under incremental execution is the point: one " +
+        "aggregate serves batch (q48), rollup, and streaming. Oracle " +
+        "= q48's batch window answer over the same events.",
+      (s, dir) => {
+        graft.functions.GraftFunctions.register(s)
+        val topk = eventsFileStream(s, dir)
+          .groupBy(col("user_id"))
+          .agg(call_function("graft_topk",
+            col("value"), col("event_id"), lit(3)).as("top"))
+        runToMemory(s, "graft_stream_topk", "complete")(topk)
+          .select(col("user_id"), posexplode(col("top")))
+          .select(col("user_id"), (col("pos") + 1).cast("long").as("rnk"),
+            col("col.id").as("event_id"), col("col.score").as("value"))
+      },
+      Some("""SELECT user_id, CAST(rnk AS BIGINT) AS rnk, event_id, value FROM (
+        |  SELECT user_id, event_id, value,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY value DESC, event_id) AS rnk
+        |  FROM events)
+        |WHERE rnk <= 3""".stripMargin)),
+
+    Q(
       "qst09_stream_static_join",
       "Stream-static join: the event stream enriched against a " +
         "BROADCAST dimension (event_type → category) — stateless, " +
