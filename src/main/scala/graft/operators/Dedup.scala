@@ -938,13 +938,14 @@ object Dedup {
     * survivors verify with one linear array_intersect per pair over
     * 8-byte shingle hashes. Everything is equi-join + aggregate; the
     * only per-pair work is the verify on the filtered candidate set. */
-  def prefixJaccardPairs(
-      docs: DataFrame,
-      idCol: String,
-      textCol: String,
-      nShingle: Int = 3,
-      threshold: Double = 0.4): DataFrame = {
-    require(threshold > 0.0 && threshold <= 1.0, "threshold in (0,1]")
+  /** Shared PPJoin-family preparation: each doc's distinct shingle
+    * hashes in rarest-first canonical order (global-df ascending, tok
+    * tiebreak — a total order, so the layout is deterministic under
+    * any partitioning). Persisted: both the prefix/probe explode and
+    * the verify step read it. */
+  private def rarestFirstOrdered(
+      docs: DataFrame, idCol: String, textCol: String,
+      nShingle: Int): DataFrame = {
     val base = graft.core.Partitioning.parallelize(docs, col(idCol))
       .select(col(idCol).as("doc_id"), split(col(textCol), " ").as("w"))
       .filter(size(col("w")) >= nShingle)
@@ -953,16 +954,25 @@ object Dedup {
           .as("sh"))
     val tok = base.select(col("doc_id"), explode(col("sh")).as("tok"))
     val dfTab = tok.groupBy(col("tok")).agg(count(lit(1)).as("df"))
-    // rarest-first canonical order: collect_list is order-nondeterministic
-    // but sort_array imposes a total order — (df, tok) is unique within a
-    // doc — so the layout is deterministic under any partitioning
-    val ordered = graft.core.OpCache.persist(
+    // collect_list is order-nondeterministic but sort_array imposes the
+    // (df, tok) total order
+    graft.core.OpCache.persist(
       tok.join(dfTab, "tok")
         .groupBy(col("doc_id"))
         .agg(sort_array(collect_list(struct(col("df"), col("tok")))).as("ord"))
         .select(col("doc_id"),
           transform(col("ord"), s => s.getField("tok")).as("sh"),
           size(col("ord")).as("n")))
+  }
+
+  def prefixJaccardPairs(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      nShingle: Int = 3,
+      threshold: Double = 0.4): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0, "threshold in (0,1]")
+    val ordered = rarestFirstOrdered(docs, idCol, textCol, nShingle)
     val pre = ordered.select(col("doc_id"), col("n"),
       explode(slice(col("sh"), lit(1),
         (col("n") - ceil(lit(threshold) * col("n")) + lit(1)).cast("int")))
@@ -987,6 +997,54 @@ object Dedup {
         (col("inter").cast("double") /
           (col("na") + col("nb") - col("inter")).cast("double")).as("jaccard"))
       .filter(col("jaccard") >= threshold)
+  }
+
+  /** ASYMMETRIC containment pairs — |A∩B| / |A| ≥ threshold, emitted
+    * as (a_id contained-in b_id): the subset-duplication detector the
+    * symmetric operators structurally miss. [[prefixJaccardPairs]]
+    * and [[blockedJaccardPairs]] both run a size-ratio prune (jaccard
+    * ≤ min/max), so a 50-word document copied verbatim into a
+    * 500-word page can NEVER qualify there — jaccard ≈ 0.1 — while
+    * its containment is ≈ 1.0. This is the quote/extraction/
+    * boilerplate-embedding signal of a crawl pipeline.
+    *
+    * Lossless prefix filter, containment edition: a qualifying pair
+    * needs |A∩B| ≥ ⌈t·|A|⌉, so A's rarest-first PREFIX of length
+    * |A| − ⌈t·|A|⌉ + 1 must intersect B (pigeonhole on A's canonical
+    * order — no ordering assumption on B). Hence: index A-side
+    * prefixes, probe the FULL token index of the corpus (the
+    * asymmetry is structural: prefix × full, not prefix × prefix),
+    * no size-ratio prune anywhere. Prefix tokens are each doc's
+    * RAREST shingles, so the full index is only ever probed at rare
+    * keys — the hot-boilerplate skew stays out of the join by the
+    * same argument as qd20. Oracle = the direct all-pairs containment
+    * definition (losslessness makes that valid). */
+  def containmentPairs(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      nShingle: Int = 3,
+      threshold: Double = 0.5): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0, "threshold in (0,1]")
+    val ordered = rarestFirstOrdered(docs, idCol, textCol, nShingle)
+    val pre = ordered.select(col("doc_id"), col("n"),
+      explode(slice(col("sh"), lit(1),
+        (col("n") - ceil(lit(threshold) * col("n")) + lit(1)).cast("int")))
+        .as("ptok"))
+    val full = ordered.select(col("doc_id").as("b_id"),
+      explode(col("sh")).as("ftok"))
+    val cand = pre.as("a").join(full.as("f"),
+        col("a.ptok") === col("f.ftok") && col("a.doc_id") =!= col("f.b_id"))
+      .select(col("a.doc_id").as("a_id"), col("f.b_id").as("b_id"))
+      .distinct()
+    val aS = ordered.select(col("doc_id").as("a_id"), col("sh").as("a_sh"),
+      col("n").as("na"))
+    val bS = ordered.select(col("doc_id").as("b_id"), col("sh").as("b_sh"))
+    cand.join(aS, "a_id").join(bS, "b_id")
+      .select(col("a_id"), col("b_id"),
+        (size(array_intersect(col("a_sh"), col("b_sh"))).cast("double") /
+          col("na").cast("double")).as("containment"))
+      .filter(col("containment") >= threshold)
   }
 
   /** Sorted-neighborhood near-dup pairs (Hernández–Stolfo SNM, the

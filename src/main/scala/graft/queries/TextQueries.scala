@@ -701,6 +701,34 @@ object TextQueries {
         |    >= 0.4""".stripMargin)),
 
     Q(
+      "qd24_containment",
+      "Asymmetric containment pairs |A∩B|/|A| >= 0.5 " +
+        "(Dedup.containmentPairs) - the subset-duplication detector: " +
+        "a short doc copied into a long page has jaccard ~0.1 (the " +
+        "size-ratio prune in qd04/qd20 structurally EXCLUDES it) but " +
+        "containment ~1.0. Lossless prefix filter on the contained " +
+        "side probing the FULL token index (prefix x full - the " +
+        "asymmetry is structural), no size-ratio prune; oracle = the " +
+        "direct all-pairs definition.",
+      (s, dir) =>
+        Dedup.containmentPairs(Tables.load(s, dir, "documents"),
+          "doc_id", "text", nShingle = 3, threshold = 0.5),
+      Some(s"""WITH s AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(
+        |      list_transform(range(1, len(w)-1),
+        |        i -> concat(w[i], ' ', w[i+1], ' ', w[i+2])),
+        |      g -> ${dkHash60("g")})) AS sh
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+        |  WHERE len(w) >= 3)
+        |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+        |  CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+        |    CAST(len(a.sh) AS DOUBLE) AS containment
+        |FROM s a JOIN s b ON a.doc_id <> b.doc_id
+        |WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+        |    CAST(len(a.sh) AS DOUBLE) >= 0.5""".stripMargin)),
+
+    Q(
       "qd23_kcore",
       "Bounded-round k-core peel (GraphRank.kCore, k=6, rounds=6) " +
         "over the bipartite order-part graph (distinct (l_orderkey, " +

@@ -340,6 +340,37 @@ class DedupSpec extends SparkSuite {
     graft.core.OpCache.releaseAll(blocking = true)
   }
 
+  test("containmentPairs finds subset-duplication that jaccard structurally misses") {
+    // doc 2 = doc 1's 20 words verbatim inside 100 words of noise:
+    // jaccard ≈ 18/(98+18-18) ≈ 0.18 — below any useful symmetric
+    // threshold — but containment(1 ⊆ 2) = 1.0
+    val small = (0 until 20).map(i => s"w$i").mkString(" ")
+    val big = ((100 until 180).map(i => s"n$i") :+ small).mkString(" ")
+    val other = (0 until 40).map(i => s"z$i").mkString(" ")
+    val docs = Seq((1L, small), (2L, big), (3L, other)).toDF("doc_id", "text")
+    val got = Dedup.containmentPairs(docs, "doc_id", "text", threshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.toSeq == Seq((1L, 2L, 1.0)), got.mkString(","))
+    // and the symmetric PPJoin at 0.4 cannot see the pair
+    assert(Dedup.prefixJaccardPairs(docs, "doc_id", "text", threshold = 0.4)
+      .count() == 0)
+    // lossless vs brute force across thresholds (both directions)
+    for (t <- Seq(0.3, 0.6, 1.0)) {
+      val gotT = Dedup.containmentPairs(docs, "doc_id", "text", threshold = t)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val sets = docs
+        .select($"doc_id", Dedup.wordShingles(split($"text", " "), 3).as("sh"))
+        .select($"doc_id", transform($"sh", s => Dedup.hash60(s)).as("sh"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSet)
+      val expect = (for {
+        (ai, as) <- sets; (bi, bs) <- sets if ai != bi
+        if (as & bs).size.toDouble / as.size.toDouble >= t
+      } yield (ai, bi)).toSet
+      assert(gotT === expect, s"threshold $t")
+    }
+    graft.core.OpCache.releaseAll(blocking = true)
+  }
+
   test("segmentDedupRewrite: keep-first rewrite, partial tail segments, emptied docs") {
     // segWords=2 → doc 1: [a b][c d][e f]; doc 2 repeats [a b] and [e f]
     // and contributes one new segment + a 1-word tail; doc 3 is entirely
