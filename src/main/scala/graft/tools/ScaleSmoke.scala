@@ -245,6 +245,68 @@ object ScaleSmoke {
           ev, err, key = "user_id", leftTs = "ts", rightTs = "err_ts",
           payload = Seq("last_err_value"), rightTiebreak = Some("err_id"))
           .count()
+      },
+      time("segment_dedup_rewrite") {
+        // the duplicated corpus multiplies every segment's repeat mass
+        // by the factor — exactly the load the argmin keep-first is
+        // built to collapse map-side (distinct segments stay constant)
+        Dedup.segmentDedupRewrite(docs, "doc_id", "text").count()
+      },
+      time("sorted_neighborhood") {
+        // production order (the dedup_corpus discipline): exact copies
+        // collapse to representatives first — SNM's rank neighborhoods
+        // measure near-dup structure, not copy runs
+        val reps = Dedup.exactDupGroups(docs, "doc_id", "text")
+          .select($"keep_id".as("doc_id"))
+        val collapsed = docs.join(reps, Seq("doc_id"), "left_semi")
+        Dedup.sortedNeighborhoodPairs(collapsed, "doc_id", "text",
+          Dedup.snmDefaultKeys("text"), window = 4).count()
+      },
+      time("containment_pairs") {
+        // collapse-first for the same reason: containment between exact
+        // copies is 1.0 by definition and would fill the output with
+        // factor² copy pairs no pipeline wants
+        val reps = Dedup.exactDupGroups(docs, "doc_id", "text")
+          .select($"keep_id".as("doc_id"))
+        val collapsed = docs.join(reps, Seq("doc_id"), "left_semi")
+        Dedup.containmentPairs(collapsed, "doc_id", "text").count()
+      },
+      time("hll_distinct") {
+        graft.functions.GraftFunctions.register(spark)
+        li.select($"l_returnflag",
+            Dedup.hash60($"l_orderkey".cast("string")).as("h"))
+          .groupBy($"l_returnflag")
+          .agg(call_function("graft_hll", $"h", lit(8)).as("regs"))
+          .count()
+      },
+      time("kcore_6rounds") {
+        val e = li.select($"l_orderkey".as("a_id"),
+          ($"l_partkey".cast("long") + 1000000000L).as("b_id")).distinct()
+        graft.operators.GraphRank.kCore(e, k = 6, rounds = 6).count()
+      },
+      time("seasonal_decompose") {
+        val ev = {
+          val raw = spark.read.parquet(s"$out/events.parquet")
+          if (raw.schema("ts").dataType ==
+              org.apache.spark.sql.types.LongType)
+            raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+          else raw
+        }
+        graft.operators.Timeseries.seasonalDecompose(ev, "ts", "value")
+          .count()
+      },
+      time("scd2_apply") {
+        val hist = cust.filter($"c_custkey" % 13 =!= 0)
+          .select($"c_custkey",
+            when($"c_custkey" % 7 === 0, lit("OLD"))
+              .otherwise($"c_mktsegment").as("segment"),
+            lit("1990-01-01 00:00:00").as("valid_from"),
+            lit(null).cast("string").as("valid_to"),
+            lit(true).as("is_current"))
+        val snap = cust.filter($"c_custkey" % 11 =!= 0)
+          .select($"c_custkey", $"c_mktsegment".as("segment"))
+        graft.warehouse.Cdc.scd2Apply(hist, snap, "c_custkey",
+          Seq("segment"), effectiveTs = "2000-06-01 00:00:00").count()
       })
 
     val total = results.map(_._2).sum
