@@ -1142,16 +1142,17 @@ object Dedup {
     *
     * Output: (doc_id, text, n_kept, n_dropped) — one row per input
     * document; a document whose every segment occurred earlier
-    * elsewhere survives with `text = ""` and n_kept = 0.
-    * Contract: non-null `textCol` (split(" ") semantics as the other
-    * text operators).
+    * elsewhere survives with `text = ""` and n_kept = 0. A null
+    * `textCol` is treated as the empty string (the doc stays in the
+    * output — a rewrite must never silently drop rows, the
+    * snapshotDiff lesson applied here).
     */
   def segmentDedupRewrite(
       docs: DataFrame,
       idCol: String,
       textCol: String,
       segWords: Int = 10): DataFrame = {
-    val w = split(col(textCol), " ")
+    val w = split(coalesce(col(textCol), lit("")), " ")
     // size(w) >= 1 always (split never yields an empty array), so the
     // sequence upper bound is >= 0 and never runs backwards
     val segs = graft.core.OpCache.persist(

@@ -114,8 +114,11 @@ object Cdc {
     * consumed ONCE: each joined row explodes into its 0–2 result rows
     * via a conditional struct array, so no branch re-executes the
     * join. History schema: key, attrs…, valid_from, valid_to (null =
-    * open), is_current. Contract: one current row per key, snapshot
-    * unique per key ([[snapshotDiff]]'s discipline applies upstream).
+    * open), is_current. Contract: one current row per key and a
+    * snapshot unique per key — both ENFORCED with a loud failure (the
+    * [[snapshotDiff]] discipline): a duplicate on either side would
+    * fan out through the full-outer join and silently multiply
+    * history rows.
     */
   def scd2Apply(
       history: DataFrame,
@@ -123,13 +126,26 @@ object Cdc {
       keyCol: String,
       attrCols: Seq[String],
       effectiveTs: String): DataFrame = {
+    require(attrCols.nonEmpty, "scd2Apply needs at least one attribute column")
     val metaCols = Seq("valid_from", "valid_to", "is_current")
     val outCols = (keyCol +: attrCols) ++ metaCols
     val closedPass = history.filter(!col("is_current"))
       .select(outCols.map(col): _*)
-    val cur = history.filter(col("is_current"))
-    val snap = snapshot.select(
-      col(keyCol).as("__sk") +: attrCols.map(a => col(a).as(s"__s_$a")): _*)
+    // one-row-per-key guards, folded into columns the join consumes so
+    // they cannot be pruned (the snapshotDiff pattern); the count agg
+    // shares the join's key partitioning
+    def dupGuard(df: DataFrame, what: String): DataFrame =
+      df.join(df.groupBy(col(keyCol)).agg(count(lit(1)).as("__c")), Seq(keyCol))
+    def guarded(c: Column, what: String): Column =
+      when(col("__c") > 1, raise_error(concat(
+        lit(s"scd2Apply: duplicate key in $what: "), col(keyCol).cast("string"))))
+        .otherwise(c)
+    val cur = dupGuard(history.filter(col("is_current")), "current history")
+      .withColumn("valid_from", guarded(col("valid_from"), "current history"))
+      .drop("__c")
+    val snap = dupGuard(snapshot, "snapshot").select(
+      col(keyCol).as("__sk") +: attrCols.map(a =>
+        guarded(col(a), "snapshot").as(s"__s_$a")): _*)
     val j = cur.join(snap, col(keyCol) === col("__sk"), "full_outer")
     val same = attrCols.map(a => col(a) <=> col(s"__s_$a")).reduce(_ && _)
     val hEx = col(keyCol).isNotNull

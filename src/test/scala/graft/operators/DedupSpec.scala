@@ -393,6 +393,12 @@ class DedupSpec extends SparkSuite {
     val out2 = Dedup.segmentDedupRewrite(selfDup, "doc_id", "text", segWords = 2)
       .collect().map(r => (r.getString(1), r.getLong(2), r.getLong(3))).toSet
     assert(out2 === Set(("p q r s", 2L, 1L)))
+    // null text = empty string; the doc is never silently dropped
+    val withNull = Seq((8L, Some("x y")), (9L, None))
+      .toDF("doc_id", "text")
+    val out3 = Dedup.segmentDedupRewrite(withNull, "doc_id", "text", segWords = 2)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(out3 === Map(8L -> "x y", 9L -> ""))
     graft.core.OpCache.releaseAll(blocking = true)
   }
 }

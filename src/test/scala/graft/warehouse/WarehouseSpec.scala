@@ -183,4 +183,24 @@ class WarehouseSpec extends SparkSuite {
     val again = Cdc.scd2Apply(out, cur, "k", Seq("attr"), "t3")
     assert(rowsOf(again) === rowsOf(out), "apply is idempotent on a matching snapshot")
   }
+
+  test("scd2Apply: duplicate keys on either side fail loudly, not fan out") {
+    import org.apache.spark.sql.functions._
+    val hist = Seq((1L, "a", "t0", None: Option[String], true))
+      .toDF("k", "attr", "valid_from", "valid_to", "is_current")
+    val dupSnap = Seq((1L, "a"), (1L, "b")).toDF("k", "attr")
+    val e1 = intercept[Exception] {
+      Cdc.scd2Apply(hist, dupSnap, "k", Seq("attr"), "t1").collect()
+    }
+    assert(e1.getMessage.contains("duplicate key in snapshot"), e1.getMessage)
+    val dupHist = Seq(
+      (1L, "a", "t0", None: Option[String], true),
+      (1L, "b", "t0", None: Option[String], true))
+      .toDF("k", "attr", "valid_from", "valid_to", "is_current")
+    val snap = Seq((1L, "a")).toDF("k", "attr")
+    val e2 = intercept[Exception] {
+      Cdc.scd2Apply(dupHist, snap, "k", Seq("attr"), "t1").collect()
+    }
+    assert(e2.getMessage.contains("duplicate key in current history"), e2.getMessage)
+  }
 }
