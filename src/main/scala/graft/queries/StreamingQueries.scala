@@ -360,6 +360,53 @@ object StreamingQueries {
         |WHERE rnk <= 3""".stripMargin)),
 
     Q(
+      "qst12_stream_hll",
+      "Streaming distinct-user maintenance: q49's HyperLogLog " +
+        "register sketch (graft_hll, p=8) run AS the streaming " +
+        "aggregate - per-batch registers merge by elementwise max " +
+        "into 256 bytes of state per event_type, FOREVER (cardinality " +
+        "state that never grows is the whole reason sketches exist in " +
+        "streams; exact distinct would hold every user id). Same " +
+        "integer-exact register/estimator derivation as q49; oracle " +
+        "replays the sketch over the batch events.",
+      (s, dir) => {
+        graft.functions.GraftFunctions.register(s)
+        val sk = eventsFileStream(s, dir)
+          .select(col("event_type"),
+            graft.operators.Dedup.hash60(col("user_id").cast("string")).as("h"))
+          .groupBy(col("event_type"))
+          .agg(call_function("graft_hll", col("h"), lit(8)).as("regs"))
+        runToMemory(s, "graft_stream_hll_q", "complete")(sk)
+          .select(col("event_type"),
+            size(filter(col("regs"), r => r === 0)).cast("long").as("v_zero"),
+            expr("aggregate(regs, CAST(0 AS BIGINT), " +
+              "(acc, r) -> acc + shiftright(CAST(9007199254740992 AS BIGINT), r))")
+              .as("s_scaled"))
+          .withColumn("est_distinct",
+            lit(0.7213) / (lit(1.0) + lit(1.079) / lit(256.0)) * lit(65536.0) *
+              lit(9007199254740992.0) / col("s_scaled").cast("double"))
+      },
+      Some("""WITH h AS (
+        |  SELECT event_type,
+        |    CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) AS hv
+        |  FROM events),
+        |regs AS (
+        |  SELECT event_type, hv // 4503599627370496 AS bucket,
+        |    max(CASE WHEN hv % 4503599627370496 = 0 THEN 53
+        |        ELSE 53 - length(bin(hv % 4503599627370496)) END) AS rho
+        |  FROM h GROUP BY 1, 2),
+        |agg AS (
+        |  SELECT event_type,
+        |    CAST(256 - count(*) AS BIGINT) AS v_zero,
+        |    CAST(sum(9007199254740992 >> rho)
+        |      + (256 - count(*)) * 9007199254740992 AS BIGINT) AS s_scaled
+        |  FROM regs GROUP BY 1)
+        |SELECT event_type, v_zero, s_scaled,
+        |  0.7213 / (1.0 + 1.079 / 256.0) * 65536.0 * 9007199254740992.0 /
+        |    CAST(s_scaled AS DOUBLE) AS est_distinct
+        |FROM agg""".stripMargin)),
+
+    Q(
       "qst09_stream_static_join",
       "Stream-static join: the event stream enriched against a " +
         "BROADCAST dimension (event_type → category) — stateless, " +
