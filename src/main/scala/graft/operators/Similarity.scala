@@ -392,6 +392,43 @@ object Similarity {
       .select(col("vec_id"), col("nbr_id"), col("rnk").cast("long").as("rnk"))
   }
 
+  /** FILTERED ANN — the metadata-predicate + vector-search composition
+    * every vector store struggles with (pre- vs post-filtering): top-k
+    * neighbors among corpus vectors sharing the query's `attrCol`
+    * value. In Spark the filter is not a separate phase at all: the
+    * attribute equality joins the probe↔cell equi-join as a SECOND
+    * join key, so the shuffle partitions by (cent_id, attr) — buckets
+    * THIN by the filter's selectivity instead of being scored and
+    * discarded (post-filtering's waste), and no candidate list is
+    * ever over-fetched to survive the filter (pre-filtering's recall
+    * trap at low selectivity is the IVF recall dial, nProbe, which
+    * stays independent of the predicate). Null-safe equality: null
+    * attrs match each other, never non-nulls.
+    *
+    * Same IVF semantics as [[ivfTopKWithIndex]] otherwise; ranking by
+    * the mergeable top-k heap. */
+  def filteredIvfTopK(
+      em: DataFrame, idCol: String, vecCol: String, attrCol: String,
+      queries: DataFrame,
+      k: Int, centroidStride: Int = 40, nProbe: Int = 4): DataFrame = {
+    val idx = buildIvfIndex(em, idCol, vecCol, centroidStride)
+    val attrs = em.select(col(idCol).as("vec_id"), col(attrCol).as("__attr"))
+    val cellsA = idx.cells.join(attrs, Seq("vec_id"))
+    val q = withNorm(queries, idCol, vecCol).join(attrs, Seq("vec_id"))
+    val probes = centroidRanks(q, broadcast(idx.centroids), maxRank = nProbe)
+      .select(col("vec_id"), col("cent_id"))
+    val probe = q.join(probes, Seq("vec_id"))
+    val scored = probe.as("p")
+      .join(cellsA.as("c"),
+        col("p.cent_id") === col("c.cent_id") &&
+          col("p.__attr") <=> col("c.__attr") &&
+          col("p.vec_id") =!= col("c.vec_id"))
+      .select(col("p.vec_id").as("vec_id"), col("c.vec_id").as("nbr_id"),
+        cosineWithNorms(col("p.embedding"), col("c.embedding"),
+          col("p.nrm"), col("c.nrm")).as("cos"))
+    topKHeap(scored, "vec_id", col("cos"), col("nbr_id"), "nbr_id", k)
+  }
+
   /** Per-dimension symmetric int8 calibration table (dim, scale):
     * scale_d = max |x_d| over the corpus (1.0 for an identically-zero
     * dimension, so quantization never divides by zero). One

@@ -655,6 +655,55 @@ object SimilarityQueries {
         |GROUP BY label, t.i""".stripMargin)),
 
     Q(
+      "qs19_filtered_ann",
+      "FILTERED ANN (Similarity.filteredIvfTopK): top-5 neighbors " +
+        "sharing the query's label - the metadata-predicate + vector " +
+        "search composition. The attribute equality rides the " +
+        "probe-cell equi-join as a SECOND join key (shuffle by " +
+        "(cent_id, label)): buckets thin by selectivity instead of " +
+        "being scored then discarded (post-filter waste) and recall " +
+        "stays on the nProbe dial (pre-filter trap avoided). Query " +
+        "batch = the 1% vec_id % 101 = 0 convention.",
+      (s, dir) => {
+        import org.apache.spark.sql.functions.col
+        val em = Tables.load(s, dir, "embeddings")
+        Similarity.filteredIvfTopK(em, "vec_id", "embedding", "label",
+          em.filter(col("vec_id") % 101 === 0),
+          k = 5, centroidStride = 40, nProbe = 4)
+      },
+      Some(s"""WITH e AS (
+        |  SELECT vec_id, embedding, label, ${dkNorm("embedding")} AS nrm
+        |  FROM embeddings),
+        |c AS (SELECT vec_id AS cent_id, embedding AS cemb, nrm AS cnrm FROM e WHERE vec_id % 40 = 0),
+        |ranked AS (
+        |  SELECT e.vec_id, c.cent_id,
+        |    row_number() OVER (PARTITION BY e.vec_id ORDER BY
+        |      ${dkDot("e.embedding", "c.cemb")} / (e.nrm * c.cnrm) DESC,
+        |      c.cent_id) AS rn
+        |  FROM e, c WHERE e.vec_id % 101 = 0),
+        |assignq AS (
+        |  SELECT e.vec_id, c.cent_id,
+        |    row_number() OVER (PARTITION BY e.vec_id ORDER BY
+        |      ${dkDot("e.embedding", "c.cemb")} / (e.nrm * c.cnrm) DESC,
+        |      c.cent_id) AS rn
+        |  FROM e, c),
+        |assign AS (SELECT vec_id, cent_id FROM assignq WHERE rn = 1),
+        |probes AS (SELECT vec_id, cent_id FROM ranked WHERE rn <= 4),
+        |b AS (SELECT e.vec_id, e.embedding, e.nrm, e.label, a.cent_id
+        |      FROM e JOIN assign a USING (vec_id)),
+        |p AS (SELECT e.vec_id, e.embedding, e.nrm, e.label, pr.cent_id
+        |      FROM e JOIN probes pr USING (vec_id))
+        |SELECT vec_id, nbr_id, rnk FROM (
+        |  SELECT p.vec_id AS vec_id, q.vec_id AS nbr_id,
+        |    row_number() OVER (PARTITION BY p.vec_id ORDER BY
+        |      ${dkDot("p.embedding", "q.embedding")} / (p.nrm * q.nrm) DESC,
+        |      q.vec_id) AS rnk
+        |  FROM p JOIN b q ON p.cent_id = q.cent_id
+        |    AND p.label IS NOT DISTINCT FROM q.label
+        |    AND p.vec_id <> q.vec_id)
+        |WHERE rnk <= 5""".stripMargin)),
+
+    Q(
       "qs18_random_projection",
       "Random-projection (Johnson-Lindenstrauss) ANN tier: 64-dim " +
         "float vectors project onto 16 deterministic ±1 hyperplanes " +

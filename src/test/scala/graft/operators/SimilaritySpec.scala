@@ -370,4 +370,27 @@ class SimilaritySpec extends SparkSuite {
       .collect().map(r => (r.getLong(1), r.getLong(2)))
     assert(got.toSeq.sorted == re.toSeq.sorted)
   }
+
+  test("filteredIvfTopK returns only same-label neighbors; exhaustive probe = filtered brute force") {
+    import org.apache.spark.sql.functions._
+    val labeled = vecs.map { case (id, v) => (id, v, (id % 3).toInt) }
+      .toDF("vec_id", "embedding", "label")
+    val queries = labeled.filter($"vec_id" < 4)
+    // stride 1 → every vector is a centroid; nProbe = 20 → every cell
+    // probed: the IVF result must equal the filtered exact answer
+    val got = Similarity.filteredIvfTopK(labeled, "vec_id", "embedding",
+      "label", queries, k = 3, centroidStride = 1, nProbe = 20)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val labelOf = vecs.map { case (id, _) => id -> (id % 3).toInt }.toMap
+    assert(got.forall { case (q, n, _) => labelOf(q) == labelOf(n) },
+      s"cross-label neighbor leaked: ${got.toSeq}")
+    val expect = (0L until 4L).flatMap { q =>
+      vecs.filter { case (id, _) => id != q && labelOf(id) == labelOf(q) }
+        .map { case (id, v) => (id, cosine(vecs(q.toInt)._2, v)) }
+        .sortBy { case (id, c) => (-c, id) }.take(3).zipWithIndex
+        .map { case ((id, _), i) => (q, id, (i + 1).toLong) }
+    }.toSet
+    assert(got.toSet === expect)
+    graft.core.OpCache.releaseAll(blocking = true)
+  }
 }
