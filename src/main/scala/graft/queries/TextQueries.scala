@@ -701,6 +701,34 @@ object TextQueries {
         |    >= 0.4""".stripMargin)),
 
     Q(
+      "qt24_uniform_sample",
+      "Deterministic uniform k-sample per group (bottom-k-of-hash " +
+        "reservoir): per source, the 10 docs with smallest " +
+        "hash60(doc_id) via the mergeable KMV buffer (graft_bottom_k " +
+        "- k longs of state per group, map-side collapse), exploded " +
+        "and joined back to rows. EXACTLY k per group (vs sampleBy's " +
+        "Bernoulli approximation), partitioning-invariant, and " +
+        "refreshable: re-running on a grown corpus keeps a consistent " +
+        "sample (hash order is stable). Oracle = the window form.",
+      (s, dir) => {
+        graft.functions.GraftFunctions.register(s)
+        val h = Tables.load(s, dir, "documents")
+          .select(col("source"), col("doc_id"),
+            Dedup.hash60(col("doc_id").cast("string")).as("h"))
+        val sk = h.groupBy(col("source"))
+          .agg(call_function("graft_bottom_k", col("h"), lit(10)).as("sk"))
+          .select(col("source"), explode(col("sk")).as("h"))
+        h.join(sk, Seq("source", "h"), "left_semi")
+          .select(col("source"), col("doc_id"))
+      },
+      Some(s"""SELECT source, doc_id FROM (
+        |  SELECT source, doc_id,
+        |    row_number() OVER (PARTITION BY source ORDER BY
+        |      ${dkHash60("CAST(doc_id AS VARCHAR)")}, doc_id) AS rn
+        |  FROM documents)
+        |WHERE rn <= 10""".stripMargin)),
+
+    Q(
       "qd24_containment",
       "Asymmetric containment pairs |A∩B|/|A| >= 0.5 " +
         "(Dedup.containmentPairs) - the subset-duplication detector: " +
