@@ -135,6 +135,57 @@ object GraphRank {
     degrees(e).select(col("n").as("node_id"), col("d").as("degree"))
   }
 
+  /** Bounded-round synchronous label propagation (Raghavan et al.
+    * 2007) — community detection over the similarity graph, the
+    * DENSITY-aware complement to connected components: CC merges
+    * everything reachable (one bridge edge fuses two template
+    * families); LPA labels converge to majority neighborhoods, so
+    * loosely-bridged dense groups keep distinct labels at small round
+    * counts. Deterministic throughout: initial label = node id, each
+    * round every node adopts the (count DESC, label ASC) argmax of
+    * its neighbors' labels — an exact-integer argmin of
+    * (-count, label) structs, partial-aggregated map-side (the
+    * argmin-vs-window discipline) — and isolated nodes keep their own
+    * id. Fixed rounds, engine-replayable (synchronous LPA can
+    * oscillate on bipartite structure; bounded rounds make that a
+    * defined, replayed outcome rather than a convergence hazard).
+    *
+    * Scale shape per round: one equi-join of the symmetrized edge
+    * list with the label table + two hash aggs, linear in |E| —
+    * power-iteration cost, same as [[pageRank]]; lineage cut per
+    * round above the [[kCore]] threshold. */
+  def labelPropagation(
+      nodes: DataFrame, idCol: String, edges: DataFrame,
+      rounds: Int = 3, aCol: String = "a_id", bCol: String = "b_id"): DataFrame = {
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val spark = nodes.sparkSession
+    val ids = graft.core.OpCache.persist(
+      nodes.select(col(idCol).cast("long").as("node_id")).distinct())
+    val e0 = edges.select(col(aCol).cast("long").as("u"), col(bCol).cast("long").as("v"))
+    val sym = graft.core.OpCache.persist(
+      e0.unionByName(e0.select(col("v").as("u"), col("u").as("v"))))
+    var lab = ids.select(col("node_id"), col("node_id").as("label"))
+    val cutLineage = rounds > 4
+    (0 until rounds).foreach { _ =>
+      val votes = sym
+        .join(lab.select(col("node_id").as("v"), col("label")), Seq("v"))
+        .groupBy(col("u"), col("label")).agg(count(lit(1)).as("c"))
+        .groupBy(col("u"))
+        .agg(min(struct((-col("c")).as("nc"), col("label"))).as("m"))
+        .select(col("u").as("node_id"), col("m.label").as("new_label"))
+      lab = ids.join(votes, Seq("node_id"), "left")
+        .select(col("node_id"),
+          coalesce(col("new_label"), col("node_id")).as("label"))
+      if (cutLineage) {
+        val cutDf = spark.createDataFrame(lab.rdd, lab.schema).persist(MEMORY_AND_DISK)
+        graft.core.OpCache.track(cutDf)
+        lab = cutDf
+      }
+    }
+    lab
+  }
+
   /** Per-node triangle counts over an undirected pair graph — the
     * clustering-density signal of the graph family (a document inside
     * a dense template clique participates in many triangles; a chance

@@ -15,6 +15,50 @@ object TextQueries {
   private def dkHash60(e: String): String =
     s"CAST(concat('0x', substr(md5($e), 1, 15)) AS BIGINT)"
 
+  /** DuckDB replay of GraphRank.labelPropagation over the qd18
+    * maxDist=1 name-edit graph: `rounds` unrolled synchronous rounds,
+    * each a neighbor-label count + (count DESC, label ASC) argmax +
+    * isolated-node fallback. MATERIALIZED for the same inlining
+    * reason as [[kcoreOracle]]. */
+  private def lpaOracle(rounds: Int): String = {
+    val roundCtes = (1 to rounds).map { r =>
+      s"""v$r AS (
+         |  SELECT s.u, l.label, count(*) AS c
+         |  FROM sym s JOIN l${r - 1} l ON l.node_id = s.v
+         |  GROUP BY 1, 2),
+         |w$r AS (
+         |  SELECT u, label FROM v$r
+         |  QUALIFY row_number() OVER (PARTITION BY u ORDER BY c DESC, label) = 1),
+         |l$r AS MATERIALIZED (
+         |  SELECT n.node_id, coalesce(w.label, n.node_id) AS label
+         |  FROM ids n LEFT JOIN w$r w ON w.u = n.node_id)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH s AS (
+       |  SELECT p_partkey AS sid, p_name AS str, length(p_name) AS len,
+       |    string_split(p_name, ' ')[1] AS k1,
+       |    string_split(p_name, ' ')[-1] AS k2
+       |  FROM part),
+       |b1 AS (SELECT sid, str, len, k1 FROM s
+       |       QUALIFY row_number() OVER (PARTITION BY k1 ORDER BY sid) <= 500),
+       |b2 AS (SELECT sid, str, len, k2 FROM s
+       |       QUALIFY row_number() OVER (PARTITION BY k2 ORDER BY sid) <= 500),
+       |cand AS (
+       |  SELECT a.sid AS a_id, b.sid AS b_id, a.str AS sa, b.str AS sb
+       |  FROM b1 a JOIN b1 b ON a.k1 = b.k1 AND a.sid < b.sid
+       |    AND abs(a.len - b.len) <= 1
+       |  UNION
+       |  SELECT a.sid AS a_id, b.sid AS b_id, a.str AS sa, b.str AS sb
+       |  FROM b2 a JOIN b2 b ON a.k2 = b.k2 AND a.sid < b.sid
+       |    AND abs(a.len - b.len) <= 1),
+       |e AS (SELECT a_id, b_id FROM cand WHERE levenshtein(sa, sb) <= 1),
+       |sym AS MATERIALIZED (SELECT a_id AS u, b_id AS v FROM e
+       |       UNION ALL SELECT b_id, a_id FROM e),
+       |ids AS MATERIALIZED (SELECT DISTINCT p_partkey AS node_id FROM part),
+       |l0 AS (SELECT node_id, node_id AS label FROM ids),
+       |$roundCtes
+       |SELECT node_id, label FROM l$rounds""".stripMargin
+  }
+
   /** DuckDB replay of GraphRank.kCore on the bipartite order–part
     * graph: `rounds` unrolled peel rounds (degree agg → survivor
     * filter → edge restriction), then degrees over the final edge
@@ -755,6 +799,26 @@ object TextQueries {
         |FROM s a JOIN s b ON a.doc_id <> b.doc_id
         |WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
         |    CAST(len(a.sh) AS DOUBLE) >= 0.5""".stripMargin)),
+
+    Q(
+      "qd25_label_propagation",
+      "Bounded-round synchronous label propagation (GraphRank." +
+        "labelPropagation, 3 rounds) over the name-edit similarity " +
+        "graph (qd18 maxDist=1 pairs): community detection, the " +
+        "density-aware complement to connected components - loosely " +
+        "bridged dense groups keep distinct labels where CC would " +
+        "fuse them. Deterministic (count DESC, label ASC) argmax as " +
+        "an exact-integer struct argmin, partial-aggregated " +
+        "map-side; isolated nodes keep their own id. Oracle unrolls " +
+        "the three identical rounds (MATERIALIZED CTEs).",
+      (s, dir) => {
+        val part = Tables.load(s, dir, "part")
+        val edges = Dedup.editDistanceNearDup(part, "p_partkey", "p_name",
+          maxDist = 1).select(col("a_id"), col("b_id"))
+        graft.operators.GraphRank.labelPropagation(part, "p_partkey",
+          edges, rounds = 3)
+      },
+      Some(lpaOracle(rounds = 3))),
 
     Q(
       "qd23_kcore",

@@ -86,6 +86,28 @@ class GraphRankSpec extends SparkSuite {
     graft.core.OpCache.releaseAll(blocking = true)
   }
 
+  test("labelPropagation: cliques converge to min-label communities, bridge kept out") {
+    // two triangles {1,2,3} and {5,6,7} joined by one bridge 3-5;
+    // node 9 isolated. After 3 rounds each triangle carries its min
+    // label; the single bridge cannot outvote in-clique majorities.
+    val edges = Seq((1L,2L),(1L,3L),(2L,3L),(5L,6L),(5L,7L),(6L,7L),(3L,5L))
+      .toDF("a_id","b_id")
+    val nodes = Seq(1L,2L,3L,5L,6L,7L,9L).toDF("id")
+    val got = GraphRank.labelPropagation(nodes, "id", edges, rounds = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got(9L) == 9L, "isolated node keeps its own label")
+    val c1 = Set(1L,2L,3L).map(got)
+    val c2 = Set(5L,6L,7L).map(got)
+    assert(c1.size == 1 && c2.size == 1 && c1 != c2,
+      s"two distinct communities expected: $got")
+    // deterministic under repartitioning
+    val re = GraphRank.labelPropagation(nodes.repartition(5), "id",
+      edges.repartition(3), rounds = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(re == got)
+    graft.core.OpCache.releaseAll(blocking = true)
+  }
+
   test("pageRank: empty node table is refused loudly") {
     val nodes = Seq.empty[Long].toDF("id")
     val edges = Seq.empty[(Long, Long)].toDF("a_id", "b_id")
