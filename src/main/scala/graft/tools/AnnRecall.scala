@@ -104,6 +104,28 @@ object AnnRecall {
       val recallR = hitR.toDouble / (n * k)
       println(f"""{"metric":"sq_rerank_recall@$k","value":$recallR%.4f,"overfetch":$m,"n":$n,"sf":"$sfDir"}""")
     }
+    // filtered ANN (qs19): recall vs the label-filtered EXACT answer at
+    // the same probe budget. The exact baseline runs brute force inside
+    // each label partition (labels are few; each subset is small), so
+    // the comparison isolates what IVF probing loses under a predicate.
+    locally {
+      val queries = em.filter(col("vec_id") % 101 === 0)
+      val filt = Similarity.filteredIvfTopK(em, "vec_id", "embedding",
+        "label", queries, k, stride, nProbe)
+        .select(col("vec_id"), col("nbr_id"))
+      val labels = em.select(col("label")).distinct()
+        .collect().map(_.getInt(0)).sorted
+      val exactF = labels.map { l =>
+        Similarity.bruteForceTopK(em.filter(col("label") === l),
+          "vec_id", "embedding", k)
+          .join(queries.select(col("vec_id")), Seq("vec_id"), "left_semi")
+          .select(col("vec_id"), col("nbr_id"))
+      }.reduce(_ unionByName _)
+      val denom = exactF.count()
+      val hitF = exactF.intersect(filt).count()
+      val recallF = hitF.toDouble / denom
+      println(f"""{"metric":"filtered_ann_recall@$k","value":$recallF%.4f,"nprobe":$nProbe,"n_exact":$denom,"sf":"$sfDir"}""")
+    }
     spark.stop()
   }
 }

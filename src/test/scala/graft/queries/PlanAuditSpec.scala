@@ -41,7 +41,11 @@ class PlanAuditSpec extends SparkSuite {
       "q45_bloom_semi_join", "q46_bloom_anti_join",
       // qs10's broadcast query-batch × corpus linear scan, in the
       // 16-dim projected space — not a pair join
-      "qs18_random_projection")
+      "qs18_random_projection",
+      // qs02's broadcast centroid-scoring cross join (queries × stored
+      // centroids); the probe↔cell stage is an EQUI-join on
+      // (cent_id, label)
+      "qs19_filtered_ann")
 
   test("no unexpected cartesian/nested-loop joins anywhere in the registry") {
     val dir = "/root/testdata/sf0.001"
