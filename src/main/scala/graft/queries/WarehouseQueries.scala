@@ -185,6 +185,38 @@ object WarehouseQueries {
         |WHERE rn = 1 AND last_type <> 'error'""".stripMargin)),
 
     Q(
+      "qw10_incremental_join",
+      "Incremental JOIN-view maintenance (the delta-join complement " +
+        "to qw05's aggregate IVM): the stored view orders x customer " +
+        "absorbs insert batches on BOTH sides via " +
+        "V' = V + dA x B' + A_old x dB - three delta-sized joins, " +
+        "never a rescan of V (deltas broadcast; the disjoint " +
+        "old/delta key split makes the union exact, no dedup " +
+        "needed). Deletes/updates route through the CDC family " +
+        "first. Oracle = the full recompute - maintained and " +
+        "recomputed views must match row-for-row.",
+      (s, dir) => {
+        val ords = graft.core.Tables.load(s, dir, "orders")
+        val cust = graft.core.Tables.load(s, dir, "customer")
+        val aOld = ords.filter(pmod(col("o_orderkey"), lit(5)) =!= 0)
+        val dA = ords.filter(pmod(col("o_orderkey"), lit(5)) === 0)
+        val bOld = cust.filter(pmod(col("c_custkey"), lit(7)) =!= 0)
+        val dB = cust.filter(pmod(col("c_custkey"), lit(7)) === 0)
+        def j(a: org.apache.spark.sql.DataFrame,
+              b: org.apache.spark.sql.DataFrame) =
+          a.join(b, col("o_custkey") === col("c_custkey"))
+            .select(col("o_orderkey"), col("c_custkey"),
+              col("c_mktsegment"),
+              col("o_totalprice").cast("double").as("o_totalprice"))
+        j(aOld, bOld)                       // V (stored; recomputed here)
+          .unionByName(j(dA, bOld.unionByName(dB))) // dA × B'
+          .unionByName(j(aOld, broadcast(dB)))      // A_old × dB
+      },
+      Some("""SELECT o_orderkey, c_custkey, c_mktsegment,
+        |  CAST(o_totalprice AS DOUBLE) AS o_totalprice
+        |FROM orders JOIN customer ON o_custkey = c_custkey""".stripMargin)),
+
+    Q(
       "qw05_incremental_agg",
       "Incremental view maintenance (beyond-reference warehouse op): " +
         "a stored per-type aggregate state (count, DECIMAL sum, KMV " +

@@ -164,4 +164,21 @@ class EdgeCasesSpec extends SparkSuite {
     assert(Similarity.sqCalibrate(emptyEm, "embedding").count() == 0)
     graft.core.OpCache.releaseAll(blocking = true)
   }
+
+  test("round-7 session-2 operators handle empty inputs") {
+    assert(Dedup.segmentDedupRewrite(emptyDocs, "doc_id", "text").count() == 0)
+    assert(Dedup.sortedNeighborhoodPairs(emptyDocs, "doc_id", "text",
+      Dedup.snmDefaultKeys("text")).count() == 0)
+    assert(Dedup.containmentPairs(emptyDocs, "doc_id", "text").count() == 0)
+    val emptyEdges = Seq.empty[(Long, Long)].toDF("a_id", "b_id")
+    assert(GraphRank.kCore(emptyEdges, k = 2, rounds = 3).count() == 0)
+    // LPA with no edges: every node keeps its own label
+    val nodes = Seq(1L, 2L).toDF("id")
+    val lpa = GraphRank.labelPropagation(nodes, "id", emptyEdges, rounds = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(lpa == Map(1L -> 1L, 2L -> 2L))
+    val emptyEv = Seq.empty[(java.sql.Timestamp, Double)].toDF("ts", "value")
+    assert(Timeseries.seasonalDecompose(emptyEv, "ts", "value").count() == 0)
+    graft.core.OpCache.releaseAll(blocking = true)
+  }
 }
