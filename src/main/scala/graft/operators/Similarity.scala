@@ -429,6 +429,35 @@ object Similarity {
     topKHeap(scored, "vec_id", col("cos"), col("nbr_id"), "nbr_id", k)
   }
 
+  /** IVF-PQ candidates + EXACT rerank — the full production serving
+    * composition (what a 10¹⁰-vector deployment actually runs): the
+    * memory-resident IVF-PQ tier over-fetches k·overfetch candidates
+    * by ADC distance (codes only — nSub bytes/vector), then ONLY
+    * those candidates touch the full float embeddings for an exact
+    * fixed-fold L2 rerank. The [[scalarQuantRerankTopK]] argument at
+    * the IVF-PQ rung: quantization error decides candidate MEMBERSHIP
+    * (recoverable by over-fetch), never final RANKS. Rerank cost is
+    * queries × k·overfetch — independent of corpus size. */
+  def ivfPqRerankTopK(
+      em: DataFrame, idCol: String, vecCol: String, k: Int,
+      overfetch: Int = 4, centroidStride: Int = 40, nProbe: Int = 4,
+      nSub: Int = 8, dim: Int = 64, pqStride: Int = 40,
+      iters: Int = 1): DataFrame = {
+    require(overfetch >= 1, s"overfetch must be >= 1, got $overfetch")
+    val cands = ivfPqTopK(em, idCol, vecCol, k * overfetch,
+      centroidStride, nProbe, nSub, dim, pqStride, iters)
+      .select(col("vec_id"), col("nbr_id"))
+    val e = graft.core.OpCache.persist(withNorm(em, idCol, vecCol))
+    val scored = cands.as("c")
+      .join(e.as("a"), col("c.vec_id") === col("a.vec_id"))
+      .join(e.as("b"), col("c.nbr_id") === col("b.vec_id"))
+      .select(col("c.vec_id").as("vec_id"), col("c.nbr_id").as("nbr_id"),
+        call_function("graft_vec_l2sq",
+          col("a.embedding"), col("b.embedding")).as("d2"))
+    // rank by exact distance ASC (negated for the score-DESC heap)
+    topKHeap(scored, "vec_id", -col("d2"), col("nbr_id"), "nbr_id", k)
+  }
+
   /** Per-dimension symmetric int8 calibration table (dim, scale):
     * scale_d = max |x_d| over the corpus (1.0 for an identically-zero
     * dimension, so quantization never divides by zero). One

@@ -575,6 +575,64 @@ object SimilarityQueries {
         |WHERE rnk <= 5""".stripMargin)),
 
     Q(
+      "qs20_ivfpq_rerank",
+      "IVF-PQ + EXACT rerank (Similarity.ivfPqRerankTopK) - the full " +
+        "production serving composition: the memory-resident IVF-PQ " +
+        "tier over-fetches 4k candidates by ADC distance (codes " +
+        "only), then ONLY those touch full float embeddings for an " +
+        "exact fixed-fold L2 rerank - quantization error decides " +
+        "candidate membership, never final ranks; rerank cost is " +
+        "queries x 4k, corpus-size-independent. qs13's argument at " +
+        "the IVF-PQ rung.",
+      (s, dir) =>
+        Similarity.ivfPqRerankTopK(Tables.load(s, dir, "embeddings"),
+          "vec_id", "embedding", k = 5, overfetch = 4,
+          centroidStride = 40, nProbe = 4, nSub = 8, dim = 64,
+          pqStride = 40, iters = 1),
+      Some(s"""WITH e AS (
+        |  SELECT vec_id, embedding, ${dkNorm("embedding")} AS nrm
+        |  FROM embeddings),
+        |c AS (SELECT vec_id AS cent_id, embedding AS cemb, nrm AS cnrm FROM e WHERE vec_id % 40 = 0),
+        |ranked AS (
+        |  SELECT e.vec_id, c.cent_id,
+        |    row_number() OVER (PARTITION BY e.vec_id ORDER BY
+        |      ${dkDot("e.embedding", "c.cemb")} / (e.nrm * c.cnrm) DESC,
+        |      c.cent_id) AS rn
+        |  FROM e, c),
+        |assign AS (SELECT vec_id, cent_id AS cell_id FROM ranked WHERE rn = 1),
+        |probes AS (SELECT vec_id AS q_id, cent_id AS cell_id FROM ranked WHERE rn <= 4),
+        |$pqCtes,
+        |qd AS (
+        |  SELECT sv.vec_id AS q_id, sv.m, c2.cent_id,
+        |    ${dkL2("sv.sv", "c2.cvec")} AS d2
+        |  FROM sv JOIN cb c2 ON sv.m = c2.m),
+        |scored AS (
+        |  SELECT p.q_id, codes.vec_id AS nbr_id,
+        |    CAST(sum(CAST(qd.d2 AS DECIMAL(30,6))) AS DOUBLE) AS dist
+        |  FROM codes
+        |  JOIN assign a ON codes.vec_id = a.vec_id
+        |  JOIN probes p ON p.cell_id = a.cell_id AND p.q_id <> codes.vec_id
+        |  JOIN qd ON qd.q_id = p.q_id AND qd.m = codes.m AND qd.cent_id = codes.cent_id
+        |  GROUP BY 1, 2),
+        |cand AS (
+        |  SELECT q_id, nbr_id FROM (
+        |    SELECT q_id, nbr_id,
+        |      row_number() OVER (PARTITION BY q_id ORDER BY dist ASC, nbr_id) AS rnk
+        |    FROM scored)
+        |  WHERE rnk <= 20),
+        |rr AS (
+        |  SELECT c.q_id AS vec_id, c.nbr_id,
+        |    ${dkL2("qa.embedding", "qb.embedding")} AS d2
+        |  FROM cand c
+        |  JOIN e qa ON qa.vec_id = c.q_id
+        |  JOIN e qb ON qb.vec_id = c.nbr_id)
+        |SELECT vec_id, nbr_id, rnk FROM (
+        |  SELECT vec_id, nbr_id,
+        |    row_number() OVER (PARTITION BY vec_id ORDER BY d2 ASC, nbr_id) AS rnk
+        |  FROM rr)
+        |WHERE rnk <= 5""".stripMargin)),
+
+    Q(
       "qs16_ivf_pq_residual",
       "RESIDUAL IVF-PQ (Similarity.ivfPqResidualTopK — the textbook " +
         "formulation): PQ quantizes each vector's residual against " +

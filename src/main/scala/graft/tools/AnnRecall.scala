@@ -93,6 +93,17 @@ object AnnRecall {
         println(f"""{"metric":"ivfpq_recall_l2@$k","value":$recallI%.4f,"codebooks":"$tag","n":$n,"sf":"$sfDir"}""")
         graft.core.OpCache.releaseAll(blocking = true)
       }
+      // the qs20 composition: what exact rerank buys back at the
+      // IVF-PQ rung for each over-fetch window
+      Seq(2, 4).foreach { m =>
+        val rr = Similarity.ivfPqRerankTopK(em, "vec_id", "embedding", k,
+          overfetch = m, nProbe = 4, pqStride = 10, iters = 1)
+          .select(col("vec_id"), col("nbr_id"))
+        val hitRr = eL2c.intersect(rr).count()
+        val recallRr = hitRr.toDouble / (n * k)
+        println(f"""{"metric":"ivfpq_rerank_recall_l2@$k","value":$recallRr%.4f,"overfetch":$m,"n":$n,"sf":"$sfDir"}""")
+        graft.core.OpCache.releaseAll(blocking = true)
+      }
       eL2c.unpersist()
     }
     // quantized-candidates + exact-rerank composition: what the
