@@ -45,7 +45,10 @@ class PlanAuditSpec extends SparkSuite {
       // qs02's broadcast centroid-scoring cross join (queries × stored
       // centroids); the probe↔cell stage is an EQUI-join on
       // (cent_id, label)
-      "qs19_filtered_ann")
+      "qs19_filtered_ann",
+      // inherits qs15's broadcast centroid/codebook cross joins; the
+      // rerank stage itself is two id EQUI-joins
+      "qs20_ivfpq_rerank")
 
   test("no unexpected cartesian/nested-loop joins anywhere in the registry") {
     val dir = "/root/testdata/sf0.001"
