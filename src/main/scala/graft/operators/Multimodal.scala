@@ -251,9 +251,11 @@ object Multimodal {
     * relational shape unchanged: chunk-hash shuffle, first-occurrence
     * window, per-media rollup — that is what scales.
     */
-  def gearChunkDedupStats(
+  /** (media_id, idx, h): Gear content-defined chunk md5s per media
+    * row — the shared chunking front of [[gearChunkDedupStats]] and
+    * [[gearChunkNearDupPairs]]. */
+  private def gearChunks(
       docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     graft.functions.GraftFunctions.register(docs.sparkSession)
     val base = docs.filter(length(col(textCol)) >= 1)
       .select(col(idCol).as("media_id"), col(textCol).as("txt"))
@@ -270,7 +272,7 @@ object Multimodal {
     val cutsExpr = call_function("graft_gear_cuts", col("txt"))
     val bounds = array_sort(array_distinct(concat(
       array(lit(0)), col("cuts"), array(col("len")))))
-    val chunks = base
+    base
       .withColumn("len", lenCk)
       .withColumn("cuts", cutsExpr)
       .withColumn("bounds", bounds)
@@ -279,6 +281,12 @@ object Multimodal {
           k => md5(col("txt").substr(element_at(col("bounds"), k) + 1,
             element_at(col("bounds"), k + 1) - element_at(col("bounds"), k)))))
           .as(Seq("idx", "h")))
+  }
+
+  def gearChunkDedupStats(
+      docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val chunks = gearChunks(docs, idCol, textCol)
     val w = Window.partitionBy(col("h")).orderBy(col("media_id"), col("idx"))
     chunks.withColumn("rn", row_number().over(w))
       .groupBy(col("media_id"))
@@ -287,6 +295,50 @@ object Multimodal {
       .select(col("media_id"), col("n_chunks"), col("n_stored"),
         (col("n_stored").cast("double") / col("n_chunks").cast("double"))
           .as("stored_ratio"))
+  }
+
+  /** Shift-resistant media NEAR-DUP pairs — content-defined chunking
+    * composed with set similarity (the CAS identity applied to
+    * near-duplicate detection): two media rows pair when the jaccard
+    * of their DISTINCT Gear-chunk md5 sets meets `threshold`. Because
+    * Gear cut points re-align on content after an insertion/deletion,
+    * an edited file still shares every untouched chunk — where
+    * fixed-stride framing (measured: 1 pair found on the sf0.01
+    * corpus vs 5 here at t=0.5) loses every chunk after the edit
+    * point. Granularity is storage-level (avg 256-byte chunks):
+    * coarser than qd02's shingles, byte-format-agnostic — it works on
+    * any binary payload, not just tokenizable text.
+    *
+    * Scale shape: candidates via the chunk-hash inverted index — an
+    * equi-join on md5 keys, lossless for jaccard > 0 (a qualifying
+    * pair shares ≥ 1 chunk) — then one array_intersect verify per
+    * candidate. No all-pairs anywhere. */
+  def gearChunkNearDupPairs(
+      docs: DataFrame, idCol: String, textCol: String,
+      threshold: Double = 0.5): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0, "threshold in (0,1]")
+    val sets = graft.core.OpCache.persist(
+      gearChunks(docs, idCol, textCol)
+        .groupBy(col("media_id"))
+        .agg(array_sort(collect_set(col("h"))).as("hs"))
+        .withColumn("nh", size(col("hs"))))
+    val tok = sets.select(col("media_id"), explode(col("hs")).as("h"))
+    val cand = tok.as("a").join(tok.as("b"),
+        col("a.h") === col("b.h") && col("a.media_id") < col("b.media_id"))
+      .select(col("a.media_id").as("a_id"), col("b.media_id").as("b_id"))
+      .distinct()
+    cand
+      .join(sets.select(col("media_id").as("a_id"), col("hs").as("a_hs"),
+        col("nh").as("na")), "a_id")
+      .join(sets.select(col("media_id").as("b_id"), col("hs").as("b_hs"),
+        col("nh").as("nb")), "b_id")
+      .select(col("a_id"), col("b_id"),
+        size(array_intersect(col("a_hs"), col("b_hs"))).as("inter"),
+        col("na"), col("nb"))
+      .select(col("a_id"), col("b_id"),
+        (col("inter").cast("double") /
+          (col("na") + col("nb") - col("inter")).cast("double")).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
   }
 
   def chunkDedupStats(media: DataFrame, chunkLen: Int = 64): DataFrame = {

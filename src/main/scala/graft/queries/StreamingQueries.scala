@@ -581,6 +581,59 @@ object StreamingQueries {
       }),
 
     Q(
+      "qm07_chunk_neardup",
+      "Shift-resistant media NEAR-DUP pairs " +
+        "(Multimodal.gearChunkNearDupPairs): jaccard >= 0.5 over " +
+        "DISTINCT Gear-chunk md5 sets - content-defined cut points " +
+        "re-align after edits, so an edited payload keeps every " +
+        "untouched chunk (fixed-stride framing measured 1 pair vs 5 " +
+        "on this corpus). Candidates via the chunk-hash inverted " +
+        "index (equi-join, lossless for jaccard > 0); " +
+        "byte-format-agnostic CAS identity as a dedup signal.",
+      (s, dir) =>
+        graft.operators.Multimodal.gearChunkNearDupPairs(
+          graft.core.Tables.load(s, dir, "documents"),
+          "doc_id", "text", threshold = 0.5),
+      Some {
+        val tb = graft.operators.Multimodal.gearTable8.mkString("[", ", ", "]")
+        val gsum = (0 until 8).map(j =>
+          s"tb[ascii(substring(text, CAST(t.i - $j AS INT), 1)) + 1] * ${1 << j}")
+          .mkString(" + ")
+        s"""WITH g AS (SELECT $tb AS tb),
+          |m AS (
+          |  SELECT doc_id AS media_id, text FROM documents
+          |  WHERE length(text) >= 1),
+          |cuts AS (
+          |  SELECT media_id, t.i AS cut
+          |  FROM m, g, unnest(range(8, length(text) + 1)) t(i)
+          |  WHERE (($gsum) & 255) = 0),
+          |bl AS (
+          |  SELECT m.media_id, m.text,
+          |    list_sort(list_distinct(
+          |      [0] ||
+          |      coalesce(list(c.cut ORDER BY c.cut)
+          |        FILTER (WHERE c.cut IS NOT NULL), []) ||
+          |      [CAST(length(m.text) AS BIGINT)])) AS bounds
+          |  FROM m LEFT JOIN cuts c ON m.media_id = c.media_id
+          |  GROUP BY m.media_id, m.text),
+          |ch AS (
+          |  SELECT media_id,
+          |    md5(substring(text, CAST(bounds[u.k] + 1 AS INT),
+          |      CAST(bounds[u.k + 1] - bounds[u.k] AS INT))) AS h
+          |  FROM bl, unnest(range(1, len(bounds))) u(k)),
+          |sets AS MATERIALIZED (
+          |  SELECT media_id, list_distinct(list(h)) AS hs FROM ch GROUP BY 1)
+          |SELECT a.media_id AS a_id, b.media_id AS b_id,
+          |  CAST(len(list_intersect(a.hs, b.hs)) AS DOUBLE) /
+          |  CAST(len(a.hs) + len(b.hs) - len(list_intersect(a.hs, b.hs)) AS DOUBLE)
+          |    AS jaccard
+          |FROM sets a JOIN sets b ON a.media_id < b.media_id
+          |WHERE CAST(len(list_intersect(a.hs, b.hs)) AS DOUBLE) /
+          |  CAST(len(a.hs) + len(b.hs) - len(list_intersect(a.hs, b.hs)) AS DOUBLE)
+          |    >= 0.5""".stripMargin
+      }),
+
+    Q(
       "qm06_perceptual_hash",
       "60-bit average-hash (aHash) per media payload " +
         "(Multimodal.aHash60 in the mapPartitions decode seam): byte " +

@@ -226,4 +226,16 @@ class MultimodalSpec extends SparkSuite {
     assert(expect.contains((1L, 2L, got.find(t => t._1 == 1L && t._2 == 2L).map(_._3).getOrElse(-1L))),
       s"planted twin must surface: $expect")
   }
+
+  test("gearChunkNearDupPairs: edited payload pairs with its original, unrelated does not") {
+    val rnd = new scala.util.Random(7)
+    val body = (0 until 4000).map(_ => ('a' + rnd.nextInt(26)).toChar).mkString
+    val edited = body.substring(0, 1700) + "XXINSERTXX" + body.substring(1700)
+    val other = (0 until 4000).map(_ => ('A' + rnd.nextInt(26)).toChar).mkString
+    val docs = Seq((1L, body), (2L, edited), (3L, other)).toDF("doc_id", "text")
+    val got = Multimodal.gearChunkNearDupPairs(docs, "doc_id", "text", threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((1L, 2L)), s"edit must re-align, unrelated must not pair: $got")
+    graft.core.OpCache.releaseAll(blocking = true)
+  }
 }
