@@ -155,6 +155,63 @@ object Curation {
       .select(col(idCol), col(groupCol), col(scoreCol), col("grp_rank"))
   }
 
+  /** QUALITY-weighted sampling (the CCNet head/middle/tail treatment
+    * generalized): score every document with the self-trained bigram-
+    * LM perplexity ([[TextAnalysis.ngramPerplexity]]), cut each
+    * source into `tierPermille.size` equal perplexity tiers (tier 0 =
+    * most natural text), and keep each document with its TIER's
+    * sampling rate via the content-stable hash — so high-quality text
+    * is upsampled and boilerplate-ish text downsampled per source,
+    * deterministically. Tier boundaries are integer-exact
+    * (`(rank−1)·nTiers div count`) and the keep decision is the
+    * [[weightedMix]] hash discipline, so the kept set is
+    * partitioning- and engine-invariant. Documents with < 2 tokens
+    * have no bigram score and are excluded (they are below any
+    * quality filter's floor anyway — run [[curate]] upstream).
+    *
+    * Scale shape: perplexity is one Zipfian-keyed hash agg + scoring
+    * join (qt20's audited plan); tiering is one window partitioned by
+    * source (domains are numerous at corpus scale); the keep filter
+    * is narrow. Output: (doc_id, source, tier, bits_per_bigram).
+    *
+    * Direction note, stated honestly: with a SELF-trained LM,
+    * repetitive boilerplate scores LOW perplexity (it predicts
+    * itself), so tier 0 is "most predictable", not "best" — CCNet
+    * avoids this by scoring with an external wiki-trained LM. The
+    * tier RATES are the caller's policy: pass descending rates to
+    * upsample predictable text (external-LM setting) or ascending
+    * ones to suppress boilerplate (self-trained setting); the
+    * mechanics (exact tiers, stable hash keep) are identical. */
+  def qualityWeightedMix(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      sourceCol: String,
+      tierPermille: Seq[Int]): DataFrame = {
+    require(tierPermille.nonEmpty &&
+      tierPermille.forall(p => p >= 0 && p <= 1000),
+      "tierPermille: non-empty permille values (0..1000)")
+    import org.apache.spark.sql.expressions.Window
+    val nT = tierPermille.size
+    val ppl = TextAnalysis.ngramPerplexity(docs, idCol, textCol)
+      .select(col("doc_id"), col("bits_per_bigram"))
+    val base = docs.select(col(idCol).as("doc_id"), col(sourceCol).as("source"))
+      .join(ppl, Seq("doc_id"))
+    val w = Window.partitionBy(col("source"))
+    val ranked = base
+      .withColumn("grp_rank", row_number().over(
+        w.orderBy(col("bits_per_bigram"), col("doc_id"))).cast("long"))
+      .withColumn("grp_n", count(lit(1)).over(w))
+      .withColumn("tier", expr(s"((grp_rank - 1) * $nT) div grp_n"))
+    ranked
+      .filter(
+        Dedup.hash60(concat(col("doc_id").cast("string"), lit(":"), col("source")))
+          % 1000 <
+          element_at(typedLit(tierPermille), col("tier").cast("int") + 1))
+      .select(col("doc_id"), col("source"), col("tier"),
+        col("bits_per_bigram"))
+  }
+
   /** Deterministic weighted data mixing: keep each document with its
     * source's sampling rate (permille), decided by a content-stable
     * hash — the per-source up/down-weighting step that turns a curated

@@ -745,6 +745,61 @@ object TextQueries {
         |    >= 0.4""".stripMargin)),
 
     Q(
+      "qt25_quality_weighted_mix",
+      "QUALITY-weighted sampling (Curation.qualityWeightedMix - the " +
+        "CCNet head/middle/tail treatment generalized): per-source " +
+        "perplexity quartiles (bigram-LM scores, qt20's audited " +
+        "plan), tier boundaries integer-exact, keep rates 1000/600/" +
+        "300/100 permille by tier via the content-stable hash - " +
+        "natural text upsampled, boilerplate-ish downsampled, " +
+        "deterministically per source.",
+      (s, dir) =>
+        graft.operators.Curation.qualityWeightedMix(
+          graft.core.Partitioning.parallelize(
+            Tables.load(s, dir, "documents"), col("doc_id")),
+          "doc_id", "text", "source",
+          tierPermille = Seq(1000, 600, 300, 100)),
+      Some(s"""WITH toks AS (
+        |  SELECT doc_id, string_split(coalesce(text, ''), ' ') AS w
+        |  FROM documents),
+        |big AS (
+        |  SELECT doc_id, w[t.i] AS w1, w[t.i + 1] AS w2
+        |  FROM toks, unnest(range(1, len(w))) t(i)
+        |  WHERE len(w) >= 2),
+        |bgc AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c2
+        |        FROM big GROUP BY 1, 2),
+        |pre AS (SELECT w1, CAST(count(*) AS BIGINT) AS c1
+        |        FROM big GROUP BY 1),
+        |vv AS (SELECT CAST(count(DISTINCT t) AS DOUBLE) AS v
+        |       FROM (SELECT unnest(w) AS t FROM toks)),
+        |terms AS (
+        |  SELECT big.doc_id,
+        |    CAST(log2(CAST(pre.c1 AS DOUBLE) + vv.v) -
+        |         log2(CAST(bgc.c2 AS DOUBLE) + 1.0)
+        |      AS DECIMAL(30,6)) AS s
+        |  FROM big JOIN bgc USING (w1, w2) JOIN pre USING (w1), vv),
+        |ppl AS (
+        |  SELECT doc_id,
+        |    round(CAST(sum(s) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6)
+        |      AS bits_per_bigram
+        |  FROM terms GROUP BY 1),
+        |r AS (
+        |  SELECT d.doc_id, d.source, p.bits_per_bigram,
+        |    CAST(row_number() OVER (PARTITION BY d.source
+        |      ORDER BY p.bits_per_bigram, d.doc_id) AS BIGINT) AS rk,
+        |    CAST(count(*) OVER (PARTITION BY d.source) AS BIGINT) AS n
+        |  FROM documents d JOIN ppl p USING (doc_id)),
+        |t AS (
+        |  SELECT doc_id, source, bits_per_bigram,
+        |    ((rk - 1) * 4) // n AS tier
+        |  FROM r)
+        |SELECT doc_id, source, CAST(tier AS BIGINT) AS tier, bits_per_bigram
+        |FROM t
+        |WHERE ${dkHash60("concat(CAST(doc_id AS VARCHAR), ':', source)")} % 1000 <
+        |  CASE tier WHEN 0 THEN 1000 WHEN 1 THEN 600
+        |            WHEN 2 THEN 300 ELSE 100 END""".stripMargin)),
+
+    Q(
       "qt24_uniform_sample",
       "Deterministic uniform k-sample per group (bottom-k-of-hash " +
         "reservoir): per source, the 10 docs with smallest " +

@@ -217,6 +217,33 @@ class CorpusOpsSpec extends SparkSuite {
     graft.core.OpCache.releaseAll(blocking = true)
   }
 
+  test("qualityWeightedMix: exact tiers per source, tier-0 always kept at 1000 permille") {
+    import spark.implicits._
+    // 8 docs in one source with distinct perplexities; 4 tiers of 2
+    val docs = (1L to 8L).map { i =>
+      // doc i repeats a small vocabulary i times over — lower i = more
+      // diverse text = higher self-LM perplexity
+      val words = (0 until 24).map(j => s"w${j % (2 + i.toInt * 3)}")
+      (i, words.mkString(" "), "s0")
+    }.toDF("doc_id", "text", "source")
+    val out = Curation.qualityWeightedMix(docs, "doc_id", "text", "source",
+      tierPermille = Seq(1000, 1000, 1000, 1000))
+    val tiers = out.collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    // all kept at 1000 permille, exactly 2 docs per tier
+    assert(tiers.size == 8 && tiers.values.groupBy(identity).forall(_._2.size == 2),
+      tiers.toString)
+    // determinism: repartitioned input yields the identical kept set
+    val re = Curation.qualityWeightedMix(docs.repartition(5),
+      "doc_id", "text", "source", tierPermille = Seq(1000, 1000, 1000, 1000))
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(re == tiers)
+    // zero rate drops the tier entirely
+    val none = Curation.qualityWeightedMix(docs, "doc_id", "text", "source",
+      tierPermille = Seq(0, 0, 0, 0))
+    assert(none.count() == 0)
+    graft.core.OpCache.releaseAll(blocking = true)
+  }
+
   test("contamination benchmark side is a broadcast semi-join") {
     val bench = Seq((100L, "one two three four five six seven eight"))
       .toDF("doc_id", "text")
