@@ -57,6 +57,51 @@ object Overlap {
       .na.fill(0L, Seq("n_hits"))
   }
 
+  /** Corpus-level n-gram COVERAGE — the dataset-comparison summary
+    * ("how redundant is corpus T given corpus R?") that sits above
+    * the per-document operators: the fraction of T's n-gram
+    * OCCURRENCES whose gram also appears in R (occurrence coverage ≈
+    * how much of T's token mass R already spans) and the fraction of
+    * T's distinct grams seen in R (type coverage ≈ vocabulary
+    * novelty, 1 − coverage). The one-row answer to "is this new crawl
+    * worth adding", computed before any expensive dedup runs.
+    *
+    * Scale shape: each side collapses to its DISTINCT-gram table in
+    * one Zipfian-keyed hash agg (map-side combine absorbs hot grams);
+    * the comparison is one left join of distinct-gram tables on
+    * 8-byte hashes — never corpus-sized rows. Output is a single row
+    * of exact counts plus two single-division ratios. */
+  def corpusCoverage(
+      target: DataFrame,
+      reference: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 3): DataFrame = {
+    def grams(df: DataFrame): DataFrame = {
+      val w = split(col(textCol), " ")
+      df.select(w.as("w"))
+        .filter(size(col("w")) >= n)
+        .select(explode(transform(wordGrams(col("w"), n),
+          g => Dedup.hash60(g))).as("gh"))
+        .groupBy(col("gh")).agg(count(lit(1)).cast("long").as("c"))
+    }
+    val t = grams(target)
+    val r = grams(reference).select(col("gh"), lit(1).as("__in_ref"))
+    t.join(r, Seq("gh"), "left")
+      .agg(
+        sum(col("c")).cast("long").as("tgt_occurrences"),
+        sum(when(col("__in_ref").isNotNull, col("c")).otherwise(0L))
+          .cast("long").as("tgt_occ_covered"),
+        count(lit(1)).cast("long").as("tgt_types"),
+        count(col("__in_ref")).cast("long").as("tgt_types_covered"))
+      .select(col("tgt_occurrences"), col("tgt_occ_covered"),
+        (col("tgt_occ_covered").cast("double") /
+          col("tgt_occurrences").cast("double")).as("occ_coverage"),
+        col("tgt_types"), col("tgt_types_covered"),
+        (col("tgt_types_covered").cast("double") /
+          col("tgt_types").cast("double")).as("type_coverage"))
+  }
+
   /** Per-document duplicated-span statistics: how many of a document's
     * word n-gram occurrences belong to spans seen >= 2 times across the
     * whole corpus (counting multiplicity, own repeats included) — the

@@ -856,6 +856,49 @@ object TextQueries {
         |    CAST(len(a.sh) AS DOUBLE) >= 0.5""".stripMargin)),
 
     Q(
+      "qd26_corpus_coverage",
+      "Corpus-level n-gram coverage (Overlap.corpusCoverage - the " +
+        "'is this new crawl worth adding' one-row summary, computed " +
+        "BEFORE any expensive dedup): fraction of the odd-doc " +
+        "corpus's 3-gram occurrences (and distinct types) already " +
+        "present in the even-doc corpus. Both sides collapse to " +
+        "distinct-gram tables in Zipfian-keyed hash aggs; one left " +
+        "join on 8-byte hashes; exact counts + two single divisions.",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        graft.operators.Overlap.corpusCoverage(
+          docs.filter(col("doc_id") % 2 === 1),
+          docs.filter(col("doc_id") % 2 === 0),
+          "doc_id", "text", n = 3)
+      },
+      Some(s"""WITH tg AS (
+        |  SELECT ${dkHash60("concat(w[t.i], ' ', w[t.i+1], ' ', w[t.i+2])")} AS gh,
+        |    CAST(count(*) AS BIGINT) AS c
+        |  FROM (SELECT string_split(text, ' ') AS w FROM documents
+        |        WHERE doc_id % 2 = 1),
+        |       unnest(range(1, len(w) - 1)) t(i)
+        |  WHERE len(w) >= 3
+        |  GROUP BY 1),
+        |rg AS (
+        |  SELECT DISTINCT
+        |    ${dkHash60("concat(w[t.i], ' ', w[t.i+1], ' ', w[t.i+2])")} AS gh
+        |  FROM (SELECT string_split(text, ' ') AS w FROM documents
+        |        WHERE doc_id % 2 = 0),
+        |       unnest(range(1, len(w) - 1)) t(i)
+        |  WHERE len(w) >= 3)
+        |SELECT
+        |  CAST(sum(tg.c) AS BIGINT) AS tgt_occurrences,
+        |  CAST(sum(CASE WHEN rg.gh IS NOT NULL THEN tg.c ELSE 0 END) AS BIGINT)
+        |    AS tgt_occ_covered,
+        |  CAST(sum(CASE WHEN rg.gh IS NOT NULL THEN tg.c ELSE 0 END) AS DOUBLE) /
+        |    CAST(sum(tg.c) AS DOUBLE) AS occ_coverage,
+        |  CAST(count(*) AS BIGINT) AS tgt_types,
+        |  CAST(count(rg.gh) AS BIGINT) AS tgt_types_covered,
+        |  CAST(count(rg.gh) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+        |    AS type_coverage
+        |FROM tg LEFT JOIN rg ON rg.gh = tg.gh""".stripMargin)),
+
+    Q(
       "qd25_label_propagation",
       "Bounded-round synchronous label propagation (GraphRank." +
         "labelPropagation, 3 rounds) over the name-edit similarity " +
