@@ -33,6 +33,8 @@ class PlanAuditSpec extends SparkSuite {
       // one-row broadcast of the corpus total / vocab size / bigram
       // total crossed into a linear scan — not a pair join
       "q44_heavy_hitters", "qt20_ngram_perplexity", "qt22_pmi_collocations",
+      // inherits qt20's one-row vocab broadcast (the perplexity stage)
+      "qt25_quality_weighted_mix",
       // qs02's broadcast centroid-scoring cross join, reused for the
       // SemDeDup cell assignment; the pair stage is an equi-join
       "qs17_semantic_dedup",
