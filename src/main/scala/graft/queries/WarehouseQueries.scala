@@ -185,6 +185,40 @@ object WarehouseQueries {
         |WHERE rn = 1 AND last_type <> 'error'""".stripMargin)),
 
     Q(
+      "qw11_late_dimension_repair",
+      "Late-arriving dimension repair (the early-fact problem): the " +
+        "initial load left orders referencing not-yet-arrived " +
+        "customers with NULL dim attributes (left join against the " +
+        "on-time slice, c_custkey % 3 <> 0); when the late slice " +
+        "lands, the repair joins it to ONLY the null-dim facts - " +
+        "repair cost is proportional to the LATE slice's fact " +
+        "fan-out, never a view rescan (the unresolved facts are " +
+        "storage-partitionable by is_resolved). Oracle = the full " +
+        "recompute against the complete dimension.",
+      (s, dir) => {
+        val ords = graft.core.Tables.load(s, dir, "orders")
+        val cust = graft.core.Tables.load(s, dir, "customer")
+        val onTime = cust.filter(pmod(col("c_custkey"), lit(3)) =!= 0)
+        val late = cust.filter(pmod(col("c_custkey"), lit(3)) === 0)
+        val dimCols = Seq("c_mktsegment", "c_nationkey")
+        // initial load: left join against the on-time dim slice
+        val v0 = ords.join(onTime, col("o_custkey") === col("c_custkey"), "left")
+          .select(col("o_orderkey"), col("o_custkey"),
+            col("c_mktsegment"), col("c_nationkey").cast("long").as("c_nationkey"))
+        // repair: ONLY the unresolved facts meet the late slice
+        val unresolved = v0.filter(col("c_mktsegment").isNull)
+          .select(col("o_orderkey"), col("o_custkey"))
+        val repaired = unresolved
+          .join(broadcast(late), col("o_custkey") === col("c_custkey"), "left")
+          .select(col("o_orderkey"), col("o_custkey"),
+            col("c_mktsegment"), col("c_nationkey").cast("long").as("c_nationkey"))
+        v0.filter(col("c_mktsegment").isNotNull).unionByName(repaired)
+      },
+      Some("""SELECT o_orderkey, o_custkey, c_mktsegment,
+        |  CAST(c_nationkey AS BIGINT) AS c_nationkey
+        |FROM orders LEFT JOIN customer ON o_custkey = c_custkey""".stripMargin)),
+
+    Q(
       "qw10_incremental_join",
       "Incremental JOIN-view maintenance (the delta-join complement " +
         "to qw05's aggregate IVM): the stored view orders x customer " +
