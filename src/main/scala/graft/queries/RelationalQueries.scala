@@ -1052,6 +1052,52 @@ object RelationalQueries {
         |FROM o""".stripMargin)),
 
     Q(
+      "q51_cube_distinct",
+      "CUBE with a SKETCH measure (the sketch x OLAP synergy q49 + " +
+        "q26 imply): distinct-orderkey HLL registers at every " +
+        "granularity of (returnflag, linestatus) - detail, both " +
+        "rollups, grand total - in ONE pass over the fact table. " +
+        "Exact distinct across a cube re-shuffles the keys per " +
+        "grouping set; mergeable registers ride Spark's Expand+agg " +
+        "with 256 bytes per (set, group). Same integer-exact " +
+        "derivation as q49.",
+      (s, dir) => {
+        graft.functions.GraftFunctions.register(s)
+        t(s, dir, "lineitem")
+          .select(col("l_returnflag"), col("l_linestatus"),
+            graft.operators.Dedup.hash60(col("l_orderkey").cast("string")).as("h"))
+          .cube(col("l_returnflag"), col("l_linestatus"))
+          .agg(call_function("graft_hll", col("h"), lit(8)).as("regs"))
+          .select(col("l_returnflag"), col("l_linestatus"),
+            size(filter(col("regs"), r => r === 0)).cast("long").as("v_zero"),
+            expr("aggregate(regs, CAST(0 AS BIGINT), " +
+              "(acc, r) -> acc + shiftright(CAST(9007199254740992 AS BIGINT), r))")
+              .as("s_scaled"))
+          .withColumn("est_distinct",
+            lit(0.7213) / (lit(1.0) + lit(1.079) / lit(256.0)) * lit(65536.0) *
+              lit(9007199254740992.0) / col("s_scaled").cast("double"))
+      },
+      Some("""WITH h AS (
+        |  SELECT l_returnflag, l_linestatus,
+        |    CAST(concat('0x', substr(md5(CAST(l_orderkey AS VARCHAR)), 1, 15)) AS BIGINT) AS hv
+        |  FROM lineitem),
+        |regs AS (
+        |  SELECT l_returnflag, l_linestatus, hv // 4503599627370496 AS bucket,
+        |    max(CASE WHEN hv % 4503599627370496 = 0 THEN 53
+        |        ELSE 53 - length(bin(hv % 4503599627370496)) END) AS rho
+        |  FROM h GROUP BY CUBE(l_returnflag, l_linestatus), bucket),
+        |agg AS (
+        |  SELECT l_returnflag, l_linestatus,
+        |    CAST(256 - count(*) AS BIGINT) AS v_zero,
+        |    CAST(sum(9007199254740992 >> rho)
+        |      + (256 - count(*)) * 9007199254740992 AS BIGINT) AS s_scaled
+        |  FROM regs GROUP BY 1, 2)
+        |SELECT l_returnflag, l_linestatus, v_zero, s_scaled,
+        |  0.7213 / (1.0 + 1.079 / 256.0) * 65536.0 * 9007199254740992.0 /
+        |    CAST(s_scaled AS DOUBLE) AS est_distinct
+        |FROM agg""".stripMargin)),
+
+    Q(
       "q49_hll_distinct",
       "HyperLogLog distinct sketch (functions/HllSketch, graft_hll, " +
         "p=8): per-group register arrays over hash60(l_orderkey), " +
