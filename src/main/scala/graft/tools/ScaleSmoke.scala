@@ -307,6 +307,42 @@ object ScaleSmoke {
           .select($"c_custkey", $"c_mktsegment".as("segment"))
         graft.warehouse.Cdc.scd2Apply(hist, snap, "c_custkey",
           Seq("segment"), effectiveTs = "2000-06-01 00:00:00").count()
+      },
+      time("incremental_join") {
+        val aOld = ord.filter($"o_orderkey" % 5 =!= 0)
+        val dA = ord.filter($"o_orderkey" % 5 === 0)
+        val bOld = cust.filter($"c_custkey" % 7 =!= 0)
+        val dB = cust.filter($"c_custkey" % 7 === 0)
+        def j(a: DataFrame, b: DataFrame) =
+          a.join(b, $"o_custkey" === $"c_custkey")
+            .select($"o_orderkey", $"c_custkey", $"c_mktsegment")
+        j(aOld, bOld).unionByName(j(dA, bOld.unionByName(dB)))
+          .unionByName(j(aOld, broadcast(dB))).count()
+      },
+      time("label_propagation") {
+        // LPA over the order-part bipartite graph, 3 rounds
+        val e = li.select($"l_orderkey".as("a_id"),
+          ($"l_partkey".cast("long") + 1000000000L).as("b_id")).distinct()
+        val nodes = e.select($"a_id".as("id"))
+          .unionByName(e.select($"b_id".as("id"))).distinct()
+        graft.operators.GraphRank.labelPropagation(nodes, "id", e, rounds = 3)
+          .count()
+      },
+      time("gear_chunk_neardup") {
+        // collapse-first: exact copies would pair at jaccard 1.0 × factor²
+        val reps = Dedup.exactDupGroups(docs, "doc_id", "text")
+          .select($"keep_id".as("doc_id"))
+        val collapsed = docs.join(reps, Seq("doc_id"), "left_semi")
+        graft.operators.Multimodal.gearChunkNearDupPairs(
+          collapsed, "doc_id", "text").count()
+      },
+      time("cube_hll") {
+        graft.functions.GraftFunctions.register(spark)
+        li.select($"l_returnflag", $"l_linestatus",
+            Dedup.hash60($"l_orderkey".cast("string")).as("h"))
+          .cube($"l_returnflag", $"l_linestatus")
+          .agg(call_function("graft_hll", $"h", lit(8)).as("regs"))
+          .count()
       })
 
     val total = results.map(_._2).sum
