@@ -13,6 +13,17 @@ import org.apache.spark.sql.types._
   */
 object Exprs {
 
+  /** Event-time in epoch MICROSECONDS, tolerant of both TIMESTAMP and
+    * TIMESTAMP_NTZ inputs (parquet written without a timezone —
+    * `timestamp[us]` — reads as NTZ, which `unix_micros` rejects).
+    * The NTZ→LTZ cast interprets the wall-clock in the session
+    * timezone, which shifts every value by the SAME constant — so
+    * every consumer here (ordering, lag differences, range frames,
+    * as-of gap comparisons) is invariant to it, and under the
+    * pinned-UTC harness the cast is an epoch identity matching
+    * DuckDB's `epoch_us` on naive timestamps. */
+  def tsMicros(c: Column): Column = unix_micros(c.cast("timestamp"))
+
   /** P1 "reindex-rename projection" (`world_bank_wdi.py:78-87` et al.):
     * keep exactly the listed columns in order, creating missing ones as
     * typed nulls, then rename. The universal projection idiom of the

@@ -124,8 +124,8 @@ object AsofJoin {
     val inWindow: Column = toleranceSeconds match {
       case None => col("__m").isNotNull
       case Some(tol) =>
-        val mts = unix_micros(col("__m").getField("__mts"))
-        val lts = unix_micros(col("__ts"))
+        val mts = graft.expr.Exprs.tsMicros(col("__m").getField("__mts"))
+        val lts = graft.expr.Exprs.tsMicros(col("__ts"))
         val gap = if (forward) mts - lts else lts - mts
         col("__m").isNotNull && gap <= tol * 1000000L
     }

@@ -588,10 +588,10 @@ object RelationalQueries {
         val ord = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
         val cum = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
         t(s, dir, "events")
-          .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(ord))
+          .withColumn("prev_us", lag(graft.expr.Exprs.tsMicros(col("ts")), 1).over(ord))
           .withColumn("new_sess",
             when(col("prev_us").isNull ||
-              unix_micros(col("ts")) - col("prev_us") > 1800L * 1000000L, 1L)
+              graft.expr.Exprs.tsMicros(col("ts")) - col("prev_us") > 1800L * 1000000L, 1L)
               .otherwise(0L))
           .withColumn("session_id", sum(col("new_sess")).over(cum))
           .select(col("event_id"), col("user_id"), col("session_id"))
@@ -694,7 +694,7 @@ object RelationalQueries {
       (s, dir) => {
         import org.apache.spark.sql.types.DecimalType
         val w = Window.partitionBy(col("user_id"))
-          .orderBy(unix_micros(col("ts")))
+          .orderBy(graft.expr.Exprs.tsMicros(col("ts")))
           .rangeBetween(-3600L * 1000000L, 0L)
         t(s, dir, "events")
           .select(col("event_id"), col("user_id"), col("ts"), col("value"))

@@ -21,13 +21,17 @@ object StreamingQueries {
     * source takes a glob, not a bare file path; TIMESTAMP(NANOS) read
     * as long and rebuilt as micros, same as Tables.load). */
   private def eventsFileStream(s: SparkSession, dir: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // The generator now writes ts as TIMESTAMP(MICROS) without a
+    // timezone (it formerly wrote NANOS — hence Tables.load's dual
+    // handling); with NTZ inference disabled it reads as session-zone
+    // TIMESTAMP, same as the batch loader, so watermarks/windows agree
+    // with the batch oracles.
+    s.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     val schema = StructType.fromDDL(
-      "event_id BIGINT, ts BIGINT, user_id BIGINT, " +
+      "event_id BIGINT, ts TIMESTAMP, user_id BIGINT, " +
         "event_type STRING, value DOUBLE, props STRING")
     s.readStream.schema(schema)
       .parquet(s"$dir/events.parque*")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
 
   /** Shared harness: run a streaming frame to a memory sink with the
