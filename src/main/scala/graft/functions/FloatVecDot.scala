@@ -111,6 +111,11 @@ object GraftFunctions {
       exprs => BloomMightContain(exprs(0), exprs(1), litInt(exprs(2), "nHashes")),
       "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_cms",
+      exprs => CountMinSketch(
+        exprs(0), litInt(exprs(1), "depth"), litInt(exprs(2), "width")),
+      "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_heavy_keys",
       exprs => {
         val k = exprs(1) match {

@@ -89,6 +89,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         exprs(0), exprs(1), GraftFunctions.litInt(exprs(2), "nHashes")))
       : (FunctionIdentifier, ExpressionInfo, FunctionRegistry.FunctionBuilder))
     ext.injectFunction((
+      FunctionIdentifier("graft_cms"),
+      new ExpressionInfo(classOf[CountMinSketch].getName, "graft_cms"),
+      (exprs: Seq[Expression]) => CountMinSketch(
+        exprs(0),
+        GraftFunctions.litInt(exprs(1), "depth"),
+        GraftFunctions.litInt(exprs(2), "width")))
+      : (FunctionIdentifier, ExpressionInfo, FunctionRegistry.FunctionBuilder))
+    ext.injectFunction((
       FunctionIdentifier("graft_heavy_keys"),
       new ExpressionInfo(classOf[MisraGries].getName, "graft_heavy_keys"),
       (exprs: Seq[Expression]) => {

@@ -65,6 +65,49 @@ object TextAnalysis {
     preTokenized.map(_.cast("long"))
       .getOrElse(size(split(text, " ")).cast("long"))
 
+  /** Overlapping token-window chunking — the retrieval/pretraining
+    * segmenter: each document becomes `ceil(max(n−chunkSize,0)/stride)
+    * + 1` windows of up to `chunkSize` whitespace tokens starting
+    * every `stride` tokens, so consecutive chunks share
+    * `chunkSize − stride` tokens of context (the overlap every RAG
+    * chunker keeps so a fact spanning a boundary survives in at least
+    * one chunk whole). Contrast [[Packing.sequencePack]], which packs
+    * whole documents into training rows, and `Dedup` segment dedup
+    * (qd21), which splits on CONTENT (paragraphs); this splits on a
+    * token BUDGET — the shape embedding models and context windows
+    * impose.
+    *
+    * Embarrassingly parallel: tokenize, a per-row chunk-count
+    * expression, one `explode` of the index range, and `slice` per
+    * chunk — no shuffle at all until a downstream consumer aggregates.
+    * At 100 TB the fan-out is ~n/stride rows per document, produced
+    * map-side; output chunk identity is `(doc_id, chunk_idx)` plus the
+    * md5 of the joined window (content-addressed, so cross-corpus
+    * chunk dedup composes via qd01's hash-groupBy on `chunk_hash`).
+    *
+    * Output: (doc_id, chunk_idx, n_tokens, chunk_hash). Empty/null
+    * documents produce zero chunks.
+    */
+  def chunkTokens(
+      df: DataFrame, idCol: String, textCol: String,
+      chunkSize: Int, stride: Int): DataFrame = {
+    require(chunkSize >= 1, s"chunkSize must be >= 1, got $chunkSize")
+    require(stride >= 1 && stride <= chunkSize,
+      s"stride must be in [1, chunkSize], got $stride")
+    df.filter(col(textCol).isNotNull && trim(col(textCol)) =!= "")
+      .select(col(idCol).as("doc_id"), split(col(textCol), " ").as("w"))
+      .withColumn("n_chunks",
+        expr(s"CAST(1 + (greatest(size(w) - $chunkSize, 0) + ${stride - 1}) " +
+          s"div $stride AS INT)"))
+      .select(col("doc_id"), col("w"),
+        explode(sequence(lit(0), col("n_chunks") - 1)).as("k"))
+      .select(col("doc_id"), col("k").cast("long").as("chunk_idx"),
+        slice(col("w"), col("k") * stride + 1, lit(chunkSize)).as("c"))
+      .select(col("doc_id"), col("chunk_idx"),
+        size(col("c")).cast("long").as("n_tokens"),
+        md5(array_join(col("c"), " ").cast("binary")).as("chunk_hash"))
+  }
+
   /** Token counting: whitespace tokens and a BPE-ish regex token count
     * (letter runs / digit runs / single punctuation marks). */
   def tokenCountColumns(text: Column): Seq[Column] = Seq(

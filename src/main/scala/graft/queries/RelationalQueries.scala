@@ -1098,6 +1098,73 @@ object RelationalQueries {
         |FROM agg""".stripMargin)),
 
     Q(
+      "q52_cms_freq",
+      "Count-Min point-frequency estimates (functions/CountMinSketch " +
+        "via operators/Frequency, graft_cms, 4x512): one linear pass " +
+        "folds every l_partkey occurrence into a 16 KB counter grid " +
+        "(elementwise-sum merge -> map-side partials collapse before " +
+        "the exchange), then each key's estimate is least() over four " +
+        "element_at probes of the BROADCAST grid - no join against a " +
+        "frequency table, no second data scan. All four hash rows are " +
+        "15-bit slices of the shared md5 hash60, so the oracle " +
+        "replays bucketing with three integer ops; the exact count " +
+        "sits beside the estimate to exhibit the one-sided guarantee " +
+        "(est >= true, always).",
+      (s, dir) =>
+        graft.operators.Frequency.cmsPointEstimates(
+          t(s, dir, "lineitem").select(col("l_partkey")),
+          "l_partkey", depth = 4, width = 512)
+          .select(col("key").as("part_key"), col("true_cnt"), col("est_cnt")),
+      Some("""WITH kc AS (
+        |  SELECT CAST(l_partkey AS BIGINT) AS part_key, count(*) AS true_cnt,
+        |    CAST(concat('0x', substr(md5(CAST(l_partkey AS VARCHAR)), 1, 15)) AS BIGINT) AS hv
+        |  FROM lineitem GROUP BY 1, 3),
+        |ctr AS (
+        |  SELECT t.i AS ri, ((hv >> (15 * t.i)) & 32767) % 512 AS bucket,
+        |    CAST(sum(true_cnt) AS BIGINT) AS c
+        |  FROM kc, unnest(range(0, 4)) t(i)
+        |  GROUP BY 1, 2)
+        |SELECT kc.part_key, CAST(kc.true_cnt AS BIGINT) AS true_cnt,
+        |  least(c0.c, c1.c, c2.c, c3.c) AS est_cnt
+        |FROM kc
+        |JOIN ctr c0 ON c0.ri = 0 AND c0.bucket = (hv & 32767) % 512
+        |JOIN ctr c1 ON c1.ri = 1 AND c1.bucket = ((hv >> 15) & 32767) % 512
+        |JOIN ctr c2 ON c2.ri = 2 AND c2.bucket = ((hv >> 30) & 32767) % 512
+        |JOIN ctr c3 ON c3.ri = 3 AND c3.bucket = ((hv >> 45) & 32767) % 512"""
+        .stripMargin)),
+
+    Q(
+      "q53_cms_join_size",
+      "Equi-join cardinality estimation from Count-Min inner products " +
+        "(Frequency.cmsJoinSize) - the planner-statistics use: " +
+        "|A JOIN B| is upper-bounded by min over rows of " +
+        "dot(ctrA_i, ctrB_i), here the events-x-events self-join on " +
+        "user_id (= sum of per-user count squared, the shuffle-skew " +
+        "diagnostic). Each side is one counting scan into 16 KB of " +
+        "mergeable state; the estimate touches only the two grids, so " +
+        "at 100 TB the join-size QUESTION costs two linear passes " +
+        "where the exact answer costs the join itself (run here only " +
+        "to exhibit est >= true).",
+      (s, dir) =>
+        graft.operators.Frequency.cmsJoinSize(
+          t(s, dir, "events"), "user_id",
+          t(s, dir, "events"), "user_id", depth = 4, width = 512),
+      Some("""WITH kc AS (
+        |  SELECT count(*) AS cnt,
+        |    CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) AS hv
+        |  FROM events GROUP BY user_id, hv),
+        |ctr AS (
+        |  SELECT t.i AS ri, ((hv >> (15 * t.i)) & 32767) % 512 AS bucket,
+        |    CAST(sum(cnt) AS BIGINT) AS c
+        |  FROM kc, unnest(range(0, 4)) t(i)
+        |  GROUP BY 1, 2),
+        |dots AS (SELECT ri, CAST(sum(c * c) AS BIGINT) AS dot FROM ctr GROUP BY 1),
+        |tru AS (SELECT CAST(sum(cnt * cnt) AS BIGINT) AS true_size FROM kc)
+        |SELECT tru.true_size, d.est_size
+        |FROM tru, (SELECT CAST(min(dot) AS BIGINT) AS est_size FROM dots) d"""
+        .stripMargin)),
+
+    Q(
       "q49_hll_distinct",
       "HyperLogLog distinct sketch (functions/HllSketch, graft_hll, " +
         "p=8): per-group register arrays over hash60(l_orderkey), " +

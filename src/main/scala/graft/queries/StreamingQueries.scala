@@ -18,8 +18,8 @@ object StreamingQueries {
   import org.apache.spark.sql.{DataFrame, SparkSession}
 
   /** Shared harness: the events table as a file stream (streaming file
-    * source takes a glob, not a bare file path; TIMESTAMP(NANOS) read
-    * as long and rebuilt as micros, same as Tables.load). */
+    * source takes a glob, not a bare file path; naive-micros `ts` read
+    * as session-zone TIMESTAMP, same as Tables.load). */
   private def eventsFileStream(s: SparkSession, dir: String): DataFrame = {
     // The generator now writes ts as TIMESTAMP(MICROS) without a
     // timezone (it formerly wrote NANOS — hence Tables.load's dual
@@ -409,6 +409,61 @@ object StreamingQueries {
         |  0.7213 / (1.0 + 1.079 / 256.0) * 65536.0 * 9007199254740992.0 /
         |    CAST(s_scaled AS DOUBLE) AS est_distinct
         |FROM agg""".stripMargin)),
+
+    Q(
+      "qst13_stream_cms",
+      "Streaming frequency maintenance: the Count-Min grid " +
+        "(graft_cms, 4x512) run AS the streaming aggregate - " +
+        "per-batch partial grids SUM into 16 KB of state per " +
+        "event_type, forever. The contract contrast with qst12 is " +
+        "the point: CMS merge is additive, NOT idempotent (replayed " +
+        "rows double counts), so it requires the exactly-once " +
+        "source+state-store path that Structured Streaming's " +
+        "aggregation provides - where HLL's max-registers would " +
+        "absorb at-least-once replays too. Output probes the " +
+        "maintained grid for five fixed user ids; oracle replays " +
+        "counters and probes over the batch table.",
+      (s, dir) => {
+        graft.functions.GraftFunctions.register(s)
+        val sk = eventsFileStream(s, dir)
+          .select(col("event_type"),
+            graft.operators.Dedup.hash60(col("user_id").cast("string")).as("h"))
+          .groupBy(col("event_type"))
+          .agg(call_function("graft_cms", col("h"), lit(4), lit(512)).as("regs"))
+        runToMemory(s, "graft_stream_cms", "complete")(sk)
+          .select(col("event_type"), col("regs"),
+            explode(typedLit(Seq(1L, 2L, 3L, 4L, 5L))).as("user_id"))
+          .select(col("event_type"), col("user_id"),
+            graft.operators.Frequency.cmsEstimate(col("regs"),
+              graft.operators.Dedup.hash60(col("user_id").cast("string")),
+              depth = 4, width = 512).as("est_cnt"))
+      },
+      Some("""WITH kc AS (
+        |  SELECT event_type, count(*) AS cnt,
+        |    CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) AS hv
+        |  FROM events GROUP BY event_type, hv),
+        |ctr AS (
+        |  SELECT event_type, t.i AS ri,
+        |    ((hv >> (15 * t.i)) & 32767) % 512 AS bucket,
+        |    CAST(sum(cnt) AS BIGINT) AS c
+        |  FROM kc, unnest(range(0, 4)) t(i)
+        |  GROUP BY 1, 2, 3),
+        |p AS (
+        |  SELECT DISTINCT kc.event_type, t.u AS user_id,
+        |    CAST(concat('0x', substr(md5(CAST(t.u AS VARCHAR)), 1, 15)) AS BIGINT) AS hv
+        |  FROM kc, unnest([1, 2, 3, 4, 5]) t(u))
+        |SELECT p.event_type, CAST(p.user_id AS BIGINT) AS user_id,
+        |  least(coalesce(c0.c, 0), coalesce(c1.c, 0),
+        |        coalesce(c2.c, 0), coalesce(c3.c, 0)) AS est_cnt
+        |FROM p
+        |LEFT JOIN ctr c0 ON c0.event_type = p.event_type AND c0.ri = 0
+        |  AND c0.bucket = (p.hv & 32767) % 512
+        |LEFT JOIN ctr c1 ON c1.event_type = p.event_type AND c1.ri = 1
+        |  AND c1.bucket = ((p.hv >> 15) & 32767) % 512
+        |LEFT JOIN ctr c2 ON c2.event_type = p.event_type AND c2.ri = 2
+        |  AND c2.bucket = ((p.hv >> 30) & 32767) % 512
+        |LEFT JOIN ctr c3 ON c3.event_type = p.event_type AND c3.ri = 3
+        |  AND c3.bucket = ((p.hv >> 45) & 32767) % 512""".stripMargin)),
 
     Q(
       "qst09_stream_static_join",

@@ -800,6 +800,36 @@ object TextQueries {
         |            WHEN 2 THEN 300 ELSE 100 END""".stripMargin)),
 
     Q(
+      "qt23_text_chunks",
+      "Overlapping token-window chunking (TextAnalysis.chunkTokens, " +
+        "chunkSize=64, stride=48): each document fans out to windows " +
+        "of up to 64 whitespace tokens starting every 48, so adjacent " +
+        "chunks share 16 tokens of context - the RAG/embedding " +
+        "segmenter (a fact on a window boundary survives whole in one " +
+        "chunk). Pure map-side: tokenize, a chunk-count expression, " +
+        "explode+slice; zero shuffle. Chunks are content-addressed " +
+        "(md5 of the joined window) so downstream chunk-level dedup " +
+        "is qd01's hash-groupBy. Oracle replays the same 1-based " +
+        "inclusive slicing with DuckDB list syntax.",
+      (s, dir) =>
+        graft.operators.TextAnalysis.chunkTokens(
+          Tables.load(s, dir, "documents"), "doc_id", "text",
+          chunkSize = 64, stride = 48),
+      Some("""WITH d AS (
+        |  SELECT doc_id, string_split(text, ' ') AS w
+        |  FROM documents WHERE text IS NOT NULL AND trim(text) <> ''),
+        |n AS (
+        |  SELECT doc_id, w,
+        |    1 + (greatest(len(w) - 64, 0) + 47) // 48 AS n_chunks FROM d),
+        |c AS (
+        |  SELECT doc_id, w, t.k AS k
+        |  FROM n, unnest(range(0, n_chunks)) t(k))
+        |SELECT doc_id, CAST(k AS BIGINT) AS chunk_idx,
+        |  CAST(len(w[(k*48+1):(k*48+64)]) AS BIGINT) AS n_tokens,
+        |  md5(array_to_string(w[(k*48+1):(k*48+64)], ' ')) AS chunk_hash
+        |FROM c""".stripMargin)),
+
+    Q(
       "qt24_uniform_sample",
       "Deterministic uniform k-sample per group (bottom-k-of-hash " +
         "reservoir): per source, the 10 docs with smallest " +

@@ -103,4 +103,38 @@ class TextAnalysisSpec extends SparkSuite {
     assert(TextAnalysis.ngramPerplexity(tiny, "doc_id", "text").count() == 0)
     graft.core.OpCache.releaseAll(blocking = true)
   }
+
+  test("chunkTokens: window count, overlap, clamped tail, content identity") {
+    // 10 tokens, chunkSize 4, stride 3:
+    // n_chunks = 1 + ceil((10-4)/3) = 3, starts t1/t4/t7 — the last
+    // chunk covers tokens 7..10 so nothing is lost.
+    val text = (1 to 10).map(i => s"t$i").mkString(" ")
+    val out = TextAnalysis.chunkTokens(
+      Seq((1L, text)).toDF("doc_id", "text"), "doc_id", "text",
+      chunkSize = 4, stride = 3)
+      .orderBy("chunk_idx").collect()
+    assert(out.length == 3)
+    assert(out.map(_.getLong(2)).toSeq == Seq(4L, 4L, 4L)) // 6+4 <= 10: full
+    // overlap: chunk 0 = t1..t4, chunk 1 = t4..t7 — shares t4
+    val h = (s: String) => java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(out(0).getString(3) == h("t1 t2 t3 t4"))
+    assert(out(1).getString(3) == h("t4 t5 t6 t7"))
+    assert(out(2).getString(3) == h("t7 t8 t9 t10"))
+  }
+
+  test("chunkTokens: short docs yield one chunk; empty/null yield none") {
+    val df = Seq(
+      (1L, "a b"), (2L, ""), (4L, "   ")).toDF("doc_id", "text")
+      .unionByName(Seq((3L, null.asInstanceOf[String])).toDF("doc_id", "text"))
+    val out = TextAnalysis.chunkTokens(df, "doc_id", "text", 64, 48)
+    assert(out.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toSet == Set((1L, 0L, 2L)))
+    // tail clamp: 65 tokens at stride 48 → chunks of 64 and 17
+    val long = (1 to 65).map(i => s"w$i").mkString(" ")
+    val sizes = TextAnalysis.chunkTokens(
+      Seq((9L, long)).toDF("doc_id", "text"), "doc_id", "text", 64, 48)
+      .orderBy("chunk_idx").collect().map(_.getLong(2)).toSeq
+    assert(sizes == Seq(64L, 17L))
+  }
 }

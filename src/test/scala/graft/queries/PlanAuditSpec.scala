@@ -50,7 +50,12 @@ class PlanAuditSpec extends SparkSuite {
       "qs19_filtered_ann",
       // inherits qs15's broadcast centroid/codebook cross joins; the
       // rerank stage itself is two id EQUI-joins
-      "qs20_ivfpq_rerank")
+      "qs20_ivfpq_rerank",
+      // one-row broadcast of the 16 KB CMS grid crossed into the
+      // per-key estimate projection / the one-row exact-size frame —
+      // never a pair join (q53's "join" exists only as the exact
+      // baseline the estimate is compared against)
+      "q52_cms_freq", "q53_cms_join_size")
 
   test("no unexpected cartesian/nested-loop joins anywhere in the registry") {
     val dir = "/root/testdata/sf0.001"
