@@ -456,6 +456,102 @@ object Dedup {
       .select(col("doc_id").as("keep_id"))
   }
 
+  /** Near-dup pairs INCIDENT TO an ingest batch, from the stored
+    * corpus index — the edge-discovery half of incremental cluster
+    * maintenance ([[incrementalComponents]]): batch band signatures
+    * probe the corpus band table (asymmetric equi-join, both sides
+    * bucket-capped) for batch↔corpus pairs, and the batch's own band
+    * table yields batch↔batch pairs — nothing corpus-sized is
+    * recomputed per ingest. Pair set equals "all near-dup pairs of the
+    * full corpus with at least one end in the batch" (bucket
+    * membership of a doc is independent of the other docs), which is
+    * what the oracle replays. Output: (a_id, b_id), batch↔corpus pairs
+    * oriented (corpus, batch). */
+  def batchNearDupPairs(
+      index: CorpusIndex,
+      batch: DataFrame,
+      idCol: String,
+      textCol: String,
+      nShingle: Int = 3,
+      k: Int = 16,
+      bands: Int = 4,
+      threshold: Double = 0.5,
+      maxBucketSize: Int = DefaultMaxBucketSize): DataFrame = {
+    val shB = graft.core.OpCache.persist(
+      shingleTable(batch, idCol, textCol, nShingle))
+    val bandsB = bandTable(shB, k, bands)
+    val candCross = capBuckets(bandsB, col("band"), col("bkey"), maxBucketSize)
+      .as("p")
+      .join(capBuckets(index.bands, col("band"), col("bkey"), maxBucketSize)
+        .as("q"),
+        col("p.band") === col("q.band") && col("p.bkey") === col("q.bkey"))
+      .select(col("q.doc_id").as("a_id"), col("p.doc_id").as("b_id"))
+      .distinct()
+    val cross = candCross
+      .join(shB.as("sb"), col("b_id") === col("sb.doc_id"))
+      .join(index.shingles.as("sc"), col("a_id") === col("sc.doc_id"))
+      .filter(jaccard(col("sb.shingles"), col("sc.shingles")) >= threshold)
+      .select(col("a_id"), col("b_id"))
+    val within = pairsFromBandTable(shB, bandsB, threshold, maxBucketSize)
+      .select(col("a_id"), col("b_id"))
+    cross.unionByName(within)
+  }
+
+  /** Incremental connected-components maintenance — update STORED
+    * cluster labels with an ingest batch instead of re-clustering the
+    * corpus. Components only ever MERGE when edges are added, so:
+    *
+    *  1. components touched by a new edge endpoint are re-solved on a
+    *     star-compressed subgraph (each stored component enters as
+    *     depth-1 star edges node→component-min, so the closure
+    *     converges in O(1) rounds regardless of the original
+    *     component's diameter);
+    *  2. every other stored label passes through UNCHANGED — zero
+    *     recompute for the corpus majority.
+    *
+    * The result is bit-identical to a full re-clustering over (old
+    * edges ∪ new edges): untouched components keep their min label by
+    * definition, and a merged component's new min is the min over its
+    * constituent stars' mins, all of which appear as nodes in the
+    * subgraph. At 100 TB the per-ingest cost is
+    * O(affected components + batch edges), not O(corpus) — the label
+    * table is read (one semi/anti join pair) but never re-solved.
+    *
+    * @param labels   stored (node, component) state, component = min
+    *                 node id of the component (the contract
+    *                 [[connectedComponents]] emits)
+    * @param newEdges (a_id, b_id) edges discovered for the batch
+    *                 ([[batchNearDupPairs]] — batch↔corpus and
+    *                 batch↔batch)
+    * @param newNodes (node) the batch's node ids (kept as singletons
+    *                 when no edge touches them)
+    */
+  def incrementalComponents(
+      labels: DataFrame,
+      newEdges: DataFrame,
+      newNodes: DataFrame): DataFrame = {
+    val lab = graft.core.OpCache.persist(
+      labels.select(col("node").cast("long").as("node"),
+        col("component").cast("long").as("component")))
+    val ends = newEdges.select(col("a_id").cast("long").as("node"))
+      .unionByName(newEdges.select(col("b_id").cast("long").as("node")))
+      .distinct()
+    val touched = lab.join(ends, Seq("node"), "left_semi")
+      .select(col("component")).distinct()
+    // stored components re-enter as stars: node → component-min
+    val star = lab.join(touched, Seq("component"), "left_semi")
+      .select(col("node").as("a_id"), col("component").as("b_id"))
+    val selfNew = newNodes.select(col("node").cast("long").as("a_id"),
+      col("node").cast("long").as("b_id"))
+    val solved = connectedComponents(
+      star.unionByName(newEdges.select(col("a_id").cast("long"),
+        col("b_id").cast("long"))).unionByName(selfNew),
+      "a_id", "b_id")
+    lab.join(touched, Seq("component"), "left_anti")
+      .select(col("node"), col("component"))
+      .unionByName(solved.select(col("node"), col("component")))
+  }
+
   /** Connected components via alternating large-star/small-star
     * (Kiveris et al., "Connected Components in MapReduce and Beyond")
     * — the algorithm [[connectedComponents]]'s scaladoc names as the

@@ -1787,6 +1787,51 @@ object TextQueries {
         |    ON p.a_id = b3.doc_id AND p.b_id = b.doc_id)""".stripMargin)),
 
     Q(
+      "qd27_incremental_components",
+      "Incremental cluster maintenance (Dedup.incrementalComponents) " +
+        "- the state-update half qd12 lacked: stored component labels " +
+        "absorb an ingest batch (doc_id % 50 = 0) by re-solving ONLY " +
+        "components touched by a new edge (each re-enters as a " +
+        "depth-1 star node->component-min, so the closure converges " +
+        "in O(1) rounds); every untouched label passes through with " +
+        "zero recompute. Edge discovery probes the STORED band index " +
+        "(batchNearDupPairs - batch vs corpus + batch internal, " +
+        "nothing corpus-sized rebuilt). Components only merge under " +
+        "edge addition, so the result is bit-identical to full " +
+        "re-clustering - the oracle IS qd10's full recursive-CTE " +
+        "closure over the complete pair set.",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        val corpus = docs.filter(pmod(col("doc_id"), lit(50)) =!= 0)
+        val batch = docs.filter(pmod(col("doc_id"), lit(50)) === 0)
+        // stored state: the corpus-only clustering + band index (what a
+        // production service reads from storage between ingests)
+        val pairsC = Dedup.lshNearDupPairs(corpus, "doc_id", "text",
+          nShingle = 3, k = 16, bands = 4, threshold = 0.5)
+          .select(col("a_id"), col("b_id"))
+        val selfC = corpus.select(col("doc_id").as("a_id"),
+          col("doc_id").as("b_id"))
+        val labels = Dedup.connectedComponents(
+          pairsC.unionByName(selfC), "a_id", "b_id")
+        val idx = Dedup.buildCorpusIndex(corpus, "doc_id", "text")
+        val newEdges = Dedup.batchNearDupPairs(idx, batch, "doc_id", "text",
+          nShingle = 3, k = 16, bands = 4, threshold = 0.5)
+        Dedup.incrementalComponents(labels, newEdges,
+          batch.select(col("doc_id").as("node")))
+          .select(col("node").as("doc_id"), col("component"))
+      },
+      Some(s"""WITH RECURSIVE ${lshCtes()},
+        |pairs AS ($lshPairSelect),
+        |sym(s, t) AS (
+        |  SELECT a_id, b_id FROM pairs UNION SELECT b_id, a_id FROM pairs
+        |  UNION SELECT doc_id, doc_id FROM documents),
+        |r(s, t) AS (
+        |  SELECT s, t FROM sym
+        |  UNION
+        |  SELECT r.s, sym.t FROM r JOIN sym ON r.t = sym.s)
+        |SELECT s AS doc_id, min(t) AS component FROM r GROUP BY s""".stripMargin)),
+
+    Q(
       "qd13_cluster_stars",
       "qd10's clustering via the OTHER algorithm: large-star/small-star " +
         "edge contraction (Dedup.connectedComponentsStars) over the " +

@@ -147,6 +147,28 @@ object ScaleSmoke {
         Dedup.incrementalDedupWithIndex(idxI, batchI, "doc_id", "text")
           .count()
       },
+      {
+        // stored clustering state (labels) builds BEFORE the timer —
+        // production reads it from storage between ingests; the timed
+        // path is batch edge discovery against the resident band index
+        // + label maintenance on affected components only
+        val labelsI = {
+          val p = Dedup.lshNearDupPairs(corpusI, "doc_id", "text")
+            .select($"a_id", $"b_id")
+          val self = corpusI.select($"doc_id".as("a_id"),
+            $"doc_id".as("b_id"))
+          val l = Dedup.connectedComponents(p.unionByName(self), "a_id", "b_id")
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          l.count(); l
+        }
+        val t = time("incremental_components") {
+          val e = Dedup.batchNearDupPairs(idxI, batchI, "doc_id", "text")
+          Dedup.incrementalComponents(labelsI, e,
+            batchI.select($"doc_id".as("node"))).count()
+        }
+        labelsI.unpersist(true)
+        t
+      },
       time("ann_probe_stored") {
         // recurring similarity-service cost: the IVF artifacts are
         // resident (persisted + counted below before timing), only the
@@ -343,6 +365,20 @@ object ScaleSmoke {
           .cube($"l_returnflag", $"l_linestatus")
           .agg(call_function("graft_hll", $"h", lit(8)).as("regs"))
           .count()
+      },
+      time("cms_estimates") {
+        // grid build over the full fact + per-key broadcast probes;
+        // state is 16 KB regardless of factor, so the slope should be
+        // the two linear passes (count-groupBy + sketch agg)
+        graft.operators.Frequency.cmsPointEstimates(
+          li.select($"l_partkey"), "l_partkey", depth = 4, width = 512)
+          .count()
+      },
+      time("text_chunks") {
+        // pure map-side fan-out: rows ≈ n_tokens/stride per doc, zero
+        // exchange — the slope is the scan+explode cost alone
+        graft.operators.TextAnalysis.chunkTokens(
+          docs, "doc_id", "text", chunkSize = 64, stride = 48).count()
       })
 
     val total = results.map(_._2).sum

@@ -401,4 +401,53 @@ class DedupSpec extends SparkSuite {
     assert(out3 === Map(8L -> "x y", 9L -> ""))
     graft.core.OpCache.releaseAll(blocking = true)
   }
+
+  test("incrementalComponents: touched components merge, untouched pass through") {
+    import spark.implicits._
+    // stored state: {1,2,3}→1, {5,6}→5, {8}→8
+    val labels = Seq((1L, 1L), (2L, 1L), (3L, 1L), (5L, 5L), (6L, 5L), (8L, 8L))
+      .toDF("node", "component")
+    // batch {10, 11, 12}; edges: 3↔10 (merges comp 1 with 10),
+    // 10↔11 (chains the batch); 12 isolated
+    val newEdges = Seq((3L, 10L), (10L, 11L)).toDF("a_id", "b_id")
+    val newNodes = Seq(10L, 11L, 12L).toDF("node")
+    val got = Dedup.incrementalComponents(labels, newEdges, newNodes)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(
+      1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 1L, 11L -> 1L, // merged
+      5L -> 5L, 6L -> 5L, 8L -> 8L,                       // untouched
+      12L -> 12L))                                        // new singleton
+    // a batch edge can also merge two PREVIOUSLY SEPARATE components
+    val bridge = Seq((2L, 20L), (20L, 6L)).toDF("a_id", "b_id")
+    val got2 = Dedup.incrementalComponents(labels, bridge,
+      Seq(20L).toDF("node"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got2 === Map(
+      1L -> 1L, 2L -> 1L, 3L -> 1L, 5L -> 1L, 6L -> 1L, 20L -> 1L,
+      8L -> 8L))
+    graft.core.OpCache.releaseAll(blocking = true)
+  }
+
+  test("incrementalComponents equals full re-clustering on a random graph") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    val n = 120
+    val oldEdges = (1 to 150).map(_ =>
+      (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+    val newE = (1 to 40).map(_ =>
+      (rnd.nextInt(n).toLong, (n + rnd.nextInt(30)).toLong))
+    val allNodes = (0 until n).map(_.toLong)
+    val batchNodes = (n until n + 30).map(_.toLong)
+    val oldDf = oldEdges.toDF("a_id", "b_id")
+      .unionByName(allNodes.map(i => (i, i)).toDF("a_id", "b_id"))
+    val labels = Dedup.connectedComponents(oldDf, "a_id", "b_id")
+    val inc = Dedup.incrementalComponents(labels,
+      newE.toDF("a_id", "b_id"), batchNodes.toDF("node"))
+    val full = Dedup.connectedComponents(
+      oldDf.unionByName(newE.toDF("a_id", "b_id"))
+        .unionByName(batchNodes.map(i => (i, i)).toDF("a_id", "b_id")),
+      "a_id", "b_id")
+    assert(rowsOf(inc) == rowsOf(full.select($"node", $"component")))
+    graft.core.OpCache.releaseAll(blocking = true)
+  }
 }

@@ -181,4 +181,21 @@ class EdgeCasesSpec extends SparkSuite {
     assert(Timeseries.seasonalDecompose(emptyEv, "ts", "value").count() == 0)
     graft.core.OpCache.releaseAll(blocking = true)
   }
+
+  test("round-7 session-3 operators handle empty inputs") {
+    val emptyKeys = Seq.empty[Long].toDF("k")
+    // no keys → no estimate rows (the sketch itself is a zero grid)
+    assert(Frequency.cmsPointEstimates(emptyKeys, "k", 4, 64).count() == 0)
+    // empty sides → exact size 0, every inner product 0
+    val r = Frequency.cmsJoinSize(emptyKeys, "k", emptyKeys, "k", 4, 64)
+      .collect()(0)
+    assert(r.getLong(0) == 0L && r.getLong(1) == 0L)
+    assert(TextAnalysis.chunkTokens(emptyDocs, "doc_id", "text", 64, 48)
+      .count() == 0)
+    intercept[IllegalArgumentException] {
+      TextAnalysis.chunkTokens(someDocs, "doc_id", "text",
+        chunkSize = 8, stride = 9) // stride > chunkSize would skip tokens
+    }
+    graft.core.OpCache.releaseAll(blocking = true)
+  }
 }
