@@ -547,9 +547,18 @@ object Dedup {
       star.unionByName(newEdges.select(col("a_id").cast("long"),
         col("b_id").cast("long"))).unionByName(selfNew),
       "a_id", "b_id")
-    lab.join(touched, Seq("component"), "left_anti")
-      .select(col("node"), col("component"))
-      .unionByName(solved.select(col("node"), col("component")))
+    // Untouched stored labels take PRECEDENCE over the subgraph solve:
+    // a re-delivered node (at-least-once ingest) that sits in an
+    // untouched component appears in the subgraph only through its
+    // self-edge, where solving it would both duplicate the row and
+    // forget its stored component — anti-joining solved against the
+    // untouched node set makes maintenance idempotent under replay.
+    val untouched = graft.core.OpCache.persist(
+      lab.join(touched, Seq("component"), "left_anti")
+        .select(col("node"), col("component")))
+    untouched.unionByName(
+      solved.select(col("node"), col("component"))
+        .join(untouched.select(col("node")), Seq("node"), "left_anti"))
   }
 
   /** Connected components via alternating large-star/small-star

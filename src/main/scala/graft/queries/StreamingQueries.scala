@@ -242,6 +242,57 @@ object StreamingQueries {
         |    ON p.a_id = b3.doc_id AND p.b_id = b.doc_id)""".stripMargin)),
 
     Q(
+      "qst14_stream_components",
+      "Streaming cluster-label maintenance " +
+        "(EventStreams.componentMaintenance, qst06's sibling for " +
+        "CLUSTERING state): the batch split (doc_id % 50 = 0) is " +
+        "delivered TWICE via two staged files (at-least-once " +
+        "upstream); each micro-batch discovers its incident near-dup " +
+        "edges against the stored band index, folds them into the " +
+        "stored labels (qd27's incrementalComponents - touched " +
+        "components re-solved on star subgraphs), and grows the " +
+        "index before the next batch. Merge-monotonicity + " +
+        "untouched-label precedence make the final labels " +
+        "independent of batch boundaries AND of re-delivery, so the " +
+        "oracle is the single-shot full recursive-CTE closure " +
+        "(qd10's), which a state bug at either layer would break.",
+      (s, dir) => {
+        val docs = graft.core.Tables.load(s, dir, "documents")
+        val corpus = docs.filter(pmod(col("doc_id"), lit(50)) =!= 0)
+        val pairsC = graft.operators.Dedup.lshNearDupPairs(
+          corpus, "doc_id", "text",
+          nShingle = 3, k = 16, bands = 4, threshold = 0.5)
+          .select(col("a_id"), col("b_id"))
+        val selfC = corpus.select(col("doc_id").as("a_id"),
+          col("doc_id").as("b_id"))
+        val labels0 = graft.operators.Dedup.connectedComponents(
+          pairsC.unionByName(selfC), "a_id", "b_id")
+        val index = graft.operators.Dedup.buildCorpusIndex(
+          corpus, "doc_id", "text")
+        val in = java.nio.file.Files.createTempDirectory("graft_cc_in")
+        val src = java.nio.file.Paths.get(dir, "documents.parquet")
+        java.nio.file.Files.copy(src, in.resolve("d1.parquet"))
+        java.nio.file.Files.copy(src, in.resolve("d2.parquet"))
+        val stream = s.readStream.schema(docs.schema)
+          .option("maxFilesPerTrigger", 1)
+          .parquet(in.toString + "/*.parquet")
+          .filter(pmod(col("doc_id"), lit(50)) === 0)
+        EventStreams.componentMaintenance(stream, index, labels0,
+          "doc_id", "text")
+          .select(col("node").as("doc_id"), col("component"))
+      },
+      Some(s"""WITH RECURSIVE ${TextQueries.lshCtes()},
+        |pairs AS (${TextQueries.lshPairSelect}),
+        |sym(s, t) AS (
+        |  SELECT a_id, b_id FROM pairs UNION SELECT b_id, a_id FROM pairs
+        |  UNION SELECT doc_id, doc_id FROM documents),
+        |r(s, t) AS (
+        |  SELECT s, t FROM sym
+        |  UNION
+        |  SELECT r.s, sym.t FROM r JOIN sym ON r.t = sym.s)
+        |SELECT s AS doc_id, min(t) AS component FROM r GROUP BY s""".stripMargin)),
+
+    Q(
       "qst07_stream_cdc",
       "Streaming CDC snapshot (EventStreams.cdcSnapshot): the change " +
         "feed (events per user, 'error' = tombstone) maintained as a " +

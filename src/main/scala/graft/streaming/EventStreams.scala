@@ -96,6 +96,58 @@ object EventStreams {
     if (!q.awaitTermination(180000)) q.stop()
   }
 
+  /** Streaming cluster-label maintenance — [[ingestDedup]]'s sibling
+    * for the CLUSTERING state: each micro-batch discovers its incident
+    * near-dup edges against the stored band index
+    * ([[graft.operators.Dedup.batchNearDupPairs]]), folds them into
+    * the stored labels via
+    * [[graft.operators.Dedup.incrementalComponents]] (touched
+    * components re-solved on star subgraphs, untouched labels pass
+    * through), then grows the index so later batches pair against
+    * earlier ones. Because components only MERGE under edge addition
+    * and the maintenance is idempotent (untouched-label precedence),
+    * the final labels are independent of batch boundaries AND of
+    * at-least-once re-delivery — the registry query feeds the batch
+    * twice and still must equal the single-shot full closure.
+    *
+    * Returns the final label frame (node, component). Per-batch label
+    * lineage is cut (createDataFrame) so a long-running stream's plan
+    * stays O(1) deep — the same discipline as the CC rounds. */
+  def componentMaintenance(
+      docs: DataFrame,
+      index: graft.operators.Dedup.CorpusIndex,
+      labels0: DataFrame,
+      idCol: String,
+      textCol: String,
+      queryName: String = "graft_stream_components"): DataFrame = {
+    val spark = docs.sparkSession
+    var cur = index
+    var labels = labels0
+    val q = docs.writeStream
+      .queryName(queryName)
+      .outputMode(OutputMode.Append())
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val b = graft.core.OpCache.persist(batch.toDF())
+        val edges = graft.operators.Dedup.batchNearDupPairs(
+          cur, b, idCol, textCol)
+        val next = graft.operators.Dedup.incrementalComponents(
+          labels, edges, b.select(col(idCol).as("node")))
+        labels = graft.core.OpCache.persist(
+          spark.createDataFrame(next.rdd, next.schema))
+        labels.count() // materialize before the index mutates
+        val grown = graft.operators.Dedup.buildCorpusIndex(b, idCol, textCol)
+        cur = graft.operators.Dedup.CorpusIndex(
+          cur.hashes.unionByName(grown.hashes),
+          cur.shingles.unionByName(grown.shingles),
+          cur.bands.unionByName(grown.bands))
+        ()
+      }
+      .start()
+    if (!q.awaitTermination(180000)) q.stop()
+    labels
+  }
+
   /** Streaming ANN serving — the query-side loop of a similarity
     * service: the corpus artifacts (a STORED
     * [[graft.operators.Similarity.SqIndex]] — calibration + int8

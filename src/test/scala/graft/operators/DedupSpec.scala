@@ -428,6 +428,27 @@ class DedupSpec extends SparkSuite {
     graft.core.OpCache.releaseAll(blocking = true)
   }
 
+  test("incrementalComponents is idempotent under re-delivery") {
+    import spark.implicits._
+    val labels = Seq((1L, 1L), (2L, 1L), (5L, 5L), (6L, 5L), (8L, 8L))
+      .toDF("node", "component")
+    val edges = Seq((2L, 10L)).toDF("a_id", "b_id")
+    // 8 is re-delivered with NO incident edge (e.g. a shingle-less
+    // short doc): its untouched stored label must win over the
+    // self-edge solve, with no duplicate row
+    val nodes = Seq(10L, 8L).toDF("node")
+    val once = Dedup.incrementalComponents(labels, edges, nodes)
+    val first = once.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(first === Map(1L -> 1L, 2L -> 1L, 10L -> 1L,
+      5L -> 5L, 6L -> 5L, 8L -> 8L))
+    assert(once.count() == 6) // no duplicated node rows
+    val twice = Dedup.incrementalComponents(once, edges, nodes)
+    assert(twice.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      === first)
+    assert(twice.count() == 6)
+    graft.core.OpCache.releaseAll(blocking = true)
+  }
+
   test("incrementalComponents equals full re-clustering on a random graph") {
     import spark.implicits._
     val rnd = new scala.util.Random(42)
