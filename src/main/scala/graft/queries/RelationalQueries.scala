@@ -1165,6 +1165,48 @@ object RelationalQueries {
         .stripMargin)),
 
     Q(
+      "q54_weighted_median",
+      "Exact WEIGHTED median per group (q28's weighted sibling): the " +
+        "smallest price whose cumulative quantity-weight reaches half " +
+        "the group total — integer-exact threshold (cum*2 >= tot over " +
+        "BIGINT weights), so no float percentile interpolation can " +
+        "disagree at the boundary. One shuffle+sort per group key " +
+        "(window partitioned by l_partkey - thousands of small " +
+        "groups, each reducer-sized); for FEW huge groups the q38 " +
+        "histogram machinery is the sketch alternative, same note as " +
+        "qt21. Tie runs of equal prices cannot flip the answer: the " +
+        "minimal qualifying VALUE is selected, whatever the " +
+        "within-run order.",
+      (s, dir) => {
+        val ordw = Window.partitionBy(col("part_key"))
+          .orderBy(col("l_extendedprice"), col("l_orderkey"), col("l_linenumber"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val pw = Window.partitionBy(col("part_key"))
+        t(s, dir, "lineitem")
+          .select(col("l_partkey").cast("long").as("part_key"),
+            col("l_extendedprice"),
+            col("l_quantity").cast("long").as("wt"),
+            col("l_orderkey"), col("l_linenumber"))
+          .withColumn("cum", sum(col("wt")).over(
+            ordw))
+          .withColumn("tot", sum(col("wt")).over(pw))
+          .filter(col("cum") * 2 >= col("tot"))
+          .groupBy(col("part_key"))
+          .agg(min(col("l_extendedprice")).as("w_median"),
+            max(col("tot")).as("total_w"))
+      },
+      Some("""WITH c AS (
+        |  SELECT CAST(l_partkey AS BIGINT) AS part_key, l_extendedprice,
+        |    sum(CAST(l_quantity AS BIGINT)) OVER (PARTITION BY l_partkey
+        |      ORDER BY l_extendedprice, l_orderkey, l_linenumber
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |    sum(CAST(l_quantity AS BIGINT)) OVER (PARTITION BY l_partkey) AS tot
+        |  FROM lineitem)
+        |SELECT part_key, min(l_extendedprice) AS w_median,
+        |  CAST(max(tot) AS BIGINT) AS total_w
+        |FROM c WHERE cum * 2 >= tot GROUP BY 1""".stripMargin)),
+
+    Q(
       "q49_hll_distinct",
       "HyperLogLog distinct sketch (functions/HllSketch, graft_hll, " +
         "p=8): per-group register arrays over hash60(l_orderkey), " +

@@ -148,25 +148,42 @@ object ScaleSmoke {
           .count()
       },
       {
-        // stored clustering state (labels) builds BEFORE the timer —
-        // production reads it from storage between ingests; the timed
-        // path is batch edge discovery against the resident band index
-        // + label maintenance on affected components only
-        val labelsI = {
-          val p = Dedup.lshNearDupPairs(corpusI, "doc_id", "text")
+        // Incremental-components fixture: the batch must be a COHERENT
+        // ingest (all copies of ~1% of ORIGINAL docs), not an
+        // id-uniform sample — the duplicated corpus puts every
+        // original's copies in one near-dup component, so a uniform
+        // sample touches essentially every component and the
+        // "incremental" path degenerates to a full re-solve (measured:
+        // 22.6 s at ×10, worse than re-clustering). A real ingest—a
+        // day's crawl—touches the components it collides with, which
+        // is what affected-component cost scales by.
+        val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+        val corpusC = docs.filter(expr(s"(doc_id div $factor) % 101 <> 0"))
+        val batchC = docs.filter(expr(s"(doc_id div $factor) % 101 = 0"))
+        // stored state (labels + band index) builds BEFORE the timer —
+        // production reads both from storage between ingests
+        val idxC = {
+          val built = Dedup.buildCorpusIndex(corpusC, "doc_id", "text")
+          val idx = Dedup.CorpusIndex(built.hashes.persist(lvl),
+            built.shingles.persist(lvl), built.bands.persist(lvl))
+          idx.hashes.count(); idx.shingles.count(); idx.bands.count()
+          idx
+        }
+        val labelsC = {
+          val p = Dedup.lshNearDupPairs(corpusC, "doc_id", "text")
             .select($"a_id", $"b_id")
-          val self = corpusI.select($"doc_id".as("a_id"),
+          val self = corpusC.select($"doc_id".as("a_id"),
             $"doc_id".as("b_id"))
           val l = Dedup.connectedComponents(p.unionByName(self), "a_id", "b_id")
-            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+            .persist(lvl)
           l.count(); l
         }
         val t = time("incremental_components") {
-          val e = Dedup.batchNearDupPairs(idxI, batchI, "doc_id", "text")
-          Dedup.incrementalComponents(labelsI, e,
-            batchI.select($"doc_id".as("node"))).count()
+          val e = Dedup.batchNearDupPairs(idxC, batchC, "doc_id", "text")
+          Dedup.incrementalComponents(labelsC, e,
+            batchC.select($"doc_id".as("node"))).count()
         }
-        labelsI.unpersist(true)
+        labelsC.unpersist(true); idxC.unpersist(true)
         t
       },
       time("ann_probe_stored") {
