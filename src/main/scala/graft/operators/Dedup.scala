@@ -479,7 +479,9 @@ object Dedup {
       maxBucketSize: Int = DefaultMaxBucketSize): DataFrame = {
     val shB = graft.core.OpCache.persist(
       shingleTable(batch, idCol, textCol, nShingle))
-    val bandsB = bandTable(shB, k, bands)
+    // consumed by the cross probe AND the within-batch pair pass —
+    // persist so the signature windows run once
+    val bandsB = graft.core.OpCache.persist(bandTable(shB, k, bands))
     val candCross = capBuckets(bandsB, col("band"), col("bkey"), maxBucketSize)
       .as("p")
       .join(capBuckets(index.bands, col("band"), col("bkey"), maxBucketSize)
@@ -533,19 +535,27 @@ object Dedup {
     val lab = graft.core.OpCache.persist(
       labels.select(col("node").cast("long").as("node"),
         col("component").cast("long").as("component")))
-    val ends = newEdges.select(col("a_id").cast("long").as("node"))
-      .unionByName(newEdges.select(col("b_id").cast("long").as("node")))
+    // newEdges is typically an LSH probe PIPELINE (batchNearDupPairs:
+    // band windows + shingle joins + verify) consumed three times
+    // below (touched, the closure, and through touched the untouched
+    // split) — persist it or the probe re-executes per consumer (the
+    // funnel lesson applied here; measured 22→? s on the ×10 smoke)
+    val e = graft.core.OpCache.persist(
+      newEdges.select(col("a_id").cast("long").as("a_id"),
+        col("b_id").cast("long").as("b_id")))
+    val ends = e.select(col("a_id").as("node"))
+      .unionByName(e.select(col("b_id").as("node")))
       .distinct()
-    val touched = lab.join(ends, Seq("node"), "left_semi")
-      .select(col("component")).distinct()
+    val touched = graft.core.OpCache.persist(
+      lab.join(ends, Seq("node"), "left_semi")
+        .select(col("component")).distinct())
     // stored components re-enter as stars: node → component-min
     val star = lab.join(touched, Seq("component"), "left_semi")
       .select(col("node").as("a_id"), col("component").as("b_id"))
     val selfNew = newNodes.select(col("node").cast("long").as("a_id"),
       col("node").cast("long").as("b_id"))
     val solved = connectedComponents(
-      star.unionByName(newEdges.select(col("a_id").cast("long"),
-        col("b_id").cast("long"))).unionByName(selfNew),
+      star.unionByName(e).unionByName(selfNew),
       "a_id", "b_id")
     // Untouched stored labels take PRECEDENCE over the subgraph solve:
     // a re-delivered node (at-least-once ingest) that sits in an

@@ -133,9 +133,17 @@ object EventStreams {
           cur, b, idCol, textCol)
         val next = graft.operators.Dedup.incrementalComponents(
           labels, edges, b.select(col(idCol).as("node")))
+        val prev = labels
         labels = graft.core.OpCache.persist(
           spark.createDataFrame(next.rdd, next.schema))
         labels.count() // materialize before the index mutates
+        // release the superseded label frame (but never the caller's
+        // labels0) — a long-running stream must not accumulate one
+        // cached frame per micro-batch
+        if (prev ne labels0) {
+          prev.unpersist(false)
+          graft.core.OpCache.untrack(prev)
+        }
         val grown = graft.operators.Dedup.buildCorpusIndex(b, idCol, textCol)
         cur = graft.operators.Dedup.CorpusIndex(
           cur.hashes.unionByName(grown.hashes),

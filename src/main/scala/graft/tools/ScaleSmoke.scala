@@ -20,6 +20,12 @@ object ScaleSmoke {
   def main(args: Array[String]): Unit = {
     val factor = if (args.length > 0) args(0).toInt else 10
     val base = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
+    // optional comma-separated op filter (3rd arg): re-measure a few
+    // fixtures without paying for the whole suite; skipped ops report
+    // sec=0 rows=-1
+    val only: Option[Set[String]] =
+      if (args.length > 2) Some(args(2).split(",").map(_.trim).toSet) else None
+    def enabled(name: String): Boolean = only.forall(_.contains(name))
     val out = s"/tmp/graft_scale_x$factor"
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
@@ -52,6 +58,7 @@ object ScaleSmoke {
     }
 
     def time(name: String)(thunk: => Long): (String, Double, Long) = {
+      if (!enabled(name)) return (name, 0.0, -1L)
       val t0 = System.nanoTime()
       val n = thunk
       (name, (System.nanoTime() - t0) / 1e9, n)
@@ -157,34 +164,45 @@ object ScaleSmoke {
         // 22.6 s at ×10, worse than re-clustering). A real ingest—a
         // day's crawl—touches the components it collides with, which
         // is what affected-component cost scales by.
-        val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-        val corpusC = docs.filter(expr(s"(doc_id div $factor) % 101 <> 0"))
-        val batchC = docs.filter(expr(s"(doc_id div $factor) % 101 = 0"))
-        // stored state (labels + band index) builds BEFORE the timer —
-        // production reads both from storage between ingests
-        val idxC = {
-          val built = Dedup.buildCorpusIndex(corpusC, "doc_id", "text")
-          val idx = Dedup.CorpusIndex(built.hashes.persist(lvl),
-            built.shingles.persist(lvl), built.bands.persist(lvl))
-          idx.hashes.count(); idx.shingles.count(); idx.bands.count()
-          idx
+        if (!enabled("incremental_components"))
+          ("incremental_components", 0.0, -1L)
+        else {
+          val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+          val corpusC = docs.filter(expr(s"(doc_id div $factor) % 101 <> 0"))
+          val batchC = docs.filter(expr(s"(doc_id div $factor) % 101 = 0"))
+          // Threshold 0.7, not the suite's 0.5: at 0.5 this corpus's
+          // 250k-pair near-dup graph PERCOLATES into giant components,
+          // so any batch touches ~everything and incremental == full
+          // re-solve by construction (measured 18.4 s at ×10). At the
+          // production-typical 0.7 the components stay at exact-copy /
+          // tight-near-dup granularity and the fixture measures what
+          // the operator scales by: affected-component mass.
+          val idxC = {
+            val built = Dedup.buildCorpusIndex(corpusC, "doc_id", "text")
+            val idx = Dedup.CorpusIndex(built.hashes.persist(lvl),
+              built.shingles.persist(lvl), built.bands.persist(lvl))
+            idx.hashes.count(); idx.shingles.count(); idx.bands.count()
+            idx
+          }
+          val labelsC = {
+            val p = Dedup.lshNearDupPairs(corpusC, "doc_id", "text",
+              threshold = 0.7)
+              .select($"a_id", $"b_id")
+            val self = corpusC.select($"doc_id".as("a_id"),
+              $"doc_id".as("b_id"))
+            val l = Dedup.connectedComponents(p.unionByName(self), "a_id", "b_id")
+              .persist(lvl)
+            l.count(); l
+          }
+          val t = time("incremental_components") {
+            val e = Dedup.batchNearDupPairs(idxC, batchC, "doc_id", "text",
+              threshold = 0.7)
+            Dedup.incrementalComponents(labelsC, e,
+              batchC.select($"doc_id".as("node"))).count()
+          }
+          labelsC.unpersist(true); idxC.unpersist(true)
+          t
         }
-        val labelsC = {
-          val p = Dedup.lshNearDupPairs(corpusC, "doc_id", "text")
-            .select($"a_id", $"b_id")
-          val self = corpusC.select($"doc_id".as("a_id"),
-            $"doc_id".as("b_id"))
-          val l = Dedup.connectedComponents(p.unionByName(self), "a_id", "b_id")
-            .persist(lvl)
-          l.count(); l
-        }
-        val t = time("incremental_components") {
-          val e = Dedup.batchNearDupPairs(idxC, batchC, "doc_id", "text")
-          Dedup.incrementalComponents(labelsC, e,
-            batchC.select($"doc_id".as("node"))).count()
-        }
-        labelsC.unpersist(true); idxC.unpersist(true)
-        t
       },
       time("ann_probe_stored") {
         // recurring similarity-service cost: the IVF artifacts are
