@@ -212,6 +212,53 @@ object Curation {
         col("bits_per_bigram"))
   }
 
+  /** Leakage-safe train/val/test split: the split unit is the
+    * near-duplicate CLUSTER ([[graft.operators.Dedup.corpusClusters]]
+    * — exact and near duplicates, transitively closed), not the
+    * document, so no (near-)duplicate pair can ever straddle train and
+    * eval. Splitting documents independently silently leaks: a doc and
+    * its template-sibling land in different splits and the eval set
+    * scores memorization. Assignment hashes the CLUSTER id
+    * (content-stable [[graft.operators.Dedup.hash60]]): reproducible
+    * under any partitioning, any engine, and stable as the corpus
+    * grows — adding documents to an existing cluster never moves it
+    * between splits (the component id is the cluster-min doc id, which
+    * only changes if an earlier-id member joins).
+    *
+    * Scale shape: clustering is qd11's audited collapse-first plan
+    * (exact groups enter as stars, LSH over unique content only); the
+    * split assignment itself is a narrow projection — zero additional
+    * shuffle. Output: (doc_id, component, split) covering every input
+    * document; singleton clusters hash like any other.
+    *
+    * @param valPermille  permille of clusters assigned to "val"
+    * @param testPermille permille of clusters assigned to "test";
+    *                     remainder is "train". Rates apply to CLUSTERS,
+    *                     so the document-level fractions drift with
+    *                     cluster-size skew — by design: the unit of
+    *                     leakage is the cluster. */
+  def clusterAwareSplit(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      valPermille: Int = 100,
+      testPermille: Int = 100,
+      nShingle: Int = 3,
+      k: Int = 16,
+      bands: Int = 4,
+      threshold: Double = 0.5): DataFrame = {
+    require(valPermille >= 0 && testPermille >= 0 &&
+      valPermille + testPermille <= 1000,
+      "split rates are permille and val + test must be <= 1000")
+    val labels = Dedup.corpusClusters(docs, idCol, textCol,
+      nShingle, k, bands, threshold)
+    val h = pmod(Dedup.hash60(col("component").cast("string")), lit(1000))
+    labels.select(col("node").as("doc_id"), col("component"),
+      when(h < testPermille, lit("test"))
+        .when(h < testPermille + valPermille, lit("val"))
+        .otherwise(lit("train")).as("split"))
+  }
+
   /** Deterministic weighted data mixing: keep each document with its
     * source's sampling rate (permille), decided by a content-stable
     * hash — the per-source up/down-weighting step that turns a curated

@@ -1162,6 +1162,65 @@ object Dedup {
       .filter(col("containment") >= threshold)
   }
 
+  /** SKETCH-tier containment pairs — [[containmentPairs]]'s constant-
+    * cost sibling for corpus scale: instead of probing the index with
+    * a (1−t)·|A|+1 prefix of every document, probe with the KMV
+    * bottom-k sketch of A's shingle hashes (k smallest — a uniform
+    * sample of A under the hash order), and ESTIMATE containment as
+    * the fraction of sketch hashes present in B. Documents with ≤ k
+    * shingles carry their whole set, so their estimate is exact; the
+    * estimator is deterministic (hash order, not RNG), engine- and
+    * partitioning-invariant, and the probe cost is EXACTLY k rows per
+    * document regardless of document length — the lever qd24 lacks
+    * when long documents dominate.
+    *
+    * Candidate generation is lossless for the ESTIMATOR's own
+    * semantics: any pair with estimate ≥ threshold > 0 shares at
+    * least one sketch hash, so joining sketch probes against the
+    * full inverted index generates every qualifying pair.
+    *
+    * Scale shape: probes = n·k rows (vs n·|A|·(1−t) for qd24) joined
+    * against the (hash, doc) index on 8-byte keys; the count
+    * aggregate is map-side-combinable. Hot shingles fan probes out
+    * df-proportionally — at corpus scale apply the same df-cut
+    * mitigation as qd04 upstream of the index (not parameterized
+    * here: the oracle replays exact semantics). */
+  def sketchContainmentPairs(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      nShingle: Int = 3,
+      k: Int = 16,
+      threshold: Double = 0.5): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0, "threshold in (0,1]")
+    require(k >= 1, s"sketch size must be >= 1, got $k")
+    // (doc, distinct shingle hashes) — feeds the sketch AND the index
+    val hs = graft.core.OpCache.persist(
+      graft.core.Partitioning.parallelize(docs, col(idCol))
+        .select(col(idCol).as("doc_id"), split(col(textCol), " ").as("__w"))
+        .filter(size(col("__w")) >= nShingle)
+        .select(col("doc_id"),
+          array_distinct(transform(wordShingles(col("__w"), nShingle),
+            s => hash60(s))).as("hs")))
+    // bottom-k sketch: k smallest hashes (doc-local sort — arrays are
+    // document-sized, never a shuffle)
+    val sk = hs.select(col("doc_id"),
+      slice(array_sort(col("hs")), 1, k).as("sk"))
+    val probes = sk.select(col("doc_id").as("a_id"),
+      size(col("sk")).as("ka"), explode(col("sk")).as("h"))
+    val index = hs.select(col("doc_id").as("b_id"), explode(col("hs")).as("h"))
+    // (a, h) and (b, h) are both distinct, so the join emits each
+    // sketch-hash hit exactly once and the count is the exact overlap
+    probes.join(index, Seq("h"))
+      .filter(col("a_id") =!= col("b_id"))
+      .groupBy(col("a_id"), col("ka"), col("b_id"))
+      .agg(count(lit(1)).as("m"))
+      .select(col("a_id"), col("b_id"),
+        (col("m").cast("double") / col("ka").cast("double"))
+          .as("est_containment"))
+      .filter(col("est_containment") >= threshold)
+  }
+
   /** Sorted-neighborhood near-dup pairs (Hernández–Stolfo SNM, the
     * classic record-linkage alternative to LSH blocking): globally
     * sort the corpus on each of `sortKeys` ([[graft.core.Partitioning

@@ -1050,4 +1050,87 @@ object Similarity {
       .filter(col("rnk") <= k)
       .select(col("vec_id"), col("nbr_id"), col("rnk").cast("long").as("rnk"))
   }
+
+  /** Maximal-Marginal-Relevance diversified top-k (Carbonell &
+    * Goldstein's MMR): retrieve `candK` exact-cosine candidates per
+    * query, then greedily select `k` of them, each step maximizing
+    * `lambda·rel(q,d) − (1−lambda)·max_{s∈selected} sim(d,s)` — the
+    * serving-side rerank that stops a near-duplicate cluster from
+    * monopolizing a result list (retrieval-augmented pipelines dedup
+    * their context this way). Ties break on ascending id at every
+    * step, so selection is total-ordered and engine-invariant; with
+    * `lambda = 0.5` the arithmetic is an exact IEEE halving of
+    * `rel − maxsim`, reproducible bit-for-bit.
+    *
+    * Scale shape: the query batch broadcasts (serving batches are
+    * small by construction); candidate generation is the audited
+    * brute/heap path (swap in [[ivfTopKWithIndex]] upstream for
+    * corpus-scale candidate generation); the greedy loop touches ONLY
+    * candidate-sized data — pairwise sims are candK² per query,
+    * computed once and reused across the k unrolled steps (both
+    * frames persist), each step one bounded join + one per-query
+    * window. k is a compile-time-small constant, so plan depth is
+    * fixed; no lineage growth beyond k stages.
+    *
+    * Output: (q_id, d_id, step) — step 1..k in selection order. */
+  def mmrTopK(
+      em: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      candK: Int = 20,
+      k: Int = 3,
+      lambda: Double = 0.5): DataFrame = {
+    require(k >= 1 && candK >= k, s"need candK >= k >= 1, got candK=$candK k=$k")
+    require(lambda >= 0.0 && lambda <= 1.0, s"lambda in [0,1], got $lambda")
+    val corpus = withNorm(em, idCol, vecCol)
+    val qs = queries.select(col(idCol).as("q_id"), col(vecCol).as("qv"))
+      .withColumn("qn", l2Norm(col("qv")))
+    val scored = corpus.join(broadcast(qs), col("q_id") =!= col("vec_id"))
+      .select(col("q_id"), col("vec_id").as("d_id"),
+        cosineWithNorms(col("qv"), col("embedding"), col("qn"), col("nrm")).as("rel"))
+    val topIds = topKHeap(scored, "q_id", col("rel"), col("d_id"), "d_id", candK)
+    // rejoin for vectors + rel: candK rows per query, cosine recomputed
+    // once per candidate — cheaper than shuffling vectors through the heap
+    val cand = graft.core.OpCache.persist(
+      topIds.select(col("q_id"), col("d_id"))
+        .join(corpus.select(col("vec_id").as("d_id"), col("embedding").as("dv"),
+          col("nrm").as("dn")), Seq("d_id"))
+        .join(broadcast(qs), Seq("q_id"))
+        .select(col("q_id"), col("d_id"), col("dv"), col("dn"),
+          cosineWithNorms(col("qv"), col("dv"), col("qn"), col("dn")).as("rel")))
+    val ps = graft.core.OpCache.persist(
+      cand.as("a").join(cand.as("b"),
+        col("a.q_id") === col("b.q_id") && col("a.d_id") =!= col("b.d_id"))
+        .select(col("a.q_id").as("q_id"), col("a.d_id").as("a_id"),
+          col("b.d_id").as("b_id"),
+          cosineWithNorms(col("a.dv"), col("b.dv"), col("a.dn"), col("b.dn"))
+            .as("sim")))
+    val wRel = Window.partitionBy(col("q_id")).orderBy(col("rel").desc, col("d_id"))
+    // each step's selection persists (tiny: ≤ one row per query), so
+    // later steps never re-execute earlier argmax windows — the q37
+    // funnel lesson applied to the greedy chain
+    var selected = graft.core.OpCache.persist(cand
+      .withColumn("rn", row_number().over(wRel)).filter(col("rn") === 1)
+      .select(col("q_id"), col("d_id"), lit(1L).as("step")))
+    for (step <- 2 to k) {
+      val selSet = selected.select(col("q_id"), col("d_id").as("s_id"))
+      val pen = ps.join(selSet,
+          ps("q_id") === selSet("q_id") && ps("b_id") === selSet("s_id"))
+        .groupBy(ps("q_id"), col("a_id")).agg(max(col("sim")).as("pen"))
+      val remaining = cand
+        .join(selected.select(col("q_id"), col("d_id")), Seq("q_id", "d_id"), "left_anti")
+      val mmr = remaining
+        .join(pen, remaining("q_id") === pen("q_id") &&
+          remaining("d_id") === pen("a_id"))
+        .select(remaining("q_id"), remaining("d_id"),
+          (lit(lambda) * col("rel") - lit(1.0 - lambda) * col("pen")).as("mmr"))
+      val wMmr = Window.partitionBy(col("q_id")).orderBy(col("mmr").desc, col("d_id"))
+      val pick = mmr.withColumn("rn", row_number().over(wMmr))
+        .filter(col("rn") === 1)
+        .select(col("q_id"), col("d_id"), lit(step.toLong).as("step"))
+      selected = graft.core.OpCache.persist(selected.unionByName(pick))
+    }
+    selected
+  }
 }

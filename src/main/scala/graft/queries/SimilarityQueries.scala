@@ -633,6 +633,78 @@ object SimilarityQueries {
         |WHERE rnk <= 5""".stripMargin)),
 
     Q(
+      "qs21_mmr_rerank",
+      "Maximal-Marginal-Relevance diversified top-3 " +
+        "(Similarity.mmrTopK, lambda=0.5 over 20 exact-cosine " +
+        "candidates): greedy selection maximizing relevance minus " +
+        "max-similarity-to-already-selected - the serving rerank that " +
+        "stops a near-dup cluster from monopolizing a result list " +
+        "(RAG context dedup). Ties break on ascending id each step; " +
+        "lambda=0.5 is an exact IEEE halving, so selection is " +
+        "engine-invariant. Pairwise sims are candidate-bounded " +
+        "(candK^2 per query), computed once, persisted across the " +
+        "k unrolled greedy steps; the oracle unrolls the identical " +
+        "3 steps as CTEs (the Lloyd-round discipline).",
+      (s, dir) => {
+        val em = Tables.load(s, dir, "embeddings")
+        Similarity.mmrTopK(em,
+          em.filter(org.apache.spark.sql.functions.pmod(
+            org.apache.spark.sql.functions.col("vec_id"),
+            org.apache.spark.sql.functions.lit(97)) === 0),
+          "vec_id", "embedding", candK = 20, k = 3, lambda = 0.5)
+      },
+      Some(s"""WITH e AS (
+        |  SELECT vec_id, embedding, ${dkNorm("embedding")} AS nrm
+        |  FROM embeddings),
+        |q AS (SELECT vec_id AS q_id, embedding AS qv, nrm AS qn
+        |      FROM e WHERE vec_id % 97 = 0),
+        |rel0 AS (
+        |  SELECT q.q_id, e.vec_id AS d_id,
+        |    ${dkDot("q.qv", "e.embedding")} / (q.qn * e.nrm) AS rel
+        |  FROM q JOIN e ON e.vec_id <> q.q_id),
+        |cand AS MATERIALIZED (
+        |  SELECT q_id, d_id, rel FROM (
+        |    SELECT q_id, d_id, rel,
+        |      row_number() OVER (PARTITION BY q_id ORDER BY rel DESC, d_id) AS rnk
+        |    FROM rel0)
+        |  WHERE rnk <= 20),
+        |ps AS MATERIALIZED (
+        |  SELECT a.q_id, a.d_id AS a_id, b.d_id AS b_id,
+        |    ${dkDot("ea.embedding", "eb.embedding")} / (ea.nrm * eb.nrm) AS sim
+        |  FROM cand a JOIN cand b ON a.q_id = b.q_id AND a.d_id <> b.d_id
+        |  JOIN e ea ON ea.vec_id = a.d_id
+        |  JOIN e eb ON eb.vec_id = b.d_id),
+        |s1 AS MATERIALIZED (
+        |  SELECT q_id, d_id FROM cand
+        |  QUALIFY row_number() OVER (PARTITION BY q_id ORDER BY rel DESC, d_id) = 1),
+        |p2 AS (SELECT ps.q_id, ps.a_id, max(ps.sim) AS pen
+        |       FROM ps JOIN s1 ON ps.q_id = s1.q_id AND ps.b_id = s1.d_id
+        |       GROUP BY 1, 2),
+        |m2 AS (
+        |  SELECT c.q_id, c.d_id, 0.5 * c.rel - 0.5 * p.pen AS mmr
+        |  FROM cand c JOIN p2 p ON c.q_id = p.q_id AND c.d_id = p.a_id
+        |  WHERE NOT EXISTS (SELECT 1 FROM s1
+        |    WHERE s1.q_id = c.q_id AND s1.d_id = c.d_id)),
+        |s2 AS MATERIALIZED (
+        |  SELECT q_id, d_id FROM m2
+        |  QUALIFY row_number() OVER (PARTITION BY q_id ORDER BY mmr DESC, d_id) = 1),
+        |sel2 AS (SELECT * FROM s1 UNION ALL SELECT * FROM s2),
+        |p3 AS (SELECT ps.q_id, ps.a_id, max(ps.sim) AS pen
+        |       FROM ps JOIN sel2 s ON ps.q_id = s.q_id AND ps.b_id = s.d_id
+        |       GROUP BY 1, 2),
+        |m3 AS (
+        |  SELECT c.q_id, c.d_id, 0.5 * c.rel - 0.5 * p.pen AS mmr
+        |  FROM cand c JOIN p3 p ON c.q_id = p.q_id AND c.d_id = p.a_id
+        |  WHERE NOT EXISTS (SELECT 1 FROM sel2 s
+        |    WHERE s.q_id = c.q_id AND s.d_id = c.d_id)),
+        |s3 AS (
+        |  SELECT q_id, d_id FROM m3
+        |  QUALIFY row_number() OVER (PARTITION BY q_id ORDER BY mmr DESC, d_id) = 1)
+        |SELECT q_id, d_id, CAST(1 AS BIGINT) AS step FROM s1
+        |UNION ALL SELECT q_id, d_id, CAST(2 AS BIGINT) FROM s2
+        |UNION ALL SELECT q_id, d_id, CAST(3 AS BIGINT) FROM s3""".stripMargin)),
+
+    Q(
       "qs16_ivf_pq_residual",
       "RESIDUAL IVF-PQ (Similarity.ivfPqResidualTopK — the textbook " +
         "formulation): PQ quantizes each vector's residual against " +

@@ -800,6 +800,47 @@ object TextQueries {
         |            WHEN 2 THEN 300 ELSE 100 END""".stripMargin)),
 
     Q(
+      "qt26_cluster_split",
+      "Leakage-safe train/val/test split (Curation.clusterAwareSplit): " +
+        "the split unit is the near-duplicate CLUSTER (qd11's " +
+        "collapse-first clustering, exact + near dups transitively " +
+        "closed), so no duplicate pair can straddle train and eval - " +
+        "splitting documents independently leaks template siblings " +
+        "into the eval set and scores memorization. Assignment hashes " +
+        "the CLUSTER id (content-stable hash60 % 1000: <100 test, " +
+        "<200 val, else train) - engine- and partitioning-invariant, " +
+        "and stable as the corpus grows (a cluster's id is its min " +
+        "doc id). The split projection adds zero shuffle beyond the " +
+        "audited clustering itself.",
+      (s, dir) =>
+        graft.operators.Curation.clusterAwareSplit(
+          Tables.load(s, dir, "documents"), "doc_id", "text"),
+      Some(s"""WITH RECURSIVE
+        |reps AS (SELECT min(doc_id) AS keep_id, md5(text) AS h
+        |         FROM documents GROUP BY md5(text)),
+        |hm AS (SELECT d.doc_id, r.keep_id FROM documents d
+        |       JOIN reps r ON md5(d.text) = r.h),
+        |repdocs AS (SELECT d.doc_id, d.text FROM documents d
+        |            JOIN reps r ON d.doc_id = r.keep_id),
+        |${lshCtes("repdocs")},
+        |pairs AS ($lshPairSelect),
+        |sym(s, t) AS (
+        |  SELECT keep_id, doc_id FROM hm UNION SELECT doc_id, keep_id FROM hm
+        |  UNION SELECT a_id, b_id FROM pairs UNION SELECT b_id, a_id FROM pairs),
+        |r(s, t) AS (
+        |  SELECT s, t FROM sym
+        |  UNION
+        |  SELECT r.s, sym.t FROM r JOIN sym ON r.t = sym.s),
+        |lab AS (SELECT s AS doc_id, min(t) AS component FROM r GROUP BY s)
+        |SELECT doc_id, component,
+        |  CASE WHEN ${dkHash60("CAST(component AS VARCHAR)")} % 1000 < 100
+        |         THEN 'test'
+        |       WHEN ${dkHash60("CAST(component AS VARCHAR)")} % 1000 < 200
+        |         THEN 'val'
+        |       ELSE 'train' END AS split
+        |FROM lab""".stripMargin)),
+
+    Q(
       "qt23_text_chunks",
       "Overlapping token-window chunking (TextAnalysis.chunkTokens, " +
         "chunkSize=64, stride=48): each document fans out to windows " +
@@ -884,6 +925,38 @@ object TextQueries {
         |FROM s a JOIN s b ON a.doc_id <> b.doc_id
         |WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
         |    CAST(len(a.sh) AS DOUBLE) >= 0.5""".stripMargin)),
+
+    Q(
+      "qd28_sketch_containment",
+      "KMV-sketch containment estimate (Dedup.sketchContainmentPairs " +
+        "- qd24's constant-cost sibling): probe the inverted index " +
+        "with the 16 SMALLEST shingle hashes of each doc (a " +
+        "deterministic uniform sample under the hash order) and " +
+        "estimate containment as the fraction of sketch hashes " +
+        "present in B - k probe rows per document regardless of " +
+        "length, vs qd24's (1-t)|A|+1 prefix. Docs with <= 16 " +
+        "shingles carry their whole set (estimate exact); candidate " +
+        "generation is lossless for the estimator (est >= t > 0 " +
+        "implies a shared sketch hash). Oracle = the direct " +
+        "definition over sorted-list slices.",
+      (s, dir) =>
+        Dedup.sketchContainmentPairs(Tables.load(s, dir, "documents"),
+          "doc_id", "text", nShingle = 3, k = 16, threshold = 0.5),
+      Some(s"""WITH s AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(
+        |      list_transform(range(1, len(w)-1),
+        |        i -> concat(w[i], ' ', w[i+1], ' ', w[i+2])),
+        |      g -> ${dkHash60("g")})) AS hs
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+        |  WHERE len(w) >= 3),
+        |sk AS (SELECT doc_id, (list_sort(hs))[1:16] AS sk FROM s)
+        |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+        |  CAST(len(list_intersect(a.sk, b.hs)) AS DOUBLE) /
+        |    CAST(len(a.sk) AS DOUBLE) AS est_containment
+        |FROM sk a JOIN s b ON a.doc_id <> b.doc_id
+        |WHERE CAST(len(list_intersect(a.sk, b.hs)) AS DOUBLE) /
+        |    CAST(len(a.sk) AS DOUBLE) >= 0.5""".stripMargin)),
 
     Q(
       "qd26_corpus_coverage",

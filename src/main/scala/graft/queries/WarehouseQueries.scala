@@ -185,6 +185,37 @@ object WarehouseQueries {
         |WHERE rn = 1 AND last_type <> 'error'""".stripMargin)),
 
     Q(
+      "qw12_compaction_plan",
+      "Small-file compaction planning (Compaction.compactionPlan - " +
+        "the lakehouse maintenance pass): a file inventory (here " +
+        "orders as stand-in metadata: one 'file' per order, bytes = " +
+        "whole cents of o_totalprice, partition = order year) is " +
+        "bin-packed into target-sized rewrite groups by EXCLUSIVE " +
+        "prefix sum in file-id order - bins are contiguous, " +
+        "deterministic, and engine/partitioning-invariant (pure " +
+        "integer window arithmetic), so a retried maintenance job " +
+        "rewrites identical groups. The inventory is METADATA (one " +
+        "row per data file), never the data; the window partitions " +
+        "by the table-partition key so each group is directory-sized.",
+      (s, dir) => {
+        val inv = graft.core.Tables.load(s, dir, "orders")
+          .select(year(col("o_orderdate")).cast("long").as("part_year"),
+            col("o_orderkey"),
+            floor(col("o_totalprice") * 100).as("cents"))
+        graft.storage.Compaction.compactionPlan(
+          inv, "part_year", "o_orderkey", "cents", targetBytes = 500000000L)
+      },
+      Some("""SELECT CAST(year(o_orderdate) AS BIGINT) AS grp,
+        |  o_orderkey AS file_id,
+        |  CAST(floor(o_totalprice * 100) AS BIGINT) AS bytes,
+        |  (sum(CAST(floor(o_totalprice * 100) AS BIGINT)) OVER (
+        |     PARTITION BY year(o_orderdate) ORDER BY o_orderkey
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |   - CAST(floor(o_totalprice * 100) AS BIGINT)) // 500000000
+        |    AS bin
+        |FROM orders""".stripMargin)),
+
+    Q(
       "qw11_late_dimension_repair",
       "Late-arriving dimension repair (the early-fact problem): the " +
         "initial load left orders referencing not-yet-arrived " +

@@ -244,6 +244,53 @@ class CorpusOpsSpec extends SparkSuite {
     graft.core.OpCache.releaseAll(blocking = true)
   }
 
+  test("clusterAwareSplit: no near-dup pair straddles splits; covering and deterministic") {
+    // 30 template families: members of a family are exact or near dups
+    // of each other (one word changed), so each family must land whole
+    // in a single split
+    val docs = (0L until 90L).map { i =>
+      val fam = i / 3
+      val words = (0 until 12).map(j => s"fam${fam}w$j").toVector
+      val v = i % 3 match {
+        case 0 => words
+        case 1 => words // exact duplicate of variant 0
+        case _ => words.updated(11, "changed") // near dup (jaccard > 0.5)
+      }
+      (i, v.mkString(" "))
+    }.toDF("doc_id", "text")
+    val out = Curation.clusterAwareSplit(docs, "doc_id", "text")
+    val rows = out.collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    assert(rows.length == 90 && rows.map(_._1).distinct.length == 90)
+    // EXACT duplicates always share a component (and so a split) — the
+    // collapse-first stage is recall-1; near-dup edges depend on LSH
+    // banding (probabilistic per pair), so families are asserted via
+    // the discovered-pair invariant below instead
+    val comp = rows.map(r => r._1 -> r._2).toMap
+    (0L until 30L).foreach { fam =>
+      assert(comp(fam * 3) == comp(fam * 3 + 1), s"exact dups of family $fam split")
+    }
+    // the leakage guarantee: no discovered near-dup pair straddles splits
+    val split = rows.map(r => r._1 -> r._3).toMap
+    val pairs = Dedup.lshNearDupPairs(docs, "doc_id", "text",
+      nShingle = 3, k = 16, bands = 4, threshold = 0.5)
+      .select("a_id", "b_id").collect()
+    assert(pairs.nonEmpty)
+    pairs.foreach { p =>
+      assert(split(p.getLong(0)) == split(p.getLong(1)),
+        s"leak: ${p.getLong(0)} vs ${p.getLong(1)}")
+    }
+    // partitioning-invariant
+    val re = Curation.clusterAwareSplit(docs.repartition(7), "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getString(2))).toMap
+    assert(re == rows.map(r => r._1 -> r._3).toMap)
+    // rates are validated
+    intercept[IllegalArgumentException] {
+      Curation.clusterAwareSplit(docs, "doc_id", "text",
+        valPermille = 600, testPermille = 600)
+    }
+    graft.core.OpCache.releaseAll(blocking = true)
+  }
+
   test("contamination benchmark side is a broadcast semi-join") {
     val bench = Seq((100L, "one two three four five six seven eight"))
       .toDF("doc_id", "text")

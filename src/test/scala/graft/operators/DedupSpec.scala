@@ -371,6 +371,43 @@ class DedupSpec extends SparkSuite {
     graft.core.OpCache.releaseAll(blocking = true)
   }
 
+  test("sketchContainmentPairs: exact for small docs, estimates match brute sketch definition") {
+    // doc 1 (20 words → 18 shingles > 16: true sketch) inside doc 2;
+    // doc 3 disjoint; doc 4 (6 words → 4 shingles ≤ 16: whole set,
+    // estimate must be EXACT containment)
+    val small = (0 until 20).map(i => s"w$i").mkString(" ")
+    val big = ((100 until 180).map(i => s"n$i") :+ small).mkString(" ")
+    val tiny = (0 until 6).map(i => s"w$i").mkString(" ")
+    val docs = Seq((1L, small), (2L, big), (3L, (0 until 40).map(i => s"z$i").mkString(" ")),
+      (4L, tiny)).toDF("doc_id", "text")
+    val got = Dedup.sketchContainmentPairs(docs, "doc_id", "text", threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // 1 ⊆ 2 fully: every sketch hash of 1 is in 2 → estimate 1.0
+    assert(got((1L, 2L)) == 1.0)
+    // 4's 4 shingles are all in 1 (and in 2) → exact 1.0
+    assert(got((4L, 1L)) == 1.0 && got((4L, 2L)) == 1.0)
+    // brute replay of the sketch definition over all pairs
+    val sets = docs
+      .filter(size(split($"text", " ")) >= 3)
+      .select($"doc_id", array_distinct(
+        transform(Dedup.wordShingles(split($"text", " "), 3),
+          s => Dedup.hash60(s))).as("hs"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val expect = (for {
+      (ai, as) <- sets.toSeq; (bi, bs) <- sets.toSeq if ai != bi
+      sk = as.toSet.toSeq.sorted.take(16)
+      est = sk.count(bs.toSet).toDouble / sk.size
+      if est >= 0.5
+    } yield (ai, bi) -> est).toMap
+    assert(got == expect, s"got $got expect $expect")
+    // partitioning-invariant
+    val re = Dedup.sketchContainmentPairs(docs.repartition(5), "doc_id", "text",
+      threshold = 0.5).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(re == got)
+    graft.core.OpCache.releaseAll(blocking = true)
+  }
+
   test("segmentDedupRewrite: keep-first rewrite, partial tail segments, emptied docs") {
     // segWords=2 → doc 1: [a b][c d][e f]; doc 2 repeats [a b] and [e f]
     // and contributes one new segment + a 1-word tail; doc 3 is entirely

@@ -393,4 +393,31 @@ class SimilaritySpec extends SparkSuite {
     assert(got.toSet === expect)
     graft.core.OpCache.releaseAll(blocking = true)
   }
+
+  test("mmrTopK diversifies: near-duplicate of the first pick is deferred") {
+    // query along e1; A and A2 nearly parallel (sim ≈ 0.995), B points
+    // away. Pure rel top-2 = (A, A2); MMR at lambda 0.5 must pick B
+    // second because A2's similarity penalty cancels its relevance.
+    val corpus = Seq(
+      (10L, Array(0.9f, 0.4359f, 0f, 0f)),   // A: rel ≈ 0.90
+      (11L, Array(0.9f, 0.43f, 0.1f, 0f)),   // A2 ≈ A, rel ≈ 0.898
+      (12L, Array(0.5f, 0f, 0.866f, 0f))     // B: rel = 0.5, sim(B,A) ≈ 0.45
+    ).toDF("vec_id", "embedding")
+    val queries = Seq((100L, Array(1f, 0f, 0f, 0f))).toDF("vec_id", "embedding")
+    val got = Similarity.mmrTopK(corpus, queries, "vec_id", "embedding",
+      candK = 3, k = 3, lambda = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._3)
+    assert(got.toSeq == Seq((100L, 10L, 1L), (100L, 12L, 2L), (100L, 11L, 3L)),
+      got.mkString(","))
+    // lambda = 1.0 degenerates to pure relevance order
+    val rel = Similarity.mmrTopK(corpus, queries, "vec_id", "embedding",
+      candK = 3, k = 3, lambda = 1.0)
+      .collect().map(r => (r.getLong(1), r.getLong(2))).sortBy(_._2)
+    assert(rel.map(_._1).toSeq == Seq(10L, 11L, 12L), rel.mkString(","))
+    // a query with fewer candidates than k yields what exists
+    val tiny = Similarity.mmrTopK(corpus.filter($"vec_id" === 10L), queries,
+      "vec_id", "embedding", candK = 3, k = 3)
+    assert(tiny.count() == 1)
+    graft.core.OpCache.releaseAll(blocking = true)
+  }
 }

@@ -55,7 +55,11 @@ class PlanAuditSpec extends SparkSuite {
       // per-key estimate projection / the one-row exact-size frame —
       // never a pair join (q53's "join" exists only as the exact
       // baseline the estimate is compared against)
-      "q52_cms_freq", "q53_cms_join_size")
+      "q52_cms_freq", "q53_cms_join_size",
+      // qs01's broadcast query-batch × corpus linear scan for MMR
+      // candidate generation; the greedy steps run over candidate-
+      // bounded persisted frames (equi-joins + per-query windows)
+      "qs21_mmr_rerank")
 
   test("no unexpected cartesian/nested-loop joins anywhere in the registry") {
     val dir = "/root/testdata/sf0.001"
