@@ -15,6 +15,39 @@ object TextQueries {
   private def dkHash60(e: String): String =
     s"CAST(concat('0x', substr(md5($e), 1, 15)) AS BIGINT)"
 
+  /** DuckDB replay of Bpe.trainBpe (shared by qt27/qt28): the word-
+    * frequency table, STX·c·ETX delimited symbol strings, and `rounds`
+    * unrolled merge rounds — pair count → (cnt DESC, l, r) argmax →
+    * left-to-right `replace` (SQL replace is non-overlapping left-to-
+    * right, exactly greedy BPE merge application). MATERIALIZED per
+    * round for the same inlining reason as [[kcoreOracle]]. */
+  private def bpeCtes(rounds: Int): String = {
+    val roundCtes = (1 to rounds).map { r =>
+      s"""p$r AS (
+         |  SELECT a[t.i] AS l, a[t.i + 1] AS r, CAST(sum(freq) AS BIGINT) AS cnt
+         |  FROM (SELECT freq, string_split(sym[2:-2], chr(3) || chr(2)) AS a
+         |        FROM s${r - 1}),
+         |    unnest(range(1, len(a))) t(i)
+         |  GROUP BY 1, 2),
+         |m$r AS (SELECT l, r, cnt FROM p$r ORDER BY cnt DESC, l, r LIMIT 1),
+         |s$r AS MATERIALIZED (
+         |  SELECT word, freq,
+         |    replace(sym, chr(2) || m.l || chr(3) || chr(2) || m.r || chr(3),
+         |      chr(2) || m.l || m.r || chr(3)) AS sym
+         |  FROM s${r - 1}, m$r m)""".stripMargin
+    }.mkString(",\n")
+    s"""wf AS MATERIALIZED (
+       |  SELECT word, CAST(count(*) AS BIGINT) AS freq
+       |  FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+       |  WHERE len(word) > 0 GROUP BY 1),
+       |s0 AS MATERIALIZED (
+       |  SELECT word, freq,
+       |    array_to_string(list_transform(string_split(word, ''),
+       |      c -> chr(2) || c || chr(3)), '') AS sym
+       |  FROM wf),
+       |$roundCtes""".stripMargin
+  }
+
   /** DuckDB replay of GraphRank.labelPropagation over the qd18
     * maxDist=1 name-edit graph: `rounds` unrolled synchronous rounds,
     * each a neighbor-label count + (count DESC, label ASC) argmax +
@@ -839,6 +872,56 @@ object TextQueries {
         |         THEN 'val'
         |       ELSE 'train' END AS split
         |FROM lab""".stripMargin)),
+
+    Q(
+      "qt27_bpe_train",
+      "In-engine BPE merge TRAINING (Bpe.trainBpe, 3 rounds): the " +
+        "map-reduce formulation - the corpus is touched ONCE by the " +
+        "word-frequency aggregate; every merge round is vocab-sized " +
+        "(Zipf-bounded at any corpus scale). Pair counts are exact " +
+        "integers, each round's winner breaks ties (cnt DESC, l, r), " +
+        "and merges apply via delimited-string replace whose " +
+        "left-to-right non-overlapping semantics ARE greedy BPE - " +
+        "identical in both engines, so the learned merge table is " +
+        "bit-identical. Closes the tokenizer loop the qt18 vocab " +
+        "seam left open.",
+      (s, dir) =>
+        graft.operators.Bpe.trainBpe(
+          Tables.load(s, dir, "documents"), "doc_id", "text", rounds = 3)
+          .merges
+          .select(col("round"), col("left").as("lhs"), col("right").as("rhs"),
+            col("merged"), col("cnt")),
+      Some(s"""WITH ${bpeCtes(3)}
+        |SELECT CAST(1 AS BIGINT) AS round, l AS lhs, r AS rhs,
+        |  l || r AS merged, cnt FROM m1
+        |UNION ALL SELECT CAST(2 AS BIGINT), l, r, l || r, cnt FROM m2
+        |UNION ALL SELECT CAST(3 AS BIGINT), l, r, l || r, cnt FROM m3""".stripMargin)),
+
+    Q(
+      "qt28_bpe_tokens",
+      "Per-document token counts under the self-trained BPE model " +
+        "(Bpe.bpeTokenCounts over Bpe.trainBpe's 3-round vocab): " +
+        "documents explode to words, join the vocab's post-merge " +
+        "symbol counts (vocab-sized side), sum per doc - real " +
+        "learned-tokenizer lengths for Packing.sequencePack's " +
+        "tokenCountCol seam, no external deps. Oracle replays the " +
+        "identical training rounds then counts STX delimiters.",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        val model = graft.operators.Bpe.trainBpe(docs, "doc_id", "text", rounds = 3)
+        graft.operators.Bpe.bpeTokenCounts(docs, "doc_id", "text", model)
+      },
+      Some(s"""WITH ${bpeCtes(3)},
+        |ns AS (SELECT word,
+        |    CAST(length(sym) - length(replace(sym, chr(2), '')) AS BIGINT)
+        |      AS n_sym
+        |  FROM s3),
+        |dw AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+        |       FROM documents)
+        |SELECT dw.doc_id, CAST(sum(ns.n_sym) AS BIGINT) AS n_tokens
+        |FROM dw JOIN ns ON dw.word = ns.word
+        |WHERE len(dw.word) > 0
+        |GROUP BY 1""".stripMargin)),
 
     Q(
       "qt23_text_chunks",
