@@ -704,6 +704,21 @@ object Dedup {
     connectedComponents(memberEdges.unionByName(repPairs), "a", "b")
   }
 
+  /** Cluster-size HISTOGRAM over a label table — the one-page
+    * diagnostic every dedup run prints before anyone trusts its
+    * output: (cluster_size, n_clusters). A healthy near-dup graph is
+    * dominated by size-1 clusters with a thin tail; a GIANT component
+    * (threshold too low, stop-phrase shingles, percolation) shows up
+    * here as a single huge size bucket long before it derails the
+    * keep-one-per-cluster rewrite. Two map-side-combinable hash
+    * aggregates over the label table — label-table-scale, never
+    * corpus-scale. */
+  def clusterSizeHistogram(labels: DataFrame): DataFrame =
+    labels.groupBy(col("component"))
+      .agg(count(lit(1)).cast("long").as("cluster_size"))
+      .groupBy(col("cluster_size"))
+      .agg(count(lit(1)).cast("long").as("n_clusters"))
+
   /** Blocked exact n-gram-jaccard near-dup pairs: block on
     * (lang, length-bucket), probe the ±1-bucket window via an exploded
     * equi-join (the scale-safe form of the |lenA−lenB|≤width range

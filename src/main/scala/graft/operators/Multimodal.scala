@@ -360,6 +360,41 @@ object Multimodal {
           .as("stored_ratio"))
   }
 
+  /** Content-addressed-storage GARBAGE COLLECTION — the mark-and-sweep
+    * that completes the CAS lifecycle [[chunkDedupStats]] opens: chunks
+    * are stored once under their content hash, media rows are deleted
+    * over time, and a chunk whose every referencing row is gone is an
+    * ORPHAN the sweeper may reclaim. Classic refcount-free GC shape:
+    *  - mark: the distinct chunk-hash set of LIVE media (semi-join on
+    *    the live id set — the live set is metadata, the payload bytes
+    *    are only ever chunk-hashed once);
+    *  - sweep: stored hashes anti-joined against the mark set.
+    * Output: (h, n_refs) — each orphaned chunk hash with how many
+    * (dead) references pointed at it, the sweeper's work list.
+    *
+    * Scale shape: two hash-shuffles on 16-byte md5 keys (distinct +
+    * anti-join), both map-side combinable; no window, no pairs. The
+    * same plan serves fixed-stride and Gear chunking — the chunk
+    * table's provenance is irrelevant to the sweep. */
+  def chunkOrphans(
+      media: DataFrame,
+      liveIds: DataFrame,
+      chunkLen: Int = 64): DataFrame = {
+    require(chunkLen >= 1)
+    val nChunks = expr(s"(length(bytes) + ${chunkLen - 1}) div $chunkLen")
+    val chunks = media.filter(length(col("bytes")) >= 1)
+      .select(col("media_id"),
+        explode(transform(sequence(lit(1), nChunks),
+          i => md5(col("bytes").substr((i - lit(1)) * chunkLen + 1,
+            lit(chunkLen))))).as("h"))
+    val live = chunks
+      .join(liveIds.select(col("media_id")), Seq("media_id"), "left_semi")
+      .select(col("h")).distinct()
+    chunks.join(live, Seq("h"), "left_anti")
+      .groupBy(col("h"))
+      .agg(count(lit(1)).cast("long").as("n_refs"))
+  }
+
   /** 60-bit average-hash (aHash) over a media payload — the
     * perceptual-hash family's simplest member, on the stub decode:
     * the byte stream stands in for the pixel stream (a real build

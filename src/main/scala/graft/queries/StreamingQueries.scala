@@ -639,6 +639,38 @@ object StreamingQueries {
         |FROM st GROUP BY 1""".stripMargin)),
 
     Q(
+      "qm08_chunk_gc",
+      "Content-addressed-storage garbage collection " +
+        "(Multimodal.chunkOrphans - the mark-and-sweep completing " +
+        "qm04's CAS lifecycle): docs with doc_id % 7 = 0 are deleted; " +
+        "a stored chunk whose every referencing row is dead is an " +
+        "ORPHAN the sweeper reclaims. Mark = distinct chunk hashes of " +
+        "live media (semi-join on the live id set), sweep = stored " +
+        "hashes anti-joined against the mark - two hash shuffles on " +
+        "16-byte md5 keys, no window, no pairs. Output is the " +
+        "sweeper's work list (h, n_refs). ASCII contract as qm04.",
+      (s, dir) => {
+        val media = Multimodal.asMedia(
+          graft.core.Tables.load(s, dir, "documents"),
+          "doc_id", "text", "application/octet-stream")
+        Multimodal.chunkOrphans(media,
+          media.filter(pmod(col("media_id"), lit(7)) =!= 0)
+            .select(col("media_id")),
+          chunkLen = 64)
+      },
+      Some("""WITH m AS (
+        |  SELECT doc_id AS media_id, text FROM documents
+        |  WHERE length(text) >= 1),
+        |ch AS (
+        |  SELECT media_id,
+        |    md5(substring(text, CAST((t.i - 1) * 64 + 1 AS INT), 64)) AS h
+        |  FROM m, unnest(range(1, (length(text) + 63) // 64 + 1)) t(i)),
+        |live AS (SELECT DISTINCT h FROM ch WHERE media_id % 7 <> 0)
+        |SELECT h, CAST(count(*) AS BIGINT) AS n_refs
+        |FROM ch WHERE h NOT IN (SELECT h FROM live)
+        |GROUP BY 1""".stripMargin)),
+
+    Q(
       "qm05_gear_chunk_dedup",
       "Content-DEFINED chunk dedup (Multimodal.gearChunkDedupStats — " +
         "the production CAS cutter qm04 stubs): boundaries are Gear " +

@@ -2046,6 +2046,42 @@ object TextQueries {
         |SELECT s AS doc_id, min(t) AS component FROM r GROUP BY s""".stripMargin)),
 
     Q(
+      "qd29_cluster_histogram",
+      "Cluster-size histogram (Dedup.clusterSizeHistogram over qd11's " +
+        "corpusClusters labels): the one-page diagnostic every dedup " +
+        "run prints - (cluster_size, n_clusters). A healthy graph is " +
+        "size-1-dominated with a thin tail; a GIANT component " +
+        "(threshold too low, stop-phrase percolation) surfaces here " +
+        "as one huge bucket before it derails the keep-one rewrite. " +
+        "Two map-side hash aggregates over the LABEL table - never " +
+        "corpus-scale.",
+      (s, dir) =>
+        Dedup.clusterSizeHistogram(
+          Dedup.corpusClusters(Tables.load(s, dir, "documents"),
+            "doc_id", "text")),
+      Some(s"""WITH RECURSIVE
+        |reps AS (SELECT min(doc_id) AS keep_id, md5(text) AS h
+        |         FROM documents GROUP BY md5(text)),
+        |hm AS (SELECT d.doc_id, r.keep_id FROM documents d
+        |       JOIN reps r ON md5(d.text) = r.h),
+        |repdocs AS (SELECT d.doc_id, d.text FROM documents d
+        |            JOIN reps r ON d.doc_id = r.keep_id),
+        |${lshCtes("repdocs")},
+        |pairs AS ($lshPairSelect),
+        |sym(s, t) AS (
+        |  SELECT keep_id, doc_id FROM hm UNION SELECT doc_id, keep_id FROM hm
+        |  UNION SELECT a_id, b_id FROM pairs UNION SELECT b_id, a_id FROM pairs),
+        |r(s, t) AS (
+        |  SELECT s, t FROM sym
+        |  UNION
+        |  SELECT r.s, sym.t FROM r JOIN sym ON r.t = sym.s),
+        |lab AS (SELECT s AS doc_id, min(t) AS component FROM r GROUP BY s),
+        |cs AS (SELECT component, CAST(count(*) AS BIGINT) AS cluster_size
+        |       FROM lab GROUP BY 1)
+        |SELECT cluster_size, CAST(count(*) AS BIGINT) AS n_clusters
+        |FROM cs GROUP BY 1""".stripMargin)),
+
+    Q(
       "qd14_pagerank",
       "Fixed-point PageRank over the near-duplicate graph " +
         "(GraphRank.pageRank, 2 iterations, damping 85%): centrality " +

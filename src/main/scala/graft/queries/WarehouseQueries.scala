@@ -216,6 +216,51 @@ object WarehouseQueries {
         |FROM orders""".stripMargin)),
 
     Q(
+      "qw13_partition_refresh_plan",
+      "Partition refresh planning (Cdc.partitionRefreshPlan over " +
+        "qw06's snapshotDiff): the nightly publisher's minimal " +
+        "rewrite set - each differing key joins its partition (order " +
+        "year, from the UNION of both snapshots so removed keys " +
+        "resolve), aggregated to (grp, n_added, n_removed, " +
+        "n_changed). Untouched partitions are structurally ABSENT, " +
+        "so dynamic partition overwrite rewrites O(changed " +
+        "partitions), never the table; the join touches diff-sized " +
+        "data only.",
+      (s, dir) => {
+        val ord = graft.core.Tables.load(s, dir, "orders")
+        val oldV = ord.filter(col("o_orderkey") % 13 =!= 0)
+        val newV = ord.filter(col("o_orderkey") % 11 =!= 0)
+          .withColumn("o_totalprice",
+            when(col("o_orderkey") % 7 === 0, col("o_totalprice") + lit(1.0))
+              .otherwise(col("o_totalprice")))
+        val diff = graft.warehouse.Cdc.snapshotDiff(oldV, newV, Seq("o_orderkey"))
+        val keyed = oldV.unionByName(newV)
+          .select(col("o_orderkey"),
+            year(col("o_orderdate")).cast("long").as("part_year"))
+        graft.warehouse.Cdc.partitionRefreshPlan(diff, keyed,
+          Seq("o_orderkey"), Seq("part_year"))
+      },
+      Some("""WITH diff AS (
+        |  SELECT o_orderkey, 'removed' AS status FROM orders
+        |  WHERE o_orderkey % 13 <> 0 AND o_orderkey % 11 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey, 'added' FROM orders
+        |  WHERE o_orderkey % 13 = 0 AND o_orderkey % 11 <> 0
+        |  UNION ALL
+        |  SELECT o_orderkey, 'changed' FROM orders
+        |  WHERE o_orderkey % 13 <> 0 AND o_orderkey % 11 <> 0
+        |    AND o_orderkey % 7 = 0)
+        |SELECT CAST(year(o_orderdate) AS BIGINT) AS part_year,
+        |  CAST(sum(CASE WHEN status = 'added' THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_added,
+        |  CAST(sum(CASE WHEN status = 'removed' THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_removed,
+        |  CAST(sum(CASE WHEN status = 'changed' THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_changed
+        |FROM diff JOIN orders USING (o_orderkey)
+        |GROUP BY 1""".stripMargin)),
+
+    Q(
       "qw11_late_dimension_repair",
       "Late-arriving dimension repair (the early-fact problem): the " +
         "initial load left orders referencing not-yet-arrived " +

@@ -414,6 +414,37 @@ object ScaleSmoke {
         // exchange — the slope is the scan+explode cost alone
         graft.operators.TextAnalysis.chunkTokens(
           docs, "doc_id", "text", chunkSize = 64, stride = 48).count()
+      },
+      time("sketch_containment") {
+        // collapse-first as qd24's fixture: copy pairs are containment
+        // 1.0 by definition and would fill the output with factor² rows
+        val reps = Dedup.exactDupGroups(docs, "doc_id", "text")
+          .select($"keep_id".as("doc_id"))
+        val collapsed = docs.join(reps, Seq("doc_id"), "left_semi")
+        Dedup.sketchContainmentPairs(collapsed, "doc_id", "text").count()
+      },
+      time("mmr_rerank") {
+        Similarity.mmrTopK(emb, emb.filter(pmod($"vec_id", lit(97)) === 0),
+          "vec_id", "embedding", candK = 20, k = 3).count()
+      },
+      time("bpe_train3") {
+        // one corpus pass + 3 vocab-sized rounds: the slope should be
+        // the word-count aggregate alone (vocab is constant across
+        // factors — duplicated corpora add frequency, not words)
+        graft.operators.Bpe.trainBpe(docs, "doc_id", "text", rounds = 3)
+          .vocab.count()
+      },
+      time("cluster_split") {
+        // qd11's clustering + a narrow split projection: the slope IS
+        // the cluster_corpus slope
+        graft.operators.Curation.clusterAwareSplit(docs, "doc_id", "text")
+          .count()
+      },
+      time("compaction_plan") {
+        graft.storage.Compaction.compactionPlan(
+          ord.select(year($"o_orderdate").cast("long").as("grp"),
+            $"o_orderkey", floor($"o_totalprice" * 100).as("bytes")),
+          "grp", "o_orderkey", "bytes", 500000000L).count()
       })
 
     val total = results.map(_._2).sum

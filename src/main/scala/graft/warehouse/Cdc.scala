@@ -97,6 +97,41 @@ object Cdc {
       .select(keyCols.map(col) :+ col("status"): _*)
   }
 
+  /** Partition REFRESH planning — turn a [[snapshotDiff]] into the
+    * minimal set of storage partitions a publisher must rewrite: each
+    * differing key joins its partition columns (from the union of both
+    * snapshots — removed keys exist only in the old one), and the plan
+    * aggregates per partition. At 100 TB the point is what is ABSENT:
+    * untouched partitions never appear, so a nightly publish rewrites
+    * `O(changed partitions)` of the serving layout (dynamic partition
+    * overwrite of exactly these subtrees via
+    * [[graft.storage.Storage.writePartitioned]]), not the table. The
+    * diff is output-proportional already; this join touches diff-sized
+    * data against a key→partition projection.
+    *
+    * @param keyed one row per key carrying the partition columns —
+    *              pass the UNION of old and new snapshots projected to
+    *              (keyCols ++ partCols); duplicate (key, partition)
+    *              rows are fine (distinct-ed), a key mapping to TWO
+    *              partitions yields a row for each (both need the
+    *              rewrite — the row moved across partitions). */
+  def partitionRefreshPlan(
+      diff: DataFrame,
+      keyed: DataFrame,
+      keyCols: Seq[String],
+      partCols: Seq[String]): DataFrame = {
+    val pk = keyed.select((keyCols ++ partCols).map(col): _*).distinct()
+    diff.join(pk, keyCols)
+      .groupBy(partCols.map(col): _*)
+      .agg(
+        sum(when(col("status") === "added", 1L).otherwise(0L))
+          .cast("long").as("n_added"),
+        sum(when(col("status") === "removed", 1L).otherwise(0L))
+          .cast("long").as("n_removed"),
+        sum(when(col("status") === "changed", 1L).otherwise(0L))
+          .cast("long").as("n_changed"))
+  }
+
   /** Incremental SCD2 apply — advance a type-2 dimension history by
     * one full snapshot, effective at `effectiveTs`:
     *

@@ -371,6 +371,17 @@ class DedupSpec extends SparkSuite {
     graft.core.OpCache.releaseAll(blocking = true)
   }
 
+  test("clusterSizeHistogram summarizes the label table") {
+    val labels = Seq(
+      (1L, 1L), (2L, 1L), (3L, 1L),   // one cluster of 3
+      (4L, 4L), (5L, 4L),             // one of 2
+      (6L, 6L), (7L, 7L), (8L, 8L))   // three singletons
+      .toDF("node", "component")
+    val got = Dedup.clusterSizeHistogram(labels)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(3L -> 1L, 2L -> 1L, 1L -> 3L), got.toString)
+  }
+
   test("sketchContainmentPairs: exact for small docs, estimates match brute sketch definition") {
     // doc 1 (20 words → 18 shingles > 16: true sketch) inside doc 2;
     // doc 3 disjoint; doc 4 (6 words → 4 shingles ≤ 16: whole set,

@@ -198,4 +198,34 @@ class EdgeCasesSpec extends SparkSuite {
     }
     graft.core.OpCache.releaseAll(blocking = true)
   }
+
+  test("round-7 session-4 operators handle empty inputs") {
+    assert(Dedup.sketchContainmentPairs(emptyDocs, "doc_id", "text").count() == 0)
+    assert(Dedup.clusterSizeHistogram(
+      Seq.empty[(Long, Long)].toDF("node", "component")).count() == 0)
+    assert(Curation.clusterAwareSplit(emptyDocs, "doc_id", "text").count() == 0)
+    // BPE on an empty corpus: zero merges, empty vocab — not a throw
+    val m = Bpe.trainBpe(emptyDocs, "doc_id", "text", rounds = 2)
+    assert(m.merges.count() == 0 && m.vocab.count() == 0)
+    assert(Bpe.bpeTokenCounts(emptyDocs, "doc_id", "text", m).count() == 0)
+    // MMR with an empty query batch / empty corpus
+    val emptyEm = Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding")
+    val someEm = Seq((1L, Array(1f, 0f))).toDF("vec_id", "embedding")
+    assert(Similarity.mmrTopK(someEm, emptyEm, "vec_id", "embedding",
+      candK = 3, k = 2).count() == 0)
+    assert(Similarity.mmrTopK(emptyEm, someEm, "vec_id", "embedding",
+      candK = 3, k = 2).count() == 0)
+    // compaction/GC/refresh planning over empty inventories
+    val emptyFiles = Seq.empty[(String, Long, Long)].toDF("grp", "file_id", "bytes")
+    assert(graft.storage.Compaction.compactionPlan(
+      emptyFiles, "grp", "file_id", "bytes", 100L).count() == 0)
+    val emptyMedia = Multimodal.asMedia(emptyDocs, "doc_id", "text", "x")
+    assert(Multimodal.chunkOrphans(emptyMedia,
+      Seq.empty[Long].toDF("media_id")).count() == 0)
+    val emptyDiff = Seq.empty[(Long, String)].toDF("k", "status")
+    val emptyKeyed = Seq.empty[(Long, String)].toDF("k", "part")
+    assert(graft.warehouse.Cdc.partitionRefreshPlan(
+      emptyDiff, emptyKeyed, Seq("k"), Seq("part")).count() == 0)
+    graft.core.OpCache.releaseAll(blocking = true)
+  }
 }

@@ -129,6 +129,29 @@ class MultimodalSpec extends SparkSuite {
       3L -> ((1L, 1L, 1.0))))
   }
 
+  test("chunkOrphans sweeps only chunks whose every reference is dead") {
+    import spark.implicits._
+    val x = "X" * 64; val y = "Y" * 64; val z = "Z" * 64
+    val media = Multimodal.asMedia(Seq(
+      (1L, x + y), // live
+      (2L, x + z), // dead: hX survives via media 1, hZ orphans
+      (3L, z)      // dead: second dead ref to hZ
+    ).toDF("id", "payload"), "id", "payload", "application/octet-stream")
+    val live = Seq(1L).toDF("media_id")
+    val got = Multimodal.chunkOrphans(media, live, chunkLen = 64)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val hz = java.security.MessageDigest.getInstance("MD5")
+      .digest(z.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(got == Map(hz -> 2L), got.toString)
+    // nothing live is ever swept: all-live media → empty sweep list
+    assert(Multimodal.chunkOrphans(media,
+      Seq(1L, 2L, 3L).toDF("media_id"), chunkLen = 64).count() == 0)
+    // everything dead → every distinct hash orphans:
+    // m1=[hX,hY], m2=[hX,hZ], m3=[hZ] → distinct {hX, hY, hZ}
+    assert(Multimodal.chunkOrphans(media,
+      Seq.empty[Long].toDF("media_id"), chunkLen = 64).count() == 3)
+  }
+
   test("gearChunkDedupStats: shift resistance — insertion re-aligns chunks") {
     // a deterministic pseudo-random ASCII body long enough for ~8 chunks
     val rnd = new scala.util.Random(42)

@@ -184,6 +184,24 @@ class WarehouseSpec extends SparkSuite {
     assert(rowsOf(again) === rowsOf(out), "apply is idempotent on a matching snapshot")
   }
 
+  test("partitionRefreshPlan lists only touched partitions with per-status counts") {
+    import org.apache.spark.sql.functions._
+    // partitions: p1 = {1,2}, p2 = {3}, p3 = {4} untouched
+    val oldV = Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d")).toDF("k", "v")
+    val newV = Seq((1L, "a2"), (3L, "c"), (4L, "d"), (5L, "e")).toDF("k", "v")
+    // key 1 changed (p1), 2 removed (p1), 5 added (p2); 3/4 unchanged
+    val part = Map(1L -> "p1", 2L -> "p1", 3L -> "p2", 4L -> "p3", 5L -> "p2")
+    val keyed = oldV.unionByName(newV).select($"k")
+      .withColumn("part", element_at(typedLit(part), $"k"))
+    val diff = Cdc.snapshotDiff(oldV, newV, Seq("k"))
+    val got = Cdc.partitionRefreshPlan(diff, keyed, Seq("k"), Seq("part"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(got == Map("p1" -> ((0L, 1L, 1L)), "p2" -> ((1L, 0L, 0L))), got.toString)
+    // untouched p3 is structurally absent
+    assert(!got.contains("p3"))
+  }
+
   test("scd2Apply: duplicate keys on either side fail loudly, not fan out") {
     import org.apache.spark.sql.functions._
     val hist = Seq((1L, "a", "t0", None: Option[String], true))
