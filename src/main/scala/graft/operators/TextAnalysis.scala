@@ -54,6 +54,50 @@ object TextAnalysis {
       ttr.as("ttr"), meanLen.as("mean_token_len"), keep.as("keep"))
   }
 
+  /** Per-source corpus DATASHEET — the one-row-per-source summary a
+    * dataset publication ships ("datasheets for datasets"): document
+    * and token volumes, exact-duplicate mass, language mix, and the
+    * quality-filter pass rate, every number an order-invariant
+    * aggregate of exact integers (counts, flag sums, a distinct-hash
+    * count) with ratios taken as single divisions at the end — so the
+    * datasheet is bit-reproducible across engines and partitionings.
+    * Null-text documents count toward `n_docs` but not `n_text`/
+    * `n_unique_texts` (distinct-ignores-nulls in every engine), and
+    * their keep flag contributes 0 — the same per-row semantics
+    * qt01/qt02 already verify.
+    *
+    * Scale shape: one narrow pass computing the per-row signals, one
+    * hash aggregate keyed by source (map-side combinable; the
+    * distinct-count goes through the standard partial-distinct
+    * expand). Sources are few; rows per source are corpus-scale —
+    * exactly the shape hash aggregation is built for. */
+  def datasheet(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      sourceCol: String): DataFrame = {
+    val perRow = docs.select(
+      (Seq(col(sourceCol).as("source"),
+        md5(col(textCol).cast("binary")).as("__h"),
+        col(textCol).isNotNull.as("__has_text")) ++
+        langIdColumns(col(textCol)) ++ qualityColumns(col(textCol))): _*)
+    perRow.groupBy(col("source"))
+      .agg(
+        count(lit(1)).cast("long").as("n_docs"),
+        sum(when(col("__has_text"), 1L).otherwise(0L)).cast("long")
+          .as("n_text"),
+        countDistinct(col("__h")).cast("long").as("n_unique_texts"),
+        sum(col("n_tokens")).cast("long").as("n_tokens_total"),
+        sum(when(col("pred_lang") === "en", 1L).otherwise(0L)).cast("long")
+          .as("n_en"),
+        sum(when(col("keep"), 1L).otherwise(0L)).cast("long").as("n_keep"))
+      .withColumn("pct_en",
+        col("n_en").cast("double") / col("n_docs").cast("double"))
+      .withColumn("unique_ratio",
+        when(col("n_text") > 0,
+          col("n_unique_texts").cast("double") / col("n_text").cast("double")))
+  }
+
   /** The tokenizer seam: a document's token count is the supplied
     * pre-tokenized length column when one exists (real tokenizer
     * output, e.g. BPE counts computed upstream of Spark), else the

@@ -924,6 +924,56 @@ object TextQueries {
         |GROUP BY 1""".stripMargin)),
 
     Q(
+      "qt29_datasheet",
+      "Per-source corpus DATASHEET (TextAnalysis.datasheet - the " +
+        "'datasheets for datasets' artifact a corpus publication " +
+        "ships): document/token volumes, exact-duplicate mass " +
+        "(distinct md5 count), language mix, quality pass rate - " +
+        "every number an order-invariant aggregate of exact ints, " +
+        "ratios as single end divisions, so the sheet is " +
+        "bit-reproducible. One narrow pass + one source-keyed hash " +
+        "aggregate; null-text docs count in n_docs, not " +
+        "n_text/n_unique_texts.",
+      (s, dir) =>
+        graft.operators.TextAnalysis.datasheet(
+          Tables.load(s, dir, "documents"), "doc_id", "text", "source"),
+      Some("""WITH c AS (
+        |  SELECT doc_id, source, text,
+        |    len(list_filter(string_split(text,' '), t -> t IN ('the','a','of','and','to','in'))) AS cnt_en,
+        |    len(list_filter(string_split(text,' '), t -> t IN ('el','la','de','los','en','que'))) AS cnt_es,
+        |    len(list_filter(string_split(text,' '), t -> t IN ('le','la','les','de','et','en'))) AS cnt_fr,
+        |    len(list_filter(string_split(text,' '), t -> t IN ('der','die','das','und','ein','zu'))) AS cnt_de
+        |  FROM documents),
+        |sig AS (
+        |  SELECT source, text, md5(text) AS h, text IS NOT NULL AS has_text,
+        |    CASE WHEN regexp_matches(text, '[\x{4e00}-\x{9fff}]') THEN 'zh'
+        |         WHEN cnt_en >= cnt_es AND cnt_en >= cnt_fr AND cnt_en >= cnt_de THEN 'en'
+        |         WHEN cnt_es >= cnt_fr AND cnt_es >= cnt_de THEN 'es'
+        |         WHEN cnt_fr >= cnt_de THEN 'fr'
+        |         ELSE 'de' END AS pred_lang,
+        |    CAST(len(string_split(text,' ')) AS BIGINT) AS n_tokens,
+        |    (len(string_split(text,' ')) >= 20 AND len(string_split(text,' ')) <= 100000
+        |     AND CAST(len(list_distinct(string_split(text,' '))) AS DOUBLE) /
+        |         CAST(len(string_split(text,' ')) AS DOUBLE) >= 0.15) AS keep
+        |  FROM c),
+        |agg AS (
+        |  SELECT source,
+        |    CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(sum(CASE WHEN has_text THEN 1 ELSE 0 END) AS BIGINT) AS n_text,
+        |    CAST(count(DISTINCT h) AS BIGINT) AS n_unique_texts,
+        |    CAST(sum(n_tokens) AS BIGINT) AS n_tokens_total,
+        |    CAST(sum(CASE WHEN pred_lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS n_en,
+        |    CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_keep
+        |  FROM sig GROUP BY 1)
+        |SELECT source, n_docs, n_text, n_unique_texts, n_tokens_total,
+        |  n_en, n_keep,
+        |  CAST(n_en AS DOUBLE) / CAST(n_docs AS DOUBLE) AS pct_en,
+        |  CASE WHEN n_text > 0
+        |    THEN CAST(n_unique_texts AS DOUBLE) / CAST(n_text AS DOUBLE)
+        |  END AS unique_ratio
+        |FROM agg""".stripMargin)),
+
+    Q(
       "qt23_text_chunks",
       "Overlapping token-window chunking (TextAnalysis.chunkTokens, " +
         "chunkSize=64, stride=48): each document fans out to windows " +

@@ -137,4 +137,28 @@ class TextAnalysisSpec extends SparkSuite {
       .orderBy("chunk_idx").collect().map(_.getLong(2)).toSeq
     assert(sizes == Seq(64L, 17L))
   }
+
+  test("datasheet: exact per-source volumes, dup mass, lang mix, keep rate") {
+    val en = ("the a of and to in " * 5).trim // 30 tokens, all stopwords: en, keep
+    val short = "the a"                       // en but < 20 tokens: not keep
+    val df = Seq(
+      (1L, en, "s1"), (2L, en, "s1"),         // exact duplicates
+      (3L, short, "s1"),
+      (4L, en + " extra", "s2"))
+      .toDF("doc_id", "text", "source")
+      .unionByName(Seq((5L, null.asInstanceOf[String], "s2"))
+        .toDF("doc_id", "text", "source"))
+    val got = TextAnalysis.datasheet(df, "doc_id", "text", "source")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
+          r.getLong(6))).toMap
+    // s1: 3 docs, 3 texts, 2 unique, 30+30+2 tokens, 3 en, 2 keep
+    assert(got("s1") == ((3L, 3L, 2L, 62L, 3L, 2L)), got.toString)
+    // s2: 2 docs (one null text), 1 text, 1 unique, 31 tokens, 1 en, 1 keep
+    assert(got("s2") == ((2L, 1L, 1L, 31L, 1L, 1L)), got.toString)
+    // ratios are single divisions of the exact counts
+    val r = TextAnalysis.datasheet(df, "doc_id", "text", "source")
+      .filter($"source" === "s2").collect()(0)
+    assert(r.getDouble(7) == 0.5 && r.getDouble(8) == 1.0)
+  }
 }
