@@ -517,6 +517,95 @@ object StreamingQueries {
         |  AND c3.bucket = ((p.hv >> 45) & 32767) % 512""".stripMargin)),
 
     Q(
+      "qst15_stream_datasheet",
+      "Streaming datasheet maintenance (qt29's per-source corpus " +
+        "summary run AS the stream aggregate): counts, token totals, " +
+        "language/keep flag sums are additive longs; the ONE " +
+        "non-mergeable batch number - exact distinct texts - swaps " +
+        "for the HLL register sketch (graft_hll, q49's integer-exact " +
+        "machinery), max-merged per batch, 256 bytes of state per " +
+        "source forever. The publication dashboard that stays " +
+        "current as the corpus ingests, without ever rescanning it. " +
+        "Oracle replays flags AND the register/estimator arithmetic " +
+        "over the batch table - bit-exact including the estimate.",
+      (s, dir) => {
+        graft.functions.GraftFunctions.register(s)
+        s.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+        val schema = StructType.fromDDL(
+          "doc_id BIGINT, text STRING, lang STRING, source STRING, " +
+            "n_chars BIGINT")
+        val stream = s.readStream.schema(schema)
+          .parquet(s"$dir/documents.parque*")
+        val ta = graft.operators.TextAnalysis
+        val perRow = stream.select(
+          (Seq(col("source"),
+            graft.operators.Dedup.hash60(col("text")).as("h"),
+            col("text").isNotNull.as("has_text")) ++
+            ta.langIdColumns(col("text")) ++ ta.qualityColumns(col("text"))): _*)
+        val agg = perRow.groupBy(col("source")).agg(
+          count(lit(1)).cast("long").as("n_docs"),
+          sum(when(col("has_text"), 1L).otherwise(0L)).cast("long").as("n_text"),
+          sum(col("n_tokens")).cast("long").as("n_tokens_total"),
+          sum(when(col("pred_lang") === "en", 1L).otherwise(0L)).cast("long")
+            .as("n_en"),
+          sum(when(col("keep"), 1L).otherwise(0L)).cast("long").as("n_keep"),
+          call_function("graft_hll", col("h"), lit(8)).as("regs"))
+        runToMemory(s, "graft_stream_datasheet", "complete")(agg)
+          .select(col("source"), col("n_docs"), col("n_text"),
+            col("n_tokens_total"), col("n_en"), col("n_keep"),
+            expr("aggregate(regs, CAST(0 AS BIGINT), " +
+              "(acc, r) -> acc + shiftright(CAST(9007199254740992 AS BIGINT), r))")
+              .as("s_scaled"))
+          .withColumn("est_unique",
+            lit(0.7213) / (lit(1.0) + lit(1.079) / lit(256.0)) * lit(65536.0) *
+              lit(9007199254740992.0) / col("s_scaled").cast("double"))
+      },
+      Some("""WITH c AS (
+        |  SELECT doc_id, source, text,
+        |    len(list_filter(string_split(text,' '), t -> t IN ('the','a','of','and','to','in'))) AS cnt_en,
+        |    len(list_filter(string_split(text,' '), t -> t IN ('el','la','de','los','en','que'))) AS cnt_es,
+        |    len(list_filter(string_split(text,' '), t -> t IN ('le','la','les','de','et','en'))) AS cnt_fr,
+        |    len(list_filter(string_split(text,' '), t -> t IN ('der','die','das','und','ein','zu'))) AS cnt_de
+        |  FROM documents),
+        |sig AS (
+        |  SELECT source, text IS NOT NULL AS has_text,
+        |    CAST(concat('0x', substr(md5(text), 1, 15)) AS BIGINT) AS hv,
+        |    CASE WHEN regexp_matches(text, '[\x{4e00}-\x{9fff}]') THEN 'zh'
+        |         WHEN cnt_en >= cnt_es AND cnt_en >= cnt_fr AND cnt_en >= cnt_de THEN 'en'
+        |         WHEN cnt_es >= cnt_fr AND cnt_es >= cnt_de THEN 'es'
+        |         WHEN cnt_fr >= cnt_de THEN 'fr'
+        |         ELSE 'de' END AS pred_lang,
+        |    CAST(len(string_split(text,' ')) AS BIGINT) AS n_tokens,
+        |    (len(string_split(text,' ')) >= 20 AND len(string_split(text,' ')) <= 100000
+        |     AND CAST(len(list_distinct(string_split(text,' '))) AS DOUBLE) /
+        |         CAST(len(string_split(text,' ')) AS DOUBLE) >= 0.15) AS keep
+        |  FROM c),
+        |regs AS (
+        |  SELECT source, hv // 4503599627370496 AS bucket,
+        |    max(CASE WHEN hv % 4503599627370496 = 0 THEN 53
+        |        ELSE 53 - length(bin(hv % 4503599627370496)) END) AS rho
+        |  FROM sig WHERE hv IS NOT NULL GROUP BY 1, 2),
+        |hagg AS (
+        |  SELECT source,
+        |    CAST(sum(9007199254740992 >> rho)
+        |      + (256 - count(*)) * 9007199254740992 AS BIGINT) AS s_scaled
+        |  FROM regs GROUP BY 1),
+        |agg AS (
+        |  SELECT source,
+        |    CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(sum(CASE WHEN has_text THEN 1 ELSE 0 END) AS BIGINT) AS n_text,
+        |    CAST(sum(n_tokens) AS BIGINT) AS n_tokens_total,
+        |    CAST(sum(CASE WHEN pred_lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS n_en,
+        |    CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_keep
+        |  FROM sig GROUP BY 1)
+        |SELECT a.source, n_docs, n_text, n_tokens_total, n_en, n_keep,
+        |  coalesce(h.s_scaled, CAST(2305843009213693952 AS BIGINT)) AS s_scaled,
+        |  0.7213 / (1.0 + 1.079 / 256.0) * 65536.0 * 9007199254740992.0 /
+        |    CAST(coalesce(h.s_scaled, CAST(2305843009213693952 AS BIGINT)) AS DOUBLE)
+        |    AS est_unique
+        |FROM agg a LEFT JOIN hagg h ON a.source = h.source""".stripMargin)),
+
+    Q(
       "qst09_stream_static_join",
       "Stream-static join: the event stream enriched against a " +
         "BROADCAST dimension (event_type → category) — stateless, " +
