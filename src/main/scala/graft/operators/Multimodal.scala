@@ -382,11 +382,15 @@ object Multimodal {
       chunkLen: Int = 64): DataFrame = {
     require(chunkLen >= 1)
     val nChunks = expr(s"(length(bytes) + ${chunkLen - 1}) div $chunkLen")
-    val chunks = media.filter(length(col("bytes")) >= 1)
-      .select(col("media_id"),
-        explode(transform(sequence(lit(1), nChunks),
-          i => md5(col("bytes").substr((i - lit(1)) * chunkLen + 1,
-            lit(chunkLen))))).as("h"))
+    // consumed by BOTH the mark (live hashes) and the sweep (stored
+    // refs) — persist so the payload bytes are chunk-hashed once and
+    // only the narrow (media_id, h) rows are revisited
+    val chunks = graft.core.OpCache.persist(
+      media.filter(length(col("bytes")) >= 1)
+        .select(col("media_id"),
+          explode(transform(sequence(lit(1), nChunks),
+            i => md5(col("bytes").substr((i - lit(1)) * chunkLen + 1,
+              lit(chunkLen))))).as("h")))
     val live = chunks
       .join(liveIds.select(col("media_id")), Seq("media_id"), "left_semi")
       .select(col("h")).distinct()

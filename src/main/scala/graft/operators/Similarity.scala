@@ -1051,6 +1051,33 @@ object Similarity {
       .select(col("vec_id"), col("nbr_id"), col("rnk").cast("long").as("rnk"))
   }
 
+  /** Recall@k REPORT — the ANN quality measurement as a first-class,
+    * oracle-checkable query instead of a side tool: join an
+    * approximate ranking against the exact baseline on
+    * (vec_id, nbr_id) and reduce to one row
+    * (n_queries, n_hits, recall_at_k). Recall is computed as a SINGLE
+    * division of exact integers (total hits / k·queries — the
+    * micro-averaged recall), so the number is bit-reproducible — the
+    * discipline every ratio in this library follows. Inputs are any
+    * two (vec_id, nbr_id, …) rankings: exact-vs-IVF, exact-vs-PQ,
+    * yesterday-vs-today (a serving regression check).
+    *
+    * Scale shape: one equi-join on (vec_id, nbr_id) over k·n rows per
+    * side + two global single-row aggregates; the 1-row × 1-row
+    * cross join at the end is trivially broadcast. */
+  def recallReport(exact: DataFrame, approx: DataFrame, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val hits = approx.select(col("vec_id"), col("nbr_id"))
+      .join(exact.select(col("vec_id"), col("nbr_id")),
+        Seq("vec_id", "nbr_id"), "left_semi")
+      .agg(count(lit(1)).cast("long").as("n_hits"))
+    val nq = exact.agg(countDistinct(col("vec_id")).cast("long").as("n_queries"))
+    nq.crossJoin(hits).select(col("n_queries"), col("n_hits"),
+      (col("n_hits").cast("double") /
+        (lit(k).cast("double") * col("n_queries").cast("double")))
+        .as(s"recall_at_$k"))
+  }
+
   /** Maximal-Marginal-Relevance diversified top-k (Carbonell &
     * Goldstein's MMR): retrieve `candK` exact-cosine candidates per
     * query, then greedily select `k` of them, each step maximizing

@@ -705,6 +705,66 @@ object SimilarityQueries {
         |UNION ALL SELECT q_id, d_id, CAST(3 AS BIGINT) FROM s3""".stripMargin)),
 
     Q(
+      "qs22_recall_report",
+      "ANN recall as an ORACLE-CHECKED query (Similarity.recallReport " +
+        "over qs02's IVF nProbe=4 vs qs01's exact top-5): the quality " +
+        "number SCALING.md cites, computed in-engine - micro-averaged " +
+        "recall@5 as one division of exact integers (total hits / " +
+        "5*queries), bit-reproducible. The same operator serves any " +
+        "two rankings: exact-vs-PQ, yesterday-vs-today (serving " +
+        "regression). One (vec_id, nbr_id) equi-join + two single-row " +
+        "aggregates.",
+      (s, dir) => {
+        val em = Tables.load(s, dir, "embeddings")
+        Similarity.recallReport(
+          Similarity.bruteForceTopK(em, "vec_id", "embedding", k = 5),
+          Similarity.ivfTopK(em, "vec_id", "embedding", k = 5,
+            centroidStride = 40, nProbe = 4),
+          k = 5)
+      },
+      Some(s"""WITH e AS (
+        |  SELECT vec_id, embedding, ${dkNorm("embedding")} AS nrm
+        |  FROM embeddings),
+        |c AS (SELECT vec_id AS cent_id, embedding AS cemb, nrm AS cnrm
+        |      FROM e WHERE vec_id % 40 = 0),
+        |ranked AS (
+        |  SELECT e.vec_id, c.cent_id,
+        |    row_number() OVER (PARTITION BY e.vec_id ORDER BY
+        |      ${dkDot("e.embedding", "c.cemb")} / (e.nrm * c.cnrm) DESC,
+        |      c.cent_id) AS rn
+        |  FROM e, c),
+        |assign AS (SELECT vec_id, cent_id FROM ranked WHERE rn = 1),
+        |probes AS (SELECT vec_id, cent_id FROM ranked WHERE rn <= 4),
+        |b AS (SELECT e.vec_id, e.embedding, e.nrm, a.cent_id
+        |      FROM e JOIN assign a USING (vec_id)),
+        |p AS (SELECT e.vec_id, e.embedding, e.nrm, pr.cent_id
+        |      FROM e JOIN probes pr USING (vec_id)),
+        |ivf AS (
+        |  SELECT vec_id, nbr_id FROM (
+        |    SELECT p.vec_id AS vec_id, q.vec_id AS nbr_id,
+        |      row_number() OVER (PARTITION BY p.vec_id ORDER BY
+        |        ${dkDot("p.embedding", "q.embedding")} / (p.nrm * q.nrm) DESC,
+        |        q.vec_id) AS rnk
+        |    FROM p JOIN b q ON p.cent_id = q.cent_id AND p.vec_id <> q.vec_id)
+        |  WHERE rnk <= 5),
+        |exact AS (
+        |  SELECT vec_id, nbr_id FROM (
+        |    SELECT a.vec_id AS vec_id, b2.vec_id AS nbr_id,
+        |      row_number() OVER (PARTITION BY a.vec_id ORDER BY
+        |        ${dkDot("a.embedding", "b2.embedding")} / (a.nrm * b2.nrm) DESC,
+        |        b2.vec_id) AS rnk
+        |    FROM e a JOIN e b2 ON a.vec_id <> b2.vec_id)
+        |  WHERE rnk <= 5),
+        |hits AS (SELECT CAST(count(*) AS BIGINT) AS n_hits
+        |         FROM ivf JOIN exact USING (vec_id, nbr_id)),
+        |nq AS (SELECT CAST(count(DISTINCT vec_id) AS BIGINT) AS n_queries
+        |       FROM exact)
+        |SELECT n_queries, n_hits,
+        |  CAST(n_hits AS DOUBLE) / (5.0 * CAST(n_queries AS DOUBLE))
+        |    AS recall_at_5
+        |FROM nq, hits""".stripMargin)),
+
+    Q(
       "qs16_ivf_pq_residual",
       "RESIDUAL IVF-PQ (Similarity.ivfPqResidualTopK — the textbook " +
         "formulation): PQ quantizes each vector's residual against " +

@@ -1,7 +1,6 @@
 package graft.storage
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Small-file compaction planning — the lakehouse maintenance pass
@@ -51,8 +50,6 @@ object Compaction {
       bytesCol: String,
       targetBytes: Long): DataFrame = {
     require(targetBytes > 0, s"targetBytes must be positive, got $targetBytes")
-    val w = Window.partitionBy(col("grp")).orderBy(col("file_id"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     files
       .select(col(groupCol).as("grp"), col(idCol).as("file_id"),
         // fail loudly on a negative size instead of emitting a bogus plan

@@ -59,7 +59,11 @@ class PlanAuditSpec extends SparkSuite {
       // qs01's broadcast query-batch × corpus linear scan for MMR
       // candidate generation; the greedy steps run over candidate-
       // bounded persisted frames (equi-joins + per-query windows)
-      "qs21_mmr_rerank")
+      "qs21_mmr_rerank",
+      // contains qs01's exact baseline (documented O(n²) reference)
+      // plus a 1-row × 1-row final cross join; the recall join itself
+      // is an equi-join on (vec_id, nbr_id)
+      "qs22_recall_report")
 
   test("no unexpected cartesian/nested-loop joins anywhere in the registry") {
     val dir = "/root/testdata/sf0.001"
