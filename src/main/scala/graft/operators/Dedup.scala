@@ -293,6 +293,44 @@ object Dedup {
     docs.groupBy(md5(col(textCol).cast("binary")).as("content_hash"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
 
+  /** Soft dedup — per-document duplication scoring for WEIGHTED
+    * sampling instead of hard removal (the SoftDeDup idea: downweight
+    * commonness, keep the document): each document's distinct shingles
+    * meet the corpus-wide shingle document-frequency table, and the
+    * fraction of shingles that appear in 2+ documents becomes the
+    * duplication score. A fully-boilerplate document keeps weight
+    * floor(10000-bp/2); pristine text keeps 10000 — the weights feed
+    * [[graft.operators.Curation.weightedMix]]-style samplers directly.
+    *
+    * All-integer outputs (counts + basis points by integer division),
+    * so the score is bit-identical under any partitioning or engine.
+    * Scale shape: one shingle explode (narrow), one hash agg for df
+    * (map-side combinable, 8-byte keys), one equi-join back (shuffles
+    * on the shingle hash — the same inverted-index shape as qd04's
+    * index build, WITHOUT the pair join that follows there; cost is
+    * linear in corpus shingle count), one per-doc hash agg. Documents
+    * shorter than `n` words carry no shingles and are absent — the
+    * caller treats missing as weight 10000. */
+  def duplicationScore(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 3): DataFrame = {
+    val sh = docs
+      .select(col(idCol).as("doc_id"), split(col(textCol), " ").as("w"))
+      .filter(size(col("w")) >= n)
+      .select(col("doc_id"), explode(wordShingles(col("w"), n)).as("sg"))
+      .select(col("doc_id"), hash60(col("sg")).as("h"))
+    val df = sh.groupBy(col("h")).agg(count(lit(1)).as("df"))
+    sh.join(df, Seq("h"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("df") > 1, 1L).otherwise(0L)).as("n_dup"))
+      .select(col("doc_id"), col("n_shingles"), col("n_dup"),
+        expr("10000 * n_dup div n_shingles").as("dup_bp"),
+        expr("10000 - (10000 * n_dup div n_shingles) div 2").as("weight_bp"))
+  }
+
   /** End-to-end corpus dedup — the production pipeline order SCALING.md
     * prescribes, as one operator:
     *

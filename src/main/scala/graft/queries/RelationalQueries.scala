@@ -1337,6 +1337,94 @@ object RelationalQueries {
         |FROM lineitem
         |WHERE l_orderkey NOT IN
         |  (SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT')
-        |GROUP BY 1""".stripMargin))
+        |GROUP BY 1""".stripMargin)),
+
+    Q(
+      "q55_event_paths",
+      "Session path mining: q22's 30-minute sessionization feeding an " +
+        "ordered per-session event-type path (array_sort over (ts, " +
+        "event_id) structs makes collect_list's arrival order " +
+        "irrelevant), then path frequency with a min-support cut. " +
+        "Scale shape: the sessionize window shuffles once on user_id; " +
+        "the path agg shuffles once on (user_id, session_id) — both " +
+        "key-partitioned, no global sort; the final path count is a " +
+        "low-cardinality hash agg (paths collapse onto the event-type " +
+        "alphabet). The support cut keeps output at the head of the " +
+        "path distribution, never session-proportional.",
+      (s, dir) => {
+        val ord = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("event_id"))
+        val cum = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val us = graft.expr.Exprs.tsMicros(col("ts"))
+        t(s, dir, "events")
+          .withColumn("prev_us", lag(us, 1).over(ord))
+          .withColumn("new_sess",
+            when(col("prev_us").isNull ||
+              us - col("prev_us") > 1800L * 1000000L, 1L).otherwise(0L))
+          .withColumn("session_id", sum(col("new_sess")).over(cum))
+          .groupBy(col("user_id"), col("session_id"))
+          .agg(array_sort(collect_list(struct(
+            col("ts"), col("event_id"), col("event_type")))).as("evs"))
+          .select(concat_ws(">",
+            transform(col("evs"), e => e.getField("event_type"))).as("path"))
+          .groupBy(col("path"))
+          .agg(count(lit(1)).as("n_sessions"))
+          .filter(col("n_sessions") >= 5)
+      },
+      Some("""WITH s AS (
+        |  SELECT *, lag(epoch_us(CAST(ts AS TIMESTAMP))) OVER (
+        |    PARTITION BY user_id ORDER BY ts, event_id) AS prev
+        |  FROM events),
+        |se AS (
+        |  SELECT user_id, event_type, ts, event_id,
+        |    sum(CASE WHEN prev IS NULL
+        |             OR epoch_us(CAST(ts AS TIMESTAMP)) - prev > 1800000000
+        |             THEN 1 ELSE 0 END) OVER (
+        |      PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |  FROM s),
+        |p AS (
+        |  SELECT user_id, session_id,
+        |    string_agg(event_type, '>' ORDER BY ts, event_id) AS path
+        |  FROM se GROUP BY 1, 2)
+        |SELECT path, count(*) AS n_sessions
+        |FROM p GROUP BY 1 HAVING count(*) >= 5""".stripMargin)),
+
+    Q(
+      "q56_copurchase",
+      "Frequent co-occurring item pairs (market-basket, A-Priori " +
+        "pruned): per-order distinct items → drop items below the " +
+        "support floor FIRST (an item in < minsup orders cannot be in " +
+        "a pair with support >= minsup — the A-Priori downward-closure " +
+        "argument), THEN the within-order self-join. The prune is what " +
+        "makes the self-join survive 100 TB: the frequent-item set is " +
+        "catalog-bounded (broadcast), the pair blow-up is quadratic " +
+        "only in surviving items per basket, and the pair agg is " +
+        "map-side combinable. Without it the join squares the raw " +
+        "basket tail.",
+      (s, dir) => {
+        val items = t(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_partkey")).distinct()
+        val freq = items.groupBy(col("l_partkey"))
+          .agg(count(lit(1)).as("n")).filter(col("n") >= 3)
+          .select(col("l_partkey"))
+        val pruned = items
+          .join(broadcast(freq), Seq("l_partkey"), "left_semi")
+        val a = pruned.select(col("l_orderkey"), col("l_partkey").as("p1"))
+        val b = pruned.select(col("l_orderkey").as("ok2"), col("l_partkey").as("p2"))
+        a.join(b, col("l_orderkey") === col("ok2") && col("p1") < col("p2"))
+          .groupBy(col("p1"), col("p2"))
+          .agg(count(lit(1)).as("support"))
+          .filter(col("support") >= 3)
+      },
+      Some("""WITH items AS (
+        |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |f AS (SELECT l_partkey FROM items GROUP BY 1 HAVING count(*) >= 3),
+        |it AS (SELECT * FROM items
+        |       WHERE l_partkey IN (SELECT l_partkey FROM f))
+        |SELECT a.l_partkey AS p1, b.l_partkey AS p2, count(*) AS support
+        |FROM it a JOIN it b
+        |  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        |GROUP BY 1, 2 HAVING count(*) >= 3""".stripMargin))
   )
 }

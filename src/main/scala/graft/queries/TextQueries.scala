@@ -2172,6 +2172,39 @@ object TextQueries {
         |         (1000000000000 * 15 // 100) // nn.n +
         |         (85 * coalesce(c2.s, 0)) // 100 AS pr
         |       FROM documents d LEFT JOIN c2 ON d.doc_id = c2.dst, nn)
-        |SELECT doc_id, CAST(pr AS BIGINT) AS pr_int FROM p2""".stripMargin))
+        |SELECT doc_id, CAST(pr AS BIGINT) AS pr_int FROM p2""".stripMargin)),
+
+    Q(
+      "qd30_soft_dedup",
+      "Soft dedup (Dedup.duplicationScore — downweight, don't delete): " +
+        "per-document duplication score from the corpus-wide shingle " +
+        "document-frequency table — the fraction (basis points, " +
+        "integer division) of a document's distinct 3-shingles seen " +
+        "in 2+ documents — and the derived sampling weight " +
+        "10000 - bp/2. The weighted-sampling complement to qd07's " +
+        "hard removal: boilerplate-heavy documents survive with " +
+        "reduced draw probability instead of vanishing. Linear " +
+        "inverted-index shape (explode → df hash-agg → one equi-join " +
+        "back → per-doc agg); no pair join anywhere, so no df-cut is " +
+        "even needed. All-integer outputs: bit-identical under any " +
+        "partitioning.",
+      (s, dir) =>
+        Dedup.duplicationScore(
+          Tables.load(s, dir, "documents"), "doc_id", "text"),
+      Some(s"""WITH sh AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(w)-1),
+        |    i -> concat(w[i], ' ', w[i+1], ' ', w[i+2])))) AS g
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+        |  WHERE len(w) >= 3),
+        |h AS (SELECT doc_id, ${dkHash60("g")} AS hh FROM sh),
+        |dfreq AS (SELECT hh, count(*) AS df FROM h GROUP BY 1),
+        |p AS (
+        |  SELECT doc_id, count(*) AS n_shingles,
+        |    CAST(sum(CASE WHEN df > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup
+        |  FROM h JOIN dfreq USING (hh) GROUP BY 1)
+        |SELECT doc_id, n_shingles, n_dup,
+        |  (10000 * n_dup) // n_shingles AS dup_bp,
+        |  10000 - ((10000 * n_dup) // n_shingles) // 2 AS weight_bp
+        |FROM p""".stripMargin))
   )
 }

@@ -491,6 +491,123 @@ object WarehouseQueries {
       Some("""SELECT o_orderpriority, count(*) AS n_li,
         |  CAST(sum(CAST(l_extendedprice AS DECIMAL(30,6))) AS DOUBLE) AS sum_price
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-        |GROUP BY 1""".stripMargin))
+        |GROUP BY 1""".stripMargin)),
+
+    Q(
+      "qw14_time_travel",
+      "Time travel over the versioned parquet layout (Storage.versions " +
+        "/ readAsOf + Cdc.snapshotDiff): two versions of the orders " +
+        "table land under one root (v1 = pre-1998 orders; v2 = all " +
+        "orders, status flipped for keys %97=0), an as-of read " +
+        "resolves each stamp by pure string comparison on the " +
+        "directory names (the layout IS the version log — no " +
+        "manifest), and the diff between the two as-of views " +
+        "classifies every key. Listing is metadata-only; the diff is " +
+        "output-proportional (qw06's hash-collapse). The oracle " +
+        "replays the version definitions set-wise from the base " +
+        "table.",
+      (s, dir) => {
+        val base = java.nio.file.Files
+          .createTempDirectory("graft_tt_").toString
+        val ord = graft.core.Tables.load(s, dir, "orders")
+        val v1 = ord.filter(year(col("o_orderdate")) <= 1997)
+        val v2 = ord.withColumn("o_orderstatus",
+          when(col("o_orderkey") % 97 === 0, lit("X"))
+            .otherwise(col("o_orderstatus")))
+        graft.storage.LocalStorage(base, "v20-01-01").write(v1, "orders")
+        graft.storage.LocalStorage(base, "v20-06-01").write(v2, "orders")
+        val asOfV1 = graft.storage.Storage.readAsOf(s, base, "orders", "v20-03-15")
+        val asOfV2 = graft.storage.Storage.readAsOf(s, base, "orders", "v20-12-31")
+        graft.warehouse.Cdc.snapshotDiff(asOfV1, asOfV2, Seq("o_orderkey"))
+      },
+      Some("""SELECT o_orderkey, 'added' AS status FROM orders
+        |WHERE EXTRACT(YEAR FROM o_orderdate) > 1997
+        |UNION ALL
+        |SELECT o_orderkey, 'changed' FROM orders
+        |WHERE EXTRACT(YEAR FROM o_orderdate) <= 1997
+        |  AND o_orderkey % 97 = 0""".stripMargin)),
+
+    Q(
+      "qw15_referential_integrity",
+      "Referential-integrity audit across the star schema: for every " +
+        "FK edge, row count + orphan count (non-null FK values with " +
+        "no parent) via left-anti joins — true dims (nation, region) " +
+        "broadcast so the big side never shuffles for them; fact→fact " +
+        "edges shuffle once on the key (prefilterable with q45's " +
+        "Bloom branch when orphans are known-rare). NULL FKs are " +
+        "excluded (a null reference is a modeling choice, not a " +
+        "dangling one). One edge audits against a deliberately " +
+        "sampled dim (customers %10<>0) so the orphan path is " +
+        "genuinely exercised; the healthy edges assert zero. Output " +
+        "is one row per edge — the nightly governance report.",
+      (s, dir) => {
+        import org.apache.spark.sql.DataFrame
+        def edge(name: String, fact: DataFrame, fk: String,
+                 dim: DataFrame, pk: String, bcast: Boolean): DataFrame = {
+          val f = fact.select(col(fk).as("k")).filter(col("k").isNotNull)
+          val d0 = dim.select(col(pk).as("pk"))
+          val d = if (bcast) broadcast(d0) else d0
+          f.agg(count(lit(1)).as("n_rows"))
+            .crossJoin(f.join(d, col("k") === col("pk"), "left_anti")
+              .agg(count(lit(1)).as("n_orphans")))
+            .select(lit(name).as("fk"), col("n_rows"), col("n_orphans"))
+        }
+        val li = graft.core.Tables.load(s, dir, "lineitem")
+        val ord = graft.core.Tables.load(s, dir, "orders")
+        val cust = graft.core.Tables.load(s, dir, "customer")
+        val supp = graft.core.Tables.load(s, dir, "supplier")
+        val part = graft.core.Tables.load(s, dir, "part")
+        val nat = graft.core.Tables.load(s, dir, "nation")
+        val reg = graft.core.Tables.load(s, dir, "region")
+        val sampled = cust.filter(col("c_custkey") % 10 =!= 0)
+        edge("lineitem.l_orderkey->orders", li, "l_orderkey", ord, "o_orderkey", bcast = false)
+          .unionByName(edge("lineitem.l_partkey->part", li, "l_partkey", part, "p_partkey", bcast = true))
+          .unionByName(edge("lineitem.l_suppkey->supplier", li, "l_suppkey", supp, "s_suppkey", bcast = true))
+          .unionByName(edge("orders.o_custkey->customer", ord, "o_custkey", cust, "c_custkey", bcast = true))
+          .unionByName(edge("orders.o_custkey->customer[sampled]", ord, "o_custkey", sampled, "c_custkey", bcast = true))
+          .unionByName(edge("customer.c_nationkey->nation", cust, "c_nationkey", nat, "n_nationkey", bcast = true))
+          .unionByName(edge("supplier.s_nationkey->nation", supp, "s_nationkey", nat, "n_nationkey", bcast = true))
+          .unionByName(edge("nation.n_regionkey->region", nat, "n_regionkey", reg, "r_regionkey", bcast = true))
+      },
+      Some("""SELECT 'lineitem.l_orderkey->orders' AS fk,
+        |  (SELECT count(*) FROM lineitem WHERE l_orderkey IS NOT NULL) AS n_rows,
+        |  (SELECT count(*) FROM lineitem WHERE l_orderkey IS NOT NULL
+        |     AND l_orderkey NOT IN (SELECT o_orderkey FROM orders)) AS n_orphans
+        |UNION ALL
+        |SELECT 'lineitem.l_partkey->part',
+        |  (SELECT count(*) FROM lineitem WHERE l_partkey IS NOT NULL),
+        |  (SELECT count(*) FROM lineitem WHERE l_partkey IS NOT NULL
+        |     AND l_partkey NOT IN (SELECT p_partkey FROM part))
+        |UNION ALL
+        |SELECT 'lineitem.l_suppkey->supplier',
+        |  (SELECT count(*) FROM lineitem WHERE l_suppkey IS NOT NULL),
+        |  (SELECT count(*) FROM lineitem WHERE l_suppkey IS NOT NULL
+        |     AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier))
+        |UNION ALL
+        |SELECT 'orders.o_custkey->customer',
+        |  (SELECT count(*) FROM orders WHERE o_custkey IS NOT NULL),
+        |  (SELECT count(*) FROM orders WHERE o_custkey IS NOT NULL
+        |     AND o_custkey NOT IN (SELECT c_custkey FROM customer))
+        |UNION ALL
+        |SELECT 'orders.o_custkey->customer[sampled]',
+        |  (SELECT count(*) FROM orders WHERE o_custkey IS NOT NULL),
+        |  (SELECT count(*) FROM orders WHERE o_custkey IS NOT NULL
+        |     AND o_custkey NOT IN (SELECT c_custkey FROM customer
+        |                           WHERE c_custkey % 10 <> 0))
+        |UNION ALL
+        |SELECT 'customer.c_nationkey->nation',
+        |  (SELECT count(*) FROM customer WHERE c_nationkey IS NOT NULL),
+        |  (SELECT count(*) FROM customer WHERE c_nationkey IS NOT NULL
+        |     AND c_nationkey NOT IN (SELECT n_nationkey FROM nation))
+        |UNION ALL
+        |SELECT 'supplier.s_nationkey->nation',
+        |  (SELECT count(*) FROM supplier WHERE s_nationkey IS NOT NULL),
+        |  (SELECT count(*) FROM supplier WHERE s_nationkey IS NOT NULL
+        |     AND s_nationkey NOT IN (SELECT n_nationkey FROM nation))
+        |UNION ALL
+        |SELECT 'nation.n_regionkey->region',
+        |  (SELECT count(*) FROM nation WHERE n_regionkey IS NOT NULL),
+        |  (SELECT count(*) FROM nation WHERE n_regionkey IS NOT NULL
+        |     AND n_regionkey NOT IN (SELECT r_regionkey FROM region))""".stripMargin))
   )
 }

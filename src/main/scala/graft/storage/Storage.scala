@@ -78,6 +78,41 @@ object Storage {
     * be UTC too — a local-zone clock diverges near midnight. */
   def stamp(date: LocalDate = LocalDate.now(java.time.ZoneOffset.UTC)): String =
     "v" + date.format(DateTimeFormatter.ofPattern("yy-MM-dd"))
+
+  private val VersionDir = "^v\\d{2}-\\d{2}-\\d{2}$".r
+
+  /** Time-travel surface over the versioned layout: list the version
+    * directories under a root, ASCENDING. The `v{yy-MM-dd}` stamp
+    * sorts lexically = chronologically, so `last` is the latest and
+    * an as-of lookup is a plain string comparison — no manifest or
+    * catalog required, the directory layout IS the version log.
+    * Listed via the Hadoop FileSystem API so the same call works on
+    * an ABFS root (K2); listing is metadata-only (one RPC per root,
+    * version count ~days — never data-proportional). */
+  def versions(spark: SparkSession, root: String): Seq[String] = {
+    val p = new org.apache.hadoop.fs.Path(root)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) Seq.empty
+    else fs.listStatus(p).toSeq
+      .filter(_.isDirectory)
+      .map(_.getPath.getName)
+      .filter(n => VersionDir.matches(n))
+      .sorted
+  }
+
+  /** Read dataset `name` as of version stamp `asOf` (inclusive): the
+    * LATEST version with stamp <= asOf — i.e. the table a reader at
+    * that date would have seen. Throws (loudly, with the available
+    * versions) when no version qualifies: an empty DataFrame here
+    * would silently read as "dataset was empty then". */
+  def readAsOf(spark: SparkSession, root: String, name: String,
+      asOf: String): DataFrame = {
+    val vs = versions(spark, root)
+    val at = vs.filter(_ <= asOf)
+    require(at.nonEmpty,
+      s"no version of $root/$name at or before $asOf (have: ${vs.mkString(", ")})")
+    LocalStorage(root, at.last).readName(spark, name)
+  }
 }
 
 /** Local-filesystem backend (reference `storage/local.py`). An ABFS/

@@ -371,6 +371,22 @@ class DedupSpec extends SparkSuite {
     graft.core.OpCache.releaseAll(blocking = true)
   }
 
+  test("duplicationScore: basis points exact, short docs absent, pristine doc keeps 10000") {
+    val docs = Seq(
+      (1L, "a b c d"),        // shingles {a b c, b c d} — both shared with 2
+      (2L, "a b c d e"),      // {a b c, b c d, c d e} — 2 of 3 shared
+      (3L, "x y z w"),        // {x y z, y z w} — unique
+      (4L, "too short"))      // < 3 words → absent
+      .toDF("doc_id", "text")
+    val got = Dedup.duplicationScore(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(got.keySet == Set(1L, 2L, 3L))
+    assert(got(1L) == ((2L, 2L, 10000L, 5000L)))            // fully duplicated
+    assert(got(2L) == ((3L, 2L, 6666L, 6667L)))             // floor(20000/3)
+    assert(got(3L) == ((2L, 0L, 0L, 10000L)))               // pristine
+  }
+
   test("clusterSizeHistogram summarizes the label table") {
     val labels = Seq(
       (1L, 1L), (2L, 1L), (3L, 1L),   // one cluster of 3

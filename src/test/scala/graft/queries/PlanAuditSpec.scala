@@ -63,7 +63,11 @@ class PlanAuditSpec extends SparkSuite {
       // contains qs01's exact baseline (documented O(n²) reference)
       // plus a 1-row × 1-row final cross join; the recall join itself
       // is an equi-join on (vec_id, nbr_id)
-      "qs22_recall_report")
+      "qs22_recall_report",
+      // per-FK-edge 1-row × 1-row cross join of the two count
+      // aggregates; the orphan detection itself is a left-anti
+      // equi-join per edge
+      "qw15_referential_integrity")
 
   test("no unexpected cartesian/nested-loop joins anywhere in the registry") {
     val dir = "/root/testdata/sf0.001"

@@ -24,6 +24,23 @@ class StorageSpec extends SparkSuite {
     assert(back.columns.toSeq == Seq("id", "s"))
   }
 
+  test("versions listing + as-of read resolve the right snapshot") {
+    val tmp = Files.createTempDirectory("graft-tt").toString
+    LocalStorage(tmp, "v20-01-01").write(Seq((1, "a")).toDF("id", "s"), "t")
+    LocalStorage(tmp, "v20-06-15").write(Seq((1, "a"), (2, "b")).toDF("id", "s"), "t")
+    // non-version junk dirs are ignored
+    Files.createDirectory(java.nio.file.Path.of(tmp, "scratch"))
+    assert(Storage.versions(spark, tmp) == Seq("v20-01-01", "v20-06-15"))
+    assert(Storage.readAsOf(spark, tmp, "t", "v20-03-01").count() == 1)
+    assert(Storage.readAsOf(spark, tmp, "t", "v20-06-15").count() == 2) // inclusive
+    assert(Storage.readAsOf(spark, tmp, "t", "v21-01-01").count() == 2)
+    val e = intercept[IllegalArgumentException] {
+      Storage.readAsOf(spark, tmp, "t", "v19-12-31")
+    }
+    assert(e.getMessage.contains("v20-01-01"))
+    assert(Storage.versions(spark, s"$tmp/absent").isEmpty)
+  }
+
   test("csv read keeps the literal string NA (Namibia trap)") {
     val tmp = Files.createTempDirectory("graft-na").toString
     Files.writeString(java.nio.file.Path.of(tmp, "c.csv"), "iso2,name\nNA,Namibia\n,Empty")
