@@ -429,6 +429,46 @@ object Similarity {
     topKHeap(scored, "vec_id", col("cos"), col("nbr_id"), "nbr_id", k)
   }
 
+  /** HARD-NEGATIVE MINING — the contrastive-training data factory: for
+    * each query vector, the top-k most similar corpus vectors whose
+    * `labelCol` DIFFERS from the query's (similar-but-wrong examples,
+    * the negatives that actually teach an embedding model).
+    *
+    * The label predicate is the mirror image of [[filteredIvfTopK]]'s:
+    * an INEQUALITY cannot ride the probe↔cell join as a second equi-key,
+    * and it should not — a negative predicate passes almost every pair
+    * (selectivity ≈ (L−1)/L for L labels), so pre-partitioning by it
+    * would buy nothing while post-filtering inside the cent_id equi-join
+    * discards the tiny same-label fraction at zero extra shuffle. The
+    * pre/post-filter decision is driven by predicate selectivity, not
+    * dogma: equality → join key (qs19), inequality → in-join filter
+    * (here). Null labels match nothing on either side (a vector of
+    * unknown class is neither a positive nor a safe negative).
+    *
+    * Same IVF probing semantics as [[ivfTopKWithIndex]]; recall dial is
+    * nProbe, independent of the predicate. */
+  def hardNegatives(
+      em: DataFrame, idCol: String, vecCol: String, labelCol: String,
+      queries: DataFrame,
+      k: Int, centroidStride: Int = 40, nProbe: Int = 4): DataFrame = {
+    val idx = buildIvfIndex(em, idCol, vecCol, centroidStride)
+    val labels = em.select(col(idCol).as("vec_id"), col(labelCol).as("__lab"))
+    val cellsL = idx.cells.join(labels, Seq("vec_id"))
+    val q = withNorm(queries, idCol, vecCol).join(labels, Seq("vec_id"))
+    val probes = centroidRanks(q, broadcast(idx.centroids), maxRank = nProbe)
+      .select(col("vec_id"), col("cent_id"))
+    val probe = q.join(probes, Seq("vec_id"))
+    val scored = probe.as("p")
+      .join(cellsL.as("c"),
+        col("p.cent_id") === col("c.cent_id") &&
+          col("p.__lab").isNotNull && col("c.__lab").isNotNull &&
+          col("p.__lab") =!= col("c.__lab"))
+      .select(col("p.vec_id").as("vec_id"), col("c.vec_id").as("nbr_id"),
+        cosineWithNorms(col("p.embedding"), col("c.embedding"),
+          col("p.nrm"), col("c.nrm")).as("cos"))
+    topKHeap(scored, "vec_id", col("cos"), col("nbr_id"), "nbr_id", k)
+  }
+
   /** IVF-PQ candidates + EXACT rerank — the full production serving
     * composition (what a 10¹⁰-vector deployment actually runs): the
     * memory-resident IVF-PQ tier over-fetches k·overfetch candidates

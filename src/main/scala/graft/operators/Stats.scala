@@ -1,0 +1,67 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType}
+
+/** Grouped statistical model fitting — the feature-engineering /
+  * trend-extraction stage of an analytics pipeline (per-indicator trend
+  * lines over the reference's yearly series; per-segment elasticities
+  * over fact tables).
+  */
+object Stats {
+
+  private def dsum(c: Column): Column =
+    sum(c.cast(DecimalType(30, 6))).cast(DoubleType)
+
+  /** Per-group ordinary-least-squares fit y = slope·x + intercept with
+    * the coefficient of determination r².
+    *
+    * Everything derives from SIX order-invariant sufficient statistics
+    * computed in ONE hash-aggregate pass — n, Σx, Σy, Σx², Σy², Σxy —
+    * each summed as DECIMAL(30,6) (exact, associative: map-side
+    * partials merge losslessly) and only then cast to double, so the
+    * fitted coefficients are bit-reproducible at any partitioning. The
+    * closed forms
+    *
+    *   slope = (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²)
+    *   intercept = (Σy − slope·Σx) / n
+    *   r² = (n·Σxy − Σx·Σy)² / ((n·Σx² − (Σx)²)(n·Σy² − (Σy)²))
+    *
+    * are then a fixed dag of IEEE double ops on identical inputs —
+    * identical on every engine. Groups with zero x-variance (vertical
+    * line: slope undefined) are dropped; zero y-variance yields
+    * slope 0 and r² NULL (0/0 — no linear fit to score). Results round
+    * to 6 decimals (the engine-comparability discipline used by every
+    * derived-double output, q42/qm01).
+    *
+    * Scale shape: one shuffle on the group key, map-side combined; the
+    * output is |groups| rows. No window, no second scan — this is the
+    * cheapest possible plan for a regression over 100 TB of facts.
+    */
+  def groupedRegression(
+      df: DataFrame, keyCol: String, xCol: String,
+      yCol: String): DataFrame = {
+    val x = col(xCol).cast("double")
+    val y = col(yCol).cast("double")
+    val st = df
+      .filter(x.isNotNull && y.isNotNull)
+      .groupBy(col(keyCol))
+      .agg(
+        count(lit(1)).cast("double").as("n"),
+        dsum(x).as("sx"), dsum(y).as("sy"),
+        dsum(x * x).as("sxx"), dsum(y * y).as("syy"),
+        dsum(x * y).as("sxy"))
+    val dx = col("n") * col("sxx") - col("sx") * col("sx")
+    val dy = col("n") * col("syy") - col("sy") * col("sy")
+    val cov = col("n") * col("sxy") - col("sx") * col("sy")
+    st.filter(dx > 0)
+      .select(
+        col(keyCol),
+        col("n").cast("long").as("n"),
+        round(cov / dx, 6).as("slope"),
+        round((col("sy") - (cov / dx) * col("sx")) / col("n"), 6)
+          .as("intercept"),
+        when(dy > 0, round((cov * cov) / (dx * dy), 6)).as("r2"))
+  }
+}

@@ -1425,6 +1425,103 @@ object RelationalQueries {
         |SELECT a.l_partkey AS p1, b.l_partkey AS p2, count(*) AS support
         |FROM it a JOIN it b
         |  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
-        |GROUP BY 1, 2 HAVING count(*) >= 3""".stripMargin))
+        |GROUP BY 1, 2 HAVING count(*) >= 3""".stripMargin)),
+
+    Q(
+      "q57_grouped_regression",
+      "Per-group OLS fit y = slope·x + intercept with r² " +
+        "(Stats.groupedRegression — per-segment trend extraction): " +
+        "six order-invariant sufficient statistics (n, Σx, Σy, Σx², " +
+        "Σy², Σxy) from ONE map-side-combined hash aggregate, each " +
+        "summed DECIMAL(30,6)-exact then cast to double, so the " +
+        "closed-form coefficients are a fixed IEEE dag — " +
+        "bit-reproducible at any partitioning. One shuffle on the " +
+        "group key; output is |groups| rows. Zero-x-variance groups " +
+        "drop; zero-y-variance keeps slope with NULL r².",
+      (s, dir) =>
+        graft.operators.Stats.groupedRegression(
+          t(s, dir, "lineitem"), "l_returnflag",
+          "l_quantity", "l_extendedprice"),
+      Some("""WITH st AS (
+        |  SELECT l_returnflag,
+        |    CAST(count(*) AS DOUBLE) AS n,
+        |    CAST(sum(CAST(CAST(l_quantity AS DOUBLE) AS DECIMAL(30,6))) AS DOUBLE) AS sx,
+        |    CAST(sum(CAST(CAST(l_extendedprice AS DOUBLE) AS DECIMAL(30,6))) AS DOUBLE) AS sy,
+        |    CAST(sum(CAST(CAST(l_quantity AS DOUBLE) * CAST(l_quantity AS DOUBLE)
+        |      AS DECIMAL(30,6))) AS DOUBLE) AS sxx,
+        |    CAST(sum(CAST(CAST(l_extendedprice AS DOUBLE) * CAST(l_extendedprice AS DOUBLE)
+        |      AS DECIMAL(30,6))) AS DOUBLE) AS syy,
+        |    CAST(sum(CAST(CAST(l_quantity AS DOUBLE) * CAST(l_extendedprice AS DOUBLE)
+        |      AS DECIMAL(30,6))) AS DOUBLE) AS sxy
+        |  FROM lineitem
+        |  WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+        |  GROUP BY 1)
+        |SELECT l_returnflag, CAST(n AS BIGINT) AS n,
+        |  round((n*sxy - sx*sy) / (n*sxx - sx*sx), 6) AS slope,
+        |  round((sy - ((n*sxy - sx*sy) / (n*sxx - sx*sx)) * sx) / n, 6) AS intercept,
+        |  CASE WHEN n*syy - sy*sy > 0 THEN
+        |    round(((n*sxy - sx*sy) * (n*sxy - sx*sy)) /
+        |      ((n*sxx - sx*sx) * (n*syy - sy*sy)), 6) END AS r2
+        |FROM st WHERE n*sxx - sx*sx > 0""".stripMargin)),
+
+    Q(
+      "q58_attribution",
+      "First/last-touch conversion attribution (Funnel." +
+        "touchAttribution): for each purchase, the first and last " +
+        "view/click by the same user strictly before it — both " +
+        "models from ONE per-user sort via two IGNORE-NULLS window " +
+        "reads with a ROWS frame ending at 1 PRECEDING (positional " +
+        "strictness: simultaneous timestamps resolve by the id " +
+        "tiebreak, not engine peer handling). Unattributed " +
+        "conversions keep NULLs. One shuffle on user_id; no " +
+        "conversions×touches self-join.",
+      (s, dir) =>
+        graft.operators.Funnel.touchAttribution(
+          t(s, dir, "events"), "user_id", "ts", "event_type",
+          "event_id", "purchase", Seq("view", "click")),
+      Some("""WITH w AS (
+        |  SELECT event_id, user_id, ts, event_type,
+        |    first_value(CASE WHEN event_type IN ('view', 'click')
+        |        THEN event_id END IGNORE NULLS)
+        |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |      AS first_touch_id,
+        |    last_value(CASE WHEN event_type IN ('view', 'click')
+        |        THEN event_id END IGNORE NULLS)
+        |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |      AS last_touch_id
+        |  FROM events)
+        |SELECT event_id AS conversion_id, user_id, ts AS conversion_ts,
+        |  first_touch_id, last_touch_id
+        |FROM w WHERE event_type = 'purchase'""".stripMargin)),
+
+    Q(
+      "q59_event_pattern",
+      "Sequence-pattern occurrence counting (Funnel." +
+        "patternOccurrences, the MATCH_RECOGNIZE shape): each user's " +
+        "history encodes to a one-char-per-event string in (ts, id) " +
+        "order — built by a deterministic sort_array-over-structs " +
+        "hash agg, no window — then regexp counts non-overlapping " +
+        "view→click→purchase motifs (other types are gap chars the " +
+        "pattern tolerates via [^P]*). Every match spans first-V to " +
+        "next-P, so greedy-Java and leftmost-RE2 count identically. " +
+        "Complements q37's funnel (reach) with occurrence counts.",
+      (s, dir) =>
+        graft.operators.Funnel.patternOccurrences(
+          t(s, dir, "events"), "user_id", "ts", "event_type",
+          "event_id",
+          Map("view" -> "V", "click" -> "C", "purchase" -> "P"),
+          "V[^P]*C[^P]*P"),
+      Some("""WITH seqs AS (
+        |  SELECT user_id,
+        |    string_agg(CASE event_type WHEN 'view' THEN 'V'
+        |      WHEN 'click' THEN 'C' WHEN 'purchase' THEN 'P'
+        |      ELSE '_' END, '' ORDER BY ts, event_id) AS seq
+        |  FROM events GROUP BY 1)
+        |SELECT user_id,
+        |  CAST(len(regexp_extract_all(seq, 'V[^P]*C[^P]*P')) AS BIGINT)
+        |    AS n_matches
+        |FROM seqs""".stripMargin))
   )
 }

@@ -931,6 +931,56 @@ object SimilarityQueries {
            |      b.vec_id) AS rnk
            |  FROM qq a JOIN e2 b ON a.vec_id <> b.vec_id)
            |WHERE rnk <= 10""".stripMargin
-      })
+      }),
+
+    Q(
+      "qs23_hard_negatives",
+      "HARD-NEGATIVE MINING (Similarity.hardNegatives, the " +
+        "contrastive-training data factory): top-5 most similar " +
+        "corpus vectors with a DIFFERENT label per query. The mirror " +
+        "of qs19's filter decision: an inequality passes ~(L-1)/L of " +
+        "pairs, so it post-filters INSIDE the cent_id equi-join (zero " +
+        "extra shuffle) instead of riding it as a join key. Null " +
+        "labels match nothing on either side. Query batch = " +
+        "vec_id % 101 = 0; same IVF probing as qs02, recall on the " +
+        "nProbe dial.",
+      (s, dir) => {
+        import org.apache.spark.sql.functions.col
+        val em = Tables.load(s, dir, "embeddings")
+        Similarity.hardNegatives(em, "vec_id", "embedding", "label",
+          em.filter(col("vec_id") % 101 === 0),
+          k = 5, centroidStride = 40, nProbe = 4)
+      },
+      Some(s"""WITH e AS (
+        |  SELECT vec_id, embedding, label, ${dkNorm("embedding")} AS nrm
+        |  FROM embeddings),
+        |c AS (SELECT vec_id AS cent_id, embedding AS cemb, nrm AS cnrm FROM e WHERE vec_id % 40 = 0),
+        |ranked AS (
+        |  SELECT e.vec_id, c.cent_id,
+        |    row_number() OVER (PARTITION BY e.vec_id ORDER BY
+        |      ${dkDot("e.embedding", "c.cemb")} / (e.nrm * c.cnrm) DESC,
+        |      c.cent_id) AS rn
+        |  FROM e, c WHERE e.vec_id % 101 = 0),
+        |assignq AS (
+        |  SELECT e.vec_id, c.cent_id,
+        |    row_number() OVER (PARTITION BY e.vec_id ORDER BY
+        |      ${dkDot("e.embedding", "c.cemb")} / (e.nrm * c.cnrm) DESC,
+        |      c.cent_id) AS rn
+        |  FROM e, c),
+        |assign AS (SELECT vec_id, cent_id FROM assignq WHERE rn = 1),
+        |probes AS (SELECT vec_id, cent_id FROM ranked WHERE rn <= 4),
+        |b AS (SELECT e.vec_id, e.embedding, e.nrm, e.label, a.cent_id
+        |      FROM e JOIN assign a USING (vec_id)),
+        |p AS (SELECT e.vec_id, e.embedding, e.nrm, e.label, pr.cent_id
+        |      FROM e JOIN probes pr USING (vec_id))
+        |SELECT vec_id, nbr_id, rnk FROM (
+        |  SELECT p.vec_id AS vec_id, q.vec_id AS nbr_id,
+        |    row_number() OVER (PARTITION BY p.vec_id ORDER BY
+        |      ${dkDot("p.embedding", "q.embedding")} / (p.nrm * q.nrm) DESC,
+        |      q.vec_id) AS rnk
+        |  FROM p JOIN b q ON p.cent_id = q.cent_id
+        |    AND p.label IS NOT NULL AND q.label IS NOT NULL
+        |    AND p.label <> q.label)
+        |WHERE rnk <= 5""".stripMargin))
   )
 }

@@ -608,6 +608,57 @@ object WarehouseQueries {
         |SELECT 'nation.n_regionkey->region',
         |  (SELECT count(*) FROM nation WHERE n_regionkey IS NOT NULL),
         |  (SELECT count(*) FROM nation WHERE n_regionkey IS NOT NULL
-        |     AND n_regionkey NOT IN (SELECT r_regionkey FROM region))""".stripMargin))
+        |     AND n_regionkey NOT IN (SELECT r_regionkey FROM region))""".stripMargin)),
+
+    Q(
+      "qw16_profile",
+      "Per-column dataset profile (Profile.profile — the 'what is in " +
+        "this table' audit before trusting a source): row/null/EXACT " +
+        "distinct counts + typed min/max per column, as one " +
+        "single-column aggregate branch per column, unioned. " +
+        "Deliberately not one wide multi-distinct agg: that plans via " +
+        "Expand (n× row replication through the shuffle); independent " +
+        "branches each prune the parquet scan to ONE column, so total " +
+        "IO equals a single full-width scan and branches parallelize " +
+        "across the cluster.",
+      (s, dir) =>
+        graft.warehouse.Profile.profile(
+          graft.core.Tables.load(s, dir, "orders")),
+      Some("""SELECT 'o_orderkey' AS col_name, count(*) AS n_rows,
+        |  count(*) - count(o_orderkey) AS n_nulls,
+        |  count(DISTINCT o_orderkey) AS n_distinct,
+        |  CAST(min(o_orderkey) AS DOUBLE) AS min_num,
+        |  CAST(max(o_orderkey) AS DOUBLE) AS max_num,
+        |  CAST(NULL AS VARCHAR) AS min_str, CAST(NULL AS VARCHAR) AS max_str
+        |FROM orders
+        |UNION ALL
+        |SELECT 'o_custkey', count(*), count(*) - count(o_custkey),
+        |  count(DISTINCT o_custkey),
+        |  CAST(min(o_custkey) AS DOUBLE), CAST(max(o_custkey) AS DOUBLE),
+        |  NULL, NULL
+        |FROM orders
+        |UNION ALL
+        |SELECT 'o_orderstatus', count(*), count(*) - count(o_orderstatus),
+        |  count(DISTINCT o_orderstatus), NULL, NULL,
+        |  min(o_orderstatus), max(o_orderstatus)
+        |FROM orders
+        |UNION ALL
+        |SELECT 'o_totalprice', count(*), count(*) - count(o_totalprice),
+        |  count(DISTINCT o_totalprice),
+        |  CAST(min(o_totalprice) AS DOUBLE), CAST(max(o_totalprice) AS DOUBLE),
+        |  NULL, NULL
+        |FROM orders
+        |UNION ALL
+        |SELECT 'o_orderdate', count(*), count(*) - count(o_orderdate),
+        |  count(DISTINCT o_orderdate),
+        |  CAST(epoch_us(min(o_orderdate)) AS DOUBLE),
+        |  CAST(epoch_us(max(o_orderdate)) AS DOUBLE),
+        |  NULL, NULL
+        |FROM orders
+        |UNION ALL
+        |SELECT 'o_orderpriority', count(*), count(*) - count(o_orderpriority),
+        |  count(DISTINCT o_orderpriority), NULL, NULL,
+        |  min(o_orderpriority), max(o_orderpriority)
+        |FROM orders""".stripMargin))
   )
 }

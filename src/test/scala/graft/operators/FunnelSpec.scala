@@ -59,4 +59,56 @@ class FunnelSpec extends SparkSuite {
     assert(df.count() == 3)
     graft.core.OpCache.releaseAll(blocking = true)
   }
+
+  test("touchAttribution: first/last touch strictly before conversion") {
+    val events = Seq(
+      // user 1: view, click, purchase — first=10 (view), last=11 (click)
+      (10L, 1L, ts(0), "view"), (11L, 1L, ts(1), "click"),
+      (12L, 1L, ts(2), "purchase"),
+      // user 2: purchase with NO preceding touch → NULL attribution
+      (20L, 2L, ts(0), "purchase"), (21L, 2L, ts(1), "view"),
+      // user 3: touch at the SAME ts as the purchase, smaller id —
+      // positional frame (ROWS ... 1 PRECEDING) counts it
+      (30L, 3L, ts(5), "view"), (31L, 3L, ts(5), "purchase"),
+      // user 3's second purchase sees the same single touch
+      (32L, 3L, ts(6), "purchase"),
+      // user 4: error events are not touches
+      (40L, 4L, ts(0), "error"), (41L, 4L, ts(1), "purchase")
+    ).toDF("event_id", "user_id", "ts", "event_type")
+    val got = Funnel.touchAttribution(events, "user_id", "ts",
+        "event_type", "event_id", "purchase", Seq("view", "click"))
+      .collect()
+      .map(r => r.getLong(0) ->
+        ((Option(r.get(3)), Option(r.get(4))))).toMap
+    assert(got == Map(
+      12L -> ((Some(10L), Some(11L))),
+      20L -> ((None, None)),
+      31L -> ((Some(30L), Some(30L))),
+      32L -> ((Some(30L), Some(30L))),
+      41L -> ((None, None))))
+  }
+
+  test("patternOccurrences: non-overlapping motif counts over (ts,id) order") {
+    val events = Seq(
+      // user 1: V C P V C P → two disjoint matches
+      (1L, 1L, ts(0), "view"), (2L, 1L, ts(1), "click"),
+      (3L, 1L, ts(2), "purchase"), (4L, 1L, ts(3), "view"),
+      (5L, 1L, ts(4), "click"), (6L, 1L, ts(5), "purchase"),
+      // user 2: V _ C P with a gap (error) the pattern tolerates
+      (7L, 2L, ts(0), "view"), (8L, 2L, ts(1), "error"),
+      (9L, 2L, ts(2), "click"), (10L, 2L, ts(3), "purchase"),
+      // user 3: C V P — no click after the view before the purchase
+      (11L, 3L, ts(0), "click"), (12L, 3L, ts(1), "view"),
+      (13L, 3L, ts(2), "purchase"),
+      // user 4: same-ts ordering falls back to event_id: V(14) C(15) P(16)
+      (14L, 4L, ts(0), "view"), (15L, 4L, ts(0), "click"),
+      (16L, 4L, ts(0), "purchase")
+    ).toDF("event_id", "user_id", "ts", "event_type")
+    val got = Funnel.patternOccurrences(events, "user_id", "ts",
+        "event_type", "event_id",
+        Map("view" -> "V", "click" -> "C", "purchase" -> "P"),
+        "V[^P]*C[^P]*P")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 2L, 2L -> 1L, 3L -> 0L, 4L -> 1L))
+  }
 }

@@ -394,6 +394,41 @@ class SimilaritySpec extends SparkSuite {
     graft.core.OpCache.releaseAll(blocking = true)
   }
 
+  test("hardNegatives returns only cross-label neighbors; exhaustive probe = filtered brute force") {
+    import org.apache.spark.sql.functions._
+    val labeled = vecs.map { case (id, v) => (id, v, (id % 3).toInt) }
+      .toDF("vec_id", "embedding", "label")
+    val queries = labeled.filter($"vec_id" < 4)
+    // stride 1 / nProbe = 20 → exhaustive probing: result must equal
+    // the label-excluding exact answer
+    val got = Similarity.hardNegatives(labeled, "vec_id", "embedding",
+      "label", queries, k = 3, centroidStride = 1, nProbe = 20)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val labelOf = vecs.map { case (id, _) => id -> (id % 3).toInt }.toMap
+    assert(got.forall { case (q, n, _) => labelOf(q) != labelOf(n) },
+      s"same-label neighbor leaked: ${got.toSeq}")
+    val expect = (0L until 4L).flatMap { q =>
+      vecs.filter { case (id, _) => labelOf(id) != labelOf(q) }
+        .map { case (id, v) => (id, cosine(vecs(q.toInt)._2, v)) }
+        .sortBy { case (id, c) => (-c, id) }.take(3).zipWithIndex
+        .map { case ((id, _), i) => (q, id, (i + 1).toLong) }
+    }.toSet
+    assert(got.toSet === expect)
+    // a null-label query mines nothing; null-label corpus rows are
+    // never offered as negatives
+    val withNull = vecs.map { case (id, v) =>
+      (id, v, if (id == 0L || id == 5L) null
+        else java.lang.Integer.valueOf((id % 3).toInt))
+    }.toDF("vec_id", "embedding", "label")
+    val gotNull = Similarity.hardNegatives(withNull, "vec_id", "embedding",
+      "label", withNull.filter($"vec_id" < 4), k = 3,
+      centroidStride = 1, nProbe = 20)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(!gotNull.exists { case (q, _) => q == 0L })
+    assert(!gotNull.exists { case (_, n) => n == 0L || n == 5L })
+    graft.core.OpCache.releaseAll(blocking = true)
+  }
+
   test("mmrTopK diversifies: near-duplicate of the first pick is deferred") {
     // query along e1; A and A2 nearly parallel (sim ≈ 0.995), B points
     // away. Pure rel top-2 = (A, A2); MMR at lambda 0.5 must pick B

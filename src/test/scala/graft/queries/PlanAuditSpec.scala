@@ -48,6 +48,11 @@ class PlanAuditSpec extends SparkSuite {
       // centroids); the probe↔cell stage is an EQUI-join on
       // (cent_id, label)
       "qs19_filtered_ann",
+      // same inherited broadcast centroid-scoring cross join; the
+      // probe↔cell stage is an EQUI-join on cent_id with the label
+      // inequality as an in-join filter (negative predicates pass
+      // ~(L−1)/L of pairs — nothing to partition by)
+      "qs23_hard_negatives",
       // inherits qs15's broadcast centroid/codebook cross joins; the
       // rerank stage itself is two id EQUI-joins
       "qs20_ivfpq_rerank",
