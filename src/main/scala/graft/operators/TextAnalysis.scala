@@ -433,6 +433,59 @@ object TextAnalysis {
       .limit(topK)
   }
 
+  /** Per-source distribution drift: Jensen–Shannon divergence (bits)
+    * between each source's unigram distribution P and the corpus-wide
+    * distribution Q — the monitor that catches a source going off-mix
+    * (scraper broke, spam flood, template takeover) between corpus
+    * snapshots. Linear in sources, NOT pairwise: production drift
+    * detection compares against the reference mix, so cost never
+    * squares in the source count.
+    *
+    * The absent-token mass is folded CLOSED-FORM: for a corpus token
+    * the source lacks, p = 0, m = q/2, and the Q-side term
+    * q·log2(q/m) collapses to q — so
+    *
+    *   JS = ½·Σ_present p·log2(p/m) + ½·(Σ_present q·log2(q/m)
+    *        + (1 − Σ_present q))
+    *
+    * needs ONLY (source, present-token) rows. The naive source×vocab
+    * expansion this avoids is the difference between |tf| rows and
+    * |sources|·|vocab| rows — at 10⁵ sources × 10⁸ vocab, the
+    * difference between a join and an impossibility.
+    *
+    * Determinism: the qt16 libm discipline — each term quantizes to
+    * DECIMAL(30,6) BEFORE its order-invariant sum; output rounds to 6.
+    * Shape: one explode, two hash aggs (source-token tf, global tf),
+    * one broadcastable vocab join, one final agg per source. */
+  def sourceDivergence(
+      docs: DataFrame, sourceCol: String, textCol: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val tok = docs.select(col(sourceCol).as("source"),
+      explode(split(coalesce(col(textCol), lit("")), " ")).as("token"))
+    val tf = graft.core.OpCache.persist(
+      tok.groupBy(col("source"), col("token"))
+        .agg(count(lit(1)).cast("long").as("tf")))
+    val ns = tf.groupBy(col("source")).agg(sum(col("tf")).cast("long").as("n"))
+    val tfg = tf.groupBy(col("token")).agg(sum(col("tf")).cast("long").as("tfg"))
+    val nTot = tfg.groupBy().agg(sum(col("tfg")).cast("long").as("n_tot"))
+    val p = col("tf").cast("double") / col("n").cast("double")
+    val q = col("tfg").cast("double") / col("n_tot").cast("double")
+    val m = (p + q) / lit(2.0)
+    val terms = tf
+      .join(ns, Seq("source"))
+      .join(tfg, Seq("token"))
+      .crossJoin(broadcast(nTot))
+      .select(col("source"),
+        (p * log2(p / m)).cast(DecimalType(30, 6)).as("tp"),
+        (q * log2(q / m)).cast(DecimalType(30, 6)).as("tq"),
+        q.cast(DecimalType(30, 6)).as("qm"))
+    terms.groupBy(col("source"))
+      .agg(round(
+        lit(0.5) * sum(col("tp")).cast("double") +
+          lit(0.5) * (sum(col("tq")).cast("double") +
+            (lit(1.0) - sum(col("qm")).cast("double"))), 6).as("js_bits"))
+  }
+
   /** Document fingerprints: exact content hash, an order-insensitive
     * bag-of-words hash, and a rolling-shingle minimizer (the min
     * 60-bit hash over 3-word shingles — the winnowing primitive). */

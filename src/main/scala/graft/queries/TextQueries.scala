@@ -2205,6 +2205,50 @@ object TextQueries {
         |SELECT doc_id, n_shingles, n_dup,
         |  (10000 * n_dup) // n_shingles AS dup_bp,
         |  10000 - ((10000 * n_dup) // n_shingles) // 2 AS weight_bp
-        |FROM p""".stripMargin))
+        |FROM p""".stripMargin)),
+
+    Q(
+      "qt30_source_divergence",
+      "Per-source distribution drift (TextAnalysis.sourceDivergence): " +
+        "Jensen-Shannon divergence in bits between each source's " +
+        "unigram distribution and the corpus-wide mix — the monitor " +
+        "that catches a source going off-mix between snapshots. " +
+        "Linear in sources (vs the reference mix, never pairwise); " +
+        "the absent-token mass folds closed-form (p=0 → m=q/2 → the " +
+        "Q-term collapses to q), so only (source, present-token) rows " +
+        "exist — no source×vocab expansion. qt16's libm discipline: " +
+        "per-term DECIMAL(30,6) quantization before order-invariant " +
+        "sums, round-6 output.",
+      (s, dir) =>
+        graft.operators.TextAnalysis.sourceDivergence(
+          Tables.load(s, dir, "documents"), "source", "text"),
+      Some("""WITH tok AS (
+        |  SELECT source, unnest(string_split(coalesce(text, ''), ' ')) AS token
+        |  FROM documents),
+        |tf AS (SELECT source, token, CAST(count(*) AS BIGINT) AS tf
+        |       FROM tok GROUP BY 1, 2),
+        |ns AS (SELECT source, CAST(sum(tf) AS BIGINT) AS n FROM tf GROUP BY 1),
+        |tfg AS (SELECT token, CAST(sum(tf) AS BIGINT) AS tfg FROM tf GROUP BY 1),
+        |ntot AS (SELECT CAST(sum(tfg) AS BIGINT) AS n_tot FROM tfg),
+        |terms AS (
+        |  SELECT tf.source,
+        |    CAST((CAST(tf AS DOUBLE)/CAST(n AS DOUBLE)) *
+        |      log2((CAST(tf AS DOUBLE)/CAST(n AS DOUBLE)) /
+        |        ((CAST(tf AS DOUBLE)/CAST(n AS DOUBLE) +
+        |          CAST(tfg AS DOUBLE)/CAST(n_tot AS DOUBLE)) / 2.0))
+        |      AS DECIMAL(30,6)) AS tp,
+        |    CAST((CAST(tfg AS DOUBLE)/CAST(n_tot AS DOUBLE)) *
+        |      log2((CAST(tfg AS DOUBLE)/CAST(n_tot AS DOUBLE)) /
+        |        ((CAST(tf AS DOUBLE)/CAST(n AS DOUBLE) +
+        |          CAST(tfg AS DOUBLE)/CAST(n_tot AS DOUBLE)) / 2.0))
+        |      AS DECIMAL(30,6)) AS tq,
+        |    CAST(CAST(tfg AS DOUBLE)/CAST(n_tot AS DOUBLE)
+        |      AS DECIMAL(30,6)) AS qm
+        |  FROM tf JOIN ns USING (source) JOIN tfg USING (token), ntot)
+        |SELECT source,
+        |  round(0.5 * CAST(sum(tp) AS DOUBLE) +
+        |    0.5 * (CAST(sum(tq) AS DOUBLE) +
+        |      (1.0 - CAST(sum(qm) AS DOUBLE))), 6) AS js_bits
+        |FROM terms GROUP BY 1""".stripMargin))
   )
 }

@@ -659,6 +659,42 @@ object WarehouseQueries {
         |SELECT 'o_orderpriority', count(*), count(*) - count(o_orderpriority),
         |  count(DISTINCT o_orderpriority), NULL, NULL,
         |  min(o_orderpriority), max(o_orderpriority)
-        |FROM orders""".stripMargin))
+        |FROM orders""".stripMargin)),
+
+    Q(
+      "qw17_erasure_plan",
+      "Subject-erasure manifest (Erasure.erasurePlan — GDPR cascade " +
+        "planning): walk customer → orders → lineitem along the FK " +
+        "graph for subjects c_custkey % 97 = 0 and emit every " +
+        "dependent row as an auditable per-table delete manifest. " +
+        "Each hop is one left-semi equi-join (broadcast for the usual " +
+        "small erasure batch, shuffled when a hot subject fans out); " +
+        "planning is separate from execution — at 100 TB the manifest " +
+        "schedules partition rewrites (qw12), never row deletes.",
+      (s, dir) => {
+        import org.apache.spark.sql.functions.col
+        val subjects = graft.core.Tables.load(s, dir, "customer")
+          .filter(col("c_custkey") % 97 === 0)
+          .select(col("c_custkey").as("k"))
+        graft.warehouse.Erasure.erasurePlan(
+          graft.core.Tables.load(s, dir, "customer"),
+          graft.core.Tables.load(s, dir, "orders"),
+          graft.core.Tables.load(s, dir, "lineitem"),
+          subjects)
+      },
+      Some("""WITH subj AS (
+        |  SELECT c_custkey AS k FROM customer WHERE c_custkey % 97 = 0),
+        |ord AS (
+        |  SELECT o_orderkey FROM orders
+        |  WHERE o_custkey IN (SELECT k FROM subj))
+        |SELECT 'customer' AS table_name, c_custkey AS k1,
+        |  CAST(NULL AS BIGINT) AS k2
+        |FROM customer WHERE c_custkey IN (SELECT k FROM subj)
+        |UNION ALL
+        |SELECT 'orders', o_orderkey, NULL FROM ord
+        |UNION ALL
+        |SELECT 'lineitem', l_orderkey, CAST(l_linenumber AS BIGINT)
+        |FROM lineitem
+        |WHERE l_orderkey IN (SELECT o_orderkey FROM ord)""".stripMargin))
   )
 }

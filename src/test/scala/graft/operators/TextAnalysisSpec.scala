@@ -161,4 +161,38 @@ class TextAnalysisSpec extends SparkSuite {
       .filter($"source" === "s2").collect()(0)
     assert(r.getDouble(7) == 0.5 && r.getDouble(8) == 1.0)
   }
+
+  test("sourceDivergence: off-mix source scores the closed-form JS; on-mix scores ~0") {
+    // s1/s2 disjoint single-token vocabularies, equal mass → for each,
+    // P = {t:1}, Q = {t:0.5, other:0.5}:
+    // JS = ½·log2(4/3) + ½·(½·log2(2/3) + ½) ≈ 0.311278
+    val df = Seq(
+      ("s1", "aa aa aa aa"), ("s2", "bb bb bb bb"),
+      // s3 mirrors the corpus-wide mix of its own tokens exactly? No —
+      // just assert it scores strictly lower than the disjoint sources.
+      ("s3", "aa aa bb bb")
+    ).toDF("source", "text")
+    val got = TextAnalysis.sourceDivergence(df, "source", "text")
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(got("s1") == got("s2"))
+    assert(math.abs(got("s1") - 0.311278) < 1e-6, got.toString)
+    assert(got("s3") < got("s1"))
+    // a source that IS the corpus distribution diverges by zero
+    val uni = Seq(("a", "x y"), ("b", "x y")).toDF("source", "text")
+    val z = TextAnalysis.sourceDivergence(uni, "source", "text")
+      .collect().map(_.getDouble(1))
+    assert(z.forall(_ == 0.0), z.mkString(","))
+    graft.core.OpCache.releaseAll(blocking = true)
+  }
+
+  test("sourceDivergence: invariant under repartitioning") {
+    val docs = (1 to 200).map(i =>
+      (s"s${i % 4}", s"w${i % 13} w${i % 7} w${i % 29} common"))
+    val a = TextAnalysis.sourceDivergence(
+      docs.toDF("source", "text"), "source", "text")
+    val b = TextAnalysis.sourceDivergence(
+      docs.toDF("source", "text").repartition(7), "source", "text")
+    assert(rowsOf(a) == rowsOf(b) && a.count() == 4)
+    graft.core.OpCache.releaseAll(blocking = true)
+  }
 }
