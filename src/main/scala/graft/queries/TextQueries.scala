@@ -2017,9 +2017,19 @@ object TextQueries {
           .select(col("a_id"), col("b_id"))
         val selfC = corpus.select(col("doc_id").as("a_id"),
           col("doc_id").as("b_id"))
-        val labels = Dedup.connectedComponents(
-          pairsC.unionByName(selfC), "a_id", "b_id")
-        val idx = Dedup.buildCorpusIndex(corpus, "doc_id", "text")
+        // Stored state is PERSISTED (the production service reads it
+        // from storage between ingests): the band probe and the
+        // shingle verify are separate consumers of the index, and
+        // unpersisted frames would re-run the corpus shingle explode
+        // per consumer.
+        val labels = graft.core.OpCache.persist(
+          Dedup.connectedComponents(
+            pairsC.unionByName(selfC), "a_id", "b_id"))
+        val built = Dedup.buildCorpusIndex(corpus, "doc_id", "text")
+        val idx = Dedup.CorpusIndex(
+          graft.core.OpCache.persist(built.hashes),
+          graft.core.OpCache.persist(built.shingles),
+          graft.core.OpCache.persist(built.bands))
         val newEdges = Dedup.batchNearDupPairs(idx, batch, "doc_id", "text",
           nShingle = 3, k = 16, bands = 4, threshold = 0.5)
         Dedup.incrementalComponents(labels, newEdges,

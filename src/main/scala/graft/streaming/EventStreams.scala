@@ -145,10 +145,22 @@ object EventStreams {
           graft.core.OpCache.untrack(prev)
         }
         val grown = graft.operators.Dedup.buildCorpusIndex(b, idCol, textCol)
+        // Persist the grown index and MATERIALIZE it now: the next
+        // batch's probe must read cached artifacts, not re-derive the
+        // whole union chain (which would re-execute every prior
+        // batch's corpus-scale shingle/band work — O(B) recompute per
+        // batch for a B-batch stream). Superseded per-batch frames are
+        // released; the caller's bootstrap index is never touched.
+        val prevIdx = cur
         cur = graft.operators.Dedup.CorpusIndex(
-          cur.hashes.unionByName(grown.hashes),
-          cur.shingles.unionByName(grown.shingles),
-          cur.bands.unionByName(grown.bands))
+          graft.core.OpCache.persist(
+            prevIdx.hashes.unionByName(grown.hashes)),
+          graft.core.OpCache.persist(
+            prevIdx.shingles.unionByName(grown.shingles)),
+          graft.core.OpCache.persist(
+            prevIdx.bands.unionByName(grown.bands)))
+        cur.hashes.count(); cur.shingles.count(); cur.bands.count()
+        if (prevIdx ne index) prevIdx.unpersist(false)
         ()
       }
       .start()

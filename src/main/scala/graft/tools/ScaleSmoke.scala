@@ -445,6 +445,40 @@ object ScaleSmoke {
           ord.select(year($"o_orderdate").cast("long").as("grp"),
             $"o_orderkey", floor($"o_totalprice" * 100).as("bytes")),
           "grp", "o_orderkey", "bytes", 500000000L).count()
+      },
+      time("grouped_regression") {
+        graft.operators.Stats.groupedRegression(
+          li, "l_returnflag", "l_quantity", "l_extendedprice").count()
+      },
+      time("attribution") {
+        val ev = spark.read.parquet(s"$out/events.parquet")
+        graft.operators.Funnel.touchAttribution(ev, "user_id", "ts",
+          "event_type", "event_id", "purchase", Seq("view", "click"))
+          .count()
+      },
+      time("event_pattern") {
+        val ev = spark.read.parquet(s"$out/events.parquet")
+        graft.operators.Funnel.patternOccurrences(ev, "user_id", "ts",
+          "event_type", "event_id",
+          Map("view" -> "V", "click" -> "C", "purchase" -> "P"),
+          "V[^P]*C[^P]*P").count()
+      },
+      time("hard_negatives") {
+        graft.operators.Similarity.hardNegatives(emb, "vec_id",
+          "embedding", "label", emb.filter($"vec_id" % 101 === 0),
+          k = 5).count()
+      },
+      time("profile") {
+        graft.warehouse.Profile.profile(ord).count()
+      },
+      time("source_divergence") {
+        graft.operators.TextAnalysis.sourceDivergence(
+          docs, "source", "text").count()
+      },
+      time("erasure_plan") {
+        graft.warehouse.Erasure.erasurePlan(cust, ord, li,
+          cust.filter($"c_custkey" % 97 === 0)
+            .select($"c_custkey".as("k"))).count()
       })
 
     val total = results.map(_._2).sum
