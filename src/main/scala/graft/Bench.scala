@@ -40,7 +40,12 @@ object Bench {
     // long-lived warehouse session, but here 76 queries share one
     // executor heap and early persists degrade late queries. Clear
     // between queries so each is timed cold-cache, like a fresh job.
+    // dev-loop subset: optional 1st arg = comma-separated query names
+    // (the driver always invokes with no args → full registry)
+    val only: Option[Set[String]] =
+      if (args.nonEmpty) Some(args(0).split(",").toSet) else None
     val names = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
     val timed = names.map { case (name, fn) =>
       graft.core.OpCache.releaseAll() // release AND untrack operator persists
       spark.catalog.clearCache()      // then any remaining cached frames
