@@ -39,6 +39,53 @@ object Stats {
     * output is |groups| rows. No window, no second scan — this is the
     * cheapest possible plan for a regression over 100 TB of facts.
     */
+  /** Per-group Gini coefficient — the inequality measure the
+    * reference's development-indicator domain reports everywhere
+    * (income/resource concentration by country, segment, year):
+    *
+    *   G = 2·Σᵢ i·x₍ᵢ₎ / (n·Σx) − (n+1)/n
+    *
+    * over the group's values sorted ascending. Rank-weighted and plain
+    * sums are DECIMAL(30,6)-exact; Σᵢ i·x₍ᵢ₎ is invariant to how ties
+    * order (equal x values swap equal contributions), so row_number
+    * needs no tiebreak for the RESULT to be deterministic — engines
+    * may rank ties differently and still agree bit-for-bit. The two
+    * divisions and one subtraction are a fixed IEEE dag; output rounds
+    * to 6 decimals. Negative values are rejected (Gini is defined on
+    * non-negative distributions; a silent wrong number is worse than a
+    * loud contract).
+    *
+    * Scale shape: ONE shuffle on the group key with a per-group sort
+    * (the window), then a map-side-combinable aggregate. The sort is
+    * the cost at 100 TB; a group must fit its executor's spill budget
+    * — same bound as every per-key window (q22/q58). Where groups are
+    * corpus-sized, the binned approximation (q38's histogram bins →
+    * trapezoid Lorenz area) bounds memory at bins, not rows. */
+  def groupedGini(
+      df: DataFrame, keyCol: String, valCol: String): DataFrame = {
+    val x = col(valCol).cast("double")
+    val ranked = df.filter(x.isNotNull)
+      .select(col(keyCol), x.as("x"))
+      .withColumn("i", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col(keyCol)).orderBy(col("x"))))
+    val st = ranked.groupBy(col(keyCol))
+      .agg(
+        count(lit(1)).cast("double").as("n"),
+        min(col("x")).as("mn"),
+        dsum(col("x")).as("sx"),
+        dsum(col("i").cast("double") * col("x")).as("six"))
+    st.select(
+        col(keyCol),
+        col("n").cast("long").as("n"),
+        when(col("mn") < 0, raise_error(concat(
+          lit("groupedGini: negative value in group "), col(keyCol).cast("string"))))
+          .when(col("sx") > 0,
+            round(lit(2.0) * col("six") / (col("n") * col("sx")) -
+              (col("n") + lit(1.0)) / col("n"), 6))
+          .as("gini"))  // all-zero group → NULL (Gini undefined, not 0)
+  }
+
   def groupedRegression(
       df: DataFrame, keyCol: String, xCol: String,
       yCol: String): DataFrame = {

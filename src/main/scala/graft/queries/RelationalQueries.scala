@@ -1522,6 +1522,35 @@ object RelationalQueries {
         |SELECT user_id,
         |  CAST(len(regexp_extract_all(seq, 'V[^P]*C[^P]*P')) AS BIGINT)
         |    AS n_matches
-        |FROM seqs""".stripMargin))
+        |FROM seqs""".stripMargin)),
+
+    Q(
+      "q60_gini",
+      "Per-group Gini coefficient (Stats.groupedGini — the inequality " +
+        "measure the reference's development-indicator domain reports " +
+        "everywhere): G = 2·Σi·x(i)/(n·Σx) − (n+1)/n with " +
+        "DECIMAL(30,6)-exact rank-weighted and plain sums. Σi·x(i) is " +
+        "tie-order-invariant (equal values swap equal contributions), " +
+        "so both engines agree bit-for-bit without a rank tiebreak. " +
+        "One group-keyed shuffle + per-group sort + map-side-" +
+        "combinable agg; negative values fail loudly.",
+      (s, dir) =>
+        graft.operators.Stats.groupedGini(
+          t(s, dir, "orders"), "o_orderpriority", "o_totalprice"),
+      Some("""WITH ranked AS (
+        |  SELECT o_orderpriority AS k, CAST(o_totalprice AS DOUBLE) AS x,
+        |    row_number() OVER (PARTITION BY o_orderpriority
+        |      ORDER BY CAST(o_totalprice AS DOUBLE)) AS i
+        |  FROM orders WHERE o_totalprice IS NOT NULL),
+        |st AS (
+        |  SELECT k, CAST(count(*) AS DOUBLE) AS n,
+        |    CAST(sum(CAST(x AS DECIMAL(30,6))) AS DOUBLE) AS sx,
+        |    CAST(sum(CAST(CAST(i AS DOUBLE) * x AS DECIMAL(30,6)))
+        |      AS DOUBLE) AS six
+        |  FROM ranked GROUP BY 1)
+        |SELECT k AS o_orderpriority, CAST(n AS BIGINT) AS n,
+        |  CASE WHEN sx > 0 THEN
+        |    round(2.0 * six / (n * sx) - (n + 1.0) / n, 6) END AS gini
+        |FROM st""".stripMargin))
   )
 }

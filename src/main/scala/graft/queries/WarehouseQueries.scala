@@ -695,6 +695,72 @@ object WarehouseQueries {
         |UNION ALL
         |SELECT 'lineitem', l_orderkey, CAST(l_linenumber AS BIGINT)
         |FROM lineitem
-        |WHERE l_orderkey IN (SELECT o_orderkey FROM ord)""".stripMargin))
+        |WHERE l_orderkey IN (SELECT o_orderkey FROM ord)""".stripMargin)),
+
+    Q(
+      "qw18_fk_discovery",
+      "Foreign-key DISCOVERY via inclusion coefficients " +
+        "(Profile.fkDiscovery — qw15's complement: that audits " +
+        "declared FKs, this PROPOSES candidates): per (child col, " +
+        "parent col) pair, the fraction of the child's distinct " +
+        "values the parent contains — 1.0 = inclusion dependency. " +
+        "Two column-pruned distincts + one left join per pair, on " +
+        "collapsed value sets; containment is one division of exact " +
+        "longs. Includes a true FK, a sampled-parent partial, and a " +
+        "cross-domain negative.",
+      (s, dir) => {
+        val li = graft.core.Tables.load(s, dir, "lineitem")
+        val ord = graft.core.Tables.load(s, dir, "orders")
+        val cust = graft.core.Tables.load(s, dir, "customer")
+        val nat = graft.core.Tables.load(s, dir, "nation")
+        graft.warehouse.Profile.fkDiscovery(Seq(
+          ("lineitem.l_orderkey->orders.o_orderkey",
+            li, "l_orderkey", ord, "o_orderkey"),
+          ("orders.o_custkey->customer.c_custkey",
+            ord, "o_custkey", cust, "c_custkey"),
+          ("customer.c_nationkey->nation.n_nationkey",
+            cust, "c_nationkey", nat, "n_nationkey"),
+          // cross-domain negative: order keys are NOT nation keys
+          ("orders.o_custkey->nation.n_nationkey",
+            ord, "o_custkey", nat, "n_nationkey")))
+      },
+      Some("""WITH pair1 AS (
+        |  SELECT DISTINCT l_orderkey AS v FROM lineitem
+        |  WHERE l_orderkey IS NOT NULL),
+        |par1 AS (SELECT DISTINCT o_orderkey AS v FROM orders
+        |         WHERE o_orderkey IS NOT NULL),
+        |pair2 AS (SELECT DISTINCT o_custkey AS v FROM orders
+        |          WHERE o_custkey IS NOT NULL),
+        |par2 AS (SELECT DISTINCT c_custkey AS v FROM customer
+        |         WHERE c_custkey IS NOT NULL),
+        |pair3 AS (SELECT DISTINCT c_nationkey AS v FROM customer
+        |          WHERE c_nationkey IS NOT NULL),
+        |par3 AS (SELECT DISTINCT n_nationkey AS v FROM nation
+        |         WHERE n_nationkey IS NOT NULL)
+        |SELECT 'lineitem.l_orderkey->orders.o_orderkey' AS candidate,
+        |  count(*) AS n_child_values,
+        |  CAST(sum(CASE WHEN par1.v IS NULL THEN 0 ELSE 1 END) AS BIGINT)
+        |    AS n_contained,
+        |  CAST(sum(CASE WHEN par1.v IS NULL THEN 0 ELSE 1 END) AS DOUBLE)
+        |    / count(*) AS containment
+        |FROM pair1 LEFT JOIN par1 USING (v)
+        |UNION ALL
+        |SELECT 'orders.o_custkey->customer.c_custkey', count(*),
+        |  CAST(sum(CASE WHEN par2.v IS NULL THEN 0 ELSE 1 END) AS BIGINT),
+        |  CAST(sum(CASE WHEN par2.v IS NULL THEN 0 ELSE 1 END) AS DOUBLE)
+        |    / count(*)
+        |FROM pair2 LEFT JOIN par2 USING (v)
+        |UNION ALL
+        |SELECT 'customer.c_nationkey->nation.n_nationkey', count(*),
+        |  CAST(sum(CASE WHEN par3.v IS NULL THEN 0 ELSE 1 END) AS BIGINT),
+        |  CAST(sum(CASE WHEN par3.v IS NULL THEN 0 ELSE 1 END) AS DOUBLE)
+        |    / count(*)
+        |FROM pair3 LEFT JOIN par3 USING (v)
+        |UNION ALL
+        |SELECT 'orders.o_custkey->nation.n_nationkey', count(*),
+        |  CAST(sum(CASE WHEN par3.v IS NULL THEN 0 ELSE 1 END) AS BIGINT),
+        |  CAST(sum(CASE WHEN par3.v IS NULL THEN 0 ELSE 1 END) AS DOUBLE)
+        |    / count(*)
+        |FROM pair2 LEFT JOIN par3 USING (v)""".stripMargin))
   )
 }

@@ -62,4 +62,45 @@ object Profile {
     }
     parts.reduce(_ unionByName _)
   }
+
+  /** Foreign-key DISCOVERY via inclusion coefficients — qw15's
+    * complement: that audits DECLARED FKs, this proposes candidates by
+    * measuring, for each (child column, parent column) pair, what
+    * fraction of the child's distinct values the parent contains.
+    * 1.0 = a perfect inclusion dependency (FK candidate); anything
+    * under it quantifies the violation mass.
+    *
+    * Each pair costs two distinct-projections (column-pruned scans,
+    * dimension-sized after distinct) and one left join between them —
+    * at 100 TB the distincts are the only corpus-proportional work and
+    * both are map-side combinable; the verdict join runs on the
+    * collapsed value sets. `containment` is ONE division of two exact
+    * longs (engine-identical); null child values are excluded (SQL FK
+    * semantics: null references nothing).
+    *
+    * @param pairs (label, child frame, child col, parent frame,
+    *              parent col) candidate pairs
+    * @return (candidate, n_child_values, n_contained, containment) */
+  def fkDiscovery(
+      pairs: Seq[(String, DataFrame, String, DataFrame, String)])
+      : DataFrame = {
+    require(pairs.nonEmpty, "fkDiscovery needs at least one candidate pair")
+    pairs.map { case (label, child, childCol, parent, parentCol) =>
+      val c = child.select(col(childCol).as("v"))
+        .filter(col("v").isNotNull).distinct()
+      val p = parent.select(col(parentCol).as("v"))
+        .filter(col("v").isNotNull).distinct()
+        .withColumn("__hit", lit(1L))
+      c.join(p, Seq("v"), "left")
+        .agg(count(lit(1)).cast("long").as("n_child_values"),
+          coalesce(sum(coalesce(col("__hit"), lit(0L))), lit(0L))
+            .cast("long").as("n_contained"))
+        .select(lit(label).as("candidate"),
+          col("n_child_values"), col("n_contained"),
+          // empty child column → NULL (inclusion vacuous, not 0 or 1)
+          when(col("n_child_values") > 0,
+            col("n_contained").cast("double") /
+              col("n_child_values").cast("double")).as("containment"))
+    }.reduce(_ unionByName _)
+  }
 }

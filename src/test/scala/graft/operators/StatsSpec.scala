@@ -30,6 +30,37 @@ class StatsSpec extends SparkSuite {
     assert(got("d") == ((2L, 1.0, 0.0, Some(1.0))))
   }
 
+  test("groupedGini: known distributions, null for all-zero, loud on negatives") {
+    val df = Seq(
+      // perfect equality → G = 0
+      ("eq", 5.0), ("eq", 5.0), ("eq", 5.0), ("eq", 5.0),
+      // one holder of everything, n=4 → G = (n-1)/n = 0.75
+      ("conc", 0.0), ("conc", 0.0), ("conc", 0.0), ("conc", 8.0),
+      // all zeros → undefined → NULL
+      ("zero", 0.0), ("zero", 0.0)
+    ).toDF("g", "x")
+    val got = Stats.groupedGini(df, "g", "x")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), Option(r.get(2))))).toMap
+    assert(got("eq") == ((4L, Some(0.0))))
+    assert(got("conc") == ((4L, Some(0.75))))
+    assert(got("zero") == ((2L, None)))
+    val neg = intercept[Exception] {
+      Stats.groupedGini(Seq(("a", -1.0)).toDF("g", "x"), "g", "x")
+        .collect()
+    }
+    assert(neg.getMessage != null)
+  }
+
+  test("groupedGini: tie-order invariance and repartition invariance") {
+    // heavy ties: Σi·x(i) must not depend on how ties rank
+    val base = (1 to 300).map(i => ("g", (i % 5).toDouble + 1))
+    val a = Stats.groupedGini(base.toDF("g", "x"), "g", "x")
+    val b = Stats.groupedGini(
+      base.reverse.toDF("g", "x").repartition(7), "g", "x")
+    assert(rowsOf(a) == rowsOf(b))
+  }
+
   test("groupedRegression: reproducible under repartitioning") {
     val base = (1 to 500).map(i =>
       (s"g${i % 3}", (i % 37).toDouble, (i % 11).toDouble * 1.5 + i % 7))

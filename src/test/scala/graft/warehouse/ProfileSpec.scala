@@ -33,6 +33,25 @@ class ProfileSpec extends SparkSuite {
     assert(t.getLong(2) == 1 && t.getLong(3) == 2)
   }
 
+  test("fkDiscovery: containment fractions; nulls reference nothing") {
+    val child = Seq(Some(1L), Some(2L), Some(2L), Some(9L), None)
+      .toDF("fk")
+    val parent = Seq(1L, 2L, 3L).toDF("pk")
+    val got = Profile.fkDiscovery(Seq(
+        ("c->p", child, "fk", parent, "pk"),
+        ("p->c", parent, "pk", child, "fk")))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    // child distinct non-null = {1,2,9}; parent contains {1,2} → 2/3
+    assert(got("c->p") == ((3L, 2L, 2.0 / 3.0)))
+    // parent {1,2,3} vs child values {1,2,9} → 2/3
+    assert(got("p->c") == ((3L, 2L, 2.0 / 3.0)))
+    // empty child → NULL containment
+    val empty = Profile.fkDiscovery(Seq(
+      ("e", child.filter($"fk" > 100), "fk", parent, "pk"))).collect()(0)
+    assert(empty.getLong(1) == 0 && empty.isNullAt(3))
+  }
+
   test("profile: each branch prunes its scan to one column") {
     val dir = java.nio.file.Files.createTempDirectory("profile").toString
     Seq((1L, "x"), (2L, "y")).toDF("a", "b")
