@@ -486,6 +486,101 @@ object TextAnalysis {
             (lit(1.0) - sum(col("qm")).cast("double"))), 6).as("js_bits"))
   }
 
+  /** In-engine document embeddings via the HASHING TRICK — signed
+    * feature hashing of tf·idf weights into a fixed `dims`-dim dense
+    * vector (Weinberger et al., "Feature Hashing for Large Scale
+    * Multitask Learning"): token t contributes sign(t)·tf·(n/df) to
+    * dimension h(t) mod dims, where sign and dimension are disjoint
+    * bits of the engine-wide md5 `hash60`. No external model, no
+    * vocabulary table, no training pass — the map is pure arithmetic
+    * on the token hash, so it is identical on every engine and every
+    * partitioning, and NEW tokens hash somewhere without a vocab
+    * update (the property that matters for a streaming corpus).
+    *
+    * Determinism: idf is the RATIONAL n/df (the bm25TopK argument —
+    * no libm); each contribution quantizes to DECIMAL(30,6) before
+    * the order-invariant per-dimension sum; the dense vector rounds
+    * through FLOAT (one correctly-rounded cast both engines share).
+    *
+    * Shape: one explode + two hash aggs (doc-token tf, token df) +
+    * one broadcastable df join + one (doc, dim) agg — all linear,
+    * uniform keys. n derives from the tf relation (qt10's single-scan
+    * lesson), counting every document (null text tokenizes to one
+    * empty token, the engine-wide convention).
+    *
+    * @return (doc_id, vec: array<float> of length dims) */
+  def hashedDocVectors(
+      docs: DataFrame, idCol: String, textCol: String,
+      dims: Int = 16): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    require(dims >= 2, s"dims must be >= 2, got $dims")
+    val tf = graft.core.OpCache.persist(
+      docs.select(col(idCol).as("doc_id"),
+          explode(split(coalesce(col(textCol), lit("")), " ")).as("token"))
+        .groupBy(col("doc_id"), col("token"))
+        .agg(count(lit(1)).cast("long").as("tf")))
+    val dfreq = tf.groupBy(col("token"))
+      .agg(count(lit(1)).cast("long").as("df"))
+    val n = tf.select(col("doc_id")).distinct()
+      .agg(count(lit(1)).cast("double").as("n"))
+    val h = Dedup.hash60(col("token"))
+    val sign = (h % 2) * 2 - 1
+    val contrib = tf.join(dfreq, Seq("token")).crossJoin(broadcast(n))
+      .select(col("doc_id"),
+        // h div 2 via shiftright — h exceeds double's 53-bit exact
+        // range, so a float division here would corrupt dimensions
+        (shiftright(h, 1) % dims).cast("int").as("dim"),
+        (sign.cast("double") * col("tf").cast("double") *
+          (col("n") / col("df").cast("double")))
+          .cast(DecimalType(30, 6)).as("w"))
+    val cells = contrib.groupBy(col("doc_id"), col("dim"))
+      .agg(sum(col("w")).cast("double").as("v"))
+    cells.groupBy(col("doc_id"))
+      .agg(map_from_entries(collect_list(struct(col("dim"), col("v"))))
+        .as("m"))
+      .select(col("doc_id"),
+        transform(sequence(lit(0), lit(dims - 1)),
+          d => coalesce(element_at(col("m"), d), lit(0.0)).cast("float"))
+          .as("vec"))
+  }
+
+  /** Semantic nearest neighbors over [[hashedDocVectors]] — the
+    * text→vector composition closed entirely in-engine: embed every
+    * document with the hashing trick, then rank cosine neighbors for
+    * a query subset. The whole qs ladder (IVF/SQ/PQ, stored indexes,
+    * rerank) accepts these vectors unchanged; this entry serves the
+    * broadcast-linear form (query batch × corpus scan — linear in the
+    * corpus, never a pair join). Zero-vector documents (possible when
+    * signed contributions cancel exactly) never rank: cosine against
+    * them is undefined, so they are filtered with norm > 0, not
+    * passed through as NaN. */
+  def hashedNeighbors(
+      docs: DataFrame, idCol: String, textCol: String,
+      queryFilter: org.apache.spark.sql.Column, k: Int,
+      dims: Int = 16): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    val vecs = graft.core.OpCache.persist(
+      hashedDocVectors(docs, idCol, textCol, dims)
+        .withColumn("nrm",
+          sqrt(call_function("graft_vec_dot", col("vec"), col("vec"))))
+        .filter(col("nrm") > 0))
+    val q = vecs.filter(queryFilter)
+    val scored = broadcast(q.select(col("doc_id").as("qid"),
+        col("vec").as("qv"), col("nrm").as("qn")))
+      .crossJoin(vecs.select(col("doc_id").as("cid"),
+        col("vec").as("cv"), col("nrm").as("cn")))
+      .filter(col("qid") =!= col("cid"))
+      .select(col("qid"), col("cid"),
+        (call_function("graft_vec_dot", col("qv"), col("cv")) /
+          (col("qn") * col("cn"))).as("cos"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid")).orderBy(col("cos").desc, col("cid"))
+    scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("qid").as("doc_id"), col("cid").as("nbr_id"),
+        col("rnk").cast("long").as("rnk"))
+  }
+
   /** Document fingerprints: exact content hash, an order-insensitive
     * bag-of-words hash, and a rolling-shingle minimizer (the min
     * 60-bit hash over 3-word shingles — the winnowing primitive). */

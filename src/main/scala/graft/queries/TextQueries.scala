@@ -2259,6 +2259,66 @@ object TextQueries {
         |  round(0.5 * CAST(sum(tp) AS DOUBLE) +
         |    0.5 * (CAST(sum(tq) AS DOUBLE) +
         |      (1.0 - CAST(sum(qm) AS DOUBLE))), 6) AS js_bits
-        |FROM terms GROUP BY 1""".stripMargin))
+        |FROM terms GROUP BY 1""".stripMargin)),
+
+    Q(
+      "qt31_doc_neighbors",
+      "In-engine document embeddings + semantic neighbors " +
+        "(TextAnalysis.hashedDocVectors/hashedNeighbors): signed " +
+        "feature hashing of tf·(n/df) weights into 16 dense dims — " +
+        "sign and dimension are disjoint bits of the engine-wide md5 " +
+        "hash60 (dim via shiftright: the hash exceeds double's 53-bit " +
+        "exact range, so no float division touches it), " +
+        "contributions DECIMAL(30,6)-quantized before per-dim sums, " +
+        "vectors rounded through FLOAT. No external model, no vocab " +
+        "table; new tokens hash somewhere without retraining. " +
+        "Neighbors = broadcast query batch (doc_id % 20 = 0) × corpus " +
+        "scan, codegen float-dot cosine, top-5; zero-norm vectors " +
+        "filtered, never NaN-ranked. The qs ladder (IVF/SQ/PQ) " +
+        "accepts these vectors unchanged.",
+      (s, dir) =>
+        graft.operators.TextAnalysis.hashedNeighbors(
+          Tables.load(s, dir, "documents"), "doc_id", "text",
+          col("doc_id") % 20 === 0, k = 5),
+      Some {
+        def dot(a: String, b: String): String =
+          s"list_reduce(list_transform(list_zip($a, $b), " +
+            s"s -> CAST(s[1] AS DOUBLE) * CAST(s[2] AS DOUBLE)), (x, y) -> x + y)"
+        s"""WITH tok AS (
+        |  SELECT doc_id, unnest(string_split(coalesce(text, ''), ' ')) AS token
+        |  FROM documents),
+        |tf AS (SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
+        |       FROM tok GROUP BY 1, 2),
+        |dfreq AS (SELECT token, CAST(count(*) AS BIGINT) AS df
+        |          FROM tf GROUP BY 1),
+        |nn AS (SELECT CAST(count(DISTINCT doc_id) AS DOUBLE) AS n FROM tf),
+        |contrib AS (
+        |  SELECT doc_id,
+        |    CAST(((${dkHash60("token")} // 2) % 16) AS INT) AS dim,
+        |    CAST(CAST((${dkHash60("token")} % 2) * 2 - 1 AS DOUBLE)
+        |      * CAST(tf AS DOUBLE) * (n / CAST(df AS DOUBLE))
+        |      AS DECIMAL(30,6)) AS w
+        |  FROM tf JOIN dfreq USING (token), nn),
+        |cells AS (SELECT doc_id, dim, CAST(sum(w) AS DOUBLE) AS v
+        |          FROM contrib GROUP BY 1, 2),
+        |grid AS (SELECT doc_id, t.d AS dim
+        |         FROM (SELECT DISTINCT doc_id FROM cells), unnest(range(0, 16)) t(d)),
+        |vec AS (
+        |  SELECT g.doc_id,
+        |    list(CAST(coalesce(c.v, 0.0) AS FLOAT) ORDER BY g.dim) AS vec
+        |  FROM grid g LEFT JOIN cells c
+        |    ON c.doc_id = g.doc_id AND c.dim = g.dim
+        |  GROUP BY 1),
+        |vn AS (SELECT doc_id, vec, sqrt(${dot("vec", "vec")}) AS nrm FROM vec),
+        |vnz AS (SELECT * FROM vn WHERE nrm > 0),
+        |q AS (SELECT * FROM vnz WHERE doc_id % 20 = 0)
+        |SELECT doc_id, nbr_id, rnk FROM (
+        |  SELECT q.doc_id AS doc_id, c.doc_id AS nbr_id,
+        |    row_number() OVER (PARTITION BY q.doc_id ORDER BY
+        |      ${dot("q.vec", "c.vec")} / (q.nrm * c.nrm) DESC,
+        |      c.doc_id) AS rnk
+        |  FROM q JOIN vnz c ON q.doc_id <> c.doc_id)
+        |WHERE rnk <= 5""".stripMargin
+      })
   )
 }

@@ -185,6 +185,37 @@ class TextAnalysisSpec extends SparkSuite {
     graft.core.OpCache.releaseAll(blocking = true)
   }
 
+  test("hashedDocVectors: deterministic dims, idf weighting, repartition-invariant") {
+    val docs = Seq(
+      (1L, "alpha beta beta"), (2L, "alpha gamma"), (3L, "alpha beta beta")
+    ).toDF("doc_id", "text")
+    val a = TextAnalysis.hashedDocVectors(docs, "doc_id", "text", dims = 8)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    // identical documents embed identically
+    assert(a(1L) == a(3L))
+    assert(a.values.forall(_.size == 8))
+    // same under repartitioning (order-invariant decimal sums)
+    val b = TextAnalysis.hashedDocVectors(docs.repartition(5),
+        "doc_id", "text", dims = 8)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    assert(a == b)
+    graft.core.OpCache.releaseAll(blocking = true)
+  }
+
+  test("hashedNeighbors: exact duplicate ranks first") {
+    val docs = Seq(
+      (20L, "alpha beta gamma delta"), (21L, "alpha beta gamma delta"),
+      (22L, "epsilon zeta eta theta"), (23L, "alpha beta iota kappa")
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.hashedNeighbors(docs, "doc_id", "text",
+        org.apache.spark.sql.functions.col("doc_id") === 20L, k = 3)
+      .collect().map(r => (r.getLong(1), r.getLong(2))).sortBy(_._2)
+    // cosine(20, 21) = 1.0 — the duplicate must rank 1
+    assert(got.head == ((21L, 1L)), got.mkString(","))
+    assert(got.size == 3)
+    graft.core.OpCache.releaseAll(blocking = true)
+  }
+
   test("sourceDivergence: invariant under repartitioning") {
     val docs = (1 to 200).map(i =>
       (s"s${i % 4}", s"w${i % 13} w${i % 7} w${i % 29} common"))

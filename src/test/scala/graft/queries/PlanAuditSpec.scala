@@ -53,6 +53,11 @@ class PlanAuditSpec extends SparkSuite {
       // inequality as an in-join filter (negative predicates pass
       // ~(L−1)/L of pairs — nothing to partition by)
       "qs23_hard_negatives",
+      // qs01's broadcast query-batch × corpus linear scan over the
+      // in-engine hashed embeddings — linear in the corpus, never a
+      // pair join; the qs IVF ladder is the scale path for the same
+      // vectors
+      "qt31_doc_neighbors",
       // inherits qs15's broadcast centroid/codebook cross joins; the
       // rerank stage itself is two id EQUI-joins
       "qs20_ivfpq_rerank",
