@@ -616,6 +616,57 @@ object StreamingQueries {
         |FROM agg a LEFT JOIN hagg h ON a.source = h.source""".stripMargin)),
 
     Q(
+      "qst16_stream_erasure",
+      "Streaming subject-erasure feed (EventStreams.erasureFeed - " +
+        "qw17's compliance pipeline run LIVE): deletion requests " +
+        "(c_custkey % 97 = 0) arrive as a file stream DELIVERED TWICE " +
+        "(two unioned streams - at-least-once upstream), each " +
+        "micro-batch stream-static semi-joins the warehouse tables " +
+        "and appends its cascade manifest increment. Zero streaming " +
+        "state: a subject's manifest depends only on the static " +
+        "tables, so batch boundaries cannot change rows and " +
+        "re-delivery re-emits IDENTICAL keyed content - the " +
+        "consumer's distinct absorbs it (delete executors are " +
+        "idempotent anyway). Oracle = qw17's batch manifest.",
+      (s, dir) => {
+        s.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+        val schema = StructType.fromDDL(
+          "c_custkey BIGINT, c_name STRING, c_nationkey INT, " +
+            "c_acctbal DOUBLE, c_mktsegment STRING")
+        def requests = s.readStream.schema(schema)
+          .parquet(s"$dir/customer.parque*")
+          .filter(col("c_custkey") % 97 === 0)
+          .select(col("c_custkey").as("k"))
+        val out = java.nio.file.Files
+          .createTempDirectory("graft_erasure").toString
+        EventStreams.erasureFeed(requests.union(requests),
+          graft.core.Tables.load(s, dir, "customer"),
+          graft.core.Tables.load(s, dir, "orders"),
+          graft.core.Tables.load(s, dir, "lineitem"),
+          out)
+        s.read.parquet(out).distinct()
+      },
+      // DISTINCT on both sides: the streamed manifest is the deduped
+      // KEY SET (re-delivery re-emits identical rows; delete targets
+      // are keys), where qw17's batch manifest preserves source-row
+      // multiplicity (it audits the rows that will go)
+      Some("""SELECT DISTINCT * FROM (
+        |WITH subj AS (
+        |  SELECT c_custkey AS k FROM customer WHERE c_custkey % 97 = 0),
+        |ord AS (
+        |  SELECT o_orderkey FROM orders
+        |  WHERE o_custkey IN (SELECT k FROM subj))
+        |SELECT 'customer' AS table_name, c_custkey AS k1,
+        |  CAST(NULL AS BIGINT) AS k2
+        |FROM customer WHERE c_custkey IN (SELECT k FROM subj)
+        |UNION ALL
+        |SELECT 'orders', o_orderkey, NULL FROM ord
+        |UNION ALL
+        |SELECT 'lineitem', l_orderkey, CAST(l_linenumber AS BIGINT)
+        |FROM lineitem
+        |WHERE l_orderkey IN (SELECT o_orderkey FROM ord))""".stripMargin)),
+
+    Q(
       "qst09_stream_static_join",
       "Stream-static join: the event stream enriched against a " +
         "BROADCAST dimension (event_type → category) — stateless, " +

@@ -203,6 +203,38 @@ object EventStreams {
     if (!q.awaitTermination(180000)) q.stop()
   }
 
+  /** Streaming subject-erasure feed — [[graft.warehouse.Erasure]] run
+    * as a live compliance pipeline: deletion REQUESTS arrive as a
+    * stream of subject keys, and each micro-batch emits its cascade
+    * manifest increment (customer→orders→lineitem, the same FK walk as
+    * the batch planner) by stream-static semi-joining the batch
+    * against the warehouse tables, appending to `outDir`. No streaming
+    * state at all: a subject's manifest depends only on the static
+    * tables, so batch boundaries cannot change any row, and
+    * at-least-once re-delivery re-emits IDENTICAL manifest rows — the
+    * manifest is keyed content, so the consumer's distinct (or an
+    * idempotent delete executor, which deleting twice trivially is)
+    * absorbs duplicates. Blocks until the stream drains
+    * (AvailableNow); read `outDir` for the manifest. */
+  def erasureFeed(
+      subjects: DataFrame,
+      customer: DataFrame, orders: DataFrame, lineitem: DataFrame,
+      outDir: String,
+      queryName: String = "graft_erasure_feed"): Unit = {
+    val q = subjects.writeStream
+      .queryName(queryName)
+      .outputMode(OutputMode.Append())
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        graft.warehouse.Erasure.erasurePlan(
+          customer, orders, lineitem, batch.toDF())
+          .write.mode("append").parquet(outDir)
+        ()
+      }
+      .start()
+    if (!q.awaitTermination(180000)) q.stop()
+  }
+
   /** Streaming CDC snapshot — [[graft.warehouse.Cdc.applyChanges]] as
     * a continuously-maintained materialized view: per key, keep the
     * change row with the greatest order tuple seen so far (`max_by`
