@@ -449,6 +449,34 @@ object Multimodal {
       .toDF("media_id", "ahash")
   }
 
+  /** Composed MEDIA curation — qt13's lifecycle for binary payloads:
+    * exact byte dedup (md5 of the payload, keep the lowest media_id —
+    * the qd01 collapse), then perceptual near-dedup among the
+    * survivors ([[phashNearDupPairs]]'s banded hamming join; drop any
+    * id with a smaller-id neighbor within `maxDist` — qd07's greedy
+    * keep rule). Stage order matters at 100 TB for the same reason as
+    * text: exact collapse first removes the duplicate mass that would
+    * otherwise explode the perceptual buckets.
+    *
+    * @return surviving (media_id, n_bytes) */
+  def curateMedia(media: DataFrame, maxDist: Int = 10): DataFrame = {
+    // null payloads hash as empty (one exact-dup group), matching
+    // aHash60's null handling — null must not escape the dedup
+    val hashed = media.select(col("media_id"), col("bytes"),
+      md5(coalesce(col("bytes"), lit(Array.empty[Byte]))).as("__h"))
+    val keepW = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__h")).orderBy(col("media_id"))
+    val s1 = graft.core.OpCache.persist(
+      hashed.withColumn("__rn", row_number().over(keepW))
+        .filter(col("__rn") === 1)
+        .select(col("media_id"), col("bytes")))
+    val dropped = phashNearDupPairs(s1, maxDist)
+      .select(col("b_id").as("media_id")).distinct()
+    s1.join(dropped, Seq("media_id"), "left_anti")
+      .select(col("media_id"),
+        length(col("bytes")).cast("long").as("n_bytes"))
+  }
+
   /** Near-duplicate media pairs by hamming distance on the aHash:
     * banded equi-join (maxDist+1 bands over the 60 bits — pigeonhole
     * guarantees any pair within maxDist matches on ≥1 band, so

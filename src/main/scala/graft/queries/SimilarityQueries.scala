@@ -981,6 +981,94 @@ object SimilarityQueries {
         |  FROM p JOIN b q ON p.cent_id = q.cent_id
         |    AND p.label IS NOT NULL AND q.label IS NOT NULL
         |    AND p.label <> q.label)
-        |WHERE rnk <= 5""".stripMargin))
+        |WHERE rnk <= 5""".stripMargin)),
+
+    Q(
+      "qs24_hashed_ivf",
+      "The embed-once-index-with-the-ladder claim made EXECUTABLE: " +
+        "qt31's in-engine hashed document embeddings fed through the " +
+        "standard IVF build + stored-index search " +
+        "(Similarity.buildIvfIndex/ivfTopKWithIndex, stride 20, " +
+        "nProbe 4, k 5) with zero adaptation - the text->vector " +
+        "bridge and the ANN ladder compose because both speak " +
+        "(id, float-vec). Zero-norm vectors filtered before the " +
+        "build on both sides.",
+      (s, dir) => {
+        import org.apache.spark.sql.functions.{col, call_function}
+        val docs = Tables.load(s, dir, "documents")
+        graft.functions.GraftFunctions.register(s)
+        val em = graft.core.OpCache.persist(
+          graft.operators.TextAnalysis
+            .hashedDocVectors(docs, "doc_id", "text")
+            .select(col("doc_id").as("vec_id"), col("vec").as("embedding"))
+            .filter(call_function("graft_vec_dot",
+              col("embedding"), col("embedding")) > 0))
+        val idx = Similarity.buildIvfIndex(em, "vec_id", "embedding",
+          centroidStride = 20)
+        Similarity.ivfTopKWithIndex(idx,
+          em.filter(col("vec_id") % 20 === 0),
+          "vec_id", "embedding", k = 5, nProbe = 4)
+      },
+      Some {
+        def dot(a: String, b: String): String =
+          s"list_reduce(list_transform(list_zip($a, $b), " +
+            s"s -> CAST(s[1] AS DOUBLE) * CAST(s[2] AS DOUBLE)), (x, y) -> x + y)"
+        s"""WITH tok AS (
+        |  SELECT doc_id, unnest(string_split(coalesce(text, ''), ' ')) AS token
+        |  FROM documents),
+        |tf AS (SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
+        |       FROM tok GROUP BY 1, 2),
+        |dfreq AS (SELECT token, CAST(count(*) AS BIGINT) AS df
+        |          FROM tf GROUP BY 1),
+        |nn AS (SELECT CAST(count(DISTINCT doc_id) AS DOUBLE) AS n FROM tf),
+        |contrib AS (
+        |  SELECT doc_id,
+        |    CAST((((CAST(concat('0x', substr(md5(token), 1, 15)) AS BIGINT)) // 2) % 16) AS INT) AS dim,
+        |    CAST(CAST(((CAST(concat('0x', substr(md5(token), 1, 15)) AS BIGINT)) % 2) * 2 - 1 AS DOUBLE)
+        |      * CAST(tf AS DOUBLE) * (n / CAST(df AS DOUBLE))
+        |      AS DECIMAL(30,6)) AS w
+        |  FROM tf JOIN dfreq USING (token), nn),
+        |cells AS (SELECT doc_id, dim, CAST(sum(w) AS DOUBLE) AS v
+        |          FROM contrib GROUP BY 1, 2),
+        |grid AS (SELECT doc_id, t.d AS dim
+        |         FROM (SELECT DISTINCT doc_id FROM cells), unnest(range(0, 16)) t(d)),
+        |vec AS (
+        |  SELECT g.doc_id,
+        |    list(CAST(coalesce(c.v, 0.0) AS FLOAT) ORDER BY g.dim) AS vec
+        |  FROM grid g LEFT JOIN cells c
+        |    ON c.doc_id = g.doc_id AND c.dim = g.dim
+        |  GROUP BY 1),
+        |e AS (
+        |  SELECT doc_id AS vec_id, vec AS embedding,
+        |    sqrt(${dot("vec", "vec")}) AS nrm
+        |  FROM vec WHERE ${dot("vec", "vec")} > 0),
+        |c AS (SELECT vec_id AS cent_id, embedding AS cemb, nrm AS cnrm
+        |      FROM e WHERE vec_id % 20 = 0),
+        |ranked AS (
+        |  SELECT e.vec_id, c.cent_id,
+        |    row_number() OVER (PARTITION BY e.vec_id ORDER BY
+        |      ${dot("e.embedding", "c.cemb")} / (e.nrm * c.cnrm) DESC,
+        |      c.cent_id) AS rn
+        |  FROM e, c WHERE e.vec_id % 20 = 0),
+        |assignq AS (
+        |  SELECT e.vec_id, c.cent_id,
+        |    row_number() OVER (PARTITION BY e.vec_id ORDER BY
+        |      ${dot("e.embedding", "c.cemb")} / (e.nrm * c.cnrm) DESC,
+        |      c.cent_id) AS rn
+        |  FROM e, c),
+        |assign AS (SELECT vec_id, cent_id FROM assignq WHERE rn = 1),
+        |probes AS (SELECT vec_id, cent_id FROM ranked WHERE rn <= 4),
+        |bb AS (SELECT e.vec_id, e.embedding, e.nrm, a.cent_id
+        |       FROM e JOIN assign a USING (vec_id)),
+        |p AS (SELECT e.vec_id, e.embedding, e.nrm, pr.cent_id
+        |      FROM e JOIN probes pr USING (vec_id))
+        |SELECT vec_id, nbr_id, rnk FROM (
+        |  SELECT p.vec_id AS vec_id, q.vec_id AS nbr_id,
+        |    row_number() OVER (PARTITION BY p.vec_id ORDER BY
+        |      ${dot("p.embedding", "q.embedding")} / (p.nrm * q.nrm) DESC,
+        |      q.vec_id) AS rnk
+        |  FROM p JOIN bb q ON p.cent_id = q.cent_id AND p.vec_id <> q.vec_id)
+        |WHERE rnk <= 5""".stripMargin
+      })
   )
 }

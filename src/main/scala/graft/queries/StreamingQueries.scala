@@ -962,6 +962,53 @@ object StreamingQueries {
         |FROM bits GROUP BY 1""".stripMargin)),
 
     Q(
+      "qm09_media_curation",
+      "Composed MEDIA curation (Multimodal.curateMedia - qt13's " +
+        "lifecycle for binary payloads): exact byte dedup (md5, keep " +
+        "lowest id - the qd01 collapse) THEN perceptual near-dedup " +
+        "among survivors (qm06's banded hamming join at maxDist=10, " +
+        "pigeonhole-complete; drop ids with a smaller-id neighbor - " +
+        "qd07's greedy rule). Collapse-first ordering is the same " +
+        "100 TB argument as text: duplicate mass dies before it can " +
+        "explode the perceptual buckets. Oracle replays md5 + aHash " +
+        "+ all-pairs popcount + the keep rule.",
+      (s, dir) =>
+        Multimodal.curateMedia(
+          Multimodal.asMedia(
+            graft.core.Tables.load(s, dir, "documents"),
+            "doc_id", "text", "text/plain"),
+          maxDist = 10),
+      Some("""WITH ex AS (
+        |  SELECT doc_id, text, md5(text) AS h FROM documents),
+        |s1 AS (
+        |  SELECT doc_id, text FROM ex e
+        |  WHERE NOT EXISTS (SELECT 1 FROM ex e2
+        |                    WHERE e2.h = e.h AND e2.doc_id < e.doc_id)),
+        |b AS (
+        |  SELECT doc_id, (t.i - 1) AS p,
+        |    unicode(substring(text, CAST(t.i AS INT), 1)) AS v,
+        |    length(text) AS n
+        |  FROM s1, unnest(range(1, length(text) + 1)) AS t(i)),
+        |seg AS (
+        |  SELECT doc_id, (p * 60) // n AS j, sum(v) AS s, count(*) AS c
+        |  FROM b GROUP BY 1, 2),
+        |tot AS (SELECT doc_id, sum(v) AS ts, count(*) AS tn FROM b GROUP BY 1),
+        |bits AS (
+        |  SELECT g.doc_id, g.j,
+        |    CASE WHEN coalesce(s.s, 0) * t.tn > t.ts * coalesce(s.c, 0)
+        |         THEN 1 ELSE 0 END AS bit
+        |  FROM (SELECT doc_id, unnest(range(0, 60)) AS j FROM s1) g
+        |  LEFT JOIN seg s ON s.doc_id = g.doc_id AND s.j = g.j
+        |  JOIN tot t ON t.doc_id = g.doc_id),
+        |ah AS (SELECT doc_id, sum(bit << j) AS ahash FROM bits GROUP BY 1),
+        |drop0 AS (
+        |  SELECT DISTINCT b2.doc_id FROM ah a JOIN ah b2
+        |  ON a.doc_id < b2.doc_id
+        |    AND bit_count(xor(a.ahash, b2.ahash)) <= 10)
+        |SELECT doc_id AS media_id, CAST(length(text) AS BIGINT) AS n_bytes
+        |FROM s1 WHERE doc_id NOT IN (SELECT doc_id FROM drop0)""".stripMargin)),
+
+    Q(
       "qm01_media_features",
       "Multimodal plumbing: wrap document text bytes as media rows, " +
         "extract per-partition batched byte-level features (stub " +

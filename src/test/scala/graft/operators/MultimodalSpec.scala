@@ -261,4 +261,23 @@ class MultimodalSpec extends SparkSuite {
     assert(got == Set((1L, 2L)), s"edit must re-align, unrelated must not pair: $got")
     graft.core.OpCache.releaseAll(blocking = true)
   }
+
+  test("curateMedia: exact collapse first, then perceptual drop, lowest id survives") {
+    val base = (0 until 600).map(i => ('a' + (i % 7)).toChar).mkString
+    // a near-twin: one character bumped — byte-identical segments
+    // except one, so hamming is small but md5 differs
+    val twin = base.updated(3, 'z')
+    val far = (0 until 600).map(i => ('A' + (i * 13 % 26)).toChar).mkString
+    val docs = Seq(
+      (5L, base), (9L, base),  // exact dups — 9 dies at stage 1
+      (7L, twin),              // perceptual near-dup of 5 — dies at stage 2
+      (11L, far)               // unrelated — survives
+    ).toDF("doc_id", "text")
+    val media = Multimodal.asMedia(docs, "doc_id", "text", "text/plain")
+    val got = Multimodal.curateMedia(media, maxDist = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got.keySet == Set(5L, 11L), got.toString)
+    assert(got(5L) == 600L && got(11L) == 600L)
+    graft.core.OpCache.releaseAll(blocking = true)
+  }
 }

@@ -58,6 +58,10 @@ class PlanAuditSpec extends SparkSuite {
       // pair join; the qs IVF ladder is the scale path for the same
       // vectors
       "qt31_doc_neighbors",
+      // qs02's broadcast centroid-scoring cross join, fed by the
+      // hashed doc embeddings — the composition inherits the same
+      // linear-in-corpus exception
+      "qs24_hashed_ivf",
       // inherits qs15's broadcast centroid/codebook cross joins; the
       // rerank stage itself is two id EQUI-joins
       "qs20_ivfpq_rerank",
