@@ -77,6 +77,46 @@ object Timeseries {
       .drop("mu", "sigma")
   }
 
+  /** Per-group ROBUST outliers via median absolute deviation —
+    * [[zScoreOutliers]]'s resistant sibling: μ/σ are themselves
+    * dragged by the outliers they hunt (one 10⁶× point inflates σ
+    * until nothing else flags); the median/MAD pair has a 50%
+    * breakdown point, so contamination cannot hide itself. Flags
+    * |x − med| > z · 1.4826 · MAD (1.4826 = 1/Φ⁻¹(3/4), the
+    * consistency constant that makes MAD estimate σ under normality —
+    * so `z` means the same thing in both operators).
+    *
+    * Median and MAD are the q28 interpolated `percentile` — the same
+    * doubles on both engines; the robust score is one division
+    * rounded to 6 (the q42 discipline). Zero-MAD groups (>50% of
+    * values identical) flag nothing: deviation is unmeasurable there,
+    * and a loud NaN would be wrong more often than silence.
+    *
+    * Scale shape: two group aggregates (med, then MAD of deviations)
+    * + one broadcast of the tiny per-group stats + a narrow filter —
+    * the fact table is scanned twice but never shuffled; at 100 TB
+    * swap the exact percentiles for q38's histogram quantiles to get
+    * one pass. */
+  def madOutliers(
+      df: DataFrame, groupCol: String, valCol: String,
+      z: Double = 3.0): DataFrame = {
+    val x = col(valCol).cast("double")
+    val med = df.filter(x.isNotNull).groupBy(col(groupCol))
+      .agg(expr(s"percentile(cast($valCol as double), 0.5)").as("med"))
+    val dev = df.join(broadcast(med), Seq(groupCol))
+      .filter(x.isNotNull)
+      .groupBy(col(groupCol))
+      .agg(expr(s"percentile(abs(cast($valCol as double) - med), 0.5)")
+        .as("mad"))
+    val st = med.join(dev, Seq(groupCol))
+    df.join(broadcast(st), Seq(groupCol))
+      .filter(col("mad") > 0.0 &&
+        abs(x - col("med")) > lit(z) * lit(1.4826) * col("mad"))
+      .withColumn("robust_score",
+        round((x - col("med")) / (lit(1.4826) * col("mad")), 6))
+      .drop("med", "mad")
+  }
+
   /** Classical seasonal decomposition by moving averages (the
     * additive decompose every indicator/monitoring pipeline runs):
     * daily totals → centered `maWindow`-observation moving-average

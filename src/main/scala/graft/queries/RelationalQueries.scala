@@ -1525,6 +1525,37 @@ object RelationalQueries {
         |FROM seqs""".stripMargin)),
 
     Q(
+      "q61_mad_outliers",
+      "Per-group ROBUST outliers via median absolute deviation " +
+        "(Timeseries.madOutliers — q42's resistant sibling: μ/σ are " +
+        "dragged by the outliers they hunt; median/MAD has a 50% " +
+        "breakdown point). Flags |x−med| > 3·1.4826·MAD with the q28 " +
+        "interpolated percentile on both engines; robust score is " +
+        "one division rounded to 6. Two group aggregates + broadcast " +
+        "stats + narrow filter — scanned twice, never shuffled.",
+      (s, dir) =>
+        graft.operators.Timeseries.madOutliers(
+          t(s, dir, "events"), "event_type", "value", z = 3.0)
+          .select(col("event_id"), col("event_type"),
+            col("value"), col("robust_score")),
+      Some("""WITH med AS (
+        |  SELECT event_type,
+        |    quantile_cont(CAST(value AS DOUBLE), 0.5) AS med
+        |  FROM events WHERE value IS NOT NULL GROUP BY 1),
+        |dev AS (
+        |  SELECT e.event_type,
+        |    quantile_cont(abs(CAST(value AS DOUBLE) - med), 0.5) AS mad
+        |  FROM events e JOIN med USING (event_type)
+        |  WHERE value IS NOT NULL GROUP BY 1)
+        |SELECT e.event_id, e.event_type, e.value,
+        |  round((CAST(e.value AS DOUBLE) - med) / (1.4826 * mad), 6)
+        |    AS robust_score
+        |FROM events e JOIN med USING (event_type) JOIN dev USING (event_type)
+        |WHERE mad > 0
+        |  AND abs(CAST(e.value AS DOUBLE) - med) > 3.0 * 1.4826 * mad"""
+        .stripMargin)),
+
+    Q(
       "q60_gini",
       "Per-group Gini coefficient (Stats.groupedGini — the inequality " +
         "measure the reference's development-indicator domain reports " +

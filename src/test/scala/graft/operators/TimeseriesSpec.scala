@@ -68,4 +68,23 @@ class TimeseriesSpec extends SparkSuite {
     assert(bumpDays.nonEmpty && bumpDays.forall(r => math.abs(r._4.get - 14.0) < 1e-6))
     assert(interior.forall(r => math.abs(r._5.get) < 1e-5), "residual ≈ 0")
   }
+
+  test("madOutliers: resistant where the z-score is dragged; zero-MAD silent") {
+    // 20 inliers at ~10 plus one 10^6 outlier: σ inflates to ~2·10^5 so
+    // the z-score at 3σ misses SECONDARY outliers like 200; MAD flags it
+    val contaminated = ((1 to 20).map(i => (1L + i, "a", 10.0 + (i % 5) * 0.1)) ++
+      Seq((100L, "a", 1e6), (101L, "a", 200.0)) ++
+      // >50% identical values → MAD = 0 → silent
+      Seq((200L, "b", 5.0), (201L, "b", 5.0), (202L, "b", 5.0), (203L, "b", 99.0))
+    ).toDF("event_id", "g", "v")
+    val mad = Timeseries.madOutliers(contaminated, "g", "v", z = 3.0)
+      .select("event_id").collect().map(_.getLong(0)).toSet
+    assert(mad.contains(100L) && mad.contains(101L), mad.toString)
+    assert(!mad.exists(_ >= 200L), "zero-MAD group must stay silent")
+    assert(!mad.exists(id => id >= 2L && id <= 21L), "inliers must not flag")
+    val z = Timeseries.zScoreOutliers(
+      contaminated.filter($"g" === "a"), "g", "v", z = 3.0)
+      .select("event_id").collect().map(_.getLong(0)).toSet
+    assert(!z.contains(101L), "σ dragged by the 10^6 point hides 200.0 — the contrast")
+  }
 }

@@ -70,6 +70,9 @@ class PlanAuditSpec extends SparkSuite {
       // never a pair join (q53's "join" exists only as the exact
       // baseline the estimate is compared against)
       "q52_cms_freq", "q53_cms_join_size",
+      // one-row broadcast of the corpus token total crossed into the
+      // per-(source, token) term projection — never a pair join
+      "qt30_source_divergence",
       // qs01's broadcast query-batch × corpus linear scan for MMR
       // candidate generation; the greedy steps run over candidate-
       // bounded persisted frames (equi-joins + per-query windows)
