@@ -479,6 +479,24 @@ object ScaleSmoke {
         graft.warehouse.Erasure.erasurePlan(cust, ord, li,
           cust.filter($"c_custkey" % 97 === 0)
             .select($"c_custkey".as("k"))).count()
+      },
+      time("gini") {
+        graft.operators.Stats.groupedGini(
+          ord, "o_orderpriority", "o_totalprice").count()
+      },
+      time("mad_outliers") {
+        val ev = spark.read.parquet(s"$out/events.parquet")
+        graft.operators.Timeseries.madOutliers(
+          ev, "event_type", "value").count()
+      },
+      time("doc_neighbors") {
+        graft.operators.TextAnalysis.hashedNeighbors(
+          docs, "doc_id", "text", $"doc_id" % 101 === 0, k = 5).count()
+      },
+      time("media_curation") {
+        graft.operators.Multimodal.curateMedia(
+          graft.operators.Multimodal.asMedia(
+            docs, "doc_id", "text", "text/plain"), maxDist = 10).count()
       })
 
     val total = results.map(_._2).sum

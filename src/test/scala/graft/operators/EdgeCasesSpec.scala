@@ -228,4 +228,31 @@ class EdgeCasesSpec extends SparkSuite {
       emptyDiff, emptyKeyed, Seq("k"), Seq("part")).count() == 0)
     graft.core.OpCache.releaseAll(blocking = true)
   }
+
+  test("round-7 session-5 operators handle empty inputs") {
+    val emptyKV = Seq.empty[(String, Double, Double)].toDF("g", "x", "y")
+    assert(Stats.groupedRegression(emptyKV, "g", "x", "y").count() == 0)
+    assert(Stats.groupedGini(emptyKV, "g", "x").count() == 0)
+    val emptyEvents = Seq.empty[(Long, Long, java.sql.Timestamp, String)]
+      .toDF("event_id", "user_id", "ts", "event_type")
+    assert(Funnel.touchAttribution(emptyEvents, "user_id", "ts",
+      "event_type", "event_id", "purchase", Seq("view")).count() == 0)
+    assert(Funnel.patternOccurrences(emptyEvents, "user_id", "ts",
+      "event_type", "event_id", Map("view" -> "V"), "V").count() == 0)
+    assert(Timeseries.madOutliers(emptyKV, "g", "x").count() == 0)
+    assert(TextAnalysis.sourceDivergence(
+      Seq.empty[(String, String)].toDF("source", "text"),
+      "source", "text").count() == 0)
+    // hashed vectors of an empty corpus are empty; neighbors too
+    assert(TextAnalysis.hashedDocVectors(emptyDocs, "doc_id", "text")
+      .count() == 0)
+    assert(TextAnalysis.hashedNeighbors(emptyDocs, "doc_id", "text",
+      lit(true), k = 3).count() == 0)
+    // profile of an empty frame: one row per column, zero counts
+    val prof = graft.warehouse.Profile.profile(emptyKV).collect()
+    assert(prof.length == 3 && prof.forall(_.getLong(1) == 0))
+    assert(Multimodal.curateMedia(
+      Multimodal.asMedia(emptyDocs, "doc_id", "text", "x")).count() == 0)
+    graft.core.OpCache.releaseAll(blocking = true)
+  }
 }
