@@ -761,6 +761,62 @@ object WarehouseQueries {
         |  CAST(sum(CASE WHEN par3.v IS NULL THEN 0 ELSE 1 END) AS BIGINT),
         |  CAST(sum(CASE WHEN par3.v IS NULL THEN 0 ELSE 1 END) AS DOUBLE)
         |    / count(*)
-        |FROM pair2 LEFT JOIN par3 USING (v)""".stripMargin))
+        |FROM pair2 LEFT JOIN par3 USING (v)""".stripMargin)),
+
+    Q(
+      "qw19_zone_pruning",
+      "Zone-map pruning simulation (ZoneMaps.zonePruningStats — the " +
+        "WHY behind q47/qw12/qw13's layout machinery): per-file " +
+        "min/max zone maps from ONE hash aggregate, skip-or-scan " +
+        "decided on the METADATA alone, folded to exact counters — " +
+        "for the same 1997-H1 date predicate under the natural " +
+        "date-clustered layout (monthly files: scans ~6/80 files) vs " +
+        "a key-scattered layout (every file overlaps: scans all). " +
+        "Turns 'should we re-cluster?' into a measured scan-fraction " +
+        "answer before any rewrite is paid for.",
+      (s, dir) => {
+        import org.apache.spark.sql.functions.{col, date_format, unix_micros}
+        val ord = graft.core.Tables.load(s, dir, "orders")
+          .withColumn("od", unix_micros(col("o_orderdate")))
+        val lo = 852076800000000L   // 1997-01-01T00:00:00Z in micros
+        val hi = 867715199999999L   // 1997-06-30T23:59:59.999999Z
+        graft.storage.ZoneMaps.zonePruningStats(ord, "date_clustered",
+            date_format(col("o_orderdate"), "yyyy-MM"), "od", lo, hi)
+          .unionByName(
+            graft.storage.ZoneMaps.zonePruningStats(ord, "key_scattered",
+              col("o_orderkey") % 50, "od", lo, hi))
+      },
+      Some("""WITH o AS (
+        |  SELECT *, epoch_us(o_orderdate) AS od FROM orders),
+        |z1 AS (
+        |  SELECT strftime(o_orderdate, '%Y-%m') AS f,
+        |    min(od) AS zmin, max(od) AS zmax, count(*) AS n
+        |  FROM o GROUP BY 1),
+        |z2 AS (
+        |  SELECT o_orderkey % 50 AS f,
+        |    min(od) AS zmin, max(od) AS zmax, count(*) AS n
+        |  FROM o GROUP BY 1),
+        |m AS (SELECT count(*) AS n_rows_matching FROM o
+        |      WHERE od >= 852076800000000 AND od <= 867715199999999)
+        |SELECT 'date_clustered' AS layout,
+        |  count(*) AS n_files,
+        |  CAST(sum(CASE WHEN zmin IS NOT NULL AND zmin <= 867715199999999
+        |    AND zmax >= 852076800000000 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_files_scanned,
+        |  CAST(sum(n) AS BIGINT) AS n_rows,
+        |  CAST(sum(CASE WHEN zmin IS NOT NULL AND zmin <= 867715199999999
+        |    AND zmax >= 852076800000000 THEN n ELSE 0 END) AS BIGINT)
+        |    AS n_rows_scanned,
+        |  (SELECT n_rows_matching FROM m) AS n_rows_matching
+        |FROM z1
+        |UNION ALL
+        |SELECT 'key_scattered', count(*),
+        |  CAST(sum(CASE WHEN zmin IS NOT NULL AND zmin <= 867715199999999
+        |    AND zmax >= 852076800000000 THEN 1 ELSE 0 END) AS BIGINT),
+        |  CAST(sum(n) AS BIGINT),
+        |  CAST(sum(CASE WHEN zmin IS NOT NULL AND zmin <= 867715199999999
+        |    AND zmax >= 852076800000000 THEN n ELSE 0 END) AS BIGINT),
+        |  (SELECT n_rows_matching FROM m)
+        |FROM z2""".stripMargin))
   )
 }
