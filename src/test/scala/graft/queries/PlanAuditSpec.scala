@@ -84,7 +84,11 @@ class PlanAuditSpec extends SparkSuite {
       // per-FK-edge 1-row × 1-row cross join of the two count
       // aggregates; the orphan detection itself is a left-anti
       // equi-join per edge
-      "qw15_referential_integrity")
+      "qw15_referential_integrity",
+      // per-layout 1-row × 1-row cross join of the folded zone-map
+      // counters with the matching-row count; the zone maps themselves
+      // come from one hash aggregate over the table
+      "qw19_zone_pruning")
 
   test("no unexpected cartesian/nested-loop joins anywhere in the registry") {
     val dir = "/root/testdata/sf0.001"
