@@ -284,4 +284,81 @@ object Curation {
           coalesce(col(sourceCol), lit("")))),
         lit(1000)) < rate)
   }
+
+  /** DSIR — Data Selection via Importance Resampling (Xie et al. 2023,
+    * arXiv:2302.03169): score every RAW-pool document by how much more
+    * likely its hashed n-gram bag is under the TARGET distribution
+    * than under the raw distribution, then keep the top scorers. This
+    * is the model-free stand-in for "train a quality classifier":
+    * point it at a trusted slice (a curated source, a wiki dump) and
+    * it pulls the raw pool toward that slice's token statistics.
+    *
+    * Features are hashed unigram+bigram COUNTS (the paper's bag of
+    * hashed n-grams): feature f lands in bucket hash60(f) mod
+    * `buckets`, so the model is two B-sized count vectors regardless
+    * of vocabulary — at 100 TB the bucket tables are KB-sized
+    * broadcasts and the whole scorer is two hash aggregates plus one
+    * broadcast join over the per-doc bucket counts. Importance weight
+    * per bucket is the add-one-smoothed log-likelihood ratio
+    * λ(b) = log2((c_t(b)+1)/(N_t+B)) − log2((c_r(b)+1)/(N_r+B));
+    * a doc's score is Σ_b tf(b)·λ(b) over its own buckets only
+    * (absent buckets contribute 0 to the sum on both sides of the
+    * ratio — the sparse form, never a doc×B expansion).
+    *
+    * Determinism: the qt30 libm discipline — λ quantizes to
+    * DECIMAL(30,6) before use, each tf·λ contribution quantizes to
+    * DECIMAL(30,6) before its order-invariant sum, output rounds to
+    * 6. Selection is top-`keep` by (score DESC, doc_id) via
+    * orderBy+limit — per-partition top-N + merge, never a global
+    * window. Deliberately NOT the paper's Gumbel-noise resample: a
+    * ranked cut is reproducible across engines and runs, and the
+    * noise exists only to de-bias repeated draws.
+    *
+    * @param targetPred rows where this is true form the target
+    *                   distribution; the rest are the raw pool
+    * @return (doc_id, score) — the `keep` best raw-pool documents */
+  def importanceResample(
+      docs: DataFrame, idCol: String, textCol: String,
+      targetPred: org.apache.spark.sql.Column,
+      buckets: Int = 1024, keep: Int = 100): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    require(buckets >= 2, s"buckets must be >= 2, got $buckets")
+    require(keep >= 1, s"keep must be >= 1, got $keep")
+    val words = split(coalesce(col(textCol), lit("")), " ")
+    // unigrams + bigrams, with multiplicity (bag semantics, per paper);
+    // guard the bigram window: sequence(1, 0) would DESCEND, not empty
+    val feats = concat(words,
+      when(size(words) >= 2, Dedup.wordGrams(words, 2))
+        .otherwise(array().cast("array<string>")))
+    val fb = graft.core.OpCache.persist(
+      docs.select(col(idCol).as("doc_id"), targetPred.as("is_target"),
+          explode(feats).as("f"))
+        .select(col("doc_id"), col("is_target"),
+          pmod(Dedup.hash60(col("f")), lit(buckets.toLong)).as("bucket"))
+        .groupBy(col("doc_id"), col("is_target"), col("bucket"))
+        .agg(count(lit(1)).cast("long").as("tf")))
+    val ct = fb.filter(col("is_target"))
+      .groupBy(col("bucket")).agg(sum(col("tf")).cast("long").as("ct"))
+    val cr = fb.filter(!col("is_target"))
+      .groupBy(col("bucket")).agg(sum(col("tf")).cast("long").as("cr"))
+    val nt = ct.groupBy().agg(sum(col("ct")).cast("double").as("nt"))
+    val nr = cr.groupBy().agg(sum(col("cr")).cast("double").as("nr"))
+    val lam = ct.join(cr, Seq("bucket"), "full_outer")
+      .crossJoin(broadcast(nt)).crossJoin(broadcast(nr))
+      .select(col("bucket"),
+        (log2((coalesce(col("ct"), lit(0L)).cast("double") + 1.0) /
+            (col("nt") + buckets.toDouble)) -
+          log2((coalesce(col("cr"), lit(0L)).cast("double") + 1.0) /
+            (col("nr") + buckets.toDouble)))
+          .cast(DecimalType(30, 6)).as("lam"))
+    fb.filter(!col("is_target"))
+      .join(broadcast(lam), Seq("bucket"))
+      .select(col("doc_id"),
+        (col("tf").cast("double") * col("lam").cast("double"))
+          .cast(DecimalType(30, 6)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(round(sum(col("c")).cast("double"), 6).as("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(keep)
+  }
 }

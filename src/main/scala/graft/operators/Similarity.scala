@@ -1200,4 +1200,90 @@ object Similarity {
     }
     selected
   }
+
+  /** NN-Descent (Dong, Moses & Li, WWW'11, "Efficient K-Nearest
+    * Neighbor Graph Construction for Generic Similarity Measures") —
+    * build the full k-NN GRAPH (every vector's top-k neighbors, the
+    * precursor of graph-ANN serving, SemDeDup-style clustering and
+    * qt26's leakage-safe splits) without the O(n²) all-pairs scan.
+    * The insight: a neighbor of a neighbor is likely a neighbor. Each
+    * round, every node scores only {current neighbors} ∪ {neighbors of
+    * neighbors} ∪ {reverse neighbors} and keeps the best k — candidate
+    * volume is O(n·k²) per round instead of O(n²), and each round is
+    * pure equi-joins + one mergeable top-k aggregate, so the whole
+    * refinement is shuffle-partitionable on 8-byte ids at any n.
+    *
+    * Determinism (no sampled init, no RNG): ids are required DENSE
+    * 0..n−1 (asserted, one metadata-sized aggregate) and the seed
+    * graph is the RING u → (u+j) mod n for j = 1..k — trivially bad
+    * on purpose (recall ≈ k/n), so every bit of final recall is the
+    * descent's doing and the whole run replays on any engine.
+    * Candidates de-dup via distinct before scoring (set semantics,
+    * engine-neutral); ranking is (cos DESC, nbr_id) via the mergeable
+    * [[graft.functions.TopKAgg]] heap — map-side collapse, no window.
+    * Zero-norm vectors are rejected up front (cosine undefined).
+    *
+    * Per-round lineage is cut to the RDD above the same threshold as
+    * [[GraphRank.pageRank]]; below it the nested plan is cheaper.
+    *
+    * @return (vec_id, nbr_id, rnk) — the round-`rounds` k-NN graph */
+  def nnDescentGraph(
+      em: DataFrame, idCol: String, vecCol: String, k: Int,
+      rounds: Int = 2): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(rounds >= 0, s"rounds must be >= 0, got $rounds")
+    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val spark = em.sparkSession
+    val e = graft.core.OpCache.persist(withNorm(em, idCol, vecCol))
+    val stats = e.agg(min(col("vec_id")), max(col("vec_id")),
+      count(lit(1)), min(col("nrm"))).head()
+    val n = stats.getLong(2)
+    require(n > 0, "nnDescentGraph needs at least one vector")
+    require(stats.getLong(0) == 0L && stats.getLong(1) == n - 1,
+      s"ids must be dense 0..n-1 (got [${stats.getLong(0)}, " +
+        s"${stats.getLong(1)}] over $n rows) — the ring init needs them")
+    require(stats.getDouble(3) > 0, "zero-norm vector: cosine undefined")
+    val cutLineage = rounds > 4
+    // ring seed: u -> (u+j) mod n, j = 1..k (self-free when k < n)
+    var g: DataFrame = graft.core.OpCache.persist(
+      e.select(col("vec_id").as("u"),
+          explode(sequence(lit(1), lit(math.min(k.toLong, n - 1)))).as("j"))
+        .select(col("u"), ((col("u") + col("j")) % n).as("v")))
+    (1 to rounds).foreach { _ =>
+      val fwd = g.select(col("u"), col("v"))
+      val nn = g.as("a").join(g.as("b"), col("a.v") === col("b.u"))
+        .select(col("a.u").as("u"), col("b.v").as("v"))
+        .filter(col("u") =!= col("v"))
+      val rev = g.select(col("v").as("u"), col("u").as("v"))
+      val cand = fwd.unionByName(nn).unionByName(rev).distinct()
+      val scored = cand
+        .join(e.select(col("vec_id").as("u"), col("embedding").as("ue"),
+          col("nrm").as("un")), Seq("u"))
+        .join(e.select(col("vec_id").as("v"), col("embedding").as("ve"),
+          col("nrm").as("vn")), Seq("v"))
+        .select(col("u"), col("v"),
+          cosineWithNorms(col("ue"), col("ve"), col("un"), col("vn"))
+            .as("cos"))
+      var next = topKHeap(scored, "u", col("cos"), col("v"), "v", k)
+        .select(col("u"), col("v"))
+      if (cutLineage) {
+        val cutDf = spark.createDataFrame(next.rdd, next.schema)
+          .persist(MEMORY_AND_DISK)
+        graft.core.OpCache.track(cutDf)
+        next = cutDf
+      } else next = graft.core.OpCache.persist(next)
+      g = next
+    }
+    // rank the final graph's edges for output (re-score: the graph
+    // itself stores only ids, the engine-neutral currency)
+    val fin = g
+      .join(e.select(col("vec_id").as("u"), col("embedding").as("ue"),
+        col("nrm").as("un")), Seq("u"))
+      .join(e.select(col("vec_id").as("v"), col("embedding").as("ve"),
+        col("nrm").as("vn")), Seq("v"))
+      .select(col("u"), col("v"),
+        cosineWithNorms(col("ue"), col("ve"), col("un"), col("vn")).as("cos"))
+    topKHeap(fin, "u", col("cos"), col("v"), "nbr_id", k)
+      .select(col("u").as("vec_id"), col("nbr_id"), col("rnk"))
+  }
 }

@@ -1069,6 +1069,58 @@ object SimilarityQueries {
         |      q.vec_id) AS rnk
         |  FROM p JOIN bb q ON p.cent_id = q.cent_id AND p.vec_id <> q.vec_id)
         |WHERE rnk <= 5""".stripMargin
+      }),
+
+    Q(
+      "qs25_nn_descent",
+      "NN-Descent k-NN graph construction (Similarity.nnDescentGraph, " +
+        "Dong et al. WWW'11): every vector's top-5 neighbors WITHOUT " +
+        "the O(n^2) all-pairs scan - each round scores only current + " +
+        "neighbor-of-neighbor + reverse-neighbor candidates (O(n*k^2) " +
+        "per round, pure equi-joins + the mergeable top-k heap) and " +
+        "keeps the best k. Deterministic: dense-id RING seed " +
+        "(u -> (u+j) mod n, recall ~ k/n by construction), candidates " +
+        "set-deduped, ranks (cos DESC, id). 2 rounds unrolled in the " +
+        "oracle, the Lloyd-round replay discipline.",
+      (s, dir) =>
+        Similarity.nnDescentGraph(
+          Tables.load(s, dir, "embeddings"), "vec_id", "embedding",
+          k = 5, rounds = 2),
+      Some {
+        def nnRound(r: Int, prev: String): String =
+          s"""c$r AS (
+            |  SELECT u, v FROM $prev
+            |  UNION
+            |  SELECT a.u AS u, b.v AS v
+            |  FROM $prev a JOIN $prev b ON a.v = b.u WHERE b.v <> a.u
+            |  UNION
+            |  SELECT v AS u, u AS v FROM $prev),
+            |s$r AS (
+            |  SELECT c.u, c.v,
+            |    row_number() OVER (PARTITION BY c.u ORDER BY
+            |      ${dkDot("eu.embedding", "ev.embedding")} / (eu.nrm * ev.nrm)
+            |        DESC, c.v) AS rn
+            |  FROM c$r c JOIN e eu ON eu.vec_id = c.u
+            |    JOIN e ev ON ev.vec_id = c.v),
+            |g$r AS MATERIALIZED (SELECT u, v FROM s$r WHERE rn <= 5)"""
+            .stripMargin
+        s"""WITH e AS MATERIALIZED (
+        |  SELECT vec_id, embedding, ${dkNorm("embedding")} AS nrm
+        |  FROM embeddings),
+        |nc AS (SELECT CAST(count(*) AS BIGINT) AS n FROM e),
+        |g0 AS MATERIALIZED (
+        |  SELECT e.vec_id AS u, (e.vec_id + t.j) % nc.n AS v
+        |  FROM e, nc, unnest(range(1, 6)) t(j)),
+        |${nnRound(1, "g0")},
+        |${nnRound(2, "g1")}
+        |SELECT u AS vec_id, v AS nbr_id, rn AS rnk FROM (
+        |  SELECT g.u, g.v,
+        |    row_number() OVER (PARTITION BY g.u ORDER BY
+        |      ${dkDot("eu.embedding", "ev.embedding")} / (eu.nrm * ev.nrm)
+        |        DESC, g.v) AS rn
+        |  FROM g2 g JOIN e eu ON eu.vec_id = g.u
+        |    JOIN e ev ON ev.vec_id = g.v)
+        |WHERE rn <= 5""".stripMargin
       })
   )
 }

@@ -2319,6 +2319,55 @@ object TextQueries {
         |      c.doc_id) AS rnk
         |  FROM q JOIN vnz c ON q.doc_id <> c.doc_id)
         |WHERE rnk <= 5""".stripMargin
-      })
-  )
+      }),
+
+    Q(
+      "qt32_importance_resample",
+      "DSIR data selection (Curation.importanceResample, Xie et al. " +
+        "2023 arXiv:2302.03169): hashed unigram+bigram bag counts " +
+        "(1024 buckets), add-one-smoothed log2-likelihood-ratio " +
+        "importance weights target-vs-raw, per-doc sparse score " +
+        "sum tf*lambda, top-100 raw docs by (score DESC, doc_id). " +
+        "Target = source 'src0'; lambda and each contribution " +
+        "DECIMAL(30,6)-quantized (qt30 libm discipline); selection " +
+        "via orderBy+limit, never a global window.",
+      (s, dir) =>
+        graft.operators.Curation.importanceResample(
+          Tables.load(s, dir, "documents"), "doc_id", "text",
+          col("source") === "src0", buckets = 1024, keep = 100),
+      Some(s"""WITH tokl AS MATERIALIZED (
+        |  SELECT doc_id, source = 'src0' AS is_target,
+        |    string_split(coalesce(text, ''), ' ') AS a
+        |  FROM documents),
+        |feats AS (
+        |  SELECT doc_id, is_target, unnest(a) AS f FROM tokl
+        |  UNION ALL
+        |  SELECT doc_id, is_target, a[t.i] || ' ' || a[t.i + 1] AS f
+        |  FROM tokl, unnest(range(1, len(a))) t(i)),
+        |fb AS MATERIALIZED (
+        |  SELECT doc_id, is_target,
+        |    ${dkHash60("f")} % 1024 AS bucket,
+        |    CAST(count(*) AS BIGINT) AS tf
+        |  FROM feats GROUP BY 1, 2, 3),
+        |ct AS (SELECT bucket, CAST(sum(tf) AS BIGINT) AS ct
+        |       FROM fb WHERE is_target GROUP BY 1),
+        |cr AS (SELECT bucket, CAST(sum(tf) AS BIGINT) AS cr
+        |       FROM fb WHERE NOT is_target GROUP BY 1),
+        |nt AS (SELECT CAST(sum(ct) AS DOUBLE) AS nt FROM ct),
+        |nr AS (SELECT CAST(sum(cr) AS DOUBLE) AS nr FROM cr),
+        |lam AS (
+        |  SELECT coalesce(ct.bucket, cr.bucket) AS bucket,
+        |    CAST(log2((CAST(coalesce(ct, 0) AS DOUBLE) + 1.0) / (nt + 1024.0)) -
+        |         log2((CAST(coalesce(cr, 0) AS DOUBLE) + 1.0) / (nr + 1024.0))
+        |      AS DECIMAL(30,6)) AS lam
+        |  FROM ct FULL OUTER JOIN cr ON ct.bucket = cr.bucket, nt, nr)
+        |SELECT doc_id,
+        |  round(CAST(sum(CAST(CAST(tf AS DOUBLE) * CAST(lam AS DOUBLE)
+        |    AS DECIMAL(30,6))) AS DOUBLE), 6) AS score
+        |FROM fb JOIN lam USING (bucket)
+        |WHERE NOT is_target
+        |GROUP BY 1
+        |ORDER BY score DESC, doc_id
+        |LIMIT 100""".stripMargin)
+  ))
 }

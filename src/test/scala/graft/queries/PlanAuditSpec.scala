@@ -73,6 +73,9 @@ class PlanAuditSpec extends SparkSuite {
       // one-row broadcast of the corpus token total crossed into the
       // per-(source, token) term projection — never a pair join
       "qt30_source_divergence",
+      // one-row broadcasts of the two corpus totals crossed into the
+      // KB-sized bucket table — never a pair join
+      "qt32_importance_resample",
       // qs01's broadcast query-batch × corpus linear scan for MMR
       // candidate generation; the greedy steps run over candidate-
       // bounded persisted frames (equi-joins + per-query windows)
