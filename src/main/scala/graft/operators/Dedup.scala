@@ -430,6 +430,19 @@ object Dedup {
       bandTable(sh, k, bands))
   }
 
+  /** Verified near-dup pairs of an ALREADY-INDEXED corpus — identical
+    * to [[lshNearDupPairs]] over the same documents, but derived from
+    * the stored/persisted index artifacts instead of re-running the
+    * corpus-scale shingle + minhash passes. The bootstrap idiom:
+    * build (or read) the index once, then take BOTH the pair graph
+    * and the ingest-probe target from it. The band table already
+    * fixes k/bands; only the verify threshold and bucket cap apply. */
+  def pairsFromIndex(
+      index: CorpusIndex,
+      threshold: Double = 0.5,
+      maxBucketSize: Int = DefaultMaxBucketSize): DataFrame =
+    pairsFromBandTable(index.shingles, index.bands, threshold, maxBucketSize)
+
   def writeCorpusIndex(index: CorpusIndex, dir: String): Unit = {
     index.hashes.write.mode("overwrite").parquet(s"$dir/hashes.parquet")
     index.shingles.write.mode("overwrite").parquet(s"$dir/shingles.parquet")

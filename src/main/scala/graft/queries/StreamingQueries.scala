@@ -259,26 +259,26 @@ object StreamingQueries {
       (s, dir) => {
         val docs = graft.core.Tables.load(s, dir, "documents")
         val corpus = docs.filter(pmod(col("doc_id"), lit(50)) =!= 0)
-        val pairsC = graft.operators.Dedup.lshNearDupPairs(
-          corpus, "doc_id", "text",
-          nShingle = 3, k = 16, bands = 4, threshold = 0.5)
-          .select(col("a_id"), col("b_id"))
-        val selfC = corpus.select(col("doc_id").as("a_id"),
-          col("doc_id").as("b_id"))
         // Bootstrap state is PERSISTED before the stream starts — the
         // production service reads these from storage between ingests
-        // (writeCorpusIndex/readCorpusIndex); recomputing the corpus
-        // shingle explode per probe consumer would triple the
-        // corpus-scale work inside one query.
-        val labels0 = graft.core.OpCache.persist(
-          graft.operators.Dedup.connectedComponents(
-            pairsC.unionByName(selfC), "a_id", "b_id"))
+        // (writeCorpusIndex/readCorpusIndex) — and built ONCE: the
+        // bootstrap pair graph derives from the same index the stream
+        // probes (pairsFromIndex), so the corpus-scale shingle +
+        // minhash passes run once, not once per consumer.
         val built = graft.operators.Dedup.buildCorpusIndex(
           corpus, "doc_id", "text")
         val index = graft.operators.Dedup.CorpusIndex(
           graft.core.OpCache.persist(built.hashes),
           graft.core.OpCache.persist(built.shingles),
           graft.core.OpCache.persist(built.bands))
+        val pairsC = graft.operators.Dedup.pairsFromIndex(index,
+            threshold = 0.5)
+          .select(col("a_id"), col("b_id"))
+        val selfC = corpus.select(col("doc_id").as("a_id"),
+          col("doc_id").as("b_id"))
+        val labels0 = graft.core.OpCache.persist(
+          graft.operators.Dedup.connectedComponents(
+            pairsC.unionByName(selfC), "a_id", "b_id"))
         val in = java.nio.file.Files.createTempDirectory("graft_cc_in")
         val src = java.nio.file.Paths.get(dir, "documents.parquet")
         java.nio.file.Files.copy(src, in.resolve("d1.parquet"))

@@ -2010,26 +2010,23 @@ object TextQueries {
         val docs = Tables.load(s, dir, "documents")
         val corpus = docs.filter(pmod(col("doc_id"), lit(50)) =!= 0)
         val batch = docs.filter(pmod(col("doc_id"), lit(50)) === 0)
-        // stored state: the corpus-only clustering + band index (what a
-        // production service reads from storage between ingests)
-        val pairsC = Dedup.lshNearDupPairs(corpus, "doc_id", "text",
-          nShingle = 3, k = 16, bands = 4, threshold = 0.5)
-          .select(col("a_id"), col("b_id"))
-        val selfC = corpus.select(col("doc_id").as("a_id"),
-          col("doc_id").as("b_id"))
         // Stored state is PERSISTED (the production service reads it
-        // from storage between ingests): the band probe and the
-        // shingle verify are separate consumers of the index, and
-        // unpersisted frames would re-run the corpus shingle explode
-        // per consumer.
-        val labels = graft.core.OpCache.persist(
-          Dedup.connectedComponents(
-            pairsC.unionByName(selfC), "a_id", "b_id"))
+        // from storage between ingests) and built ONCE: the bootstrap
+        // pair graph and the ingest-probe target both derive from the
+        // same index (pairsFromIndex), so the corpus-scale shingle +
+        // minhash passes run once, not once per consumer.
         val built = Dedup.buildCorpusIndex(corpus, "doc_id", "text")
         val idx = Dedup.CorpusIndex(
           graft.core.OpCache.persist(built.hashes),
           graft.core.OpCache.persist(built.shingles),
           graft.core.OpCache.persist(built.bands))
+        val pairsC = Dedup.pairsFromIndex(idx, threshold = 0.5)
+          .select(col("a_id"), col("b_id"))
+        val selfC = corpus.select(col("doc_id").as("a_id"),
+          col("doc_id").as("b_id"))
+        val labels = graft.core.OpCache.persist(
+          Dedup.connectedComponents(
+            pairsC.unionByName(selfC), "a_id", "b_id"))
         val newEdges = Dedup.batchNearDupPairs(idx, batch, "doc_id", "text",
           nShingle = 3, k = 16, bands = 4, threshold = 0.5)
         Dedup.incrementalComponents(labels, newEdges,
