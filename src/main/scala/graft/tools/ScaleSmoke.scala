@@ -497,6 +497,21 @@ object ScaleSmoke {
         graft.operators.Multimodal.curateMedia(
           graft.operators.Multimodal.asMedia(
             docs, "doc_id", "text", "text/plain"), maxDist = 10).count()
+      },
+      time("nn_descent") {
+        // the id remap keeps vec_ids dense (0..n·factor-1), so the ring
+        // seed contract holds at every factor; candidate volume is
+        // O(n·k²) per round — the slope should track n, never n²
+        Similarity.nnDescentGraph(emb, "vec_id", "embedding",
+          k = 5, rounds = 2).count()
+      },
+      time("importance_resample") {
+        // two corpus-linear hash aggregates + a KB-sized bucket
+        // broadcast; the duplicated corpus multiplies counts, not
+        // buckets, so the slope is the token explode alone
+        graft.operators.Curation.importanceResample(docs, "doc_id",
+          "text", $"source" === "src0", buckets = 1024, keep = 100)
+          .count()
       })
 
     val total = results.map(_._2).sum
