@@ -360,6 +360,17 @@ object TextAnalysis {
     * broadcasting the head of the distribution); scoring is one join
     * of doc-bigrams against the count tables; V is a 1-row broadcast.
     * Docs with < 2 tokens carry no bigrams and are excluded. */
+  /** (w1, w2) adjacent-pair structs from a token array — the zipped
+    * shifted-slice construction (Dedup.wordGrams' speedup applied to
+    * struct pairs): one arraycopy + one struct per element instead of
+    * two element_at lookups per position. Tail position (no
+    * successor) zips against null and is filtered. */
+  private def wordPairs(w: Column): Column =
+    filter(
+      zip_with(w, slice(w, lit(2), greatest(size(w) - 1, lit(0))),
+        (a, b) => struct(a.as("w1"), b.as("w2"))),
+      p => p.getField("w2").isNotNull)
+
   def ngramPerplexity(
       docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     import org.apache.spark.sql.types.DecimalType
@@ -367,10 +378,7 @@ object TextAnalysis {
       split(coalesce(col(textCol), lit("")), " ").as("w"))
     val big = graft.core.OpCache.persist(
       toks.filter(size(col("w")) >= 2)
-        .select(col("doc_id"), explode(expr(
-          "transform(sequence(1, size(w) - 1), " +
-            "i -> struct(element_at(w, i) AS w1, element_at(w, i + 1) AS w2))"))
-          .as("bg"))
+        .select(col("doc_id"), explode(wordPairs(col("w"))).as("bg"))
         .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2")))
     val bgc = big.groupBy(col("w1"), col("w2"))
       .agg(count(lit(1)).cast("long").as("c2"))
@@ -411,10 +419,7 @@ object TextAnalysis {
     val toks = docs.select(
       split(coalesce(col(textCol), lit("")), " ").as("w"))
     val big = toks.filter(size(col("w")) >= 2)
-      .select(explode(expr(
-        "transform(sequence(1, size(w) - 1), " +
-          "i -> struct(element_at(w, i) AS w1, element_at(w, i + 1) AS w2))"))
-        .as("bg"))
+      .select(explode(wordPairs(col("w"))).as("bg"))
       .select(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
     val bgc = graft.core.OpCache.persist(
       big.groupBy(col("w1"), col("w2"))
