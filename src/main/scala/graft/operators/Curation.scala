@@ -317,33 +317,37 @@ object Curation {
     * @param targetPred rows where this is true form the target
     *                   distribution; the rest are the raw pool
     * @return (doc_id, score) — the `keep` best raw-pool documents */
-  def importanceResample(
-      docs: DataFrame, idCol: String, textCol: String,
-      targetPred: org.apache.spark.sql.Column,
-      buckets: Int = 1024, keep: Int = 100): DataFrame = {
-    import org.apache.spark.sql.types.DecimalType
-    require(buckets >= 2, s"buckets must be >= 2, got $buckets")
-    require(keep >= 1, s"keep must be >= 1, got $keep")
+  /** Per-doc hashed unigram+bigram bucket counts — the DSIR feature
+    * extraction, shared by training ([[importanceResample]]) and
+    * standalone scoring ([[importanceScore]]). Bag semantics (counts,
+    * not sets), per the paper. */
+  private def docBuckets(
+      docs: DataFrame, idCol: String, textCol: String, buckets: Int,
+      flag: Option[org.apache.spark.sql.Column]): DataFrame = {
     val words = split(coalesce(col(textCol), lit("")), " ")
-    // unigrams + bigrams, with multiplicity (bag semantics, per paper);
-    // guard the bigram window: sequence(1, 0) would DESCEND, not empty
-    val feats = concat(words,
-      when(size(words) >= 2, Dedup.wordGrams(words, 2))
-        .otherwise(array().cast("array<string>")))
-    val fb = graft.core.OpCache.persist(
-      docs.select(col(idCol).as("doc_id"), targetPred.as("is_target"),
-          explode(feats).as("f"))
-        .select(col("doc_id"), col("is_target"),
-          pmod(Dedup.hash60(col("f")), lit(buckets.toLong)).as("bucket"))
-        .groupBy(col("doc_id"), col("is_target"), col("bucket"))
-        .agg(count(lit(1)).cast("long").as("tf")))
+    val feats = concat(words, Dedup.wordGrams(words, 2))
+    val flagSel = flag.map(_.as("is_target")).toSeq
+    val keyCols = col("doc_id") +: flag.map(_ => col("is_target")).toSeq
+    docs.select(col(idCol).as("doc_id") +: flagSel :+
+        explode(feats).as("f"): _*)
+      .select(keyCols :+
+        pmod(Dedup.hash60(col("f")), lit(buckets.toLong)).as("bucket"): _*)
+      .groupBy(keyCols :+ col("bucket"): _*)
+      .agg(count(lit(1)).cast("long").as("tf"))
+  }
+
+  /** The add-one-smoothed per-bucket log2-likelihood-ratio table
+    * (bucket, lam) from the flagged count frame — the trained DSIR
+    * model, ≤ `buckets` rows (KB-sized at any corpus size). */
+  private def lamTable(fb: DataFrame, buckets: Int): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
     val ct = fb.filter(col("is_target"))
       .groupBy(col("bucket")).agg(sum(col("tf")).cast("long").as("ct"))
     val cr = fb.filter(!col("is_target"))
       .groupBy(col("bucket")).agg(sum(col("tf")).cast("long").as("cr"))
     val nt = ct.groupBy().agg(sum(col("ct")).cast("double").as("nt"))
     val nr = cr.groupBy().agg(sum(col("cr")).cast("double").as("nr"))
-    val lam = ct.join(cr, Seq("bucket"), "full_outer")
+    ct.join(cr, Seq("bucket"), "full_outer")
       .crossJoin(broadcast(nt)).crossJoin(broadcast(nr))
       .select(col("bucket"),
         (log2((coalesce(col("ct"), lit(0L)).cast("double") + 1.0) /
@@ -351,13 +355,56 @@ object Curation {
           log2((coalesce(col("cr"), lit(0L)).cast("double") + 1.0) /
             (col("nr") + buckets.toDouble)))
           .cast(DecimalType(30, 6)).as("lam"))
-    fb.filter(!col("is_target"))
-      .join(broadcast(lam), Seq("bucket"))
+  }
+
+  /** (doc_id, score) from a (doc_id, bucket, tf) frame and a trained
+    * model — the one scoring expression both the batch cut and the
+    * streaming feed share, so their scores are bit-identical. */
+  private def scoreBuckets(db: DataFrame, model: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    db.join(broadcast(model), Seq("bucket"))
       .select(col("doc_id"),
         (col("tf").cast("double") * col("lam").cast("double"))
           .cast(DecimalType(30, 6)).as("c"))
       .groupBy(col("doc_id"))
       .agg(round(sum(col("c")).cast("double"), 6).as("score"))
+  }
+
+  /** Train the DSIR model: (bucket, lam) over the full doc pool with
+    * `targetPred` marking the target slice. Persist/broadcast it and
+    * score any doc set — including a stream's micro-batches — with
+    * [[importanceScore]]. */
+  def importanceModel(
+      docs: DataFrame, idCol: String, textCol: String,
+      targetPred: org.apache.spark.sql.Column,
+      buckets: Int = 1024): DataFrame = {
+    require(buckets >= 2, s"buckets must be >= 2, got $buckets")
+    lamTable(docBuckets(docs, idCol, textCol, buckets, Some(targetPred)),
+      buckets)
+  }
+
+  /** Score documents against a TRAINED model (bucket, lam) — pure
+    * feature extraction + one broadcast join + one hash agg; no model
+    * state is touched, so it serves batch reruns and streaming
+    * micro-batches identically. `buckets` must match the model's. */
+  def importanceScore(
+      docs: DataFrame, idCol: String, textCol: String,
+      model: DataFrame, buckets: Int = 1024): DataFrame =
+    scoreBuckets(docBuckets(docs, idCol, textCol, buckets, None), model)
+
+  def importanceResample(
+      docs: DataFrame, idCol: String, textCol: String,
+      targetPred: org.apache.spark.sql.Column,
+      buckets: Int = 1024, keep: Int = 100): DataFrame = {
+    require(buckets >= 2, s"buckets must be >= 2, got $buckets")
+    require(keep >= 1, s"keep must be >= 1, got $keep")
+    // one explode feeds BOTH the model and the raw-pool scoring
+    val fb = graft.core.OpCache.persist(
+      docBuckets(docs, idCol, textCol, buckets, Some(targetPred)))
+    scoreBuckets(
+      fb.filter(!col("is_target")).select(col("doc_id"), col("bucket"),
+        col("tf")),
+      lamTable(fb, buckets))
       .orderBy(col("score").desc, col("doc_id"))
       .limit(keep)
   }

@@ -667,6 +667,70 @@ object StreamingQueries {
         |WHERE l_orderkey IN (SELECT o_orderkey FROM ord))""".stripMargin)),
 
     Q(
+      "qst17_stream_dsir",
+      "Streaming DSIR scoring (EventStreams.dsirScoreFeed - qt32's " +
+        "scorer run LIVE): the (bucket, lam) model trains offline on " +
+        "the static pool (target = src0) and loads once; raw-pool " +
+        "documents arrive as a file stream DELIVERED TWICE, each " +
+        "micro-batch scored statelessly against the broadcast model " +
+        "and appended. Zero streaming state - a score depends only " +
+        "on the doc's text and the model, so re-delivery re-emits " +
+        "IDENTICAL (doc_id, score) rows and the consumer's distinct " +
+        "absorbs them. Oracle = the batch scorer over the same raw " +
+        "pool (no cut - the stream scores everything; selection is " +
+        "the consumer's ranked read).",
+      (s, dir) => {
+        s.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+        val docs = graft.core.Tables.load(s, dir, "documents")
+        val model = graft.core.OpCache.persist(
+          graft.operators.Curation.importanceModel(
+            docs, "doc_id", "text", col("source") === "src0"))
+        val schema = StructType.fromDDL(
+          "doc_id BIGINT, text STRING, lang STRING, source STRING, " +
+            "n_chars BIGINT")
+        def raw = s.readStream.schema(schema)
+          .parquet(s"$dir/documents.parque*")
+          .filter(col("source") =!= "src0")
+        val out = java.nio.file.Files
+          .createTempDirectory("graft_dsir").toString
+        EventStreams.dsirScoreFeed(raw.union(raw), model,
+          "doc_id", "text", out)
+        s.read.parquet(out).distinct()
+      },
+      Some(s"""WITH tokl AS MATERIALIZED (
+        |  SELECT doc_id, source = 'src0' AS is_target,
+        |    string_split(coalesce(text, ''), ' ') AS a
+        |  FROM documents),
+        |feats AS (
+        |  SELECT doc_id, is_target, unnest(a) AS f FROM tokl
+        |  UNION ALL
+        |  SELECT doc_id, is_target, a[t.i] || ' ' || a[t.i + 1] AS f
+        |  FROM tokl, unnest(range(1, len(a))) t(i)),
+        |fb AS MATERIALIZED (
+        |  SELECT doc_id, is_target,
+        |    ${TextQueries.dkHash60("f")} % 1024 AS bucket,
+        |    CAST(count(*) AS BIGINT) AS tf
+        |  FROM feats GROUP BY 1, 2, 3),
+        |ct AS (SELECT bucket, CAST(sum(tf) AS BIGINT) AS ct
+        |       FROM fb WHERE is_target GROUP BY 1),
+        |cr AS (SELECT bucket, CAST(sum(tf) AS BIGINT) AS cr
+        |       FROM fb WHERE NOT is_target GROUP BY 1),
+        |nt AS (SELECT CAST(sum(ct) AS DOUBLE) AS nt FROM ct),
+        |nr AS (SELECT CAST(sum(cr) AS DOUBLE) AS nr FROM cr),
+        |lam AS (
+        |  SELECT coalesce(ct.bucket, cr.bucket) AS bucket,
+        |    CAST(log2((CAST(coalesce(ct, 0) AS DOUBLE) + 1.0) / (nt + 1024.0)) -
+        |         log2((CAST(coalesce(cr, 0) AS DOUBLE) + 1.0) / (nr + 1024.0))
+        |      AS DECIMAL(30,6)) AS lam
+        |  FROM ct FULL OUTER JOIN cr ON ct.bucket = cr.bucket, nt, nr)
+        |SELECT doc_id,
+        |  round(CAST(sum(CAST(CAST(tf AS DOUBLE) * CAST(lam AS DOUBLE)
+        |    AS DECIMAL(30,6))) AS DOUBLE), 6) AS score
+        |FROM fb JOIN lam USING (bucket)
+        |WHERE NOT is_target
+        |GROUP BY 1""".stripMargin)),
+
+    Q(
       "qst09_stream_static_join",
       "Stream-static join: the event stream enriched against a " +
         "BROADCAST dimension (event_type → category) — stateless, " +

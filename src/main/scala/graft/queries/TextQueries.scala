@@ -12,7 +12,7 @@ import graft.operators.{Dedup, TextAnalysis}
 object TextQueries {
 
   // DuckDB rendition of Dedup.hash60
-  private def dkHash60(e: String): String =
+  private[queries] def dkHash60(e: String): String =
     s"CAST(concat('0x', substr(md5($e), 1, 15)) AS BIGINT)"
 
   /** DuckDB replay of Bpe.trainBpe (shared by qt27/qt28): the word-

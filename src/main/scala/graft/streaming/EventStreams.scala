@@ -203,6 +203,48 @@ object EventStreams {
     if (!q.awaitTermination(180000)) q.stop()
   }
 
+  /** Streaming DSIR scoring feed — the
+    * [[graft.operators.Curation.importanceScore]] scorer run as a
+    * live data-selection service: the (bucket, lam) model trains
+    * offline (qt32's batch pass) and LOADS once; each micro-batch of
+    * raw-pool documents is scored against it and appended to
+    * `outDir`. No streaming state at all — a doc's score depends only
+    * on its own text and the static model, so batch boundaries cannot
+    * change any row and at-least-once re-delivery re-emits IDENTICAL
+    * keyed (doc_id, score) rows — the consumer's distinct absorbs
+    * them (the [[erasureFeed]] idempotence argument). One subtlety
+    * the additive scorer adds over the erasure feed's join shape:
+    * duplicates INSIDE a micro-batch would double a doc's bucket
+    * counts (and so its score), so each batch dedups by id first —
+    * documents are immutable content, any copy is equivalent; the
+    * dedup is batch-local (no state), cross-batch copies fall to the
+    * keyed-output distinct. This is the production shape for "score
+    * the crawl as it lands": the model is a KB-sized broadcast,
+    * scoring is embarrassingly parallel, and re-training is an
+    * offline swap of the model table. */
+  def dsirScoreFeed(
+      docs: DataFrame,
+      model: DataFrame,
+      idCol: String,
+      textCol: String,
+      outDir: String,
+      buckets: Int = 1024,
+      queryName: String = "graft_dsir_feed"): Unit = {
+    val q = docs.writeStream
+      .queryName(queryName)
+      .outputMode(OutputMode.Append())
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        graft.operators.Curation.importanceScore(
+          batch.toDF().dropDuplicates(Seq(idCol)), idCol, textCol,
+          model, buckets)
+          .write.mode("append").parquet(outDir)
+        ()
+      }
+      .start()
+    if (!q.awaitTermination(180000)) q.stop()
+  }
+
   /** Streaming subject-erasure feed — [[graft.warehouse.Erasure]] run
     * as a live compliance pipeline: deletion REQUESTS arrive as a
     * stream of subject keys, and each micro-batch emits its cascade
