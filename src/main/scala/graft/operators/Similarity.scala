@@ -1286,4 +1286,42 @@ object Similarity {
     topKHeap(fin, "u", col("cos"), col("v"), "nbr_id", k)
       .select(col("u").as("vec_id"), col("nbr_id"), col("rnk"))
   }
+
+  /** Semantic clustering over the [[nnDescentGraph]] k-NN graph —
+    * SemDeDup without the IVF cell boundary: [[semanticDedup]]
+    * restricts duplicate pairs to vectors sharing a coarse cell
+    * (cross-cluster duplicates are out of scope by design there);
+    * here the pair candidates are the k-NN graph's edges, which
+    * follow the data wherever it is dense — no cell to straddle. The
+    * graph's directed top-k edges are re-scored, kept where cosine ≥
+    * `threshold`, symmetrized (undirected pair = the (min, max)
+    * orientation), unioned with self-edges so isolated vectors keep
+    * singleton labels, and closed with the same connected-components
+    * contract every dedup clustering here emits: (vec_id, component),
+    * component = min member id. Keep-one dedup is the
+    * component-representative read.
+    *
+    * Scale shape: everything after the graph build is edge-linear —
+    * ≤ n·k re-score joins, one threshold filter, the standard
+    * label-prop closure. The graph build itself is [[nnDescentGraph]]'s
+    * O(n·k²)-per-round candidate propagation — never all-pairs. */
+  def knnGraphClusters(
+      em: DataFrame, idCol: String, vecCol: String, threshold: Double,
+      k: Int = 5, rounds: Int = 2): DataFrame = {
+    val g = nnDescentGraph(em, idCol, vecCol, k, rounds)
+    val e = graft.core.OpCache.persist(withNorm(em, idCol, vecCol))
+    val strong = g.select(col("vec_id").as("u"), col("nbr_id").as("v"))
+      .join(e.select(col("vec_id").as("u"), col("embedding").as("ue"),
+        col("nrm").as("un")), Seq("u"))
+      .join(e.select(col("vec_id").as("v"), col("embedding").as("ve"),
+        col("nrm").as("vn")), Seq("v"))
+      .filter(cosineWithNorms(col("ue"), col("ve"), col("un"), col("vn"))
+        >= threshold)
+      .select(least(col("u"), col("v")).as("a_id"),
+        greatest(col("u"), col("v")).as("b_id"))
+      .distinct()
+    val self = e.select(col("vec_id").as("a_id"), col("vec_id").as("b_id"))
+    Dedup.connectedComponents(strong.unionByName(self), "a_id", "b_id")
+      .select(col("node").as("vec_id"), col("component"))
+  }
 }

@@ -1086,33 +1086,7 @@ object SimilarityQueries {
         Similarity.nnDescentGraph(
           Tables.load(s, dir, "embeddings"), "vec_id", "embedding",
           k = 5, rounds = 2),
-      Some {
-        def nnRound(r: Int, prev: String): String =
-          s"""c$r AS (
-            |  SELECT u, v FROM $prev
-            |  UNION
-            |  SELECT a.u AS u, b.v AS v
-            |  FROM $prev a JOIN $prev b ON a.v = b.u WHERE b.v <> a.u
-            |  UNION
-            |  SELECT v AS u, u AS v FROM $prev),
-            |s$r AS (
-            |  SELECT c.u, c.v,
-            |    row_number() OVER (PARTITION BY c.u ORDER BY
-            |      ${dkDot("eu.embedding", "ev.embedding")} / (eu.nrm * ev.nrm)
-            |        DESC, c.v) AS rn
-            |  FROM c$r c JOIN e eu ON eu.vec_id = c.u
-            |    JOIN e ev ON ev.vec_id = c.v),
-            |g$r AS MATERIALIZED (SELECT u, v FROM s$r WHERE rn <= 5)"""
-            .stripMargin
-        s"""WITH e AS MATERIALIZED (
-        |  SELECT vec_id, embedding, ${dkNorm("embedding")} AS nrm
-        |  FROM embeddings),
-        |nc AS (SELECT CAST(count(*) AS BIGINT) AS n FROM e),
-        |g0 AS MATERIALIZED (
-        |  SELECT e.vec_id AS u, (e.vec_id + t.j) % nc.n AS v
-        |  FROM e, nc, unnest(range(1, 6)) t(j)),
-        |${nnRound(1, "g0")},
-        |${nnRound(2, "g1")}
+      Some(s"""WITH $nnDescentCtes
         |SELECT u AS vec_id, v AS nbr_id, rn AS rnk FROM (
         |  SELECT g.u, g.v,
         |    row_number() OVER (PARTITION BY g.u ORDER BY
@@ -1120,7 +1094,73 @@ object SimilarityQueries {
         |        DESC, g.v) AS rn
         |  FROM g2 g JOIN e eu ON eu.vec_id = g.u
         |    JOIN e ev ON ev.vec_id = g.v)
-        |WHERE rn <= 5""".stripMargin
-      })
+        |WHERE rn <= 5""".stripMargin)),
+
+    Q(
+      "qs26_knn_graph_clusters",
+      "Semantic clustering over the NN-Descent k-NN graph " +
+        "(Similarity.knnGraphClusters) - SemDeDup WITHOUT the IVF " +
+        "cell boundary: qs17 restricts duplicate pairs to vectors " +
+        "sharing a coarse cell (cross-cluster dups out of scope by " +
+        "design); here candidates are the k-NN graph's edges, which " +
+        "follow the data's density with no cell to straddle. Graph " +
+        "edges re-score, keep cosine >= 0.4, symmetrize (min, max), " +
+        "union self-edges, close with connected components - the " +
+        "(vec_id, component=min-id) contract every dedup clustering " +
+        "emits. Everything after the O(n*k^2) graph build is " +
+        "edge-linear.",
+      (s, dir) =>
+        Similarity.knnGraphClusters(
+          Tables.load(s, dir, "embeddings"), "vec_id", "embedding",
+          threshold = 0.4, k = 5, rounds = 2),
+      Some(s"""WITH RECURSIVE $nnDescentCtes,
+        |strong AS (
+        |  SELECT least(g.u, g.v) AS a, greatest(g.u, g.v) AS b
+        |  FROM g2 g JOIN e eu ON eu.vec_id = g.u
+        |    JOIN e ev ON ev.vec_id = g.v
+        |  WHERE ${dkDot("eu.embedding", "ev.embedding")} /
+        |    (eu.nrm * ev.nrm) >= 0.4
+        |  GROUP BY 1, 2),
+        |sym(s, t) AS (
+        |  SELECT a, b FROM strong UNION SELECT b, a FROM strong
+        |  UNION SELECT vec_id, vec_id FROM e),
+        |r(s, t) AS (
+        |  SELECT s, t FROM sym
+        |  UNION
+        |  SELECT r.s, sym.t FROM r JOIN sym ON r.t = sym.s)
+        |SELECT s AS vec_id, min(t) AS component FROM r GROUP BY s"""
+        .stripMargin))
   )
+
+  /** Shared NN-Descent CTE chain (e, nc, ring seed g0, two unrolled
+    * candidate-propagation rounds ending at g2) — qs25 reads the
+    * ranked graph off it, qs26 closes it into components. */
+  private def nnDescentCtes: String = {
+    def nnRound(r: Int, prev: String): String =
+      s"""c$r AS (
+        |  SELECT u, v FROM $prev
+        |  UNION
+        |  SELECT a.u AS u, b.v AS v
+        |  FROM $prev a JOIN $prev b ON a.v = b.u WHERE b.v <> a.u
+        |  UNION
+        |  SELECT v AS u, u AS v FROM $prev),
+        |s$r AS (
+        |  SELECT c.u, c.v,
+        |    row_number() OVER (PARTITION BY c.u ORDER BY
+        |      ${dkDot("eu.embedding", "ev.embedding")} / (eu.nrm * ev.nrm)
+        |        DESC, c.v) AS rn
+        |  FROM c$r c JOIN e eu ON eu.vec_id = c.u
+        |    JOIN e ev ON ev.vec_id = c.v),
+        |g$r AS MATERIALIZED (SELECT u, v FROM s$r WHERE rn <= 5)"""
+        .stripMargin
+    s"""e AS MATERIALIZED (
+      |  SELECT vec_id, embedding, ${dkNorm("embedding")} AS nrm
+      |  FROM embeddings),
+      |nc AS (SELECT CAST(count(*) AS BIGINT) AS n FROM e),
+      |g0 AS MATERIALIZED (
+      |  SELECT e.vec_id AS u, (e.vec_id + t.j) % nc.n AS v
+      |  FROM e, nc, unnest(range(1, 6)) t(j)),
+      |${nnRound(1, "g0")},
+      |${nnRound(2, "g1")}""".stripMargin
+  }
 }

@@ -72,6 +72,28 @@ class NnDescentSpec extends SparkSuite {
     assert(a == b)
   }
 
+  test("knnGraphClusters recovers the planted clusters, singletons kept") {
+    // thresholded at a level only same-cluster pairs reach; 4 rounds so
+    // the graph itself has converged (recall 1.0 per the test above)
+    val labels = Similarity.knnGraphClusters(vecs.toDF("vec_id", "embedding"),
+        "vec_id", "embedding", threshold = 0.75, k = 5, rounds = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels.keySet == (0L until n.toLong).toSet) // covering
+    // same planted cluster -> same component; the component label is
+    // the min member id (= the cluster index, since clusters are id % 5)
+    (0L until n.toLong).foreach { id =>
+      assert(labels(id) == id % 5,
+        s"node $id labeled ${labels(id)}, want ${id % 5}")
+    }
+  }
+
+  test("knnGraphClusters with an unreachable threshold yields singletons") {
+    val labels = Similarity.knnGraphClusters(vecs.toDF("vec_id", "embedding"),
+        "vec_id", "embedding", threshold = 1.1, k = 3, rounds = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels.forall { case (id, c) => id == c })
+  }
+
   test("non-dense ids are rejected loudly") {
     val sparse = Seq((0L, Array(1f, 0f)), (2L, Array(0f, 1f)))
       .toDF("vec_id", "embedding")
