@@ -445,6 +445,51 @@ object Dedup {
       bandTable(sh, k, bands))
   }
 
+  /** Cross-corpus fuzzy record LINKAGE — verified near-dup pairs
+    * (left_id, right_id) between two DIFFERENT tables, the entity-
+    * resolution join every data platform needs ("which of our docs
+    * match theirs", crawl-vs-archive reconciliation, vendor-feed
+    * matching). MinHash band signatures depend only on a row's own
+    * text (the [[bandTable]] independence property), so each side
+    * builds its band table separately and candidates come from ONE
+    * equi-join on (band, bkey) — the probe-asymmetric shape of
+    * [[batchNearDupPairs]] generalized to two arbitrary corpora,
+    * never a cross join. Both sides bucket-cap before probing (the
+    * mega-bucket guard, applied per side); candidates verify by
+    * shingle jaccard ≥ `threshold`.
+    *
+    * Output orientation is (a_id from `left`, b_id from `right`),
+    * id-overlap between the tables is allowed (ids are namespaced by
+    * side, a (x, x) self-text pair is a legitimate link), and a row
+    * pairing with several right-side rows emits several links — the
+    * keep-best read is one window away and deliberately NOT baked in.
+    *
+    * Result equals "LSH near-dup pairs over the two-sided union,
+    * restricted to cross pairs" (bucket membership is per-row), which
+    * is what the oracle replays. */
+  def linkCorpora(
+      left: DataFrame, right: DataFrame,
+      idCol: String, textCol: String,
+      nShingle: Int = 3, k: Int = 16, bands: Int = 4,
+      threshold: Double = 0.5,
+      maxBucketSize: Int = DefaultMaxBucketSize): DataFrame = {
+    val shA = shingleTable(left, idCol, textCol, nShingle)
+    val shB = shingleTable(right, idCol, textCol, nShingle)
+    val cand = capBuckets(bandTable(shA, k, bands), col("band"), col("bkey"),
+        maxBucketSize).as("a")
+      .join(capBuckets(bandTable(shB, k, bands), col("band"), col("bkey"),
+        maxBucketSize).as("b"),
+        col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey"))
+      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+      .distinct()
+    cand
+      .join(shA.as("sa"), col("a_id") === col("sa.doc_id"))
+      .join(shB.as("sb"), col("b_id") === col("sb.doc_id"))
+      .select(col("a_id"), col("b_id"),
+        jaccard(col("sa.shingles"), col("sb.shingles")).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
   /** Verified near-dup pairs of an ALREADY-INDEXED corpus — identical
     * to [[lshNearDupPairs]] over the same documents, but derived from
     * the stored/persisted index artifacts instead of re-running the

@@ -2215,6 +2215,33 @@ object TextQueries {
         |FROM p""".stripMargin)),
 
     Q(
+      "qd31_record_linkage",
+      "Cross-corpus fuzzy record linkage (Dedup.linkCorpora) - the " +
+        "entity-resolution JOIN between two different tables (here " +
+        "the even-id and odd-id halves of documents, standing in for " +
+        "crawl-vs-archive): each side builds its own band table (a " +
+        "signature depends only on the row's text), candidates come " +
+        "from ONE equi-join on (band, bkey) with per-side bucket " +
+        "caps, verified by shingle jaccard >= 0.5. Output oriented " +
+        "(left_id, right_id); equals union-LSH pairs restricted to " +
+        "cross pairs, which the oracle replays.",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        Dedup.linkCorpora(
+          docs.filter(pmod(col("doc_id"), lit(2)) === 0),
+          docs.filter(pmod(col("doc_id"), lit(2)) === 1),
+          "doc_id", "text", threshold = 0.5)
+      },
+      Some(s"""WITH ${lshCtes()},
+        |pairs AS ($lshPairSelect)
+        |SELECT
+        |  CASE WHEN a_id % 2 = 0 THEN a_id ELSE b_id END AS a_id,
+        |  CASE WHEN a_id % 2 = 0 THEN b_id ELSE a_id END AS b_id,
+        |  jaccard
+        |FROM pairs
+        |WHERE (a_id % 2) <> (b_id % 2)""".stripMargin)),
+
+    Q(
       "qt30_source_divergence",
       "Per-source distribution drift (TextAnalysis.sourceDivergence): " +
         "Jensen-Shannon divergence in bits between each source's " +

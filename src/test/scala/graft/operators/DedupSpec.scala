@@ -535,4 +535,33 @@ class DedupSpec extends SparkSuite {
     assert(rowsOf(inc) == rowsOf(full.select($"node", $"component")))
     graft.core.OpCache.releaseAll(blocking = true)
   }
+
+  test("linkCorpora links near-identical rows across tables, oriented left-right") {
+    val base = "the quick brown fox jumps over the lazy dog again and again"
+    val left = Seq(
+      (1L, base),
+      (2L, "completely unrelated left content about maritime law and tariffs"),
+      (3L, base + " tail")).toDF("doc_id", "text")
+    val right = Seq(
+      (10L, base), // exact text of left 1 / near-dup of left 3
+      (11L, "different right content on astronomy orbital mechanics and tides"))
+      .toDF("doc_id", "text")
+    val links = Dedup.linkCorpora(left, right, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(links.contains((1L, 10L)))
+    assert(links.contains((3L, 10L))) // near-dup crosses too
+    assert(links.forall { case (a, b) => Set(1L, 2L, 3L)(a) && Set(10L, 11L)(b) })
+    assert(!links.exists(_._1 == 2L) && !links.exists(_._2 == 11L))
+    graft.core.OpCache.releaseAll(blocking = true)
+  }
+
+  test("linkCorpora tolerates id overlap between sides (ids are side-namespaced)") {
+    val txt = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val left = Seq((7L, txt)).toDF("doc_id", "text")
+    val right = Seq((7L, txt)).toDF("doc_id", "text")
+    val links = Dedup.linkCorpora(left, right, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(links.toSeq == Seq((7L, 7L)))
+    graft.core.OpCache.releaseAll(blocking = true)
+  }
 }
