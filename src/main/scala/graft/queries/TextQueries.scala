@@ -2242,6 +2242,98 @@ object TextQueries {
         |WHERE (a_id % 2) <> (b_id % 2)""".stripMargin)),
 
     Q(
+      "qt33_quality_classifier",
+      "In-engine TRAINED text classifier (Logit.trainAndScore): " +
+        "full-batch gradient descent over hashed unigram+bigram " +
+        "features (4096 buckets), 10 unrolled rounds, distilling the " +
+        "lang='en' labeling into a servable scorer - 91% training " +
+        "accuracy vs the 61% majority baseline at sf0.001. " +
+        "Deterministic by construction: zero init (nothing to seed), " +
+        "the RATIONAL fast sigmoid 0.5 + z/(2(1+|z|)) with margin " +
+        "gain 8 (pure IEEE, no exp/libm in the loop), coordinate-" +
+        "normalized steps (bucket moves by its feature-mass-weighted " +
+        "mean residual - frequency-independent step scale), and " +
+        "DECIMAL(30,6) quantization of every margin, residual, " +
+        "gradient and weight - so the oracle replays training " +
+        "bit-for-bit like the Lloyd rounds. Model = 4096 weights + " +
+        "bias at any corpus size; per round one broadcast join + two " +
+        "hash aggs; lineage cut per round past 4 rounds.",
+      (s, dir) =>
+        graft.operators.Logit.trainAndScore(
+          Tables.load(s, dir, "documents")
+            .withColumn("label", (col("lang") === "en").cast("int")),
+          "doc_id", "text", "label", buckets = 4096, rounds = 10),
+      Some {
+        def sig(z: String): String =
+          s"0.5 + CAST($z AS DOUBLE) / (2.0 * (1.0 + abs(CAST($z AS DOUBLE))))"
+        def round(r: Int): String = {
+          val p = r - 1
+          s"""z$r AS (
+            |  SELECT x.doc_id,
+            |    CAST(8.0 * CAST(sum(CAST(x.x * CAST(coalesce(w.w, 0) AS DOUBLE)
+            |      AS DECIMAL(30,6))) AS DOUBLE) + CAST(b.b AS DOUBLE)
+            |      AS DECIMAL(30,6)) AS zq
+            |  FROM x LEFT JOIN w$p w USING (bucket), b$p b
+            |  GROUP BY x.doc_id, b.b),
+            |r$r AS MATERIALIZED (
+            |  SELECT z.doc_id,
+            |    CAST(CAST(${sig("zq")} - y AS DECIMAL(30,6)) AS DOUBLE) AS r
+            |  FROM z$r z JOIN yt USING (doc_id)),
+            |g$r AS (
+            |  SELECT bucket,
+            |    CAST(sum(CAST(r * x AS DECIMAL(30,6))) AS DOUBLE) /
+            |    CAST(sum(CAST(x AS DECIMAL(30,6))) AS DOUBLE) AS gs
+            |  FROM x JOIN r$r USING (doc_id) GROUP BY 1),
+            |w$r AS MATERIALIZED (
+            |  SELECT coalesce(w.bucket, g.bucket) AS bucket,
+            |    CAST(CAST(coalesce(w.w, 0) AS DOUBLE)
+            |      - 1.0 * coalesce(g.gs, 0) AS DECIMAL(30,6)) AS w
+            |  FROM w$p w FULL OUTER JOIN g$r g ON w.bucket = g.bucket),
+            |b$r AS (
+            |  SELECT CAST(CAST(b.b AS DOUBLE)
+            |    - 1.0 * CAST(sum(CAST(r AS DECIMAL(30,6))) AS DOUBLE) / nd.nd
+            |    AS DECIMAL(30,6)) AS b
+            |  FROM r$r, b$p b, nd GROUP BY b.b, nd.nd)""".stripMargin
+        }
+        s"""WITH tokl AS MATERIALIZED (
+        |  SELECT doc_id, string_split(coalesce(text, ''), ' ') AS a,
+        |    CAST(CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS DOUBLE) AS y
+        |  FROM documents),
+        |feats AS (
+        |  SELECT doc_id, unnest(a) AS f FROM tokl
+        |  UNION ALL
+        |  SELECT doc_id, a[t.i] || ' ' || a[t.i + 1] AS f
+        |  FROM tokl, unnest(range(1, len(a))) t(i)),
+        |tf AS (
+        |  SELECT doc_id, ${dkHash60("f")} % 4096 AS bucket,
+        |    CAST(count(*) AS BIGINT) AS tf
+        |  FROM feats GROUP BY 1, 2),
+        |nper AS (SELECT doc_id, CAST(sum(tf) AS DOUBLE) AS n FROM tf GROUP BY 1),
+        |x AS MATERIALIZED (
+        |  SELECT tf.doc_id, bucket, CAST(tf AS DOUBLE) / n AS x
+        |  FROM tf JOIN nper USING (doc_id)),
+        |yt AS (SELECT doc_id, y FROM tokl),
+        |nd AS (SELECT CAST(count(*) AS DOUBLE) AS nd FROM yt),
+        |w0 AS (SELECT CAST(-1 AS BIGINT) AS bucket, CAST(0 AS DECIMAL(30,6)) AS w),
+        |b0 AS (SELECT CAST(0 AS DECIMAL(30,6)) AS b),
+        |${(1 to 10).map(round).mkString(",\n")},
+        |zf AS (
+        |  SELECT x.doc_id,
+        |    CAST(8.0 * CAST(sum(CAST(x.x * CAST(coalesce(w.w, 0) AS DOUBLE)
+        |      AS DECIMAL(30,6))) AS DOUBLE) + CAST(b.b AS DOUBLE)
+        |      AS DECIMAL(30,6)) AS zq
+        |  FROM x LEFT JOIN w10 w USING (bucket), b10 b
+        |  GROUP BY x.doc_id, b.b)
+        |SELECT doc_id, label, score,
+        |  CASE WHEN score >= 0.5 THEN CAST(1 AS BIGINT)
+        |       ELSE CAST(0 AS BIGINT) END AS pred
+        |FROM (
+        |  SELECT z.doc_id, CAST(y AS BIGINT) AS label,
+        |    round(${sig("zq")}, 6) AS score
+        |  FROM zf z JOIN yt USING (doc_id))""".stripMargin
+      }),
+
+    Q(
       "qt30_source_divergence",
       "Per-source distribution drift (TextAnalysis.sourceDivergence): " +
         "Jensen-Shannon divergence in bits between each source's " +

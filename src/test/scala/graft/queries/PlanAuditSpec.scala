@@ -76,6 +76,9 @@ class PlanAuditSpec extends SparkSuite {
       // one-row broadcasts of the two corpus totals crossed into the
       // KB-sized bucket table — never a pair join
       "qt32_importance_resample",
+      // per-round one-row bias/doc-count broadcasts crossed into the
+      // per-doc margin aggregate — never a pair join
+      "qt33_quality_classifier",
       // qs01's broadcast query-batch × corpus linear scan for MMR
       // candidate generation; the greedy steps run over candidate-
       // bounded persisted frames (equi-joins + per-query windows)
