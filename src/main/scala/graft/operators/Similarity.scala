@@ -1243,7 +1243,13 @@ object Similarity {
       s"ids must be dense 0..n-1 (got [${stats.getLong(0)}, " +
         s"${stats.getLong(1)}] over $n rows) — the ring init needs them")
     require(stats.getDouble(3) > 0, "zero-norm vector: cosine undefined")
-    val cutLineage = rounds > 4
+    // Cut lineage early: each un-cut round NESTS the previous round's
+    // full join tree inside the next plan, so the logical plan (and its
+    // explain/UI rendering, which Spark materializes as a string) grows
+    // exponentially with rounds — at rounds=4 the render alone can OOM
+    // an 8g driver. Two rounds of nesting is the safe ceiling; beyond
+    // that each round restarts the plan from the persisted RDD.
+    val cutLineage = rounds > 2
     // ring seed: u -> (u+j) mod n, j = 1..k (self-free when k < n)
     var g: DataFrame = graft.core.OpCache.persist(
       e.select(col("vec_id").as("u"),
