@@ -62,6 +62,47 @@ object Logit {
   private def fastSigmoid(z: Column): Column =
     lit(0.5) + z / (lit(2.0) * (lit(1.0) + abs(z)))
 
+  /** A trained model: `weights` = (bucket, w DECIMAL(30,6)) — B+1 rows
+    * at most (the -1 sentinel included), `bias` = one (b) row. Both are
+    * KB-sized broadcast tables; persist/round-trip them like any stored
+    * index here (they are plain DataFrames). */
+  final case class LogitModel(weights: DataFrame, bias: DataFrame)
+
+  /** Score `docs` with a trained model — the SERVE half, stateless and
+    * embarrassingly parallel (one broadcast join + one per-doc agg), so
+    * it runs unchanged inside a streaming micro-batch
+    * ([[graft.streaming.EventStreams.logitScoreFeed]]).
+    *
+    * @return (doc_id, score, pred) — score = σ̂(gain·⟨w,x⟩+b) rounded
+    *         to 6, pred = 1 iff score ≥ 0.5. `buckets`/`gain` must
+    *         match training. */
+  def score(
+      docs: DataFrame, idCol: String, textCol: String, model: LogitModel,
+      buckets: Int = 256, gain: Double = 8.0): DataFrame = {
+    val x = features(docs, idCol, textCol, buckets)
+    margin(x, model.weights, model.bias, gain)
+      .select(col("doc_id"), round(fastSigmoid(col("z")), 6).as("score"))
+      .withColumn("pred", when(col("score") >= 0.5, 1L).otherwise(0L))
+  }
+
+  private def margin(
+      x: DataFrame, wCur: DataFrame, bCur: DataFrame,
+      gain: Double): DataFrame =
+    x.join(broadcast(wCur), Seq("bucket"), "left")
+      .select(col("doc_id"),
+        (col("x") * coalesce(col("w").cast("double"), lit(0.0)))
+          .cast(DecimalType(30, 6)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).cast("double").as("zx"))
+      .crossJoin(broadcast(bCur))
+      .select(col("doc_id"),
+        // gain sharpens the shallow rational sigmoid (slope ½ at 0):
+        // L1-normalized features compress z toward 0, so an explicit
+        // margin temperature is what lets full-batch rounds reach
+        // decisive scores instead of hugging the prior
+        (lit(gain) * col("zx") + col("b").cast("double"))
+          .cast(DecimalType(30, 6)).cast("double").as("z"))
+
   /** Train `rounds` full-batch GD rounds and SCORE the corpus with
     * the final model. `labelCol` must be 0/1 (LONG/INT/BOOLEAN all
     * cast). Learning rate is the exact double `lr`.
@@ -72,6 +113,22 @@ object Logit {
       docs: DataFrame, idCol: String, textCol: String, labelCol: String,
       buckets: Int = 256, rounds: Int = 3, lr: Double = 1.0,
       gain: Double = 8.0): DataFrame = {
+    val m = train(docs, idCol, textCol, labelCol, buckets, rounds, lr, gain)
+    val y = docs.select(col(idCol).as("doc_id"),
+      col(labelCol).cast("int").cast("double").as("y"))
+    score(docs, idCol, textCol, m, buckets, gain)
+      .join(y, Seq("doc_id"))
+      .select(col("doc_id"), col("y").cast("long").as("label"),
+        col("score"), col("pred"))
+  }
+
+  /** The TRAIN half: `rounds` full-batch GD rounds, returning the
+    * (weights, bias) model for [[score]] to serve — batch or
+    * streaming. Same determinism contract as [[trainAndScore]]. */
+  def train(
+      docs: DataFrame, idCol: String, textCol: String, labelCol: String,
+      buckets: Int = 256, rounds: Int = 3, lr: Double = 1.0,
+      gain: Double = 8.0): LogitModel = {
     require(buckets >= 2, s"buckets must be >= 2, got $buckets")
     require(rounds >= 1, s"rounds >= 1, got $rounds")
     require(gain > 0, s"gain must be > 0, got $gain")
@@ -89,23 +146,8 @@ object Logit {
         lit(0.0).cast(DecimalType(30, 6)).as("w"))
     var bias: DataFrame = docs.sparkSession.range(1)
       .select(lit(0.0).cast(DecimalType(30, 6)).as("b"))
-    def margins(wCur: DataFrame, bCur: DataFrame): DataFrame =
-      x.join(broadcast(wCur), Seq("bucket"), "left")
-        .select(col("doc_id"),
-          (col("x") * coalesce(col("w").cast("double"), lit(0.0)))
-            .cast(DecimalType(30, 6)).as("c"))
-        .groupBy(col("doc_id"))
-        .agg(sum(col("c")).cast("double").as("zx"))
-        .crossJoin(broadcast(bCur))
-        .select(col("doc_id"),
-          // gain sharpens the shallow rational sigmoid (slope ½ at 0):
-          // L1-normalized features compress z toward 0, so an explicit
-          // margin temperature is what lets full-batch rounds reach
-          // decisive scores instead of hugging the prior
-          (lit(gain) * col("zx") + col("b").cast("double"))
-            .cast(DecimalType(30, 6)).cast("double").as("z"))
     (1 to rounds).foreach { _ =>
-      val res = margins(w, bias)
+      val res = margin(x, w, bias, gain)
         .join(y, Seq("doc_id"))
         .select(col("doc_id"),
           (fastSigmoid(col("z")) - col("y"))
@@ -152,11 +194,6 @@ object Logit {
         bias = graft.core.OpCache.persist(bNext)
       }
     }
-    margins(w, bias)
-      .join(y, Seq("doc_id"))
-      .select(col("doc_id"), col("y").cast("long").as("label"),
-        round(fastSigmoid(col("z")), 6).as("score"))
-      .withColumn("pred",
-        when(col("score") >= 0.5, 1L).otherwise(0L))
+    LogitModel(w, bias)
   }
 }

@@ -102,6 +102,71 @@ object Overlap {
           col("tgt_types").cast("double")).as("type_coverage"))
   }
 
+  /** Duplicated-span REMOVAL — the rewrite companion of
+    * [[duplicatedSpanStats]] (which only measures): every word position
+    * covered by at least one corpus-duplicated n-gram occurrence is cut
+    * from the document, and the surviving words are re-joined in order —
+    * the exact-substring-dedup shape (Lee et al. 2022, "Deduplicating
+    * Training Data Makes Language Models Better") at word granularity.
+    * A document sharing a long passage with any other keeps only its
+    * unique text; documents shorter than n words pass through intact;
+    * a fully-duplicated document collapses to the empty string (its
+    * row is kept so the output stays a complete per-document audit).
+    *
+    * "Duplicated" = the gram occurs >= 2 times corpus-wide counting
+    * multiplicity, own repeats included — the same definition
+    * [[duplicatedSpanStats]] thresholds on, so the two operators agree
+    * by construction (rewrite removes exactly the mass qd09 measures).
+    *
+    * Scale shape: positions ride the same explode the stats take —
+    * (doc_id, pos, 8-byte gram hash) rows; one Zipfian-keyed hash agg
+    * finds duplicated grams (map-side combine absorbs hot spans before
+    * the shuffle), a left-semi join back keeps only duplicated
+    * occurrences, a bounded explode (n rows per duplicated gram) lands
+    * covered positions, and the rebuild is a (doc_id, pos) anti-join +
+    * one per-doc aggregation whose array_sort runs over a
+    * document-sized array, never a corpus-sized one. All shuffles are
+    * on narrow keys (8-byte hash / (id, int) pairs); nothing is
+    * all-pairs and no text string wider than one document ever moves.
+    */
+  def spanDedupRewrite(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 5): DataFrame = {
+    require(n >= 2, s"n must be >= 2, got $n")
+    val w = split(col(textCol), " ")
+    val base = docs.select(col(idCol).as("doc_id"), w.as("w"))
+    val grams = base.filter(size(col("w")) >= n)
+      .select(col("doc_id"),
+        posexplode(transform(wordGrams(col("w"), n), g => Dedup.hash60(g))))
+      .toDF("doc_id", "i", "gh")
+    val dup = grams.groupBy(col("gh"))
+      .agg(count(lit(1)).as("c_corpus"))
+      .filter(col("c_corpus") >= 2)
+      .select(col("gh"))
+    val covered = grams.join(dup, Seq("gh"), "left_semi")
+      .select(col("doc_id"),
+        explode(sequence(col("i"), col("i") + lit(n - 1))).as("p"))
+      .distinct()
+    val words = base
+      .select(col("doc_id"), posexplode(col("w")))
+      .toDF("doc_id", "p", "word")
+    val kept = words.join(covered, Seq("doc_id", "p"), "left_anti")
+      .groupBy(col("doc_id"))
+      .agg(
+        array_join(
+          transform(array_sort(collect_list(struct(col("p"), col("word")))),
+            x => x.getField("word")), " ").as("text"),
+        count(lit(1)).cast("long").as("n_kept"))
+    base.select(col("doc_id"), size(col("w")).cast("long").as("n_words"))
+      .join(kept, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"),
+        coalesce(col("text"), lit("")).as("text"),
+        col("n_words"),
+        (col("n_words") - coalesce(col("n_kept"), lit(0L))).as("n_removed"))
+  }
+
   /** Per-document duplicated-span statistics: how many of a document's
     * word n-gram occurrences belong to spans seen >= 2 times across the
     * whole corpus (counting multiplicity, own repeats included) — the

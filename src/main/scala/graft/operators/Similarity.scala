@@ -1330,4 +1330,92 @@ object Similarity {
     Dedup.connectedComponents(strong.unionByName(self), "a_id", "b_id")
       .select(col("node").as("vec_id"), col("component"))
   }
+
+  /** Graph-navigating ANN search over the [[nnDescentGraph]] k-NN
+    * graph — the HNSW-family serve shape (Malkov & Yashunin's greedy
+    * graph walk) re-expressed as a FIXED number of bulk-synchronous
+    * hops, which is how a navigating search distributes: instead of
+    * one query walking one edge at a time (pointer-chasing a remote
+    * graph — latency-bound, unshardable), EVERY query advances one hop
+    * per superstep through two equi-joins.
+    *
+    * Per hop: frontier (query, node) expands by the graph's out-edges
+    * (one equi-join on node id), the expansion is scored against the
+    * query vector (one join to the embedding table), and the best
+    * `beam` nodes per query survive as the next frontier. Everything
+    * scored along the way accumulates into the visited set; the answer
+    * is the top-k of visited (self excluded), ranked (cos DESC, id) —
+    * total and deterministic.
+    *
+    * Two structural guards make the walk complete on clustered data,
+    * both standard in production graph-ANN systems: (1) the serve
+    * graph is the k-NN edges UNIONED with a ring backbone
+    * (u → (u+1) mod n) — a k-NN graph over clustered vectors is
+    * typically DISCONNECTED across clusters, and a greedy walk cannot
+    * cross a gap that has no edge (HNSW's level-0 connectivity /
+    * Vamana's long-range edges play this role); (2) entry points are
+    * `nSeeds` HASH-SPREAD fixed ids (md5(j) mod n — [[Dedup.hash60]]
+    * of the literal seed index), not evenly-spaced ones, because any
+    * arithmetic spacing can alias with a periodic id layout and land
+    * every seed in the same region. Both are query-independent and
+    * engine-neutral, so the oracle replays the identical search;
+    * beam > 1 plus multiple seeds is the standard greedy-walk
+    * local-minimum hedge.
+    *
+    * Scale shape: hop cost is bounded by |Q|·beam·(graphK+1) candidate
+    * rows — linear in queries, independent of corpus size; the graph
+    * (n·graphK edges) shuffles on 8-byte node ids. Nothing is
+    * all-pairs and nothing is corpus × query. The graph build itself
+    * is [[nnDescentGraph]]'s O(n·k²)-per-round refinement; in
+    * production it is built once and served many times (the
+    * stored-index discipline of [[writeIvfIndex]] applies — edges are
+    * an id-pair table, trivially parquet-persistable). */
+  def graphSearchTopK(
+      em: DataFrame, idCol: String, vecCol: String, k: Int,
+      beam: Int = 8, hops: Int = 3, graphK: Int = 5,
+      graphRounds: Int = 2, nSeeds: Int = 4): DataFrame = {
+    require(k >= 1 && beam >= 1 && hops >= 1 && nSeeds >= 1)
+    val e = graft.core.OpCache.persist(withNorm(em, idCol, vecCol))
+    val n = e.count()
+    val knn = nnDescentGraph(em, idCol, vecCol, graphK, graphRounds)
+      .select(col("vec_id").as("gu"), col("nbr_id").as("gv"))
+    val ring = e.select(col("vec_id").as("gu"),
+      ((col("vec_id") + 1) % n).as("gv"))
+    val g = graft.core.OpCache.persist(knn.unionByName(ring))
+    // hash-spread entry ids: top-15-hex-of-md5(j) mod n — the driver-
+    // side replica of Dedup.hash60, embedded identically in the oracle
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val seeds = (0 until nSeeds).map { j =>
+      val hex = md.digest(j.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(15)
+      java.lang.Long.parseLong(hex, 16) % n
+    }.distinct
+    def score(cand: DataFrame): DataFrame = cand
+      .join(e.select(col("vec_id").as("qid"), col("embedding").as("qe"),
+        col("nrm").as("qn")), Seq("qid"))
+      .join(e.select(col("vec_id").as("node"), col("embedding").as("ne"),
+        col("nrm").as("nn")), Seq("node"))
+      .select(col("qid"), col("node"),
+        cosineWithNorms(col("qe"), col("ne"), col("qn"), col("nn"))
+          .as("cos"))
+    var frontier: DataFrame = e.select(col("vec_id").as("qid"),
+      explode(array(seeds.map(lit(_)): _*)).as("node"))
+    var visited: DataFrame = null
+    (1 to hops).foreach { _ =>
+      val expanded = frontier
+        .unionByName(frontier.join(g, frontier("node") === g("gu"))
+          .select(col("qid"), col("gv").as("node")))
+        .distinct()
+      val scored = graft.core.OpCache.persist(score(expanded))
+      visited =
+        if (visited == null) scored else visited.unionByName(scored)
+      frontier = topKHeap(scored, "qid", col("cos"), col("node"),
+        "node", beam).select(col("qid"), col("node"))
+    }
+    val uniq = visited
+      .groupBy(col("qid"), col("node")).agg(max(col("cos")).as("cos"))
+      .filter(col("qid") =!= col("node"))
+    topKHeap(uniq, "qid", col("cos"), col("node"), "nbr_id", k)
+      .select(col("qid").as("vec_id"), col("nbr_id"), col("rnk"))
+  }
 }

@@ -1129,7 +1129,69 @@ object SimilarityQueries {
         |  UNION
         |  SELECT r.s, sym.t FROM r JOIN sym ON r.t = sym.s)
         |SELECT s AS vec_id, min(t) AS component FROM r GROUP BY s"""
-        .stripMargin))
+        .stripMargin)),
+
+    Q(
+      "qs27_graph_search",
+      "Graph-navigating ANN serve (Similarity.graphSearchTopK) - the " +
+        "HNSW-family greedy walk over the qs25 NN-Descent graph, " +
+        "re-expressed as 3 bulk-synchronous hops so EVERY query " +
+        "advances together through two equi-joins per hop (frontier " +
+        "x out-edges, then score vs query) instead of one query " +
+        "pointer-chasing remote edges. The serve graph = k-NN edges " +
+        "UNION a ring backbone (k-NN graphs disconnect across " +
+        "clusters; a walk cannot cross an edgeless gap - HNSW's " +
+        "level-0 role), entry = 8 hash-spread fixed ids (md5(j) mod " +
+        "n; arithmetic spacing can alias a periodic id layout), beam " +
+        "8; answer = top-5 of everything visited, (cos DESC, id). " +
+        "Hop cost bounded by |Q|*beam*(graphK+2) - independent of " +
+        "corpus size; the graph is an id-pair table, parquet-" +
+        "persistable like every stored index here. Oracle unrolls " +
+        "the identical 3 hops over the shared NN-Descent CTE chain.",
+      (s, dir) =>
+        Similarity.graphSearchTopK(
+          Tables.load(s, dir, "embeddings"), "vec_id", "embedding",
+          k = 5, beam = 8, hops = 3, graphK = 5, graphRounds = 2,
+          nSeeds = 8),
+      Some {
+        def hop(h: Int): String = {
+          val p = if (h == 1) "bf0" else s"bf${h - 1}"
+          s"""bx$h AS (
+            |  SELECT qid, node FROM $p
+            |  UNION
+            |  SELECT f.qid, g.v AS node FROM $p f JOIN ga g ON g.u = f.node),
+            |bs$h AS MATERIALIZED (
+            |  SELECT x.qid, x.node,
+            |    ${dkDot("eq.embedding", "en.embedding")} / (eq.nrm * en.nrm) AS cos
+            |  FROM bx$h x JOIN e eq ON eq.vec_id = x.qid
+            |    JOIN e en ON en.vec_id = x.node),
+            |bf$h AS MATERIALIZED (
+            |  SELECT qid, node FROM (
+            |    SELECT qid, node, row_number() OVER (PARTITION BY qid
+            |      ORDER BY cos DESC, node) AS rn FROM bs$h)
+            |  WHERE rn <= 8)""".stripMargin
+        }
+        s"""WITH $nnDescentCtes,
+          |ga AS (SELECT u, v FROM g2
+          |       UNION SELECT e.vec_id, (e.vec_id + 1) % nc.n FROM e, nc),
+          |seeds AS (SELECT DISTINCT
+          |            ${TextQueries.dkHash60("CAST(t.j AS VARCHAR)")} % nc.n AS node
+          |          FROM nc, unnest(range(0, 8)) t(j)),
+          |bf0 AS (SELECT e.vec_id AS qid, s.node FROM e, seeds s),
+          |${hop(1)},
+          |${hop(2)},
+          |${hop(3)},
+          |vis AS (
+          |  SELECT qid, node, max(cos) AS cos FROM (
+          |    SELECT * FROM bs1 UNION ALL SELECT * FROM bs2
+          |    UNION ALL SELECT * FROM bs3)
+          |  GROUP BY qid, node)
+          |SELECT qid AS vec_id, node AS nbr_id, rn AS rnk FROM (
+          |  SELECT qid, node, row_number() OVER (PARTITION BY qid
+          |    ORDER BY cos DESC, node) AS rn
+          |  FROM vis WHERE qid <> node)
+          |WHERE rn <= 5""".stripMargin
+      })
   )
 
   /** Shared NN-Descent CTE chain (e, nc, ring seed g0, two unrolled

@@ -731,6 +731,38 @@ object StreamingQueries {
         |GROUP BY 1""".stripMargin)),
 
     Q(
+      "qst18_stream_quality_score",
+      "Streaming quality-classifier serve (EventStreams." +
+        "logitScoreFeed - qt33's TRAINED model run LIVE): the " +
+        "(weights, bias) model trains offline on the static corpus " +
+        "(10 GD rounds, 4096 buckets, lang='en' distillation) and " +
+        "loads once; documents arrive as a file stream DELIVERED " +
+        "TWICE, each micro-batch scored statelessly (one broadcast " +
+        "join + one per-doc agg) and appended. Zero streaming state; " +
+        "re-delivery re-emits IDENTICAL (doc_id, score, pred) rows, " +
+        "absorbed by the consumer's distinct - qst17's idempotence " +
+        "contract with a discriminative scorer instead of the DSIR " +
+        "ratio. Oracle = the batch replay of train + score.",
+      (s, dir) => {
+        s.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+        val docs = graft.core.Tables.load(s, dir, "documents")
+        val model = graft.operators.Logit.train(
+          docs.withColumn("label", (col("lang") === "en").cast("int")),
+          "doc_id", "text", "label", buckets = 4096, rounds = 10)
+        val schema = StructType.fromDDL(
+          "doc_id BIGINT, text STRING, lang STRING, source STRING, " +
+            "n_chars BIGINT")
+        def raw = s.readStream.schema(schema)
+          .parquet(s"$dir/documents.parque*")
+        val out = java.nio.file.Files
+          .createTempDirectory("graft_logit").toString
+        EventStreams.logitScoreFeed(raw.union(raw), model,
+          "doc_id", "text", out, buckets = 4096, gain = 8.0)
+        s.read.parquet(out).distinct()
+      },
+      Some(TextQueries.logitOracle(withLabel = false))),
+
+    Q(
       "qst09_stream_static_join",
       "Stream-static join: the event stream enriched against a " +
         "BROADCAST dimension (event_type → category) — stateless, " +

@@ -11,6 +11,91 @@ import graft.operators.{Dedup, TextAnalysis}
   */
 object TextQueries {
 
+  /** DuckDB replay of Logit.train(+score) over the documents table
+    * (lang='en' labeling, 4096 buckets, 10 unrolled GD rounds) --
+    * shared by qt33 (withLabel = true: the training-accuracy read)
+    * and qst18 (withLabel = false: the streaming serve feed's
+    * (doc_id, score, pred) contract). */
+  private[queries] def logitOracle(withLabel: Boolean): String = {
+        def sig(z: String): String =
+          s"0.5 + CAST($z AS DOUBLE) / (2.0 * (1.0 + abs(CAST($z AS DOUBLE))))"
+        def round(r: Int): String = {
+          val p = r - 1
+          s"""z$r AS (
+            |  SELECT x.doc_id,
+            |    CAST(8.0 * CAST(sum(CAST(x.x * CAST(coalesce(w.w, 0) AS DOUBLE)
+            |      AS DECIMAL(30,6))) AS DOUBLE) + CAST(b.b AS DOUBLE)
+            |      AS DECIMAL(30,6)) AS zq
+            |  FROM x LEFT JOIN w$p w USING (bucket), b$p b
+            |  GROUP BY x.doc_id, b.b),
+            |r$r AS MATERIALIZED (
+            |  SELECT z.doc_id,
+            |    CAST(CAST(${sig("zq")} - y AS DECIMAL(30,6)) AS DOUBLE) AS r
+            |  FROM z$r z JOIN yt USING (doc_id)),
+            |g$r AS (
+            |  SELECT bucket,
+            |    CAST(sum(CAST(r * x AS DECIMAL(30,6))) AS DOUBLE) /
+            |    CAST(sum(CAST(x AS DECIMAL(30,6))) AS DOUBLE) AS gs
+            |  FROM x JOIN r$r USING (doc_id) GROUP BY 1),
+            |w$r AS MATERIALIZED (
+            |  SELECT coalesce(w.bucket, g.bucket) AS bucket,
+            |    CAST(CAST(coalesce(w.w, 0) AS DOUBLE)
+            |      - 1.0 * coalesce(g.gs, 0) AS DECIMAL(30,6)) AS w
+            |  FROM w$p w FULL OUTER JOIN g$r g ON w.bucket = g.bucket),
+            |b$r AS (
+            |  SELECT CAST(CAST(b.b AS DOUBLE)
+            |    - 1.0 * CAST(sum(CAST(r AS DECIMAL(30,6))) AS DOUBLE) / nd.nd
+            |    AS DECIMAL(30,6)) AS b
+            |  FROM r$r, b$p b, nd GROUP BY b.b, nd.nd)""".stripMargin
+        }
+        val finalSelect =
+          if (withLabel)
+            s"""SELECT doc_id, label, score,
+              |  CASE WHEN score >= 0.5 THEN CAST(1 AS BIGINT)
+              |       ELSE CAST(0 AS BIGINT) END AS pred
+              |FROM (
+              |  SELECT z.doc_id, CAST(y AS BIGINT) AS label,
+              |    round(${sig("zq")}, 6) AS score
+              |  FROM zf z JOIN yt USING (doc_id))""".stripMargin
+          else
+            s"""SELECT doc_id, score,
+              |  CASE WHEN score >= 0.5 THEN CAST(1 AS BIGINT)
+              |       ELSE CAST(0 AS BIGINT) END AS pred
+              |FROM (
+              |  SELECT z.doc_id, round(${sig("zq")}, 6) AS score
+              |  FROM zf z)""".stripMargin
+        s"""WITH tokl AS MATERIALIZED (
+        |  SELECT doc_id, string_split(coalesce(text, ''), ' ') AS a,
+        |    CAST(CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS DOUBLE) AS y
+        |  FROM documents),
+        |feats AS (
+        |  SELECT doc_id, unnest(a) AS f FROM tokl
+        |  UNION ALL
+        |  SELECT doc_id, a[t.i] || ' ' || a[t.i + 1] AS f
+        |  FROM tokl, unnest(range(1, len(a))) t(i)),
+        |tf AS (
+        |  SELECT doc_id, ${dkHash60("f")} % 4096 AS bucket,
+        |    CAST(count(*) AS BIGINT) AS tf
+        |  FROM feats GROUP BY 1, 2),
+        |nper AS (SELECT doc_id, CAST(sum(tf) AS DOUBLE) AS n FROM tf GROUP BY 1),
+        |x AS MATERIALIZED (
+        |  SELECT tf.doc_id, bucket, CAST(tf AS DOUBLE) / n AS x
+        |  FROM tf JOIN nper USING (doc_id)),
+        |yt AS (SELECT doc_id, y FROM tokl),
+        |nd AS (SELECT CAST(count(*) AS DOUBLE) AS nd FROM yt),
+        |w0 AS (SELECT CAST(-1 AS BIGINT) AS bucket, CAST(0 AS DECIMAL(30,6)) AS w),
+        |b0 AS (SELECT CAST(0 AS DECIMAL(30,6)) AS b),
+        |${(1 to 10).map(round).mkString(",\n")},
+        |zf AS (
+        |  SELECT x.doc_id,
+        |    CAST(8.0 * CAST(sum(CAST(x.x * CAST(coalesce(w.w, 0) AS DOUBLE)
+        |      AS DECIMAL(30,6))) AS DOUBLE) + CAST(b.b AS DOUBLE)
+        |      AS DECIMAL(30,6)) AS zq
+        |  FROM x LEFT JOIN w10 w USING (bucket), b10 b
+        |  GROUP BY x.doc_id, b.b)
+        |$finalSelect""".stripMargin
+  }
+
   // DuckDB rendition of Dedup.hash60
   private[queries] def dkHash60(e: String): String =
     s"CAST(concat('0x', substr(md5($e), 1, 15)) AS BIGINT)"
@@ -2242,6 +2327,43 @@ object TextQueries {
         |WHERE (a_id % 2) <> (b_id % 2)""".stripMargin)),
 
     Q(
+      "qd32_span_rewrite",
+      "Duplicated-span REMOVAL (Overlap.spanDedupRewrite) - the " +
+        "rewrite companion of qd09's stats: every word position " +
+        "covered by a corpus-duplicated 5-gram occurrence (>= 2 " +
+        "occurrences corpus-wide, multiplicity counted, own repeats " +
+        "included - qd09's exact definition) is cut, surviving words " +
+        "re-join in order; short docs pass through, fully-duplicated " +
+        "docs collapse to '' but keep their audit row. The Lee et " +
+        "al. 2022 exact-substring-dedup shape at word granularity. " +
+        "One gram-hash agg + semi-join back + bounded covered-" +
+        "position explode + (doc, pos) anti-join rebuild - narrow " +
+        "keys only, nothing all-pairs.",
+      (s, dir) =>
+        graft.operators.Overlap.spanDedupRewrite(
+          graft.core.Partitioning.parallelize(
+            Tables.load(s, dir, "documents"), col("doc_id")),
+          "doc_id", "text", n = 5),
+      Some(s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |g AS (SELECT doc_id, t.i AS i,
+        |        ${dkHash60("concat(w[t.i],' ',w[t.i+1],' ',w[t.i+2],' ',w[t.i+3],' ',w[t.i+4])")} AS gh
+        |      FROM w, unnest(range(1, len(w) - 3)) t(i) WHERE len(w) >= 5),
+        |dup AS (SELECT gh FROM g GROUP BY gh HAVING count(*) >= 2),
+        |cov AS (SELECT DISTINCT g.doc_id, t.p AS p
+        |        FROM g JOIN dup USING (gh), unnest(range(g.i, g.i + 5)) t(p)),
+        |words AS (SELECT doc_id, t.p AS p, w[t.p] AS word
+        |          FROM w, unnest(range(1, len(w) + 1)) t(p)),
+        |kept AS (SELECT wo.doc_id, wo.p, wo.word FROM words wo
+        |         LEFT JOIN cov ON wo.doc_id = cov.doc_id AND wo.p = cov.p
+        |         WHERE cov.p IS NULL),
+        |agg AS (SELECT doc_id, string_agg(word, ' ' ORDER BY p) AS text,
+        |               CAST(count(*) AS BIGINT) AS n_kept FROM kept GROUP BY doc_id)
+        |SELECT w.doc_id, coalesce(agg.text, '') AS text,
+        |  CAST(len(w.w) AS BIGINT) AS n_words,
+        |  CAST(len(w.w) - coalesce(agg.n_kept, 0) AS BIGINT) AS n_removed
+        |FROM w LEFT JOIN agg USING (doc_id)""".stripMargin)),
+
+    Q(
       "qt33_quality_classifier",
       "In-engine TRAINED text classifier (Logit.trainAndScore): " +
         "full-batch gradient descent over hashed unigram+bigram " +
@@ -2263,75 +2385,7 @@ object TextQueries {
           Tables.load(s, dir, "documents")
             .withColumn("label", (col("lang") === "en").cast("int")),
           "doc_id", "text", "label", buckets = 4096, rounds = 10),
-      Some {
-        def sig(z: String): String =
-          s"0.5 + CAST($z AS DOUBLE) / (2.0 * (1.0 + abs(CAST($z AS DOUBLE))))"
-        def round(r: Int): String = {
-          val p = r - 1
-          s"""z$r AS (
-            |  SELECT x.doc_id,
-            |    CAST(8.0 * CAST(sum(CAST(x.x * CAST(coalesce(w.w, 0) AS DOUBLE)
-            |      AS DECIMAL(30,6))) AS DOUBLE) + CAST(b.b AS DOUBLE)
-            |      AS DECIMAL(30,6)) AS zq
-            |  FROM x LEFT JOIN w$p w USING (bucket), b$p b
-            |  GROUP BY x.doc_id, b.b),
-            |r$r AS MATERIALIZED (
-            |  SELECT z.doc_id,
-            |    CAST(CAST(${sig("zq")} - y AS DECIMAL(30,6)) AS DOUBLE) AS r
-            |  FROM z$r z JOIN yt USING (doc_id)),
-            |g$r AS (
-            |  SELECT bucket,
-            |    CAST(sum(CAST(r * x AS DECIMAL(30,6))) AS DOUBLE) /
-            |    CAST(sum(CAST(x AS DECIMAL(30,6))) AS DOUBLE) AS gs
-            |  FROM x JOIN r$r USING (doc_id) GROUP BY 1),
-            |w$r AS MATERIALIZED (
-            |  SELECT coalesce(w.bucket, g.bucket) AS bucket,
-            |    CAST(CAST(coalesce(w.w, 0) AS DOUBLE)
-            |      - 1.0 * coalesce(g.gs, 0) AS DECIMAL(30,6)) AS w
-            |  FROM w$p w FULL OUTER JOIN g$r g ON w.bucket = g.bucket),
-            |b$r AS (
-            |  SELECT CAST(CAST(b.b AS DOUBLE)
-            |    - 1.0 * CAST(sum(CAST(r AS DECIMAL(30,6))) AS DOUBLE) / nd.nd
-            |    AS DECIMAL(30,6)) AS b
-            |  FROM r$r, b$p b, nd GROUP BY b.b, nd.nd)""".stripMargin
-        }
-        s"""WITH tokl AS MATERIALIZED (
-        |  SELECT doc_id, string_split(coalesce(text, ''), ' ') AS a,
-        |    CAST(CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS DOUBLE) AS y
-        |  FROM documents),
-        |feats AS (
-        |  SELECT doc_id, unnest(a) AS f FROM tokl
-        |  UNION ALL
-        |  SELECT doc_id, a[t.i] || ' ' || a[t.i + 1] AS f
-        |  FROM tokl, unnest(range(1, len(a))) t(i)),
-        |tf AS (
-        |  SELECT doc_id, ${dkHash60("f")} % 4096 AS bucket,
-        |    CAST(count(*) AS BIGINT) AS tf
-        |  FROM feats GROUP BY 1, 2),
-        |nper AS (SELECT doc_id, CAST(sum(tf) AS DOUBLE) AS n FROM tf GROUP BY 1),
-        |x AS MATERIALIZED (
-        |  SELECT tf.doc_id, bucket, CAST(tf AS DOUBLE) / n AS x
-        |  FROM tf JOIN nper USING (doc_id)),
-        |yt AS (SELECT doc_id, y FROM tokl),
-        |nd AS (SELECT CAST(count(*) AS DOUBLE) AS nd FROM yt),
-        |w0 AS (SELECT CAST(-1 AS BIGINT) AS bucket, CAST(0 AS DECIMAL(30,6)) AS w),
-        |b0 AS (SELECT CAST(0 AS DECIMAL(30,6)) AS b),
-        |${(1 to 10).map(round).mkString(",\n")},
-        |zf AS (
-        |  SELECT x.doc_id,
-        |    CAST(8.0 * CAST(sum(CAST(x.x * CAST(coalesce(w.w, 0) AS DOUBLE)
-        |      AS DECIMAL(30,6))) AS DOUBLE) + CAST(b.b AS DOUBLE)
-        |      AS DECIMAL(30,6)) AS zq
-        |  FROM x LEFT JOIN w10 w USING (bucket), b10 b
-        |  GROUP BY x.doc_id, b.b)
-        |SELECT doc_id, label, score,
-        |  CASE WHEN score >= 0.5 THEN CAST(1 AS BIGINT)
-        |       ELSE CAST(0 AS BIGINT) END AS pred
-        |FROM (
-        |  SELECT z.doc_id, CAST(y AS BIGINT) AS label,
-        |    round(${sig("zq")}, 6) AS score
-        |  FROM zf z JOIN yt USING (doc_id))""".stripMargin
-      }),
+      Some(logitOracle(withLabel = true))),
 
     Q(
       "qt30_source_divergence",

@@ -245,6 +245,40 @@ object EventStreams {
     if (!q.awaitTermination(180000)) q.stop()
   }
 
+  /** Streaming quality-classifier scoring — [[graft.operators.Logit]]'s
+    * trained model served LIVE: the model (B+1 weight rows + 1 bias
+    * row, KB-sized) trains offline and loads once; documents arrive as
+    * a stream and each micro-batch is scored statelessly
+    * ([[graft.operators.Logit.score]] is one broadcast join + one
+    * per-doc agg) and appended. Zero streaming state: a score depends
+    * only on the doc's text and the frozen model, so re-delivery
+    * re-emits IDENTICAL (doc_id, score, pred) rows and the consumer's
+    * distinct absorbs them — the qst17 idempotence contract, with a
+    * discriminatively-trained scorer instead of the DSIR ratio. */
+  def logitScoreFeed(
+      docs: DataFrame,
+      model: graft.operators.Logit.LogitModel,
+      idCol: String,
+      textCol: String,
+      outDir: String,
+      buckets: Int = 1024,
+      gain: Double = 8.0,
+      queryName: String = "graft_logit_feed"): Unit = {
+    val q = docs.writeStream
+      .queryName(queryName)
+      .outputMode(OutputMode.Append())
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        graft.operators.Logit.score(
+          batch.toDF().dropDuplicates(Seq(idCol)), idCol, textCol,
+          model, buckets, gain)
+          .write.mode("append").parquet(outDir)
+        ()
+      }
+      .start()
+    if (!q.awaitTermination(180000)) q.stop()
+  }
+
   /** Streaming subject-erasure feed — [[graft.warehouse.Erasure]] run
     * as a live compliance pipeline: deletion REQUESTS arrive as a
     * stream of subject keys, and each micro-batch emits its cascade

@@ -109,6 +109,37 @@ class CorpusOpsSpec extends SparkSuite {
     assert(cut(1L)._1 == 5L && cut(1L)._2 == 0L)
   }
 
+  test("spanDedupRewrite cuts covered words, keeps short and clean docs") {
+    val docs = Seq(
+      (1L, "p q r s t u v"),       // shares "p q r s t" with doc 2
+      (2L, "p q r s t x y"),
+      (3L, "a b c d e"),           // fully duplicated against doc 4
+      (4L, "a b c d e"),
+      (5L, "one two three"),       // < n words: passes through intact
+      (6L, "n1 n2 n3 n4 n5 n6")    // all grams unique: untouched
+    ).toDF("doc_id", "text")
+    val got = Overlap.spanDedupRewrite(docs, "doc_id", "text", n = 5)
+      .as[(Long, String, Long, Long)].collect()
+      .map(t => t._1 -> ((t._2, t._3, t._4))).toMap
+    // doc 1: positions 0..4 covered by the shared gram; "u v" survives
+    assert(got(1L) == (("u v", 7L, 5L)))
+    assert(got(2L) == (("x y", 7L, 5L)))
+    // fully-duplicated docs collapse to '' but keep their audit row
+    assert(got(3L) == (("", 5L, 5L)))
+    assert(got(4L) == (("", 5L, 5L)))
+    assert(got(5L) == (("one two three", 3L, 0L)))
+    assert(got(6L) == (("n1 n2 n3 n4 n5 n6", 6L, 0L)))
+  }
+
+  test("spanDedupRewrite own-repeat spans cut both occurrences") {
+    // "a b c d e" occurs twice within one doc -> corpus count 2 -> both
+    // occurrences' positions covered (plus the bridging grams' span)
+    val docs = Seq((1L, "a b c d e a b c d e")).toDF("doc_id", "text")
+    val got = Overlap.spanDedupRewrite(docs, "doc_id", "text", n = 5)
+      .as[(Long, String, Long, Long)].collect().head
+    assert(got == ((1L, "", 10L, 10L)))
+  }
+
   test("sequencePack fills each stratum contiguously in id order") {
     val docs = (1L to 40L).map(i => (i, (0 until (i % 7 + 3).toInt)
       .map(j => s"t$j").mkString(" "))).toDF("doc_id", "text")

@@ -94,6 +94,32 @@ class NnDescentSpec extends SparkSuite {
     assert(labels.forall { case (id, c) => id == c })
   }
 
+  test("graphSearchTopK serves complete, self-free, high-recall top-k") {
+    val df = vecs.toDF("vec_id", "embedding")
+    val served = Similarity.graphSearchTopK(df, "vec_id", "embedding",
+        k = 5, beam = 8, hops = 3, graphK = 5, graphRounds = 2, nSeeds = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val truth = Similarity.bruteForceTopK(df, "vec_id", "embedding", 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert(served.keySet == (0L until n.toLong).toSet)
+    assert(served.forall { case (q, s) => s.size == 5 && !s.contains(q) })
+    val hits = vecs.map { case (id, _) => served(id).count(truth(id).contains) }.sum
+    val recall = hits.toDouble / (n * 5)
+    info(s"graph-search recall@5 = $recall")
+    assert(recall > 0.8, s"graph-serve recall too low: $recall")
+  }
+
+  test("graphSearchTopK is deterministic across runs") {
+    val df = vecs.toDF("vec_id", "embedding")
+    val a = rowsOf(Similarity.graphSearchTopK(df, "vec_id", "embedding",
+      k = 3, beam = 4, hops = 2, graphK = 4, graphRounds = 1, nSeeds = 2))
+    val b = rowsOf(Similarity.graphSearchTopK(df, "vec_id", "embedding",
+      k = 3, beam = 4, hops = 2, graphK = 4, graphRounds = 1, nSeeds = 2))
+    assert(a == b)
+  }
+
   test("non-dense ids are rejected loudly") {
     val sparse = Seq((0L, Array(1f, 0f)), (2L, Array(0f, 1f)))
       .toDF("vec_id", "embedding")
