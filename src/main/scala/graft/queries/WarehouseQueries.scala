@@ -412,6 +412,51 @@ object WarehouseQueries {
         |  AND o_orderkey % 7 = 0""".stripMargin)),
 
     Q(
+      "qw20_write_conflicts",
+      "Two-writer write-write conflict audit (Cdc.writeConflictAudit " +
+        "- the optimistic-concurrency commit check as one query): " +
+        "the events feed split by event_id parity stands in for two " +
+        "concurrent writers against the same base; each side " +
+        "collapses to latest-wins intent per user ('error' rows are " +
+        "delete intents), one full-outer equi-join classifies every " +
+        "touched key a_only / b_only / agree (both delete, or value " +
+        "columns null-safe-equal) / diverge. Touched-keys-" +
+        "proportional; the base table never participates - the " +
+        "property that lets the check run per commit at 100 TB.",
+      (s, dir) =>
+        graft.warehouse.Cdc.writeConflictAudit(
+          graft.core.Tables.load(s, dir, "events")
+            .filter(col("event_id") % 2 === 0),
+          graft.core.Tables.load(s, dir, "events")
+            .filter(col("event_id") % 2 === 1),
+          keyCols = Seq("user_id"),
+          orderBy = Seq(col("ts"), col("event_id")),
+          isDelete = col("event_type") === "error",
+          valueCols = Seq("event_type", "value")),
+      Some("""WITH a AS (
+        |  SELECT * FROM (
+        |    SELECT user_id, event_type, value,
+        |      row_number() OVER (PARTITION BY user_id
+        |        ORDER BY ts DESC, event_id DESC) AS rn
+        |    FROM events WHERE event_id % 2 = 0) WHERE rn = 1),
+        |b AS (
+        |  SELECT * FROM (
+        |    SELECT user_id, event_type, value,
+        |      row_number() OVER (PARTITION BY user_id
+        |        ORDER BY ts DESC, event_id DESC) AS rn
+        |    FROM events WHERE event_id % 2 = 1) WHERE rn = 1)
+        |SELECT coalesce(a.user_id, b.user_id) AS user_id,
+        |  CASE WHEN b.user_id IS NULL THEN 'a_only'
+        |       WHEN a.user_id IS NULL THEN 'b_only'
+        |       WHEN (a.event_type = 'error' AND b.event_type = 'error')
+        |         OR (a.event_type <> 'error' AND b.event_type <> 'error'
+        |             AND a.event_type IS NOT DISTINCT FROM b.event_type
+        |             AND a.value IS NOT DISTINCT FROM b.value)
+        |       THEN 'agree'
+        |       ELSE 'diverge' END AS status
+        |FROM a FULL OUTER JOIN b ON a.user_id = b.user_id""".stripMargin)),
+
+    Q(
       "qw09_scd2_apply",
       "Incremental SCD2 apply (Cdc.scd2Apply): a synthetic current " +
         "history (keys %13≠0; segments overridden to 'OLD' for keys " +

@@ -214,4 +214,61 @@ object Cdc {
         col("r.__ic").as("is_current"): _*)
     closedPass.unionByName(updated)
   }
+
+  /** Two-writer write-write conflict audit — the set-based heart of
+    * optimistic concurrency control (the Delta/Iceberg commit-time
+    * check) run as one query instead of a transaction manager: writers
+    * A and B each hold a change feed taken against the same base
+    * snapshot; before serializing their commits, classify every key
+    * either one touched. Per side a key's winning INTENT is its
+    * latest-wins row ([[applyChanges]]'s order contract: greatest
+    * `orderBy` tuple; a tombstone row is delete intent). Keys touched
+    * by one writer are 'a_only'/'b_only' (the writes commute — either
+    * serialization order works); keys touched by both are 'agree' when
+    * the intents coincide (both delete, or neither deletes and every
+    * value column is pairwise null-safe-equal — the merge is
+    * idempotent) and 'diverge' otherwise (a true write-write conflict:
+    * one writer must rebase or lose).
+    *
+    * Scale shape: each feed collapses to one row per TOUCHED key (one
+    * key shuffle + a per-key window — feed-sized, never table-sized);
+    * the audit is one full-outer equi-join of the two touched-key
+    * sets. Output is touched-keys-proportional and the base table
+    * never participates at all — which is what lets the check run on
+    * every commit against a 100 TB table.
+    *
+    * @param valueCols the payload columns whose equality defines "same
+    *        intent" — EXCLUDE ordering metadata (ts, change id): two
+    *        writers never share those, and including them would mark
+    *        every co-touched key divergent. */
+  def writeConflictAudit(
+      feedA: DataFrame,
+      feedB: DataFrame,
+      keyCols: Seq[String],
+      orderBy: Seq[Column],
+      isDelete: Column,
+      valueCols: Seq[String]): DataFrame = {
+    require(valueCols.nonEmpty, "writeConflictAudit needs value columns")
+    def intent(df: DataFrame, side: String): DataFrame = {
+      val w = Window.partitionBy(keyCols.map(col): _*)
+        .orderBy(orderBy.map(_.desc): _*)
+      df.withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1)
+        .select(keyCols.map(col) ++
+          (isDelete.as(s"__del_$side") +:
+            valueCols.map(c => col(c).as(s"__${side}_$c"))): _*)
+    }
+    val j = intent(feedA, "a").join(intent(feedB, "b"), keyCols, "full_outer")
+    val inA = col("__del_a").isNotNull
+    val inB = col("__del_b").isNotNull
+    val sameVals = valueCols.map(c => col(s"__a_$c") <=> col(s"__b_$c"))
+      .reduce(_ && _)
+    val agree = (col("__del_a") && col("__del_b")) ||
+      (!col("__del_a") && !col("__del_b") && sameVals)
+    j.select(keyCols.map(col) :+
+      when(!inB, lit("a_only"))
+        .when(!inA, lit("b_only"))
+        .when(agree, lit("agree"))
+        .otherwise(lit("diverge")).as("status"): _*)
+  }
 }

@@ -111,6 +111,34 @@ class WarehouseSpec extends SparkSuite {
     assert(out == Map(1L -> (11L, 2.0), 3L -> (32L, 9.0), 4L -> (41L, 3.0)))
   }
 
+  test("writeConflictAudit: a_only/b_only/agree/diverge with delete intents") {
+    import org.apache.spark.sql.functions._
+    // (k, ts, cid, typ, v); isDelete = typ=='del'; values = (typ, v)
+    val a = Seq(
+      (1L, 1L, 1L, "set", 1.0),                      // a_only
+      (3L, 1L, 1L, "set", 5.0),                      // agree (same value)
+      (4L, 1L, 1L, "set", 1.0),                      // diverge (values differ)
+      (5L, 1L, 1L, "del", 0.0),                      // agree (both delete,
+      (6L, 1L, 1L, "del", 0.0),                      //   payloads differ)
+      (7L, 1L, 1L, "set", 1.0), (7L, 2L, 2L, "set", 9.0) // latest-wins: 9.0
+    ).toDF("k", "ts", "cid", "typ", "v")
+    val b = Seq(
+      (2L, 1L, 1L, "set", 2.0),                      // b_only
+      (3L, 5L, 9L, "set", 5.0),
+      (4L, 1L, 1L, "set", 2.0),
+      (5L, 1L, 1L, "del", 99.0),
+      (6L, 1L, 1L, "set", 1.0),                      // diverge (del vs set)
+      (7L, 1L, 1L, "set", 9.0)
+    ).toDF("k", "ts", "cid", "typ", "v")
+    val got = graft.warehouse.Cdc.writeConflictAudit(
+      a, b, Seq("k"), Seq(col("ts"), col("cid")),
+      col("typ") === "del", Seq("typ", "v"))
+      .as[(Long, String)].collect().toMap
+    assert(got == Map(
+      1L -> "a_only", 2L -> "b_only", 3L -> "agree", 4L -> "diverge",
+      5L -> "agree", 6L -> "diverge", 7L -> "agree"))
+  }
+
   test("snapshot diff: added/removed/changed, null-safe, unchanged dropped") {
     val oldV = Seq(
       (1L, "a", Some(1.0)), (2L, "b", Some(2.0)),
