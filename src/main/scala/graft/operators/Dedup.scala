@@ -650,10 +650,14 @@ object Dedup {
     // band windows + shingle joins + verify) consumed three times
     // below (touched, the closure, and through touched the untouched
     // split) — persist it or the probe re-executes per consumer (the
-    // funnel lesson applied here; measured 22→? s on the ×10 smoke)
+    // funnel lesson applied here), and CUT its lineage or every
+    // downstream action re-ANALYZES the probe's whole logical tree
+    // (the connectedComponents entry-cut rationale; the probe plan is
+    // the fattest in the family)
+    val ePlan = newEdges.select(col("a_id").cast("long").as("a_id"),
+      col("b_id").cast("long").as("b_id"))
     val e = graft.core.OpCache.persist(
-      newEdges.select(col("a_id").cast("long").as("a_id"),
-        col("b_id").cast("long").as("b_id")))
+      newEdges.sparkSession.createDataFrame(ePlan.rdd, ePlan.schema))
     val ends = e.select(col("a_id").as("node"))
       .unionByName(e.select(col("b_id").as("node")))
       .distinct()
@@ -964,11 +968,22 @@ object Dedup {
       maxIter: Int = 25): DataFrame = {
     import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     requireIntegralIds(edges, srcCol, dstCol)
-    val sym = edges
+    // Cut the CALLER's edge lineage before iterating, not just persist
+    // it: every round's viaNeighbors/minLabels embeds sym's LOGICAL
+    // plan, and when the edges arrive as a fat pipeline (an LSH
+    // probe, a banded join) Catalyst re-analyzes that whole tree on
+    // every action even though execution reads the cache — measured
+    // 10.1 → 2.3 s on a 121-edge incremental subgraph whose edge plan
+    // was a batchNearDupPairs probe. One materialization either way
+    // (sym is persisted regardless); the cut just makes the plan as
+    // small as the data.
+    val symPlan = edges
       .select(col(srcCol).cast("long").as("s"), col(dstCol).cast("long").as("t"))
       .union(edges.select(col(dstCol).cast("long").as("s"),
         col(srcCol).cast("long").as("t")))
       .distinct()
+    val sym = edges.sparkSession
+      .createDataFrame(symPlan.rdd, symPlan.schema)
       .persist(MEMORY_AND_DISK)
     var labels = sym.select(col("s").as("node")).distinct()
       .select(col("node"), col("node").as("label"))

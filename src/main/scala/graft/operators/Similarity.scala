@@ -289,6 +289,28 @@ object Similarity {
     IvfIndex(cents, e.join(assign, Seq("vec_id")))
   }
 
+  /** Incremental IVF ingest — append a batch to a stored index WITHOUT
+    * rebuilding: the batch is assigned against the FROZEN stored
+    * centroids (one broadcast-assign pass, O(batch·C)) and appended to
+    * the cell table. The quantizer does not move, so insert-then-serve
+    * is bit-identical to a full rebuild over the union whenever the
+    * rebuild would pick the same centroid set — the parity qs28
+    * oracles. This is the recurring-ingest shape
+    * ([[graft.operators.Dedup.ingestDedup]]'s analogue for vectors):
+    * per-batch cost is batch-proportional, never corpus-proportional;
+    * re-train ([[trainIvfCentroids]]) only when drift accumulates.
+    * Batch ids must be disjoint from the stored cells' ids — the
+    * caller's key discipline, as everywhere in the index family. */
+  def ivfInsert(
+      index: IvfIndex, batch: DataFrame, idCol: String,
+      vecCol: String): IvfIndex = {
+    val b = withNorm(batch, idCol, vecCol)
+    val assign = centroidRanks(b, broadcast(index.centroids), maxRank = 1)
+      .filter(col("rn") === 1).select(col("vec_id"), col("cent_id"))
+    IvfIndex(index.centroids,
+      index.cells.unionByName(b.join(assign, Seq("vec_id"))))
+  }
+
   def writeIvfIndex(index: IvfIndex, dir: String): Unit = {
     index.centroids.write.mode("overwrite").parquet(s"$dir/centroids.parquet")
     index.cells.write.mode("overwrite").parquet(s"$dir/cells.parquet")

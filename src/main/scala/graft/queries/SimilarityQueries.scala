@@ -2,6 +2,7 @@ package graft.queries
 
 import graft.core.Tables
 import graft.operators.Similarity
+import org.apache.spark.sql.functions.col
 
 /** ANN over the `embeddings` table. Outputs are (vec_id, nbr_id, rnk)
   * id-triples only — the cosine values themselves are bit-identical
@@ -1130,6 +1131,30 @@ object SimilarityQueries {
         |  SELECT r.s, sym.t FROM r JOIN sym ON r.t = sym.s)
         |SELECT s AS vec_id, min(t) AS component FROM r GROUP BY s"""
         .stripMargin)),
+
+    Q(
+      "qs28_ivf_insert",
+      "Incremental IVF index ingest (Similarity.ivfInsert): the index " +
+        "builds on 90% of the corpus, the held-out batch (vec_id % " +
+        "10 = 7) is INSERTED against the frozen stored centroids - " +
+        "one broadcast-assign pass, O(batch*C), never a rebuild - " +
+        "and the updated index serves qs07's top-5 probe. The stride " +
+        "picks identical centroid ids either way (40 | id implies " +
+        "id % 10 != 7), so insert-then-serve must be BIT-IDENTICAL " +
+        "to building on the full corpus - the oracle is literally " +
+        "qs02's: index maintenance that provably converges to the " +
+        "rebuilt index. Per-batch cost batch-proportional; re-train " +
+        "only when drift accumulates.",
+      (s, dir) => {
+        val em = Tables.load(s, dir, "embeddings")
+        val idx0 = Similarity.buildIvfIndex(
+          em.filter(col("vec_id") % 10 =!= 7), "vec_id", "embedding", 40)
+        val idx = Similarity.ivfInsert(
+          idx0, em.filter(col("vec_id") % 10 === 7), "vec_id", "embedding")
+        Similarity.ivfTopKWithIndex(idx, em, "vec_id", "embedding",
+          k = 5, nProbe = 4)
+      },
+      Some(ivfOracle)),
 
     Q(
       "qs27_graph_search",

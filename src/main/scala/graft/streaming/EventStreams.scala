@@ -145,22 +145,26 @@ object EventStreams {
           graft.core.OpCache.untrack(prev)
         }
         val grown = graft.operators.Dedup.buildCorpusIndex(b, idCol, textCol)
-        // Persist the grown index and MATERIALIZE it now: the next
-        // batch's probe must read cached artifacts, not re-derive the
-        // whole union chain (which would re-execute every prior
-        // batch's corpus-scale shingle/band work — O(B) recompute per
-        // batch for a B-batch stream). Superseded per-batch frames are
-        // released; the caller's bootstrap index is never touched.
-        val prevIdx = cur
+        // Persist and materialize ONLY the batch DELTA; the union over
+        // cached children stays LAZY. The next batch's probe scans the
+        // cached bootstrap frames + cached per-batch deltas — nothing
+        // is re-derived (every union child is materialized), and
+        // nothing CORPUS-sized is copied per batch. (The previous
+        // revision persisted+counted the whole union each batch —
+        // re-materializing the full index per micro-batch, O(corpus)
+        // per batch; that copy was the dominant cost of the loop.)
+        // The union tree grows one level per batch — plan depth is
+        // batch-count-linear, fine for a drained AvailableNow stream;
+        // a 24/7 service would instead append the deltas to the
+        // stored parquet index (writeCorpusIndex) and reload.
+        val gh = graft.core.OpCache.persist(grown.hashes)
+        val gs = graft.core.OpCache.persist(grown.shingles)
+        val gb = graft.core.OpCache.persist(grown.bands)
+        gh.count(); gs.count(); gb.count()
         cur = graft.operators.Dedup.CorpusIndex(
-          graft.core.OpCache.persist(
-            prevIdx.hashes.unionByName(grown.hashes)),
-          graft.core.OpCache.persist(
-            prevIdx.shingles.unionByName(grown.shingles)),
-          graft.core.OpCache.persist(
-            prevIdx.bands.unionByName(grown.bands)))
-        cur.hashes.count(); cur.shingles.count(); cur.bands.count()
-        if (prevIdx ne index) prevIdx.unpersist(false)
+          cur.hashes.unionByName(gh),
+          cur.shingles.unionByName(gs),
+          cur.bands.unionByName(gb))
         ()
       }
       .start()

@@ -124,6 +124,26 @@ class SimilaritySpec extends SparkSuite {
     assert(qres.select("vec_id").distinct().count() == 4)
   }
 
+  test("ivfInsert: insert-then-serve equals full rebuild when strides align") {
+    import org.apache.spark.sql.functions.col
+    val df = vecs.toDF("vec_id", "embedding")
+    // stride 7 centroids are ids 0,7,14 — none ≡ 3 (mod 5), so the
+    // base (ids % 5 != 3) picks the same centroid set as the full
+    // corpus and the incremental index must equal the rebuilt one
+    val base = df.filter(col("vec_id") % 5 =!= 3)
+    val batch = df.filter(col("vec_id") % 5 === 3)
+    val inc = Similarity.ivfInsert(
+      Similarity.buildIvfIndex(base, "vec_id", "embedding", centroidStride = 7),
+      batch, "vec_id", "embedding")
+    val full = Similarity.buildIvfIndex(df, "vec_id", "embedding",
+      centroidStride = 7)
+    assert(rowsOf(inc.cells) == rowsOf(full.cells))
+    assert(rowsOf(
+      Similarity.ivfTopKWithIndex(inc, df, "vec_id", "embedding", 3, 2)) ==
+      rowsOf(
+        Similarity.ivfTopKWithIndex(full, df, "vec_id", "embedding", 3, 2)))
+  }
+
   test("trainIvfCentroids: Lloyd update is the per-cell mean; deterministic") {
     // one seed (stride > max id would drop all; use stride 100 with id 0
     // present) -> every vector assigns to it, round-1 centroid = the
