@@ -408,10 +408,7 @@ object Similarity {
       .select(col("p.vec_id").as("vec_id"), col("q.vec_id").as("nbr_id"),
         cosineWithNorms(col("p.embedding"), col("q.embedding"),
           col("p.nrm"), col("q.nrm")).as("cos"))
-    val w = Window.partitionBy(col("vec_id")).orderBy(col("cos").desc, col("nbr_id"))
-    scored.withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= k)
-      .select(col("vec_id"), col("nbr_id"), col("rnk").cast("long").as("rnk"))
+    topKHeap(scored, "vec_id", col("cos"), col("nbr_id"), "nbr_id", k)
   }
 
   /** FILTERED ANN — the metadata-predicate + vector-search composition
@@ -634,10 +631,8 @@ object Similarity {
       .join(index.codes.as("b"), col("a.vec_id") =!= col("b.vec_id"))
       .select(col("a.vec_id").as("vec_id"), col("b.vec_id").as("nbr_id"),
         call_function("graft_byte_dot", col("a.q"), col("b.q")).as("score"))
-    val w = Window.partitionBy(col("vec_id")).orderBy(col("score").desc, col("nbr_id"))
-    scored.withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= k)
-      .select(col("vec_id"), col("nbr_id"), col("rnk").cast("long").as("rnk"))
+    topKHeap(scored, "vec_id", col("score").cast("double"), col("nbr_id"),
+      "nbr_id", k)
   }
 
   /** Quantized-candidates → exact-rerank composition (the shape every
@@ -671,10 +666,7 @@ object Similarity {
       .select(col("c.vec_id").as("vec_id"), col("c.nbr_id").as("nbr_id"),
         cosineWithNorms(col("a.embedding"), col("b.embedding"),
           col("a.nrm"), col("b.nrm")).as("cos"))
-    val w = Window.partitionBy(col("vec_id")).orderBy(col("cos").desc, col("nbr_id"))
-    scored.withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= k)
-      .select(col("vec_id"), col("nbr_id"), col("rnk").cast("long").as("rnk"))
+    topKHeap(scored, "vec_id", col("cos"), col("nbr_id"), "nbr_id", k)
   }
 
   /** IVF-SQ top-k — the production ANN configuration (the IVF+SQ8
@@ -706,10 +698,8 @@ object Similarity {
         col("p.cent_id") === col("c.cent_id") && col("p.vec_id") =!= col("c.vec_id"))
       .select(col("p.vec_id").as("vec_id"), col("c.vec_id").as("nbr_id"),
         call_function("graft_byte_dot", col("p.q"), col("c.q")).as("score"))
-    val w = Window.partitionBy(col("vec_id")).orderBy(col("score").desc, col("nbr_id"))
-    scored.withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= k)
-      .select(col("vec_id"), col("nbr_id"), col("rnk").cast("long").as("rnk"))
+    topKHeap(scored, "vec_id", col("score").cast("double"), col("nbr_id"),
+      "nbr_id", k)
   }
 
   // ---------------------------------------------------------------
@@ -882,11 +872,11 @@ object Similarity {
       .filter(col("q_id") =!= col("nbr_id"))
       .groupBy(col("q_id"), col("nbr_id"))
       .agg(graft.expr.Exprs.exactSum(col("d2")).as("dist"))
-    val w = Window.partitionBy(col("q_id")).orderBy(col("dist"), col("nbr_id"))
-    scored.withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= k)
-      .select(col("q_id").as("vec_id"), col("nbr_id"),
-        col("rnk").cast("long").as("rnk"))
+    // dist ASC via the heap's (score DESC, id ASC) order: negate —
+    // monotone, so ranks are identical to the former sort
+    topKHeap(scored.withColumn("negd", (-col("dist")).cast("double")),
+      "q_id", col("negd"), col("nbr_id"), "nbr_id", k)
+      .select(col("q_id").as("vec_id"), col("nbr_id"), col("rnk"))
   }
 
   /** Build-and-search PQ ADC top-k (the from-index path over a fresh
@@ -957,11 +947,11 @@ object Similarity {
       .join(qd, Seq("q_id", "m", "cent_id"))
       .groupBy(col("q_id"), col("nbr_id"))
       .agg(graft.expr.Exprs.exactSum(col("d2")).as("dist"))
-    val w = Window.partitionBy(col("q_id")).orderBy(col("dist"), col("nbr_id"))
-    scored.withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= k)
-      .select(col("q_id").as("vec_id"), col("nbr_id"),
-        col("rnk").cast("long").as("rnk"))
+    // dist ASC via the heap's (score DESC, id ASC) order: negate —
+    // monotone, so ranks are identical to the former sort
+    topKHeap(scored.withColumn("negd", (-col("dist")).cast("double")),
+      "q_id", col("negd"), col("nbr_id"), "nbr_id", k)
+      .select(col("q_id").as("vec_id"), col("nbr_id"), col("rnk"))
   }
 
   /** RESIDUAL IVF-PQ top-k — [[ivfPqTopK]] upgraded to the textbook
@@ -1039,11 +1029,11 @@ object Similarity {
       .filter(col("q_id") =!= col("nbr_id"))
       .groupBy(col("q_id"), col("nbr_id"))
       .agg(graft.expr.Exprs.exactSum(col("d2")).as("dist"))
-    val w = Window.partitionBy(col("q_id")).orderBy(col("dist"), col("nbr_id"))
-    scored.withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= k)
-      .select(col("q_id").as("vec_id"), col("nbr_id"),
-        col("rnk").cast("long").as("rnk"))
+    // dist ASC via the heap's (score DESC, id ASC) order: negate —
+    // monotone, so ranks are identical to the former sort
+    topKHeap(scored.withColumn("negd", (-col("dist")).cast("double")),
+      "q_id", col("negd"), col("nbr_id"), "nbr_id", k)
+      .select(col("q_id").as("vec_id"), col("nbr_id"), col("rnk"))
   }
 
   /** Per-label centroid table: element-wise mean of the embedding
@@ -1107,10 +1097,7 @@ object Similarity {
       .select(col("vec_id"), col("nbr_id"),
         (aggregate(zip_with(col("qv"), col("pv"), (x, y) => x * y), lit(0.0),
           (acc, x) => acc + x) / (col("qn") * col("pn"))).as("pcos"))
-    val w = Window.partitionBy(col("vec_id")).orderBy(col("pcos").desc, col("nbr_id"))
-    scored.withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= k)
-      .select(col("vec_id"), col("nbr_id"), col("rnk").cast("long").as("rnk"))
+    topKHeap(scored, "vec_id", col("pcos"), col("nbr_id"), "nbr_id", k)
   }
 
   /** Recall@k REPORT — the ANN quality measurement as a first-class,
@@ -1403,7 +1390,13 @@ object Similarity {
       .select(col("vec_id").as("gu"), col("nbr_id").as("gv"))
     val ring = e.select(col("vec_id").as("gu"),
       ((col("vec_id") + 1) % n).as("gv"))
-    val g = graft.core.OpCache.persist(knn.unionByName(ring))
+    // cut the graph's lineage, don't just persist it: the k-NN edges
+    // arrive under the whole NN-Descent build plan, and every hop's
+    // expansion join would re-ANALYZE that tree (the
+    // Dedup.connectedComponents entry-cut rationale)
+    val gPlan = knn.unionByName(ring)
+    val g = graft.core.OpCache.persist(em.sparkSession
+      .createDataFrame(gPlan.rdd, gPlan.schema))
     // hash-spread entry ids: top-15-hex-of-md5(j) mod n — the driver-
     // side replica of Dedup.hash60, embedded identically in the oracle
     val md = java.security.MessageDigest.getInstance("MD5")
