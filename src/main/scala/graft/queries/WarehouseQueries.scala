@@ -743,6 +743,59 @@ object WarehouseQueries {
         |WHERE l_orderkey IN (SELECT o_orderkey FROM ord)""".stripMargin)),
 
     Q(
+      "qw21_erasure_execute",
+      "Erasure EXECUTION audit (Erasure.erasureAudit - qw17's plan " +
+        "actually carried out): the cascade runs as whole-table " +
+        "anti-joins in dependency order (subject rows, their orders, " +
+        "those orders' lineitems), and the audit emits one row per " +
+        "table with rows_before / rows_deleted / rows_after plus " +
+        "orphans_after - rows in the REWRITTEN table still " +
+        "referencing an erased subject or deleted order. The oracle " +
+        "pins orphans_after to 0, so a missed hop or wrong key " +
+        "breaks parity loudly. Counts are metadata-sized; the " +
+        "execution itself is the partition-rewrite semantics qw13 " +
+        "schedules at 100 TB.",
+      (s, dir) => {
+        import org.apache.spark.sql.functions.col
+        val subjects = graft.core.Tables.load(s, dir, "customer")
+          .filter(col("c_custkey") % 97 === 0)
+          .select(col("c_custkey").as("k"))
+        graft.warehouse.Erasure.erasureAudit(
+          graft.core.Tables.load(s, dir, "customer"),
+          graft.core.Tables.load(s, dir, "orders"),
+          graft.core.Tables.load(s, dir, "lineitem"),
+          subjects)
+      },
+      Some("""WITH subj AS (
+        |  SELECT c_custkey AS k FROM customer WHERE c_custkey % 97 = 0),
+        |ord AS (
+        |  SELECT o_orderkey FROM orders
+        |  WHERE o_custkey IN (SELECT k FROM subj))
+        |SELECT 'customer' AS table_name,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM customer) AS rows_before,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM customer
+        |   WHERE c_custkey IN (SELECT k FROM subj)) AS rows_deleted,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM customer
+        |   WHERE c_custkey NOT IN (SELECT k FROM subj)) AS rows_after,
+        |  CAST(0 AS BIGINT) AS orphans_after
+        |UNION ALL
+        |SELECT 'orders',
+        |  (SELECT CAST(count(*) AS BIGINT) FROM orders),
+        |  (SELECT CAST(count(*) AS BIGINT) FROM orders
+        |   WHERE o_custkey IN (SELECT k FROM subj)),
+        |  (SELECT CAST(count(*) AS BIGINT) FROM orders
+        |   WHERE o_custkey NOT IN (SELECT k FROM subj)),
+        |  CAST(0 AS BIGINT)
+        |UNION ALL
+        |SELECT 'lineitem',
+        |  (SELECT CAST(count(*) AS BIGINT) FROM lineitem),
+        |  (SELECT CAST(count(*) AS BIGINT) FROM lineitem
+        |   WHERE l_orderkey IN (SELECT o_orderkey FROM ord)),
+        |  (SELECT CAST(count(*) AS BIGINT) FROM lineitem
+        |   WHERE l_orderkey NOT IN (SELECT o_orderkey FROM ord)),
+        |  CAST(0 AS BIGINT)""".stripMargin)),
+
+    Q(
       "qw18_fk_discovery",
       "Foreign-key DISCOVERY via inclusion coefficients " +
         "(Profile.fkDiscovery — qw15's complement: that audits " +

@@ -52,4 +52,69 @@ object Erasure {
         col("l_orderkey").as("k1"),
         col("l_linenumber").cast("long").as("k2")))
   }
+
+  /** The rewritten (erased) tables — [[erasurePlan]]'s manifest
+    * EXECUTED as whole-table anti-joins. At 100 TB the anti-joins run
+    * per affected partition off the manifest (qw13's refresh plan
+    * bounds the rewrite set); the semantics are these. */
+  final case class ErasedTables(
+      customer: DataFrame, orders: DataFrame, lineitem: DataFrame)
+
+  /** Execute the cascade: every subject row and FK-dependent row is
+    * anti-joined away, in dependency order (orders doomed by subject,
+    * lineitem doomed by doomed order). */
+  def erasureExecute(
+      customer: DataFrame, orders: DataFrame, lineitem: DataFrame,
+      subjects: DataFrame): ErasedTables = {
+    val subj = graft.core.OpCache.persist(subjects.select(col("k")))
+    val doomedOrders = graft.core.OpCache.persist(
+      orders.join(subj.withColumnRenamed("k", "o_custkey"),
+        Seq("o_custkey"), "left_semi").select(col("o_orderkey")))
+    ErasedTables(
+      customer.join(subj.withColumnRenamed("k", "c_custkey"),
+        Seq("c_custkey"), "left_anti"),
+      orders.join(subj.withColumnRenamed("k", "o_custkey"),
+        Seq("o_custkey"), "left_anti"),
+      lineitem.join(
+        doomedOrders.withColumnRenamed("o_orderkey", "l_orderkey"),
+        Seq("l_orderkey"), "left_anti"))
+  }
+
+  /** Erasure execution AUDIT — run [[erasureExecute]] and prove it:
+    * one row per table with (rows_before, rows_deleted, rows_after)
+    * and `orphans_after` — rows in the REWRITTEN table that still
+    * reference an erased subject or a deleted order. A correct
+    * execution has zero orphans everywhere; the oracle pins that
+    * column to 0, so any cascade bug (a missed hop, a wrong key)
+    * breaks parity loudly. Counts are metadata-sized aggregates; the
+    * per-table 1-row frames combine with broadcast-singleton joins. */
+  def erasureAudit(
+      customer: DataFrame, orders: DataFrame, lineitem: DataFrame,
+      subjects: DataFrame): DataFrame = {
+    val subj = graft.core.OpCache.persist(subjects.select(col("k")))
+    val t = erasureExecute(customer, orders, lineitem, subjects)
+    val doomedOrders = orders.join(
+      subj.withColumnRenamed("k", "o_custkey"), Seq("o_custkey"),
+      "left_semi").select(col("o_orderkey"))
+    def stat(name: String, before: DataFrame, after: DataFrame,
+        orphans: DataFrame): DataFrame =
+      before.agg(count(lit(1)).cast("long").as("rows_before"))
+        .crossJoin(broadcast(
+          after.agg(count(lit(1)).cast("long").as("rows_after"))))
+        .crossJoin(broadcast(
+          orphans.agg(count(lit(1)).cast("long").as("orphans_after"))))
+        .select(lit(name).as("table_name"), col("rows_before"),
+          (col("rows_before") - col("rows_after")).as("rows_deleted"),
+          col("rows_after"), col("orphans_after"))
+    stat("customer", customer, t.customer,
+      t.customer.join(subj.withColumnRenamed("k", "c_custkey"),
+        Seq("c_custkey"), "left_semi"))
+      .unionByName(stat("orders", orders, t.orders,
+        t.orders.join(subj.withColumnRenamed("k", "o_custkey"),
+          Seq("o_custkey"), "left_semi")))
+      .unionByName(stat("lineitem", lineitem, t.lineitem,
+        t.lineitem.join(
+          doomedOrders.withColumnRenamed("o_orderkey", "l_orderkey"),
+          Seq("l_orderkey"), "left_semi")))
+  }
 }
