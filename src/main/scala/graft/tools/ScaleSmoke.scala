@@ -512,6 +512,55 @@ object ScaleSmoke {
         graft.operators.Curation.importanceResample(docs, "doc_id",
           "text", $"source" === "src0", buckets = 1024, keep = 100)
           .count()
+      },
+      time("span_rewrite") {
+        // the duplicated corpus makes every gram corpus-duplicated —
+        // the rewrite's worst case (every position covered); slope =
+        // the gram explode + the (doc, pos) anti-join, both linear.
+        // Aggregate over n_removed + the rewritten text, NOT count():
+        // the final left-outer join is row-preserving (unique right
+        // keys), so Catalyst correctly eliminates it under count(*)
+        // and a bare count would time only the corpus scan
+        graft.operators.Overlap.spanDedupRewrite(docs, "doc_id", "text",
+          n = 5)
+          .agg(sum($"n_removed" + length($"text")).cast("long"))
+          .head().getLong(0)
+      },
+      time("graph_search") {
+        // build O(n·k²) + 3 serve hops at |Q|·beam·(graphK+2) candidate
+        // rows per hop — both linear in n; the id remap keeps vec_ids
+        // dense so the ring backbone and hash seeds hold at any factor
+        Similarity.graphSearchTopK(emb, "vec_id", "embedding",
+          k = 5, beam = 8, hops = 3, graphK = 5, graphRounds = 2,
+          nSeeds = 8).count()
+      },
+      time("ivf_insert") {
+        // batch-proportional ingest: assignment against the FROZEN
+        // broadcast centroids + a lazy union — the corpus-side index
+        // is prebuilt and cached outside the timed region
+        val baseE = emb.filter(pmod($"vec_id", lit(101)) =!= 0)
+        val batchE = emb.filter(pmod($"vec_id", lit(101)) === 0)
+        val idx0 = {
+          val b = Similarity.buildIvfIndex(baseE, "vec_id", "embedding", 40)
+          val p = Similarity.IvfIndex(
+            graft.core.OpCache.persist(b.centroids),
+            graft.core.OpCache.persist(b.cells))
+          p.centroids.count(); p.cells.count(); p
+        }
+        Similarity.ivfInsert(idx0, batchE, "vec_id", "embedding")
+          .cells.count()
+      },
+      time("write_conflicts") {
+        val ev = spark.read.parquet(s"$out/events.parquet")
+        graft.warehouse.Cdc.writeConflictAudit(
+          ev.filter($"event_id" % 2 === 0), ev.filter($"event_id" % 2 === 1),
+          Seq("user_id"), Seq($"ts", $"event_id"),
+          $"event_type" === "error", Seq("event_type", "value")).count()
+      },
+      time("erasure_audit") {
+        graft.warehouse.Erasure.erasureAudit(cust, ord, li,
+          cust.filter($"c_custkey" % 97 === 0)
+            .select($"c_custkey".as("k"))).count()
       })
 
     val total = results.map(_._2).sum
