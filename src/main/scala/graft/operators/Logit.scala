@@ -180,19 +180,17 @@ object Logit {
         .crossJoin(broadcast(nDocs)).crossJoin(broadcast(bias))
         .select((col("b").cast("double") - lit(lr) * col("rs") / col("nd"))
           .cast(DecimalType(30, 6)).as("b"))
-      // Past a few rounds the nested join lineage explodes plan
-      // analysis (the pageRank/connectedComponents lesson); the model
-      // is ≤ B+1 rows, so cutting to the RDD per round is free.
-      if (rounds > 4) {
-        val spark = docs.sparkSession
-        val wCut = spark.createDataFrame(wNext.rdd, wNext.schema)
-        val bCut = spark.createDataFrame(bNext.rdd, bNext.schema)
-        w = graft.core.OpCache.persist(wCut)
-        bias = graft.core.OpCache.persist(bCut)
-      } else {
-        w = graft.core.OpCache.persist(wNext)
-        bias = graft.core.OpCache.persist(bNext)
-      }
+      // Cut EVERY round, not just past a threshold: the model is
+      // ≤ B+1 rows so the cut is free, and an un-cut model frame
+      // carries the whole nested training tree into every consumer —
+      // a streaming serve loop would re-ANALYZE it per micro-batch
+      // (the connectedComponents entry-cut lesson; measured 30 s vs
+      // 10 s on qst18 when a 4-round model skipped the cut).
+      val spark = docs.sparkSession
+      w = graft.core.OpCache.persist(
+        spark.createDataFrame(wNext.rdd, wNext.schema))
+      bias = graft.core.OpCache.persist(
+        spark.createDataFrame(bNext.rdd, bNext.schema))
     }
     LogitModel(w, bias)
   }

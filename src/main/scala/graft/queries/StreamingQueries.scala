@@ -735,7 +735,7 @@ object StreamingQueries {
       "Streaming quality-classifier serve (EventStreams." +
         "logitScoreFeed - qt33's TRAINED model run LIVE): the " +
         "(weights, bias) model trains offline on the static corpus " +
-        "(10 GD rounds, 4096 buckets, lang='en' distillation) and " +
+        "(4 GD rounds, 4096 buckets, lang='en' distillation) and " +
         "loads once; documents arrive as a file stream DELIVERED " +
         "TWICE, each micro-batch scored statelessly (one broadcast " +
         "join + one per-doc agg) and appended. Zero streaming state; " +
@@ -748,7 +748,11 @@ object StreamingQueries {
         val docs = graft.core.Tables.load(s, dir, "documents")
         val model = graft.operators.Logit.train(
           docs.withColumn("label", (col("lang") === "en").cast("int")),
-          "doc_id", "text", "label", buckets = 4096, rounds = 10)
+          // 4 rounds, not qt33's 10: the streaming query's subject is
+          // the SERVE loop; training depth is qt33's concern (and its
+          // cost — retraining the full model per bench run doubled
+          // this query's wall time for no extra coverage)
+          "doc_id", "text", "label", buckets = 4096, rounds = 4)
         val schema = StructType.fromDDL(
           "doc_id BIGINT, text STRING, lang STRING, source STRING, " +
             "n_chars BIGINT")
@@ -760,7 +764,7 @@ object StreamingQueries {
           "doc_id", "text", out, buckets = 4096, gain = 8.0)
         s.read.parquet(out).distinct()
       },
-      Some(TextQueries.logitOracle(withLabel = false))),
+      Some(TextQueries.logitOracle(withLabel = false, rounds = 4))),
 
     Q(
       "qst09_stream_static_join",

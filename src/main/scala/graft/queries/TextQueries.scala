@@ -16,7 +16,7 @@ object TextQueries {
     * shared by qt33 (withLabel = true: the training-accuracy read)
     * and qst18 (withLabel = false: the streaming serve feed's
     * (doc_id, score, pred) contract). */
-  private[queries] def logitOracle(withLabel: Boolean): String = {
+  private[queries] def logitOracle(withLabel: Boolean, rounds: Int = 10): String = {
         def sig(z: String): String =
           s"0.5 + CAST($z AS DOUBLE) / (2.0 * (1.0 + abs(CAST($z AS DOUBLE))))"
         def round(r: Int): String = {
@@ -85,13 +85,13 @@ object TextQueries {
         |nd AS (SELECT CAST(count(*) AS DOUBLE) AS nd FROM yt),
         |w0 AS (SELECT CAST(-1 AS BIGINT) AS bucket, CAST(0 AS DECIMAL(30,6)) AS w),
         |b0 AS (SELECT CAST(0 AS DECIMAL(30,6)) AS b),
-        |${(1 to 10).map(round).mkString(",\n")},
+        |${(1 to rounds).map(round).mkString(",\n")},
         |zf AS (
         |  SELECT x.doc_id,
         |    CAST(8.0 * CAST(sum(CAST(x.x * CAST(coalesce(w.w, 0) AS DOUBLE)
         |      AS DECIMAL(30,6))) AS DOUBLE) + CAST(b.b AS DOUBLE)
         |      AS DECIMAL(30,6)) AS zq
-        |  FROM x LEFT JOIN w10 w USING (bucket), b10 b
+        |  FROM x LEFT JOIN w$rounds w USING (bucket), b$rounds b
         |  GROUP BY x.doc_id, b.b)
         |$finalSelect""".stripMargin
   }

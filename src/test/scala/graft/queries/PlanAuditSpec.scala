@@ -58,6 +58,14 @@ class PlanAuditSpec extends SparkSuite {
       // pair join; the qs IVF ladder is the scale path for the same
       // vectors
       "qt31_doc_neighbors",
+      // qs02's broadcast centroid-scoring cross join twice over (the
+      // base build + the incremental batch assignment); the serve
+      // stage is qs07's cell EQUI-join
+      "qs28_ivf_insert",
+      // per-table 1×1 count-aggregate broadcasts crossed into 1-row
+      // frames (the qw19 zone-map precedent) — audit metadata, never
+      // data×data
+      "qw21_erasure_execute",
       // qs02's broadcast centroid-scoring cross join, fed by the
       // hashed doc embeddings — the composition inherits the same
       // linear-in-corpus exception
