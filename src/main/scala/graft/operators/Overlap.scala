@@ -133,7 +133,38 @@ object Overlap {
       docs: DataFrame,
       idCol: String,
       textCol: String,
+      n: Int = 5): DataFrame =
+    spanRewriteWithModel(docs, idCol, textCol, n,
+      duplicatedGrams(docs, idCol, textCol, n))
+
+  /** The MODEL half of [[spanDedupRewrite]]: the corpus-duplicated
+    * gram-hash set (gh), counted with multiplicity corpus-wide. Build
+    * once over the reference corpus, persist, serve many times —
+    * batch ([[spanRewriteWithModel]]) or streaming
+    * ([[graft.streaming.EventStreams.spanRewriteFeed]]). */
+  def duplicatedGrams(
+      docs: DataFrame, idCol: String, textCol: String,
       n: Int = 5): DataFrame = {
+    val w = split(col(textCol), " ")
+    docs.select(col(idCol).as("doc_id"), w.as("w"))
+      .filter(size(col("w")) >= n)
+      .select(explode(transform(wordGrams(col("w"), n),
+        g => Dedup.hash60(g))).as("gh"))
+      .groupBy(col("gh"))
+      .agg(count(lit(1)).as("c_corpus"))
+      .filter(col("c_corpus") >= 2)
+      .select(col("gh"))
+  }
+
+  /** The APPLY half of [[spanDedupRewrite]]: rewrite `docs` against a
+    * prebuilt duplicated-gram set — stateless per document, so it runs
+    * unchanged inside a streaming micro-batch. */
+  def spanRewriteWithModel(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int,
+      dup: DataFrame): DataFrame = {
     require(n >= 2, s"n must be >= 2, got $n")
     val w = split(col(textCol), " ")
     val base = docs.select(col(idCol).as("doc_id"), w.as("w"))
@@ -141,10 +172,6 @@ object Overlap {
       .select(col("doc_id"),
         posexplode(transform(wordGrams(col("w"), n), g => Dedup.hash60(g))))
       .toDF("doc_id", "i", "gh")
-    val dup = grams.groupBy(col("gh"))
-      .agg(count(lit(1)).as("c_corpus"))
-      .filter(col("c_corpus") >= 2)
-      .select(col("gh"))
     val covered = grams.join(dup, Seq("gh"), "left_semi")
       .select(col("doc_id"),
         explode(sequence(col("i"), col("i") + lit(n - 1))).as("p"))

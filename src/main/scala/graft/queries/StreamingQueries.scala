@@ -767,6 +767,37 @@ object StreamingQueries {
       Some(TextQueries.logitOracle(withLabel = false, rounds = 4))),
 
     Q(
+      "qst19_stream_span_rewrite",
+      "Streaming duplicated-span rewrite (EventStreams.spanRewriteFeed " +
+        "- qd32's model/apply split run LIVE): the duplicated-gram " +
+        "set (8-byte hashes, corpus-counted with multiplicity) builds " +
+        "offline and loads once; documents arrive as a file stream " +
+        "DELIVERED TWICE, each micro-batch rewritten statelessly " +
+        "(model semi-join + positional anti-join rebuild) and " +
+        "appended. Zero streaming state; re-delivery re-emits " +
+        "identical rows, absorbed by the consumer's distinct - the " +
+        "qst17/qst18 serve contract applied to a REWRITE operator. " +
+        "Oracle = qd32's batch rewrite verbatim.",
+      (s, dir) => {
+        s.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+        val docs = graft.core.Tables.load(s, dir, "documents")
+        val dup = graft.core.OpCache.persist(
+          graft.operators.Overlap.duplicatedGrams(
+            docs, "doc_id", "text", n = 5))
+        val schema = StructType.fromDDL(
+          "doc_id BIGINT, text STRING, lang STRING, source STRING, " +
+            "n_chars BIGINT")
+        def raw = s.readStream.schema(schema)
+          .parquet(s"$dir/documents.parque*")
+        val out = java.nio.file.Files
+          .createTempDirectory("graft_span").toString
+        EventStreams.spanRewriteFeed(raw.union(raw), dup,
+          "doc_id", "text", out, n = 5)
+        s.read.parquet(out).distinct()
+      },
+      Some(TextQueries.spanRewriteOracle)),
+
+    Q(
       "qst09_stream_static_join",
       "Stream-static join: the event stream enriched against a " +
         "BROADCAST dimension (event_type → category) — stateless, " +

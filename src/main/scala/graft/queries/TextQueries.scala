@@ -96,6 +96,29 @@ object TextQueries {
         |$finalSelect""".stripMargin
   }
 
+  /** DuckDB replay of Overlap.spanDedupRewrite over documents (n=5) —
+    * shared by qd32 (batch) and qst19 (the streaming serve, whose
+    * double-delivered distinct output must equal the same rewrite). */
+  private[queries] def spanRewriteOracle: String =
+    s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |g AS (SELECT doc_id, t.i AS i,
+      |        ${dkHash60("concat(w[t.i],' ',w[t.i+1],' ',w[t.i+2],' ',w[t.i+3],' ',w[t.i+4])")} AS gh
+      |      FROM w, unnest(range(1, len(w) - 3)) t(i) WHERE len(w) >= 5),
+      |dup AS (SELECT gh FROM g GROUP BY gh HAVING count(*) >= 2),
+      |cov AS (SELECT DISTINCT g.doc_id, t.p AS p
+      |        FROM g JOIN dup USING (gh), unnest(range(g.i, g.i + 5)) t(p)),
+      |words AS (SELECT doc_id, t.p AS p, w[t.p] AS word
+      |          FROM w, unnest(range(1, len(w) + 1)) t(p)),
+      |kept AS (SELECT wo.doc_id, wo.p, wo.word FROM words wo
+      |         LEFT JOIN cov ON wo.doc_id = cov.doc_id AND wo.p = cov.p
+      |         WHERE cov.p IS NULL),
+      |agg AS (SELECT doc_id, string_agg(word, ' ' ORDER BY p) AS text,
+      |               CAST(count(*) AS BIGINT) AS n_kept FROM kept GROUP BY doc_id)
+      |SELECT w.doc_id, coalesce(agg.text, '') AS text,
+      |  CAST(len(w.w) AS BIGINT) AS n_words,
+      |  CAST(len(w.w) - coalesce(agg.n_kept, 0) AS BIGINT) AS n_removed
+      |FROM w LEFT JOIN agg USING (doc_id)""".stripMargin
+
   // DuckDB rendition of Dedup.hash60
   private[queries] def dkHash60(e: String): String =
     s"CAST(concat('0x', substr(md5($e), 1, 15)) AS BIGINT)"
@@ -2344,24 +2367,7 @@ object TextQueries {
           graft.core.Partitioning.parallelize(
             Tables.load(s, dir, "documents"), col("doc_id")),
           "doc_id", "text", n = 5),
-      Some(s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
-        |g AS (SELECT doc_id, t.i AS i,
-        |        ${dkHash60("concat(w[t.i],' ',w[t.i+1],' ',w[t.i+2],' ',w[t.i+3],' ',w[t.i+4])")} AS gh
-        |      FROM w, unnest(range(1, len(w) - 3)) t(i) WHERE len(w) >= 5),
-        |dup AS (SELECT gh FROM g GROUP BY gh HAVING count(*) >= 2),
-        |cov AS (SELECT DISTINCT g.doc_id, t.p AS p
-        |        FROM g JOIN dup USING (gh), unnest(range(g.i, g.i + 5)) t(p)),
-        |words AS (SELECT doc_id, t.p AS p, w[t.p] AS word
-        |          FROM w, unnest(range(1, len(w) + 1)) t(p)),
-        |kept AS (SELECT wo.doc_id, wo.p, wo.word FROM words wo
-        |         LEFT JOIN cov ON wo.doc_id = cov.doc_id AND wo.p = cov.p
-        |         WHERE cov.p IS NULL),
-        |agg AS (SELECT doc_id, string_agg(word, ' ' ORDER BY p) AS text,
-        |               CAST(count(*) AS BIGINT) AS n_kept FROM kept GROUP BY doc_id)
-        |SELECT w.doc_id, coalesce(agg.text, '') AS text,
-        |  CAST(len(w.w) AS BIGINT) AS n_words,
-        |  CAST(len(w.w) - coalesce(agg.n_kept, 0) AS BIGINT) AS n_removed
-        |FROM w LEFT JOIN agg USING (doc_id)""".stripMargin)),
+      Some(spanRewriteOracle)),
 
     Q(
       "qt33_quality_classifier",

@@ -796,6 +796,48 @@ object WarehouseQueries {
         |  CAST(0 AS BIGINT)""".stripMargin)),
 
     Q(
+      "qw22_retention_plan",
+      "Snapshot-version retention planning (Retention.retentionPlan - " +
+        "the vacuum-policy half of the versioned layout: qw14 time-" +
+        "travels versions, this decides which may be GC'd): orders " +
+        "stands in for a commit log (version = o_orderkey, ts = " +
+        "o_orderdate); keep the last 10 commits (rollback window) " +
+        "plus each calendar month's LAST commit for the 24 months up " +
+        "to the newest commit (audit tier), expire the rest. 'As of' " +
+        "= the log's own max ts (no wall clock), ties on version id; " +
+        "the last-N cut is orderBy+limit (per-partition top-N), the " +
+        "monthly winners a month-partitioned window - all metadata-" +
+        "sized.",
+      (s, dir) =>
+        graft.storage.Retention.retentionPlan(
+          graft.core.Tables.load(s, dir, "orders"),
+          "o_orderkey", "o_orderdate", keepLast = 10, keepMonths = 24),
+      Some("""WITH log AS (
+        |  SELECT o_orderkey AS version_id, o_orderdate AS committed_ts
+        |  FROM orders),
+        |mx AS (SELECT max(committed_ts) AS max_ts FROM log),
+        |lastn AS (
+        |  SELECT version_id FROM log
+        |  ORDER BY committed_ts DESC, version_id DESC LIMIT 10),
+        |monthly AS (
+        |  SELECT version_id FROM (
+        |    SELECT version_id, date_trunc('month', committed_ts) AS m,
+        |      row_number() OVER (PARTITION BY date_trunc('month', committed_ts)
+        |        ORDER BY committed_ts DESC, version_id DESC) AS rn
+        |    FROM log) t, mx
+        |  WHERE rn = 1
+        |    AND m >= date_trunc('month', max_ts) - INTERVAL '23 months')
+        |SELECT l.version_id, l.committed_ts,
+        |  CASE WHEN l.version_id IN (SELECT version_id FROM lastn)
+        |         OR l.version_id IN (SELECT version_id FROM monthly)
+        |       THEN 'keep' ELSE 'expire' END AS action,
+        |  CASE WHEN l.version_id IN (SELECT version_id FROM lastn)
+        |       THEN 'last_n'
+        |       WHEN l.version_id IN (SELECT version_id FROM monthly)
+        |       THEN 'monthly' ELSE 'expired' END AS reason
+        |FROM log l""".stripMargin)),
+
+    Q(
       "qw18_fk_discovery",
       "Foreign-key DISCOVERY via inclusion coefficients " +
         "(Profile.fkDiscovery — qw15's complement: that audits " +

@@ -283,6 +283,40 @@ object EventStreams {
     if (!q.awaitTermination(180000)) q.stop()
   }
 
+  /** Streaming duplicated-span rewrite — [[graft.operators.Overlap]]'s
+    * span-dedup served LIVE: the duplicated-gram model (8-byte hashes,
+    * corpus-counted) builds offline and loads once; documents arrive
+    * as a stream and each micro-batch is rewritten statelessly
+    * ([[graft.operators.Overlap.spanRewriteWithModel]] — a semi-join
+    * against the model + the positional anti-join rebuild) and
+    * appended. Zero streaming state: the rewrite depends only on the
+    * doc's text and the frozen model, so re-delivery re-emits
+    * IDENTICAL (doc_id, text, n_words, n_removed) rows, absorbed by
+    * the consumer's distinct — the qst17/qst18 serve contract applied
+    * to a REWRITE operator. */
+  def spanRewriteFeed(
+      docs: DataFrame,
+      dupGrams: DataFrame,
+      idCol: String,
+      textCol: String,
+      outDir: String,
+      n: Int = 5,
+      queryName: String = "graft_span_feed"): Unit = {
+    val q = docs.writeStream
+      .queryName(queryName)
+      .outputMode(OutputMode.Append())
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        graft.operators.Overlap.spanRewriteWithModel(
+          batch.toDF().dropDuplicates(Seq(idCol)), idCol, textCol, n,
+          dupGrams)
+          .write.mode("append").parquet(outDir)
+        ()
+      }
+      .start()
+    if (!q.awaitTermination(180000)) q.stop()
+  }
+
   /** Streaming subject-erasure feed — [[graft.warehouse.Erasure]] run
     * as a live compliance pipeline: deletion REQUESTS arrive as a
     * stream of subject keys, and each micro-batch emits its cascade
