@@ -47,6 +47,43 @@ object Curation {
       .select(col("doc_id"), col("lang"), col("n_tokens"), col("redacted_md5"))
   }
 
+  /** LEARNED-filter curation — [[curate]]'s rule stack replaced by the
+    * trained classifier ([[Logit]]): distill the trusted labeling into
+    * a scorer, keep documents scoring ≥ `threshold`, then run the
+    * production-order near-dedup ([[graft.operators.Dedup.dedupCorpus]]:
+    * exact-collapse → LSH over representatives → greedy keep) on the
+    * kept pool. Output (doc_id, score) of the surviving documents —
+    * the "replace my regex quality rules with a fasttext-style model"
+    * migration every corpus team eventually makes, as one composed,
+    * bit-reproducible operator (training is [[Logit.train]]'s
+    * DECIMAL-quantized GD; the filter threshold compares the rounded
+    * score, so the cut is engine-exact).
+    *
+    * Scale shape: training is offline-amortized (KB model, corpus-
+    * linear rounds); scoring + filter are map-side against the
+    * broadcast model; the dedup stage is qd07's collapse-first
+    * pipeline. Nothing new moves — this is composition. */
+  def curateWithClassifier(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      labelCol: String,
+      threshold: Double = 0.55,
+      buckets: Int = 4096,
+      rounds: Int = 4): DataFrame = {
+    val model = Logit.train(docs, idCol, textCol, labelCol, buckets, rounds)
+    val scored = Logit.score(docs, idCol, textCol, model, buckets)
+      .filter(col("score") >= threshold)
+    val kept = graft.core.OpCache.persist(
+      docs.join(scored.select(col("doc_id").as(idCol), col("score")),
+        Seq(idCol)))
+    kept.join(
+      Dedup.dedupCorpus(kept, idCol, textCol)
+        .select(col("keep_id").as(idCol)),
+      Seq(idCol), "left_semi")
+      .select(col(idCol).as("doc_id"), col("score"))
+  }
+
   /** The COMPLETE training-data preparation lifecycle in one call —
     * what a corpus team actually ships: [[curate]] (language → quality
     * → repetition → PII → exact dedup), NEAR-dedup over the curated

@@ -58,6 +58,45 @@ object Dedup {
   def wordShingles(words: Column, n: Int = 3): Column =
     array_distinct(wordGrams(words, n))
 
+  /** LSH band-plan S-curve — the tuning table behind every banded
+    * minhash choice in this engine (qd02's bands=4/rows=4, the probe
+    * caps, the linkage thresholds): for every (bands, rows) split of a
+    * k-minhash signature and every candidate jaccard level s, the
+    * collision probability p = 1 − (1 − s^rows)^bands. Reading the
+    * table row-wise answers "at my target threshold, which split puts
+    * the S-curve's knee where I want it" — the decision that at 100 TB
+    * separates a linear candidate stream from a flood (more bands =
+    * higher recall AND more candidate pairs; this is the dial).
+    *
+    * Determinism: the powers are LEFT-FOLD repeated multiplication
+    * (exact IEEE, identical in any engine), never a libm pow — the
+    * same discipline as every float the engine emits. The table is
+    * parameter-sized (divisor pairs × grid), metadata not data.
+    *
+    * @param k    signature length (split into bands × rows = k)
+    * @param grid jaccard levels in integer percent (exact
+    *             CAST(j)/100 division both engines) */
+  def lshBandPlan(
+      spark: org.apache.spark.sql.SparkSession,
+      k: Int = 16,
+      grid: Seq[Int] = (5 to 95 by 5)): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    import spark.implicits._
+    val combos = (1 to k).filter(k % _ == 0).map(b => (b, k / b))
+    def foldPow(base: Column, n: Column): Column =
+      aggregate(sequence(lit(1), n), lit(1.0), (acc, _) => acc * base)
+    combos.toDF("bands", "rows")
+      .select(col("bands"), col("rows"),
+        explode(typedLit(grid)).as("jaccard_pct"))
+      .withColumn("s", col("jaccard_pct").cast("double") / 100.0)
+      .withColumn("p_band", foldPow(col("s"), col("rows")))
+      .select(lit(k).as("k"), col("bands").cast("long").as("bands"),
+        col("rows").cast("long").as("rows"),
+        col("jaccard_pct").cast("long").as("jaccard_pct"),
+        (lit(1.0) - foldPow(lit(1.0) - col("p_band"), col("bands")))
+          .as("p_collide"))
+  }
+
   /** Modulus for the affine minhash family: 2^61 − 1 (Mersenne prime). */
   val MinhashP: Long = 2305843009213693951L
 

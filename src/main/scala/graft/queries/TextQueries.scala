@@ -64,7 +64,45 @@ object TextQueries {
               |FROM (
               |  SELECT z.doc_id, round(${sig("zq")}, 6) AS score
               |  FROM zf z)""".stripMargin
-        s"""WITH tokl AS MATERIALIZED (
+        s"""WITH ${logitChain(rounds)}
+        |$finalSelect""".stripMargin
+  }
+
+  /** The logit training chain as composable CTEs (tokl ... zf) — the
+    * body logitOracle wraps; qt34 composes curation stages after it. */
+  private[queries] def logitChain(rounds: Int): String = {
+        def sig(z: String): String =
+          s"0.5 + CAST($z AS DOUBLE) / (2.0 * (1.0 + abs(CAST($z AS DOUBLE))))"
+        def round(r: Int): String = {
+          val p = r - 1
+          s"""z$r AS (
+            |  SELECT x.doc_id,
+            |    CAST(8.0 * CAST(sum(CAST(x.x * CAST(coalesce(w.w, 0) AS DOUBLE)
+            |      AS DECIMAL(30,6))) AS DOUBLE) + CAST(b.b AS DOUBLE)
+            |      AS DECIMAL(30,6)) AS zq
+            |  FROM x LEFT JOIN w$p w USING (bucket), b$p b
+            |  GROUP BY x.doc_id, b.b),
+            |r$r AS MATERIALIZED (
+            |  SELECT z.doc_id,
+            |    CAST(CAST(${sig("zq")} - y AS DECIMAL(30,6)) AS DOUBLE) AS r
+            |  FROM z$r z JOIN yt USING (doc_id)),
+            |g$r AS (
+            |  SELECT bucket,
+            |    CAST(sum(CAST(r * x AS DECIMAL(30,6))) AS DOUBLE) /
+            |    CAST(sum(CAST(x AS DECIMAL(30,6))) AS DOUBLE) AS gs
+            |  FROM x JOIN r$r USING (doc_id) GROUP BY 1),
+            |w$r AS MATERIALIZED (
+            |  SELECT coalesce(w.bucket, g.bucket) AS bucket,
+            |    CAST(CAST(coalesce(w.w, 0) AS DOUBLE)
+            |      - 1.0 * coalesce(g.gs, 0) AS DECIMAL(30,6)) AS w
+            |  FROM w$p w FULL OUTER JOIN g$r g ON w.bucket = g.bucket),
+            |b$r AS (
+            |  SELECT CAST(CAST(b.b AS DOUBLE)
+            |    - 1.0 * CAST(sum(CAST(r AS DECIMAL(30,6))) AS DOUBLE) / nd.nd
+            |    AS DECIMAL(30,6)) AS b
+            |  FROM r$r, b$p b, nd GROUP BY b.b, nd.nd)""".stripMargin
+        }
+        s"""tokl AS MATERIALIZED (
         |  SELECT doc_id, string_split(coalesce(text, ''), ' ') AS a,
         |    CAST(CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS DOUBLE) AS y
         |  FROM documents),
@@ -92,8 +130,7 @@ object TextQueries {
         |      AS DECIMAL(30,6))) AS DOUBLE) + CAST(b.b AS DOUBLE)
         |      AS DECIMAL(30,6)) AS zq
         |  FROM x LEFT JOIN w$rounds w USING (bucket), b$rounds b
-        |  GROUP BY x.doc_id, b.b)
-        |$finalSelect""".stripMargin
+        |  GROUP BY x.doc_id, b.b)""".stripMargin
   }
 
   /** DuckDB replay of Overlap.spanDedupRewrite over documents (n=5) —
@@ -2368,6 +2405,81 @@ object TextQueries {
             Tables.load(s, dir, "documents"), col("doc_id")),
           "doc_id", "text", n = 5),
       Some(spanRewriteOracle)),
+
+    Q(
+      "qt34_classifier_curation",
+      "LEARNED-filter curation (Curation.curateWithClassifier) - the " +
+        "'replace my regex quality rules with a trained model' " +
+        "migration as one composed operator: qt33's classifier " +
+        "distills the lang='en' labeling (4 GD rounds, 4096 buckets), " +
+        "docs scoring >= 0.55 survive, and the kept pool runs qd07's " +
+        "production-order near-dedup (exact-collapse, LSH over " +
+        "representatives, greedy keep). Output (doc_id, score) of the " +
+        "survivors. Training offline-amortized; scoring map-side " +
+        "against the KB model; composition, not new machinery - and " +
+        "the composed oracle replays train + filter + dedup exactly.",
+      (s, dir) =>
+        graft.operators.Curation.curateWithClassifier(
+          Tables.load(s, dir, "documents")
+            .withColumn("label", (col("lang") === "en").cast("int")),
+          "doc_id", "text", "label", threshold = 0.55,
+          buckets = 4096, rounds = 4),
+      Some {
+        val sigZq =
+          "0.5 + CAST(zq AS DOUBLE) / (2.0 * (1.0 + abs(CAST(zq AS DOUBLE))))"
+        s"""WITH ${logitChain(4)},
+          |scored AS (
+          |  SELECT z.doc_id, round($sigZq, 6) AS score FROM zf z),
+          |keptd AS (
+          |  SELECT d.doc_id, d.text, s.score FROM documents d
+          |  JOIN scored s USING (doc_id) WHERE s.score >= 0.55),
+          |reps AS (
+          |  SELECT min(doc_id) AS doc_id FROM keptd GROUP BY md5(text)),
+          |d2 AS (
+          |  SELECT k.doc_id, k.text FROM keptd k
+          |  JOIN reps r ON k.doc_id = r.doc_id),
+          |${lshCtes("d2")},
+          |dropped AS (
+          |  SELECT DISTINCT c.b_id AS doc_id
+          |  FROM cand c
+          |  JOIN sh sa ON sa.doc_id = c.a_id
+          |  JOIN sh sb ON sb.doc_id = c.b_id
+          |  WHERE CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE) /
+          |        CAST(len(list_distinct(sa.shingles || sb.shingles)) AS DOUBLE) >= 0.5)
+          |SELECT k.doc_id, k.score FROM keptd k
+          |JOIN reps r ON k.doc_id = r.doc_id
+          |WHERE k.doc_id NOT IN (SELECT doc_id FROM dropped)""".stripMargin
+      }),
+
+    Q(
+      "qd33_band_plan",
+      "LSH band-plan S-curve (Dedup.lshBandPlan - the tuning table " +
+        "behind qd02's bands=4/rows=4 and every banded threshold " +
+        "here): for each (bands, rows) split of the 16-minhash " +
+        "signature and each jaccard level, the collision probability " +
+        "1-(1-s^r)^b. The dial that separates a linear candidate " +
+        "stream from a flood at 100 TB. Powers are LEFT-FOLD repeated " +
+        "multiplication (exact IEEE both engines), never libm pow; " +
+        "the table is parameter-sized metadata.",
+      (s, dir) => graft.operators.Dedup.lshBandPlan(s, k = 16),
+      Some("""WITH combos AS (
+        |  SELECT b AS bands, 16 // b AS rows FROM unnest([1,2,4,8,16]) t(b)),
+        |grid AS (SELECT j FROM unnest(range(5, 100, 5)) t(j)),
+        |base AS (
+        |  SELECT bands, rows, j, CAST(j AS DOUBLE) / 100.0 AS s
+        |  FROM combos, grid),
+        |pb AS (
+        |  SELECT *, list_reduce(
+        |    list_prepend(1.0, list_transform(range(1, rows + 1), i -> s)),
+        |    (a, x) -> a * x) AS p_band
+        |  FROM base)
+        |SELECT CAST(16 AS INT) AS k, CAST(bands AS BIGINT) AS bands,
+        |  CAST(rows AS BIGINT) AS rows, CAST(j AS BIGINT) AS jaccard_pct,
+        |  1.0 - list_reduce(
+        |    list_prepend(1.0, list_transform(range(1, bands + 1),
+        |      i -> 1.0 - p_band)),
+        |    (a, x) -> a * x) AS p_collide
+        |FROM pb""".stripMargin)),
 
     Q(
       "qt33_quality_classifier",
