@@ -87,6 +87,13 @@ class PlanAuditSpec extends SparkSuite {
       // per-round one-row bias/doc-count broadcasts crossed into the
       // per-doc margin aggregate — never a pair join
       "qt33_quality_classifier",
+      // inherits qt33's one-row bias/doc-count broadcasts (the
+      // classifier-filter stage); the dedup stage is qd07's equi-join
+      // pipeline
+      "qt34_classifier_curation",
+      // one-row as-of (max commit ts) broadcast crossed into the
+      // month-winner table — commit-log metadata, never data×data
+      "qw22_retention_plan",
       // qs01's broadcast query-batch × corpus linear scan for MMR
       // candidate generation; the greedy steps run over candidate-
       // bounded persisted frames (equi-joins + per-query windows)
