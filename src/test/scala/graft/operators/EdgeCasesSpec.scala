@@ -255,4 +255,51 @@ class EdgeCasesSpec extends SparkSuite {
       Multimodal.asMedia(emptyDocs, "doc_id", "text", "x")).count() == 0)
     graft.core.OpCache.releaseAll(blocking = true)
   }
+
+  test("round-7 session-6 operators: empty and degenerate inputs") {
+    // span rewrite: empty corpus → empty; empty-string doc and a doc
+    // shorter than n pass through untouched (one word/row each)
+    assert(Overlap.spanDedupRewrite(emptyDocs, "doc_id", "text").count() == 0)
+    val weird = Seq((1L, ""), (2L, "just three words")).toDF("doc_id", "text")
+    val wr = Overlap.spanDedupRewrite(weird, "doc_id", "text")
+      .as[(Long, String, Long, Long)].collect()
+      .map(t => t._1 -> ((t._2, t._4))).toMap
+    assert(wr(1L) == (("", 0L)) && wr(2L) == (("just three words", 0L)))
+    // an intra-doc repeated gram is its own corpus duplicate
+    val rep = Seq((1L, "a a a a a a")).toDF("doc_id", "text")
+    assert(Overlap.spanDedupRewrite(rep, "doc_id", "text")
+      .select("n_removed").as[Long].head() == 6L)
+    // write conflicts: one empty feed → every key one-sided
+    val feed = Seq((1L, 1L, 1L, "set", 1.0)).toDF("k", "ts", "cid", "typ", "v")
+    val emptyFeed = Seq.empty[(Long, Long, Long, String, Double)]
+      .toDF("k", "ts", "cid", "typ", "v")
+    val wc = graft.warehouse.Cdc.writeConflictAudit(feed, emptyFeed,
+        Seq("k"), Seq(col("ts"), col("cid")), col("typ") === "del",
+        Seq("typ", "v"))
+      .as[(Long, String)].collect().toMap
+    assert(wc == Map(1L -> "a_only"))
+    // retention: a single-commit log is kept by the rollback window
+    val one = Seq((7L, java.sql.Date.valueOf("2024-03-01"))).toDF("v", "t")
+    val rp = graft.storage.Retention.retentionPlan(one, "v", "t", 5, 12)
+      .collect().head
+    assert(rp.getString(2) == "keep" && rp.getString(3) == "last_n")
+    // ivfInsert with an empty batch leaves the cells unchanged
+    val vecs = (0L until 10L)
+      .map(i => (i, Array.tabulate(4)(j => (i + j).toFloat)))
+      .toDF("vec_id", "embedding")
+    val idx = Similarity.buildIvfIndex(vecs, "vec_id", "embedding", 5)
+    val grown = Similarity.ivfInsert(idx,
+      vecs.filter(col("vec_id") < 0), "vec_id", "embedding")
+    assert(grown.cells.count() == idx.cells.count())
+    // graph search with k exceeding the reachable set still returns
+    // complete self-free rankings (fewer than k rows per query is fine)
+    val tiny = (0L until 4L)
+      .map(i => (i, Array.tabulate(3)(j => (i * 3 + j).toFloat)))
+      .toDF("vec_id", "embedding")
+    val gs = Similarity.graphSearchTopK(tiny, "vec_id", "embedding",
+      k = 10, beam = 4, hops = 2, graphK = 2, graphRounds = 1, nSeeds = 2)
+      .collect()
+    assert(gs.nonEmpty && gs.forall(r => r.getLong(0) != r.getLong(1)))
+    graft.core.OpCache.releaseAll(blocking = true)
+  }
 }
