@@ -283,6 +283,15 @@ object Multimodal {
           .as(Seq("idx", "h")))
   }
 
+  /** Public read of the Gear chunk table — (media_id, idx, h): one row
+    * per content-defined chunk occurrence, in payload order. The
+    * primitive the CAS family shares; the streaming ingest feed
+    * ([[graft.streaming.EventStreams.chunkIngestFeed]]) probes a
+    * stored distinct-hash set with exactly these rows. */
+  def gearChunkHashes(
+      docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    gearChunks(docs, idCol, textCol)
+
   def gearChunkDedupStats(
       docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window

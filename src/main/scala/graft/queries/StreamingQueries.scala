@@ -798,6 +798,78 @@ object StreamingQueries {
       Some(TextQueries.spanRewriteOracle)),
 
     Q(
+      "qst20_stream_chunk_ingest",
+      "Streaming CAS chunk ingest (EventStreams.chunkIngestFeed - " +
+        "qst06's sibling at CHUNK granularity): the corpus store " +
+        "(distinct Gear-chunk hashes of doc_id % 50 != 0) loads once; " +
+        "the held-out media arrive TWICE via two staged files, each " +
+        "batch cuts content-defined chunks, anti-joins the store, " +
+        "emits (media_id, n_chunks, n_new) for novel-contributing " +
+        "media only, then grows the store by the batch's novel " +
+        "hashes. Re-delivery contributes nothing and emits nothing - " +
+        "each chunk admitted exactly once; counts are vs the " +
+        "PRE-batch store, so emission is partitioning-deterministic. " +
+        "Oracle = the batch replay against the bootstrap store.",
+      (s, dir) => {
+        s.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+        val docs = graft.core.Tables.load(s, dir, "documents")
+        val store0 = graft.core.OpCache.persist(
+          Multimodal.gearChunkHashes(
+            docs.filter(pmod(col("doc_id"), lit(50)) =!= 0),
+            "doc_id", "text")
+            .select(col("h")).distinct())
+        store0.count()
+        val in = java.nio.file.Files.createTempDirectory("graft_ci_in")
+        val src = java.nio.file.Paths.get(dir, "documents.parquet")
+        java.nio.file.Files.copy(src, in.resolve("d1.parquet"))
+        java.nio.file.Files.copy(src, in.resolve("d2.parquet"))
+        val stream = s.readStream.schema(docs.schema)
+          .option("maxFilesPerTrigger", 1)
+          .parquet(in.toString + "/*.parquet")
+          .filter(pmod(col("doc_id"), lit(50)) === 0)
+        val out = java.nio.file.Files
+          .createTempDirectory("graft_ci_out").toString
+        EventStreams.chunkIngestFeed(stream, store0, "doc_id", "text", out)
+        s.read.parquet(out).distinct()
+      },
+      Some {
+        val tb = graft.operators.Multimodal.gearTable8.mkString("[", ", ", "]")
+        val gsum = (0 until 8).map(j =>
+          s"tb[ascii(substring(text, CAST(t.i - $j AS INT), 1)) + 1] * ${1 << j}")
+          .mkString(" + ")
+        s"""WITH g AS (SELECT $tb AS tb),
+          |m AS (
+          |  SELECT doc_id AS media_id, text FROM documents
+          |  WHERE length(text) >= 1),
+          |cuts AS (
+          |  SELECT media_id, t.i AS cut
+          |  FROM m, g, unnest(range(8, length(text) + 1)) t(i)
+          |  WHERE (($gsum) & 255) = 0),
+          |bl AS (
+          |  SELECT m.media_id, m.text,
+          |    list_sort(list_distinct(
+          |      [0] ||
+          |      coalesce(list(c.cut ORDER BY c.cut)
+          |        FILTER (WHERE c.cut IS NOT NULL), []) ||
+          |      [CAST(length(m.text) AS BIGINT)])) AS bounds
+          |  FROM m LEFT JOIN cuts c ON m.media_id = c.media_id
+          |  GROUP BY m.media_id, m.text),
+          |ch AS (
+          |  SELECT media_id, u.k AS idx,
+          |    md5(substring(text, CAST(bounds[u.k] + 1 AS INT),
+          |      CAST(bounds[u.k + 1] - bounds[u.k] AS INT))) AS h
+          |  FROM bl, unnest(range(1, len(bounds))) u(k)),
+          |store AS (SELECT DISTINCT h FROM ch WHERE media_id % 50 <> 0)
+          |SELECT media_id, CAST(count(*) AS BIGINT) AS n_chunks,
+          |  CAST(sum(CASE WHEN h NOT IN (SELECT h FROM store)
+          |    THEN 1 ELSE 0 END) AS BIGINT) AS n_new
+          |FROM ch WHERE media_id % 50 = 0
+          |GROUP BY 1
+          |HAVING sum(CASE WHEN h NOT IN (SELECT h FROM store)
+          |  THEN 1 ELSE 0 END) > 0""".stripMargin
+      }),
+
+    Q(
       "qst09_stream_static_join",
       "Stream-static join: the event stream enriched against a " +
         "BROADCAST dimension (event_type → category) — stateless, " +

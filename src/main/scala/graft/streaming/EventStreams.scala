@@ -317,6 +317,56 @@ object EventStreams {
     if (!q.awaitTermination(180000)) q.stop()
   }
 
+  /** Streaming CAS chunk ingest — the content-addressed-storage
+    * admission loop run LIVE ([[ingestDedup]]'s sibling at CHUNK
+    * granularity): a stored distinct Gear-chunk-hash set loads once;
+    * each micro-batch of media cuts its content-defined chunks
+    * ([[graft.operators.Multimodal.gearChunkHashes]]), anti-joins the
+    * store, and emits one row per media that contributes ≥ 1 NOVEL
+    * chunk — (media_id, n_chunks, n_new) — before the store grows by
+    * the batch's novel hashes (per-batch DELTA persisted, union left
+    * lazy over cached children — the componentMaintenance discipline).
+    * A re-delivered or duplicate payload contributes nothing and emits
+    * nothing, so at-least-once upstream delivery admits each chunk
+    * exactly once. Within a batch, media are counted against the
+    * PRE-batch store (no intra-batch order), so emission is
+    * deterministic under any partitioning. */
+  def chunkIngestFeed(
+      docs: DataFrame,
+      storedChunks0: DataFrame,
+      idCol: String,
+      textCol: String,
+      outDir: String,
+      queryName: String = "graft_chunk_ingest"): Unit = {
+    var stored = storedChunks0
+    val q = docs.writeStream
+      .queryName(queryName)
+      .outputMode(OutputMode.Append())
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val b = graft.core.OpCache.persist(
+          batch.toDF().dropDuplicates(Seq(idCol)))
+        val ch = graft.core.OpCache.persist(
+          graft.operators.Multimodal.gearChunkHashes(b, idCol, textCol))
+        val counts = ch.groupBy(col("media_id"))
+          .agg(count(lit(1)).cast("long").as("n_chunks"))
+        val novel = graft.core.OpCache.persist(
+          ch.join(stored, Seq("h"), "left_anti"))
+        counts
+          .join(novel.groupBy(col("media_id"))
+            .agg(count(lit(1)).cast("long").as("n_new")), Seq("media_id"))
+          .filter(col("n_new") > 0)
+          .write.mode("append").parquet(outDir)
+        val delta = graft.core.OpCache.persist(
+          novel.select(col("h")).distinct())
+        delta.count()
+        stored = stored.unionByName(delta)
+        ()
+      }
+      .start()
+    if (!q.awaitTermination(180000)) q.stop()
+  }
+
   /** Streaming subject-erasure feed — [[graft.warehouse.Erasure]] run
     * as a live compliance pipeline: deletion REQUESTS arrive as a
     * stream of subject keys, and each micro-batch emits its cascade
