@@ -1538,4 +1538,88 @@ object Dedup {
         coalesce(col("n_kept"), lit(0L)).as("n_kept"),
         (col("n_segs") - coalesce(col("n_kept"), lit(0L))).as("n_dropped"))
   }
+
+  /** Densification offset multiplier for [[ophBandTable]]: a prime
+    * near 2^40, so a borrowed min (< 2^60) plus offset·C (offset < 64)
+    * stays well inside a positive Long and distinct borrow distances
+    * cannot produce colliding slot values by accident. */
+  val OphDensifyC: Long = 1099511627791L
+
+  /** One-permutation-hashing (OPH) MinHash band table — the
+    * signature-cost optimization of [[bandTable]]: classic MinHash
+    * evaluates k hash functions per shingle (here: one md5 + k affine
+    * rehashes), so signature construction is O(k·shingles). OPH (Li,
+    * Owen & Zhang, NIPS 2012) hashes each shingle ONCE and splits the
+    * hash space into k bins (`bin = h mod k`); slot i of the signature
+    * is the minimum hash landing in bin i. Construction cost drops to
+    * O(shingles) — at corpus scale the signature build dominates
+    * MinHash-LSH wall time, so this is the production variant.
+    *
+    * Empty bins (short documents can miss bins entirely) are filled by
+    * ROTATION DENSIFICATION (Shrivastava & Li, ICML 2014): slot i
+    * borrows the min of the nearest occupied bin to its right
+    * (cyclically), offset-shifted by `o · OphDensifyC` so two slots
+    * borrowing the same bin at different distances stay distinguishable
+    * (unbiased collision probability, which plain copying would break).
+    * A document with ≥1 shingle has ≥1 occupied bin, so densification
+    * is total.
+    *
+    * Plan shape: explode shingles → ONE hash60 per shingle → k
+    * conditional `min` aggregates (map-side partials, codegen'd) → a
+    * per-row densify + band expression. One shuffle on doc_id; no
+    * (doc, bin) intermediate shuffle. Bands/bkey layout matches
+    * [[bandTable]], so [[pairsFromBandTable]] consumes it unchanged.
+    */
+  private[operators] def ophBandTable(
+      sh: DataFrame, k: Int, bands: Int): DataFrame = {
+    val r = k / bands
+    require(bands * r == k, "k must be divisible by bands")
+    require(k <= 64, "borrow offset must stay below OphDensifyC reuse bound")
+    val binned = sh
+      .select(col("doc_id"), explode(col("shingles")).as("s"))
+      .select(col("doc_id"), hash60(col("s")).as("h"))
+      .select(col("doc_id"), pmod(col("h"), lit(k.toLong)).as("bin"), col("h"))
+    // k sparse per-bin mins in ONE hash aggregate (null = empty bin)
+    val minCols = (0 until k).map(i =>
+      min(when(col("bin") === i.toLong, col("h"))).as(s"m$i"))
+    val sparse = binned.groupBy(col("doc_id")).agg(minCols.head, minCols.tail: _*)
+    val mins = array((0 until k).map(i => col(s"m$i")): _*)
+    // rotation densification: first non-null bin at cyclic offset o,
+    // value shifted by o·C (transform+filter preserve order, so
+    // element 1 is the SMALLEST offset — deterministic)
+    val sig = transform(sequence(lit(0), lit(k - 1)), i =>
+      element_at(
+        filter(
+          transform(sequence(lit(0), lit(k - 1)), o =>
+            element_at(mins, (pmod(i + o, lit(k)) + 1).cast("int")) +
+              o.cast("long") * lit(OphDensifyC)),
+          v => v.isNotNull),
+        1))
+    val bandStructs = (0 until bands).map { b =>
+      struct(lit(b).as("band"),
+        array_join(
+          transform(slice(col("sig"), b * r + 1, r), _.cast("string")),
+          ",").as("bkey"))
+    }
+    sparse
+      .select(col("doc_id"), sig.as("sig"))
+      .select(col("doc_id"), explode(array(bandStructs: _*)).as("bk"))
+      .select(col("doc_id"), col("bk.band").as("band"), col("bk.bkey").as("bkey"))
+  }
+
+  /** MinHash-LSH near-dup pairs via the OPH signature ([[ophBandTable]])
+    * — same candidate/verify machinery as [[lshNearDupPairs]], k× less
+    * signature hashing. Output: verified (a_id, b_id, jaccard). */
+  def ophNearDupPairs(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      nShingle: Int = 3,
+      k: Int = 16,
+      bands: Int = 4,
+      threshold: Double = 0.5,
+      maxBucketSize: Int = DefaultMaxBucketSize): DataFrame = {
+    val sh = shingleTable(docs, idCol, textCol, nShingle)
+    pairsFromBandTable(sh, ophBandTable(sh, k, bands), threshold, maxBucketSize)
+  }
 }

@@ -870,6 +870,41 @@ object StreamingQueries {
       }),
 
     Q(
+      "qst21_stream_retract_agg",
+      "Streaming RETRACTION-aware aggregate view (qw23's " +
+        "Cdc.retractDeltas as a live materialized view): the orders " +
+        "changelog (inserts, group-moving updates, deletes with " +
+        "before-images) arrives as a file stream; each change row " +
+        "maps statelessly to signed deltas and a streaming sum " +
+        "aggregation maintains per-group (count, DECIMAL total) — " +
+        "state is ONE row per group, the inherent size of the view, " +
+        "and micro-batch arrival order cannot matter because deltas " +
+        "are commutative and the sums exact. Deltas are NOT " +
+        "idempotent, so the feed contract is exactly-once (an " +
+        "at-least-once source composes qst03's dedup stage first — " +
+        "the reason that operator exists). A group retracted to " +
+        "count 0 disappears at read. Oracle = qw23's full recompute.",
+      (s, dir) => {
+        s.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+        val schema = StructType.fromDDL(
+          "o_orderkey BIGINT, o_custkey BIGINT, o_orderstatus STRING, " +
+            "o_totalprice DOUBLE, o_orderdate TIMESTAMP, o_orderpriority STRING")
+        val ordersStream = s.readStream.schema(schema)
+          .parquet(s"$dir/orders.parque*")
+        val deltas = graft.warehouse.Cdc.retractDeltas(
+          WarehouseQueries.ordersChangelog(ordersStream),
+          col("op"), col("grp"), col("val"), col("bgrp"), col("bval"))
+        val live = deltas.groupBy(col("grp"))
+          .agg(sum(col("dn")).cast("long").as("n_rows"),
+            sum(col("dv")).as("total"))
+        runToMemory(s, "graft_stream_retract", "complete")(live)
+          .filter(col("n_rows") =!= 0L)
+          .select(col("grp").as("status"), col("n_rows"),
+            col("total").cast("double").as("total_value"))
+      },
+      Some(WarehouseQueries.retractOracle)),
+
+    Q(
       "qst09_stream_static_join",
       "Stream-static join: the event stream enriched against a " +
         "BROADCAST dimension (event_type → category) — stateless, " +

@@ -2407,6 +2407,36 @@ object TextQueries {
       Some(spanRewriteOracle)),
 
     Q(
+      "qt35_token_shard",
+      "Deterministic token-balanced corpus sharding " +
+        "(Sharding.tokenShards — the export step that hands a " +
+        "tokenized corpus to trainers): docs placed at stable " +
+        "hash-order positions, the stream cut into ~4000-token " +
+        "shards. The global cumulative token sum runs WITHOUT a " +
+        "global window: bucket by the key's first hex digit (a " +
+        "PREFIX of the sort key, so buckets are contiguous ranges " +
+        "of the global order), 16-way-parallel in-bucket cumsum " +
+        "windows, a one-row 16-entry prefix-offset fold, one " +
+        "broadcast equi-join back. Oracle = the straightforward " +
+        "single-window global cumsum the engine refuses to run.",
+      (s, dir) =>
+        graft.operators.Sharding.tokenShards(
+          Tables.load(s, dir, "documents"), "doc_id",
+          size(split(col("text"), " ")).cast("long"), budget = 4000L),
+      Some("""WITH t AS (
+        |  SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS key,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS tokens
+        |  FROM documents),
+        |c AS (
+        |  SELECT tokens,
+        |    sum(tokens) OVER (ORDER BY key ROWS UNBOUNDED PRECEDING)
+        |      - tokens AS bef
+        |  FROM t)
+        |SELECT bef // 4000 AS shard, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(tokens) AS BIGINT) AS shard_tokens
+        |FROM c GROUP BY 1""".stripMargin)),
+
+    Q(
       "qt34_classifier_curation",
       "LEARNED-filter curation (Curation.curateWithClassifier) - the " +
         "'replace my regex quality rules with a trained model' " +
@@ -2480,6 +2510,60 @@ object TextQueries {
         |      i -> 1.0 - p_band)),
         |    (a, x) -> a * x) AS p_collide
         |FROM pb""".stripMargin)),
+
+    Q(
+      "qd34_oph_minhash",
+      "One-permutation-hashing MinHash near-dup pairs " +
+        "(Dedup.ophNearDupPairs — the signature-cost optimization of " +
+        "qd02): ONE hash per shingle split into 16 bins (slot i = min " +
+        "hash in bin i) instead of 16 affine rehashes per shingle, so " +
+        "signature construction is O(shingles) not O(k·shingles) — " +
+        "the dominant cost at corpus scale. Empty bins fill by " +
+        "rotation densification (nearest occupied bin rightward, " +
+        "offset-shifted so borrow distances cannot collide). Same " +
+        "band/candidate/verify machinery as qd02; 16 conditional min " +
+        "aggregates in one map-side-combined hash agg.",
+      (s, dir) =>
+        Dedup.ophNearDupPairs(Tables.load(s, dir, "documents"), "doc_id", "text",
+          nShingle = 3, k = 16, bands = 4, threshold = 0.5),
+      Some {
+        val minCols = (0 until 16)
+          .map(i => s"min(CASE WHEN h % 16 = $i THEN h END) AS m$i")
+          .mkString(",\n        |    ")
+        val minsList = (0 until 16).map(i => s"m$i").mkString("[", ", ", "]")
+        s"""WITH sh AS (
+          |  SELECT doc_id,
+          |    list_distinct(list_transform(range(1, len(w)-1),
+          |      i -> concat(w[i], ' ', w[i+1], ' ', w[i+2]))) AS shingles
+          |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+          |  WHERE len(w) >= 3),
+          |hb AS (
+          |  SELECT doc_id, ${dkHash60("s")} AS h
+          |  FROM (SELECT doc_id, unnest(shingles) AS s FROM sh)),
+          |sparse AS (
+          |  SELECT doc_id,
+          |    $minCols
+          |  FROM hb GROUP BY doc_id),
+          |ml AS (SELECT doc_id, $minsList AS mins FROM sparse),
+          |sigs AS (
+          |  SELECT doc_id,
+          |    list_transform(range(0, 16), i ->
+          |      list_filter(list_transform(range(0, 16), o ->
+          |        CASE WHEN mins[((i + o) % 16) + 1] IS NOT NULL
+          |             THEN mins[((i + o) % 16) + 1] + o * ${Dedup.OphDensifyC}
+          |        END), x -> x IS NOT NULL)[1]) AS sig
+          |  FROM ml),
+          |bands AS (
+          |  SELECT doc_id, b.band AS band,
+          |    concat(CAST(sig[4*b.band+1] AS VARCHAR), ',', CAST(sig[4*b.band+2] AS VARCHAR), ',',
+          |           CAST(sig[4*b.band+3] AS VARCHAR), ',', CAST(sig[4*b.band+4] AS VARCHAR)) AS bkey
+          |  FROM sigs, (SELECT unnest(range(0, 4)) AS band) b),
+          |cand AS (
+          |  SELECT DISTINCT a.doc_id AS a_id, b2.doc_id AS b_id
+          |  FROM bands a JOIN bands b2
+          |    ON a.band = b2.band AND a.bkey = b2.bkey AND a.doc_id < b2.doc_id)
+          |$lshPairSelect""".stripMargin
+      }),
 
     Q(
       "qt33_quality_classifier",

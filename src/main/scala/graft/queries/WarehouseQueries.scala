@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import graft.expr.Exprs
 import graft.pipeline.demo.TpchShipments
@@ -34,6 +35,49 @@ object WarehouseQueries {
        |  JOIN nation ON s_nationkey = n_nationkey
        |  JOIN $cmap c ON n_nationkey = c.nk
        |  GROUP BY c.country_code, EXTRACT(YEAR FROM l_shipdate), l_returnflag)""".stripMargin
+
+  /** Synthetic keyed changelog over orders, shared by qw23 and its
+    * streaming twin qst21 (stateless selects + union, so it applies
+    * to the batch table and the file stream alike): every order
+    * INSERTed; keys %5=0 UPDATEd (+10 and a group move O→F→P→O);
+    * keys %7=0 DELETEd, before-images reflecting the prior update.
+    * Output: (op, grp, val, bgrp, bval) with DECIMAL(30,6) values. */
+  private[queries] def ordersChangelog(orders: DataFrame): DataFrame = {
+    val dec = "decimal(30,6)"
+    val ord = orders.select(col("o_orderkey").as("k"),
+      col("o_orderstatus").as("g0"),
+      col("o_totalprice").cast(dec).as("v0"))
+    val moved = when(col("g0") === "O", "F")
+      .when(col("g0") === "F", "P").otherwise("O")
+    val ins = ord.select(lit("I").as("op"), col("g0").as("grp"),
+      col("v0").as("val"), lit(null).cast("string").as("bgrp"),
+      lit(null).cast(dec).as("bval"))
+    val upd = ord.filter(pmod(col("k"), lit(5)) === 0)
+      .select(lit("U").as("op"), moved.as("grp"),
+        (col("v0") + lit(10).cast(dec)).as("val"),
+        col("g0").as("bgrp"), col("v0").as("bval"))
+    val del = ord.filter(pmod(col("k"), lit(7)) === 0)
+      .select(lit("D").as("op"), lit(null).cast("string").as("grp"),
+        lit(null).cast(dec).as("val"),
+        when(pmod(col("k"), lit(5)) === 0, moved).otherwise(col("g0")).as("bgrp"),
+        when(pmod(col("k"), lit(5)) === 0, col("v0") + lit(10).cast(dec))
+          .otherwise(col("v0")).as("bval"))
+    ins.unionByName(upd).unionByName(del)
+  }
+
+  /** The full-recompute oracle both retract-agg queries must equal. */
+  private[queries] val retractOracle: String =
+    """WITH fin AS (
+      |  SELECT CASE WHEN o_orderkey % 5 = 0 THEN
+      |           CASE o_orderstatus WHEN 'O' THEN 'F' WHEN 'F' THEN 'P' ELSE 'O' END
+      |         ELSE o_orderstatus END AS status,
+      |    CASE WHEN o_orderkey % 5 = 0
+      |         THEN CAST(o_totalprice AS DECIMAL(30,6)) + 10
+      |         ELSE CAST(o_totalprice AS DECIMAL(30,6)) END AS v
+      |  FROM orders WHERE o_orderkey % 7 <> 0)
+      |SELECT status, CAST(count(*) AS BIGINT) AS n_rows,
+      |  CAST(sum(v) AS DOUBLE) AS total_value
+      |FROM fin GROUP BY 1""".stripMargin
 
   val all: Seq[Q] = Seq(
     Q(
@@ -183,6 +227,37 @@ object WarehouseQueries {
         |    row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
         |  FROM events)
         |WHERE rn = 1 AND last_type <> 'error'""".stripMargin)),
+
+    Q(
+      "qw23_retract_agg",
+      "RETRACTION-aware incremental aggregation (Cdc.retractDeltas + " +
+        "retractMerge — the IVM step for feeds with updates and " +
+        "deletes, where qw05's append-only merge stops): a keyed " +
+        "changelog over orders (every order inserted; keys %5=0 " +
+        "updated with value+10 AND a group move O→F→P→O; keys %7=0 " +
+        "deleted, before-images reflecting the prior update) turns " +
+        "into signed deltas — U retracts the old group and inserts " +
+        "the new, D retracts — and the stored per-status state " +
+        "absorbs sum-of-deltas without rescanning history. DECIMAL " +
+        "deltas make retraction exact (+v then −v restores state " +
+        "bit-for-bit); a group counted down to 0 disappears. Oracle " +
+        "= the full recompute of the final state, which the " +
+        "maintained view must equal exactly — the Materialize/Flink " +
+        "retract-stream correctness bar.",
+      (s, dir) => {
+        val log = ordersChangelog(graft.core.Tables.load(s, dir, "orders"))
+        def deltas(df: DataFrame) = graft.warehouse.Cdc.retractDeltas(
+          df, col("op"), col("grp"), col("val"), col("bgrp"), col("bval"))
+        // stored state = the insert-only view; the delta batch = U+D
+        val state = graft.warehouse.Cdc.retractMerge(
+          deltas(log.filter(col("op") === "I"))
+            .groupBy(col("grp"))
+            .agg(sum(col("dn")).cast("long").as("n"), sum(col("dv")).as("v")),
+          deltas(log.filter(col("op") =!= "I")))
+        state.select(col("grp").as("status"), col("n_rows"),
+          col("total").cast("double").as("total_value"))
+      },
+      Some(retractOracle)),
 
     Q(
       "qw12_compaction_plan",

@@ -271,4 +271,51 @@ object Cdc {
         .when(agree, lit("agree"))
         .otherwise(lit("diverge")).as("status"): _*)
   }
+
+  /** Signed deltas from a keyed changelog WITH before-images — the
+    * retraction half of incremental view maintenance (qw05 merges
+    * append-only partials; this handles UPDATES and DELETES, the
+    * Flink/Materialize retract-stream semantics). Every change row
+    * becomes 0–2 delta rows:
+    *   I → (grp, +1, +val)
+    *   U → (before_grp, −1, −before_val) AND (grp, +1, +val) —
+    *       a group-moving update retracts from the old group and
+    *       inserts into the new one, no special case
+    *   D → (before_grp, −1, −before_val)
+    * Values are cast DECIMAL(30,6) so retraction is EXACT: applying
+    * +v then −v restores the state bit-for-bit at any partitioning
+    * (an IEEE float sum would drift and the maintained view would
+    * diverge from a recompute). Output: (grp, dn, dv) — linear,
+    * narrow, no shuffle of its own.
+    *
+    * @param opCol 'I' | 'U' | 'D'; before-image columns may be null
+    *              on I rows (they are not read there) */
+  def retractDeltas(
+      changes: DataFrame, opCol: Column,
+      grpCol: Column, valCol: Column,
+      beforeGrpCol: Column, beforeValCol: Column): DataFrame = {
+    val dec = "decimal(30,6)"
+    val inserts = changes.filter(opCol.isin("I", "U"))
+      .select(grpCol.as("grp"), lit(1L).as("dn"),
+        valCol.cast(dec).as("dv"))
+    val retracts = changes.filter(opCol.isin("U", "D"))
+      .select(beforeGrpCol.as("grp"), lit(-1L).as("dn"),
+        (-beforeValCol.cast(dec)).as("dv"))
+    inserts.unionByName(retracts)
+  }
+
+  /** Merge a stored per-group aggregate state with a batch of signed
+    * deltas ([[retractDeltas]]) — one union + one hash aggregate over
+    * state ∪ deltas, never a rescan of history. A group whose
+    * maintained count reaches 0 disappears (equality with a full
+    * recompute is the correctness bar, and a recompute has no row
+    * for an emptied group). Both inputs: (grp, n/dn, total/dv). */
+  def retractMerge(state: DataFrame, deltas: DataFrame): DataFrame = {
+    val cols = Seq("grp", "dn", "dv")
+    state.toDF(cols: _*).unionByName(deltas.toDF(cols: _*))
+      .groupBy(col("grp"))
+      .agg(sum(col("dn")).cast("long").as("n_rows"),
+        sum(col("dv")).as("total"))
+      .filter(col("n_rows") =!= 0L)
+  }
 }
