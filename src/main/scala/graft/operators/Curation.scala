@@ -445,4 +445,39 @@ object Curation {
       .orderBy(col("score").desc, col("doc_id"))
       .limit(keep)
   }
+
+  /** The EXPORT step closing the pre-training lifecycle: run the
+    * decontaminated pipeline ([[trainingPipelineDecontaminated]]) and
+    * cut its packed sequences into token-balanced shards
+    * ([[Sharding.tokenShards]] over the stable (stratum, seq_id)
+    * sequence key) — the shard manifest a trainer consumes. Sequences,
+    * not documents, are the shard unit: a shard boundary can never
+    * split a training sequence. Output: (shard, n_seqs, shard_tokens),
+    * deterministic at any partitioning like every stage upstream.
+    */
+  def exportManifest(
+      docs: DataFrame,
+      bench: DataFrame,
+      idCol: String,
+      textCol: String,
+      langCol: String,
+      sourceCol: String,
+      langs: Seq[String],
+      permille: Map[String, Int],
+      defaultPermille: Int,
+      maxLen: Int = 1024,
+      nStrata: Int = 4,
+      maxSharedFp: Long = 0L,
+      shardBudget: Long = 4096L): DataFrame = {
+    val packed = trainingPipelineDecontaminated(docs, bench, idCol, textCol,
+      langCol, sourceCol, langs, permille, defaultPermille, maxLen, nStrata,
+      maxSharedFp)
+    val seqs = packed
+      .groupBy(col("stratum"), col("seq_id"))
+      .agg(sum(col("n_tokens")).cast("long").as("seq_tokens"))
+      .select(concat_ws(":", col("stratum"), col("seq_id")).as("seq_key"),
+        col("seq_tokens"))
+    Sharding.tokenShards(seqs, "seq_key", col("seq_tokens"), shardBudget)
+      .select(col("shard"), col("n_docs").as("n_seqs"), col("shard_tokens"))
+  }
 }

@@ -530,6 +530,31 @@ object SimilarityQueries {
       Some(pqOracle)),
 
     Q(
+      "qs29_pq_from_index",
+      "PQ-ADC search against a STORED index (Similarity.PqIndex — " +
+        "the qs07/qs12 pattern completing the PQ rung): codebooks + " +
+        "corpus codes build once, round-trip through parquet (the " +
+        "codes ARE the 32×-compressed corpus — 8 small ints per " +
+        "vector), and the query batch scores against the RELOADED " +
+        "index. Training is offline-amortized: the serve path is one " +
+        "code explode + (m, cent_id) equi-join + decimal-exact sum, " +
+        "corpus floats never read. Round-trip is bit-identical " +
+        "(integer codes, decimal codebooks), so same oracle as qs14.",
+      (s, dir) => {
+        val em = Tables.load(s, dir, "embeddings")
+        val idxDir = java.nio.file.Files
+          .createTempDirectory("graft_pq_").toString
+        Similarity.writePqIndex(
+          Similarity.buildPqIndex(em, "vec_id", "embedding",
+            nSub = 8, dim = 64, centroidStride = 40, iters = 1), idxDir)
+        Similarity.pqAdcTopKWithIndex(
+          Similarity.readPqIndex(s, idxDir),
+          em.filter(org.apache.spark.sql.functions.col("vec_id") % 50 === 0),
+          "vec_id", "embedding", k = 10, nSub = 8, dim = 64)
+      },
+      Some(pqOracle)),
+
+    Q(
       "qs15_ivf_pq",
       "IVF-PQ ANN (Similarity.ivfPqTopK — the canonical 100 TB " +
         "configuration assembled from its audited halves): float " +

@@ -270,6 +270,81 @@ object TextQueries {
     * verified-pair SELECT. Shared by qd02 (pairs), qd10 (clusters =
     * connected components over the same pairs) and qd11 (clusters over
     * exact-dup representatives — `src` parameterizes the corpus). */
+  /** The full decontaminated-pipeline oracle (qt17); qt36 wraps it
+    * as a nested-WITH subquery and appends the shard manifest. */
+  private def decontPipelineOracle: String =
+    s"""WITH corp AS (
+          |  SELECT * FROM documents WHERE doc_id % 50 <> 0),
+          |${curationCtes("corp")},
+          |curated AS (
+          |  SELECT doc_id FROM (
+          |    SELECT doc_id, row_number() OVER (
+          |      PARTITION BY redacted_md5 ORDER BY doc_id) AS rn FROM red)
+          |  WHERE rn = 1),
+          |d2 AS (
+          |  SELECT d.doc_id, d.text, d.source FROM corp d
+          |  JOIN curated USING (doc_id)),
+          |wdc AS (
+          |  SELECT doc_id, string_split(text, ' ') AS w FROM d2
+          |  WHERE len(string_split(text, ' ')) >= 6),
+          |hsc AS (
+          |  SELECT doc_id,
+          |    list_transform(
+          |      list_transform(range(1, len(w) - 1),
+          |        i -> concat(w[i], ' ', w[i+1], ' ', w[i+2])),
+          |      g -> ${dkHash60("g")}) AS h
+          |  FROM wdc),
+          |cfp AS (
+          |  SELECT doc_id, unnest(list_distinct(
+          |    list_transform(range(1, len(h) - 2),
+          |      i -> list_min(list_slice(h, i, i + 3))))) AS fp
+          |  FROM hsc),
+          |wdb AS (
+          |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+          |  WHERE doc_id % 50 = 0 AND len(string_split(text, ' ')) >= 6),
+          |hsb AS (
+          |  SELECT doc_id,
+          |    list_transform(
+          |      list_transform(range(1, len(w) - 1),
+          |        i -> concat(w[i], ' ', w[i+1], ' ', w[i+2])),
+          |      g -> ${dkHash60("g")}) AS h
+          |  FROM wdb),
+          |bfp AS (
+          |  SELECT DISTINCT unnest(list_distinct(
+          |    list_transform(range(1, len(h) - 2),
+          |      i -> list_min(list_slice(h, i, i + 3))))) AS fp
+          |  FROM hsb),
+          |contaminated AS (
+          |  SELECT DISTINCT doc_id FROM cfp WHERE fp IN (SELECT fp FROM bfp)),
+          |clean AS (
+          |  SELECT d2.* FROM d2
+          |  WHERE d2.doc_id NOT IN (SELECT doc_id FROM contaminated)),
+          |reps AS (SELECT min(doc_id) AS doc_id FROM clean GROUP BY md5(text)),
+          |d3 AS (SELECT clean.doc_id, clean.text FROM clean JOIN reps USING (doc_id)),
+          |${lshCtes("d3")},
+          |pairs AS ($lshPairSelect),
+          |kept AS (
+          |  SELECT r.doc_id FROM reps r
+          |  WHERE r.doc_id NOT IN (SELECT DISTINCT b_id FROM pairs)),
+          |mixed AS (
+          |  SELECT clean.doc_id, clean.text FROM clean JOIN kept USING (doc_id)
+          |  WHERE ${dkHash60("concat(CAST(clean.doc_id AS VARCHAR), ':', clean.source)")} % 1000 <
+          |    CASE clean.source WHEN 'src0' THEN 900 WHEN 'src1' THEN 700
+          |      WHEN 'src2' THEN 500 WHEN 'src3' THEN 200 ELSE 100 END),
+          |base AS (
+          |  SELECT doc_id, ${dkHash60("CAST(doc_id AS VARCHAR)")} % 4 AS stratum,
+          |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+          |  FROM mixed),
+          |packed AS (
+          |  SELECT doc_id, stratum, n_tokens,
+          |    sum(n_tokens) OVER (PARTITION BY stratum ORDER BY doc_id
+          |      ROWS UNBOUNDED PRECEDING) - n_tokens AS start_tok
+          |  FROM base)
+          |SELECT doc_id, stratum, n_tokens,
+          |  CAST(floor(start_tok / 1024) AS BIGINT) AS seq_id,
+          |  CAST(start_tok % 1024 AS BIGINT) AS seq_offset
+          |FROM packed""".stripMargin
+
   private[queries] def lshCtes(src: String = "documents"): String =
     s"""sh AS (
       |  SELECT doc_id,
@@ -1751,77 +1826,7 @@ object TextQueries {
           defaultPermille = 100, maxLen = 1024, nStrata = 4,
           maxSharedFp = 0L)
       },
-      Some(s"""WITH corp AS (
-        |  SELECT * FROM documents WHERE doc_id % 50 <> 0),
-        |${curationCtes("corp")},
-        |curated AS (
-        |  SELECT doc_id FROM (
-        |    SELECT doc_id, row_number() OVER (
-        |      PARTITION BY redacted_md5 ORDER BY doc_id) AS rn FROM red)
-        |  WHERE rn = 1),
-        |d2 AS (
-        |  SELECT d.doc_id, d.text, d.source FROM corp d
-        |  JOIN curated USING (doc_id)),
-        |wdc AS (
-        |  SELECT doc_id, string_split(text, ' ') AS w FROM d2
-        |  WHERE len(string_split(text, ' ')) >= 6),
-        |hsc AS (
-        |  SELECT doc_id,
-        |    list_transform(
-        |      list_transform(range(1, len(w) - 1),
-        |        i -> concat(w[i], ' ', w[i+1], ' ', w[i+2])),
-        |      g -> ${dkHash60("g")}) AS h
-        |  FROM wdc),
-        |cfp AS (
-        |  SELECT doc_id, unnest(list_distinct(
-        |    list_transform(range(1, len(h) - 2),
-        |      i -> list_min(list_slice(h, i, i + 3))))) AS fp
-        |  FROM hsc),
-        |wdb AS (
-        |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
-        |  WHERE doc_id % 50 = 0 AND len(string_split(text, ' ')) >= 6),
-        |hsb AS (
-        |  SELECT doc_id,
-        |    list_transform(
-        |      list_transform(range(1, len(w) - 1),
-        |        i -> concat(w[i], ' ', w[i+1], ' ', w[i+2])),
-        |      g -> ${dkHash60("g")}) AS h
-        |  FROM wdb),
-        |bfp AS (
-        |  SELECT DISTINCT unnest(list_distinct(
-        |    list_transform(range(1, len(h) - 2),
-        |      i -> list_min(list_slice(h, i, i + 3))))) AS fp
-        |  FROM hsb),
-        |contaminated AS (
-        |  SELECT DISTINCT doc_id FROM cfp WHERE fp IN (SELECT fp FROM bfp)),
-        |clean AS (
-        |  SELECT d2.* FROM d2
-        |  WHERE d2.doc_id NOT IN (SELECT doc_id FROM contaminated)),
-        |reps AS (SELECT min(doc_id) AS doc_id FROM clean GROUP BY md5(text)),
-        |d3 AS (SELECT clean.doc_id, clean.text FROM clean JOIN reps USING (doc_id)),
-        |${lshCtes("d3")},
-        |pairs AS ($lshPairSelect),
-        |kept AS (
-        |  SELECT r.doc_id FROM reps r
-        |  WHERE r.doc_id NOT IN (SELECT DISTINCT b_id FROM pairs)),
-        |mixed AS (
-        |  SELECT clean.doc_id, clean.text FROM clean JOIN kept USING (doc_id)
-        |  WHERE ${dkHash60("concat(CAST(clean.doc_id AS VARCHAR), ':', clean.source)")} % 1000 <
-        |    CASE clean.source WHEN 'src0' THEN 900 WHEN 'src1' THEN 700
-        |      WHEN 'src2' THEN 500 WHEN 'src3' THEN 200 ELSE 100 END),
-        |base AS (
-        |  SELECT doc_id, ${dkHash60("CAST(doc_id AS VARCHAR)")} % 4 AS stratum,
-        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
-        |  FROM mixed),
-        |packed AS (
-        |  SELECT doc_id, stratum, n_tokens,
-        |    sum(n_tokens) OVER (PARTITION BY stratum ORDER BY doc_id
-        |      ROWS UNBOUNDED PRECEDING) - n_tokens AS start_tok
-        |  FROM base)
-        |SELECT doc_id, stratum, n_tokens,
-        |  CAST(floor(start_tok / 1024) AS BIGINT) AS seq_id,
-        |  CAST(start_tok % 1024 AS BIGINT) AS seq_offset
-        |FROM packed""".stripMargin)),
+      Some(decontPipelineOracle)),
 
     Q(
       "qt18_vocab_tokens",
@@ -2435,6 +2440,45 @@ object TextQueries {
         |SELECT bef // 4000 AS shard, CAST(count(*) AS BIGINT) AS n_docs,
         |  CAST(sum(tokens) AS BIGINT) AS shard_tokens
         |FROM c GROUP BY 1""".stripMargin)),
+
+    Q(
+      "qt36_export_manifest",
+      "The EXPORT manifest closing the pre-training lifecycle " +
+        "(Curation.exportManifest): qt17's decontaminated pipeline " +
+        "(curate → decontaminate → near-dedup → mix → pack) plus " +
+        "qt35's token-balanced sharding over the packed SEQUENCES — " +
+        "the (stratum, seq_id) key is the shard unit, so a shard " +
+        "boundary can never split a training sequence. This is the " +
+        "table a trainer actually consumes: deterministic shard → " +
+        "token-budget assignment, reproducible at any partitioning. " +
+        "Oracle = qt17's full oracle nested as a subquery + the " +
+        "global-cumsum shard cut.",
+      (s, dir) => {
+        val docs = graft.core.Partitioning.parallelize(
+          Tables.load(s, dir, "documents"), col("doc_id"))
+        graft.operators.Curation.exportManifest(
+          docs.filter(pmod(col("doc_id"), lit(50)) =!= 0),
+          docs.filter(pmod(col("doc_id"), lit(50)) === 0),
+          "doc_id", "text", "lang", "source", Seq("en", "es", "fr"),
+          Map("src0" -> 900, "src1" -> 700, "src2" -> 500, "src3" -> 200),
+          defaultPermille = 100, maxLen = 1024, nStrata = 4,
+          maxSharedFp = 0L, shardBudget = 1024L)
+      },
+      Some(s"""WITH assign AS (
+        |$decontPipelineOracle
+        |),
+        |seqs AS (
+        |  SELECT concat(CAST(stratum AS VARCHAR), ':', CAST(seq_id AS VARCHAR)) AS sk,
+        |    CAST(sum(n_tokens) AS BIGINT) AS seq_tokens
+        |  FROM assign GROUP BY 1),
+        |csum AS (
+        |  SELECT seq_tokens,
+        |    sum(seq_tokens) OVER (ORDER BY md5(sk) ROWS UNBOUNDED PRECEDING)
+        |      - seq_tokens AS bef
+        |  FROM seqs)
+        |SELECT bef // 1024 AS shard, CAST(count(*) AS BIGINT) AS n_seqs,
+        |  CAST(sum(seq_tokens) AS BIGINT) AS shard_tokens
+        |FROM csum GROUP BY 1""".stripMargin)),
 
     Q(
       "qt34_classifier_curation",

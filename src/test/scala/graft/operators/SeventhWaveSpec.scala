@@ -118,4 +118,29 @@ class SeventhWaveSpec extends SparkSuite {
     assert(byGrp("a") == (1L, "2.750000"))
     assert(byGrp("b") == (1L, "9.000000"))
   }
+
+  test("exportManifest shards cover exactly the packed sequences' tokens") {
+    val corpus = graft.core.Tables.load(spark, "/root/testdata/sf0.001",
+      "documents")
+    val docs = corpus.filter(col("doc_id") % 10 =!= 0)
+    val bench = corpus.filter(col("doc_id") % 10 === 0)
+    val langs = Seq("en", "es", "fr")
+    val mix = Map("src0" -> 1000, "src1" -> 1000)
+    val packed = Curation.trainingPipelineDecontaminated(
+      docs, bench, "doc_id", "text", "lang", "source", langs,
+      mix, defaultPermille = 1000, maxLen = 64, nStrata = 2,
+      maxSharedFp = 0L)
+    val expected = packed.agg(sum(col("n_tokens")).cast("long")).head.getLong(0)
+    val manifest = Curation.exportManifest(
+      docs, bench, "doc_id", "text", "lang", "source", langs,
+      mix, defaultPermille = 1000, maxLen = 64, nStrata = 2,
+      maxSharedFp = 0L, shardBudget = 128L)
+      .as[(Long, Long, Long)].collect()
+    assert(manifest.map(_._3).sum == expected)
+    // every packed sequence lands in exactly one shard (an oversized
+    // sequence may skip a shard id — ids are ordered, not gap-free)
+    val nSeqs = packed.select(col("stratum"), col("seq_id")).distinct().count()
+    assert(manifest.map(_._2).sum == nSeqs)
+    assert(manifest.map(_._1).distinct.length == manifest.length)
+  }
 }
