@@ -71,8 +71,10 @@ object Curation {
       threshold: Double = 0.55,
       buckets: Int = 4096,
       rounds: Int = 4): DataFrame = {
-    val model = Logit.train(docs, idCol, textCol, labelCol, buckets, rounds)
-    val scored = Logit.score(docs, idCol, textCol, model, buckets)
+    // trainAndScore shares ONE persisted feature table between the
+    // training rounds and the final corpus scoring pass
+    val scored = Logit.trainAndScore(docs, idCol, textCol, labelCol,
+      buckets, rounds)
       .filter(col("score") >= threshold)
     val kept = graft.core.OpCache.persist(
       docs.join(scored.select(col("doc_id").as(idCol), col("score")),

@@ -1607,6 +1607,58 @@ object Dedup {
       .select(col("doc_id"), col("bk.band").as("band"), col("bk.bkey").as("bkey"))
   }
 
+  /** Dedup PROVENANCE — the audit table behind [[dedupCorpus]]'s kept
+    * set, answering the question every curation team asks when a
+    * document vanishes: WHY was it dropped, and which survivor
+    * absorbed it. One row per input document:
+    *   - ('kept', own id): survives both stages;
+    *   - ('exact_dup', rep id): collapsed in the exact stage onto its
+    *     content-hash group's min-id representative;
+    *   - ('near_dup', witness id): a representative dropped by the
+    *     LSH greedy keep — the witness is the MINIMUM a_id among its
+    *     verified pairs (deterministic, and always a lower id by the
+    *     pair orientation).
+    * Provenance is ONE HOP — an exact-dup points at its
+    * representative even if that representative was itself near-dup
+    * dropped (the proximate cause; chase the chain by self-joining
+    * kept_id when full closure is wanted). Statuses partition the
+    * input, and the 'kept' set equals [[dedupCorpus]] by
+    * construction.
+    *
+    * Scale shape: the same two audited stages (hash agg + LSH
+    * pipeline over representatives) plus one witness min-agg and one
+    * left join on the dropped id — nothing new moves. */
+  def dedupProvenance(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      nShingle: Int = 3,
+      k: Int = 16,
+      bands: Int = 4,
+      threshold: Double = 0.5,
+      maxBucketSize: Int = DefaultMaxBucketSize): DataFrame = {
+    val withHash = docs.select(col(idCol).as("doc_id"),
+      md5(col(textCol).cast("binary")).as("h"))
+    val groups = withHash.groupBy(col("h")).agg(min(col("doc_id")).as("rep_id"))
+    val exact = graft.core.OpCache.persist(
+      withHash.join(groups, Seq("h")).select(col("doc_id"), col("rep_id")))
+    val reps = docs.join(
+      exact.filter(col("doc_id") === col("rep_id"))
+        .select(col("doc_id").as(idCol)),
+      Seq(idCol), "left_semi")
+    val wit = lshNearDupPairs(reps, idCol, textCol,
+      nShingle, k, bands, threshold, maxBucketSize)
+      .groupBy(col("b_id")).agg(min(col("a_id")).as("w_id"))
+    exact.join(wit, col("doc_id") === col("b_id"), "left_outer")
+      .select(col("doc_id"),
+        when(col("rep_id") =!= col("doc_id"), lit("exact_dup"))
+          .when(col("w_id").isNotNull, lit("near_dup"))
+          .otherwise(lit("kept")).as("status"),
+        when(col("rep_id") =!= col("doc_id"), col("rep_id"))
+          .when(col("w_id").isNotNull, col("w_id"))
+          .otherwise(col("doc_id")).as("kept_id"))
+  }
+
   /** MinHash-LSH near-dup pairs via the OPH signature ([[ophBandTable]])
     * — same candidate/verify machinery as [[lshNearDupPairs]], k× less
     * signature hashing. Output: verified (a_id, b_id, jaccard). */

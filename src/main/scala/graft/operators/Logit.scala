@@ -113,10 +113,20 @@ object Logit {
       docs: DataFrame, idCol: String, textCol: String, labelCol: String,
       buckets: Int = 256, rounds: Int = 3, lr: Double = 1.0,
       gain: Double = 8.0): DataFrame = {
-    val m = train(docs, idCol, textCol, labelCol, buckets, rounds, lr, gain)
-    val y = docs.select(col(idCol).as("doc_id"),
-      col(labelCol).cast("int").cast("double").as("y"))
-    score(docs, idCol, textCol, m, buckets, gain)
+    require(buckets >= 2, s"buckets must be >= 2, got $buckets")
+    // ONE persisted feature table feeds training AND final scoring —
+    // the feature build (explode + two hash aggs over corpus tokens)
+    // is the costliest single stage, and train-then-score would
+    // otherwise run it twice
+    val x = graft.core.OpCache.persist(
+      features(docs, idCol, textCol, buckets))
+    val y = graft.core.OpCache.persist(
+      docs.select(col(idCol).as("doc_id"),
+        col(labelCol).cast("int").cast("double").as("y")))
+    val m = trainOnFeatures(docs.sparkSession, x, y, rounds, lr, gain)
+    margin(x, m.weights, m.bias, gain)
+      .select(col("doc_id"), round(fastSigmoid(col("z")), 6).as("score"))
+      .withColumn("pred", when(col("score") >= 0.5, 1L).otherwise(0L))
       .join(y, Seq("doc_id"))
       .select(col("doc_id"), col("y").cast("long").as("label"),
         col("score"), col("pred"))
@@ -130,21 +140,30 @@ object Logit {
       buckets: Int = 256, rounds: Int = 3, lr: Double = 1.0,
       gain: Double = 8.0): LogitModel = {
     require(buckets >= 2, s"buckets must be >= 2, got $buckets")
-    require(rounds >= 1, s"rounds >= 1, got $rounds")
-    require(gain > 0, s"gain must be > 0, got $gain")
     val x = graft.core.OpCache.persist(
       features(docs, idCol, textCol, buckets))
     val y = graft.core.OpCache.persist(
       docs.select(col(idCol).as("doc_id"),
         col(labelCol).cast("int").cast("double").as("y")))
+    trainOnFeatures(docs.sparkSession, x, y, rounds, lr, gain)
+  }
+
+  /** Training rounds over a prebuilt persisted feature table `x` =
+    * (doc_id, bucket, x) and label frame `y` = (doc_id, y). */
+  private def trainOnFeatures(
+      spark: org.apache.spark.sql.SparkSession,
+      x: DataFrame, y: DataFrame,
+      rounds: Int, lr: Double, gain: Double): LogitModel = {
+    require(rounds >= 1, s"rounds >= 1, got $rounds")
+    require(gain > 0, s"gain must be > 0, got $gain")
     val nDocs = y.groupBy().agg(count(lit(1)).cast("double").as("nd"))
     // weight table: (bucket, w DECIMAL(30,6)); the -1 sentinel row
     // stands in for "empty" so round 1 is the same plan as round r
     // (bucket -1 never matches a real feature)
-    var w: DataFrame = docs.sparkSession.range(1)
+    var w: DataFrame = spark.range(1)
       .select(lit(-1L).as("bucket"),
         lit(0.0).cast(DecimalType(30, 6)).as("w"))
-    var bias: DataFrame = docs.sparkSession.range(1)
+    var bias: DataFrame = spark.range(1)
       .select(lit(0.0).cast(DecimalType(30, 6)).as("b"))
     (1 to rounds).foreach { _ =>
       val res = margin(x, w, bias, gain)
@@ -186,7 +205,6 @@ object Logit {
       // a streaming serve loop would re-ANALYZE it per micro-batch
       // (the connectedComponents entry-cut lesson; measured 30 s vs
       // 10 s on qst18 when a 4-round model skipped the cut).
-      val spark = docs.sparkSession
       w = graft.core.OpCache.persist(
         spark.createDataFrame(wNext.rdd, wNext.schema))
       bias = graft.core.OpCache.persist(

@@ -905,6 +905,65 @@ object StreamingQueries {
       Some(WarehouseQueries.retractOracle)),
 
     Q(
+      "qst22_stream_late_audit",
+      "Watermark late-data audit (EventStreams.lateDataAudit — the " +
+        "observability op that SIZES a watermark): events arrive in " +
+        "two staged files (even event_ids first, odds second — file " +
+        "mtimes pin the batch order); each batch classifies its rows " +
+        "against the max event time of STRICTLY EARLIER batches, " +
+        "counting exactly what a 1-hour watermark would silently " +
+        "drop. Spark exposes no dropped-row hook — this measures the " +
+        "drop before it happens. State = ONE scalar (the running max " +
+        "event time — what the engine's own watermark tracker " +
+        "keeps); batch 1 has no bound, so none of it is late. " +
+        "Oracle replays the identical split.",
+      (s, dir) => {
+        s.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+        val ev = graft.core.Tables.load(s, dir, "events")
+        val in = java.nio.file.Files.createTempDirectory("graft_late_in")
+        def stage(df: org.apache.spark.sql.DataFrame, name: String,
+            mtime: Long): Unit = {
+          val tmp = java.nio.file.Files
+            .createTempDirectory("graft_late_w").toString
+          df.coalesce(1).write.mode("overwrite").parquet(tmp)
+          val part = new java.io.File(tmp).listFiles()
+            .find(f => f.getName.startsWith("part-") &&
+              f.getName.endsWith(".parquet")).get
+          val dst = in.resolve(name)
+          java.nio.file.Files.copy(part.toPath, dst)
+          dst.toFile.setLastModified(mtime)
+        }
+        // mtimes only pin batch ORDER; no output value depends on them
+        val t0 = System.currentTimeMillis() - 120000L
+        stage(ev.filter(pmod(col("event_id"), lit(2)) === 0), "a1.parquet", t0)
+        stage(ev.filter(pmod(col("event_id"), lit(2)) === 1), "b2.parquet",
+          t0 + 60000L)
+        val schema = StructType.fromDDL(
+          "event_id BIGINT, ts TIMESTAMP, user_id BIGINT, " +
+            "event_type STRING, value DOUBLE, props STRING")
+        val stream = s.readStream.schema(schema)
+          .option("maxFilesPerTrigger", 1)
+          .parquet(in.toString + "/*.parquet")
+        val out = java.nio.file.Files
+          .createTempDirectory("graft_late_out").toString
+        EventStreams.lateDataAudit(stream, out, horizon = "1 hour")
+        s.read.parquet(out).groupBy(col("event_type"))
+          .agg(sum(col("n_events")).cast("long").as("n_events"),
+            sum(col("n_late")).cast("long").as("n_late"))
+      },
+      Some("""WITH a AS (SELECT * FROM events WHERE event_id % 2 = 0),
+        |m AS (SELECT max(ts) AS mx FROM a),
+        |cls AS (
+        |  SELECT event_type, 0 AS late FROM a
+        |  UNION ALL
+        |  SELECT e.event_type,
+        |    CASE WHEN e.ts < m.mx - INTERVAL 1 HOUR THEN 1 ELSE 0 END AS late
+        |  FROM events e, m WHERE e.event_id % 2 = 1)
+        |SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(sum(late) AS BIGINT) AS n_late
+        |FROM cls GROUP BY 1""".stripMargin)),
+
+    Q(
       "qst09_stream_static_join",
       "Stream-static join: the event stream enriched against a " +
         "BROADCAST dimension (event_type → category) — stateless, " +

@@ -2610,6 +2610,39 @@ object TextQueries {
       }),
 
     Q(
+      "qd35_dedup_provenance",
+      "Dedup PROVENANCE audit (Dedup.dedupProvenance — the 'why did " +
+        "my document vanish' table behind qd07's kept set): one row " +
+        "per input doc — kept (own id), exact_dup (its content-hash " +
+        "group's min-id representative), or near_dup (the minimum " +
+        "verified-pair witness). Statuses partition the corpus and " +
+        "the kept set equals qd07 by construction; cost is qd07's " +
+        "two audited stages plus a witness min-agg and one left " +
+        "join — the debugging table every curation run should ship " +
+        "next to its output.",
+      (s, dir) =>
+        Dedup.dedupProvenance(Tables.load(s, dir, "documents"),
+          "doc_id", "text", nShingle = 3, k = 16, bands = 4,
+          threshold = 0.5),
+      Some(s"""WITH gh AS (SELECT doc_id, md5(text) AS h FROM documents),
+        |gr AS (SELECT h, min(doc_id) AS rep_id FROM gh GROUP BY h),
+        |ex AS (SELECT gh.doc_id, gr.rep_id FROM gh JOIN gr USING (h)),
+        |d2 AS (
+        |  SELECT d.doc_id, d.text FROM documents d
+        |  JOIN ex ON d.doc_id = ex.doc_id AND ex.rep_id = d.doc_id),
+        |${lshCtes("d2")},
+        |pairs AS ($lshPairSelect),
+        |wit AS (SELECT b_id, min(a_id) AS w_id FROM pairs GROUP BY 1)
+        |SELECT ex.doc_id,
+        |  CASE WHEN ex.rep_id <> ex.doc_id THEN 'exact_dup'
+        |       WHEN wit.w_id IS NOT NULL THEN 'near_dup'
+        |       ELSE 'kept' END AS status,
+        |  CASE WHEN ex.rep_id <> ex.doc_id THEN ex.rep_id
+        |       WHEN wit.w_id IS NOT NULL THEN wit.w_id
+        |       ELSE ex.doc_id END AS kept_id
+        |FROM ex LEFT JOIN wit ON ex.doc_id = wit.b_id""".stripMargin)),
+
+    Q(
       "qt33_quality_classifier",
       "In-engine TRAINED text classifier (Logit.trainAndScore): " +
         "full-batch gradient descent over hashed unigram+bigram " +

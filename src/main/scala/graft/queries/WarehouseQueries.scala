@@ -260,6 +260,81 @@ object WarehouseQueries {
       Some(retractOracle)),
 
     Q(
+      "qw24_profile_drift",
+      "Snapshot profile DRIFT (Profile.profileDrift — the data-" +
+        "observability monitor over qw16's profile): two versions of " +
+        "orders (the new one nullifies status 'P', doubles " +
+        "o_totalprice, drops o_orderpriority, adds a channel column) " +
+        "profile per column and full-outer join on column name; " +
+        "statuses col_added / col_removed / drifted (exact integer " +
+        "null-basis-points or any null-safe min/max move) / stable. " +
+        "Output is schema-sized metadata; the verdict is bit-exact " +
+        "so nightly monitors can diff verdicts across runs.",
+      (s, dir) => {
+        val ord = graft.core.Tables.load(s, dir, "orders")
+        val oldDf = ord.select(col("o_orderkey"), col("o_custkey"),
+          col("o_orderstatus"), col("o_totalprice"), col("o_orderpriority"))
+        val newDf = ord.select(col("o_orderkey"), col("o_custkey"),
+          nullif(col("o_orderstatus"), lit("P")).as("o_orderstatus"),
+          (col("o_totalprice") * 2).as("o_totalprice"),
+          lit("web").as("o_channel"))
+        graft.warehouse.Profile.profileDrift(oldDf, newDf)
+      },
+      Some {
+        def prof(rel: String, c: String, kind: String): String = {
+          val (mn, mx, mns, mxs) = kind match {
+            case "num" => (s"CAST(min($c) AS DOUBLE)", s"CAST(max($c) AS DOUBLE)",
+              "CAST(NULL AS VARCHAR)", "CAST(NULL AS VARCHAR)")
+            case _ => ("CAST(NULL AS DOUBLE)", "CAST(NULL AS DOUBLE)",
+              s"min($c)", s"max($c)")
+          }
+          s"""SELECT '$c' AS col_name, CAST(count(*) AS BIGINT) AS n_rows,
+             |  CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+             |  CAST(count(DISTINCT $c) AS BIGINT) AS n_distinct,
+             |  $mn AS mn, $mx AS mx, $mns AS mns, $mxs AS mxs FROM $rel"""
+            .stripMargin
+        }
+        val oldCols = Seq(("o_orderkey", "num"), ("o_custkey", "num"),
+          ("o_orderstatus", "str"), ("o_totalprice", "num"),
+          ("o_orderpriority", "str"))
+        val newCols = Seq(("o_orderkey", "num"), ("o_custkey", "num"),
+          ("o_orderstatus", "str"), ("o_totalprice", "num"),
+          ("o_channel", "str"))
+        val po = oldCols.map { case (c, k) => prof("orders", c, k) }
+          .mkString("\nUNION ALL\n")
+        val pn = newCols.map { case (c, k) => prof("nn", c, k) }
+          .mkString("\nUNION ALL\n")
+        s"""WITH nn AS (
+          |  SELECT o_orderkey, o_custkey,
+          |    nullif(o_orderstatus, 'P') AS o_orderstatus,
+          |    o_totalprice * 2 AS o_totalprice, 'web' AS o_channel
+          |  FROM orders),
+          |po AS ($po),
+          |pn AS ($pn),
+          |j AS (
+          |  SELECT coalesce(po.col_name, pn.col_name) AS col_name,
+          |    po.n_rows AS n_rows_old, pn.n_rows AS n_rows_new,
+          |    po.n_distinct AS n_distinct_old, pn.n_distinct AS n_distinct_new,
+          |    po.n_nulls * 10000 // po.n_rows AS null_bp_old,
+          |    pn.n_nulls * 10000 // pn.n_rows AS null_bp_new,
+          |    po.mn AS mn_o, po.mx AS mx_o, po.mns AS mns_o, po.mxs AS mxs_o,
+          |    pn.mn AS mn_n, pn.mx AS mx_n, pn.mns AS mns_n, pn.mxs AS mxs_n
+          |  FROM po FULL OUTER JOIN pn ON po.col_name = pn.col_name)
+          |SELECT col_name,
+          |  CASE WHEN n_rows_old IS NULL THEN 'col_added'
+          |       WHEN n_rows_new IS NULL THEN 'col_removed'
+          |       WHEN null_bp_old IS DISTINCT FROM null_bp_new
+          |         OR mn_o IS DISTINCT FROM mn_n
+          |         OR mx_o IS DISTINCT FROM mx_n
+          |         OR mns_o IS DISTINCT FROM mns_n
+          |         OR mxs_o IS DISTINCT FROM mxs_n THEN 'drifted'
+          |       ELSE 'stable' END AS status,
+          |  n_rows_old, n_rows_new, n_distinct_old, n_distinct_new,
+          |  null_bp_old, null_bp_new
+          |FROM j""".stripMargin
+      }),
+
+    Q(
       "qw12_compaction_plan",
       "Small-file compaction planning (Compaction.compactionPlan - " +
         "the lakehouse maintenance pass): a file inventory (here " +

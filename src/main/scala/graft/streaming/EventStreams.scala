@@ -367,6 +367,60 @@ object EventStreams {
     if (!q.awaitTermination(180000)) q.stop()
   }
 
+  /** Late-data audit — the WATERMARK OBSERVABILITY operator every
+    * streaming deployment runs before (and while) trusting a
+    * watermark: for each micro-batch, classify every event against
+    * the maximum event time seen in STRICTLY EARLIER batches — an
+    * event older than (that max − `horizon`) is exactly the event a
+    * `withWatermark(ts, horizon)` aggregation would silently drop.
+    * Spark offers no hook to observe those drops; this feed measures
+    * them BEFORE they happen, which is how a horizon is chosen (size
+    * the watermark so the measured late fraction is acceptable) and
+    * monitored (a late-rate spike means an upstream partition is
+    * lagging).
+    *
+    * State is ONE driver-side scalar — the running max event time —
+    * which is precisely what Spark's own watermark tracker keeps; the
+    * per-batch max is a single-row aggregate read (the Histogram
+    * calibration precedent), never data on the driver. Batch 1 has no
+    * prior bound, so nothing in it is late — same as a fresh
+    * watermark. Appends (event_type, n_events, n_late) per batch to
+    * `outDir`; the consumer sums. Deterministic given a fixed batch
+    * sequence (the oracle replays the same file split). */
+  def lateDataAudit(
+      events: DataFrame,
+      outDir: String,
+      horizon: String = "1 hour",
+      queryName: String = "graft_late_audit"): Unit = {
+    var maxSeen: Option[java.sql.Timestamp] = None
+    val q = events.writeStream
+      .queryName(queryName)
+      .outputMode(OutputMode.Append())
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val b = graft.core.OpCache.persist(batch.toDF())
+        val late = maxSeen match {
+          case Some(m) =>
+            (col("ts") < lit(m) - expr(s"INTERVAL $horizon")).cast("long")
+          case None => lit(0L)
+        }
+        b.groupBy(col("event_type"))
+          .agg(count(lit(1)).cast("long").as("n_events"),
+            sum(late).as("n_late"))
+          .write.mode("append").parquet(outDir)
+        val mx = b.agg(max(col("ts"))).head().getTimestamp(0)
+        if (mx != null)
+          maxSeen = Some(maxSeen.fold(mx)(o => if (mx.after(o)) mx else o))
+        // release ONLY this batch's persist — a caller may hold other
+        // persisted state (stored indexes, bootstrap labels) alive
+        b.unpersist(false)
+        graft.core.OpCache.untrack(b)
+        ()
+      }
+      .start()
+    if (!q.awaitTermination(180000)) q.stop()
+  }
+
   /** Streaming subject-erasure feed — [[graft.warehouse.Erasure]] run
     * as a live compliance pipeline: deletion REQUESTS arrive as a
     * stream of subject keys, and each micro-batch emits its cascade

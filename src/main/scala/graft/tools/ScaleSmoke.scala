@@ -561,6 +561,36 @@ object ScaleSmoke {
         graft.warehouse.Erasure.erasureAudit(cust, ord, li,
           cust.filter($"c_custkey" % 97 === 0)
             .select($"c_custkey".as("k"))).count()
+      },
+      time("oph_minhash") {
+        // one hash per shingle vs minhash_lsh's k affine rehashes —
+        // the slope should match minhash_lsh with a smaller constant
+        Dedup.ophNearDupPairs(docs, "doc_id", "text").count()
+      },
+      time("token_shards") {
+        // two-phase global cumsum: per-bucket windows (16-way) + a
+        // 16-row offset fold — slope = one shuffle on the bucket key
+        graft.operators.Sharding.tokenShards(docs, "doc_id",
+          size(split($"text", " ")).cast("long"), budget = 100000L)
+          .count()
+      },
+      time("retract_agg") {
+        // linear delta fold: changelog → signed deltas → two hash
+        // aggs; the duplicated events multiply delta rows, never
+        // group count — slope is the scan + map-side combine
+        val ev = spark.read.parquet(s"$out/events.parquet")
+        val log = ev.select(lit("I").as("op"), $"event_type".as("grp"),
+            $"value".as("val"), lit(null).cast("string").as("bgrp"),
+            lit(null).cast("double").as("bval"))
+          .unionByName(ev.filter($"event_type" === "error")
+            .select(lit("D").as("op"), lit(null).cast("string").as("grp"),
+              lit(null).cast("double").as("val"), $"event_type".as("bgrp"),
+              $"value".as("bval")))
+        val d = graft.warehouse.Cdc.retractDeltas(log,
+          $"op", $"grp", $"val", $"bgrp", $"bval")
+        val st = d.groupBy($"grp").agg(sum($"dn").cast("long").as("n"),
+          sum($"dv").as("v"))
+        graft.warehouse.Cdc.retractMerge(st, d).count()
       })
 
     val total = results.map(_._2).sum

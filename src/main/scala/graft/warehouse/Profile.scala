@@ -103,4 +103,49 @@ object Profile {
               col("n_child_values").cast("double")).as("containment"))
     }.reduce(_ unionByName _)
   }
+
+  /** Profile DRIFT between two snapshots of a table — the data-
+    * observability monitor that pairs with [[profile]]: run the
+    * per-column profile on both sides, full-outer join on column
+    * name, classify. Statuses:
+    *   - 'col_added' / 'col_removed': schema drift;
+    *   - 'drifted': the null rate (integer basis points — exact, no
+    *     float ratio) or any typed min/max moved (null-safe compare,
+    *     so a column going all-null registers);
+    *   - 'stable': none of the above.
+    * Distinct-count deltas are REPORTED, not classified — cardinality
+    * naturally grows with rows, so a threshold belongs to the caller.
+    *
+    * Scale shape: two profile passes (each one full-width scan's IO,
+    * column-pruned per branch) + a join on ≤|columns| rows — the
+    * output is schema-sized metadata. Everything integer/null-safe:
+    * the drift verdict is bit-identical on any engine, which is what
+    * lets a nightly monitor diff verdicts across runs. */
+  def profileDrift(oldDf: DataFrame, newDf: DataFrame): DataFrame = {
+    def side(df: DataFrame, s: String): DataFrame =
+      profile(df).select(col("col_name"),
+        col("n_rows").as(s"n_rows_$s"),
+        col("n_nulls").as(s"n_nulls_$s"),
+        col("n_distinct").as(s"n_distinct_$s"),
+        col("min_num").as(s"min_num_$s"), col("max_num").as(s"max_num_$s"),
+        col("min_str").as(s"min_str_$s"), col("max_str").as(s"max_str_$s"))
+    val j = side(oldDf, "old").join(side(newDf, "new"), Seq("col_name"),
+      "full_outer")
+    def bp(s: String) =
+      expr(s"n_nulls_$s * 10000 div n_rows_$s") // null when n_rows = 0
+    val moved =
+      !(bp("old") <=> bp("new")) ||
+        !(col("min_num_old") <=> col("min_num_new")) ||
+        !(col("max_num_old") <=> col("max_num_new")) ||
+        !(col("min_str_old") <=> col("min_str_new")) ||
+        !(col("max_str_old") <=> col("max_str_new"))
+    j.select(col("col_name"),
+      when(col("n_rows_old").isNull, lit("col_added"))
+        .when(col("n_rows_new").isNull, lit("col_removed"))
+        .when(moved, lit("drifted"))
+        .otherwise(lit("stable")).as("status"),
+      col("n_rows_old"), col("n_rows_new"),
+      col("n_distinct_old"), col("n_distinct_new"),
+      bp("old").as("null_bp_old"), bp("new").as("null_bp_new"))
+  }
 }

@@ -119,6 +119,43 @@ class SeventhWaveSpec extends SparkSuite {
     assert(byGrp("b") == (1L, "9.000000"))
   }
 
+  test("dedupProvenance partitions the corpus and agrees with dedupCorpus") {
+    val corpus = Seq(
+      (1L, base),
+      (2L, base),                              // exact dup of 1
+      (3L, base + " extra"),                   // near dup of 1
+      (4L, "completely different text about spark catalyst optimizer rules"))
+      .toDF("doc_id", "text")
+    val prov = Dedup.dedupProvenance(corpus, "doc_id", "text")
+      .as[(Long, String, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(prov.keySet == Set(1L, 2L, 3L, 4L)) // one row per input doc
+    assert(prov(1L) == ("kept", 1L))
+    assert(prov(2L) == ("exact_dup", 1L))
+    assert(prov(3L) == ("near_dup", 1L))
+    assert(prov(4L) == ("kept", 4L))
+    val kept = Dedup.dedupCorpus(corpus, "doc_id", "text")
+      .as[Long].collect().toSet
+    assert(prov.filter(_._2._1 == "kept").keySet == kept)
+  }
+
+  test("profileDrift classifies added/removed/drifted/stable columns") {
+    val oldDf = Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, null, 30.0))
+      .toDF("k", "s", "v")
+    val newDf = Seq((1L, "a", 10.0, "x"), (2L, "b", 99.0, "y"),
+      (3L, null, 30.0, "z"))
+      .toDF("k", "s", "v2", "t")
+      .select(col("k"), col("s"), col("v2").as("v"), col("t"))
+    val got = graft.warehouse.Profile.profileDrift(oldDf, newDf)
+      .select(col("col_name"), col("status"))
+      .as[(String, String)].collect().toMap
+    assert(got == Map("k" -> "stable", "s" -> "stable",
+      "v" -> "drifted", "t" -> "col_added"))
+    val gone = graft.warehouse.Profile.profileDrift(newDf, oldDf)
+      .select(col("col_name"), col("status"))
+      .as[(String, String)].collect().toMap
+    assert(gone("t") == "col_removed")
+  }
+
   test("exportManifest shards cover exactly the packed sequences' tokens") {
     val corpus = graft.core.Tables.load(spark, "/root/testdata/sf0.001",
       "documents")
