@@ -1144,6 +1144,41 @@ object Dedup {
         coalesce(col("n_shared_fp"), lit(0L)).as("n_shared_fp"))
   }
 
+  /** Per-BENCHMARK-document leakage fan-out — [[winnowingContamination]]
+    * REVERSED: that flags corpus documents carrying benchmark text;
+    * this reports, for each benchmark item, HOW WIDELY it leaked —
+    * the table an eval owner reads to decide which benchmark items
+    * are burned (a contaminated corpus doc is curable by exclusion;
+    * a benchmark item mirrored across thousands of pages is not).
+    * Output per benchmark doc: (doc_id, n_leaking_docs = distinct
+    * corpus docs sharing ≥1 winnowing fingerprint, n_shared_fp =
+    * total shared (corpus doc, fingerprint) occurrences). Substring-
+    * sensitive like qd17: only ordered runs ≥ window+n−1 words
+    * trigger.
+    *
+    * Scale shape: benchmark fingerprints broadcast (eval-set-sized);
+    * the corpus side is one narrow fingerprint pass + broadcast
+    * equi-join; per-benchmark aggregation keys on the benchmark id —
+    * bounded by the benchmark, never corpus-sized. */
+  def benchmarkLeakReport(
+      docs: DataFrame, bench: DataFrame,
+      idCol: String, textCol: String,
+      n: Int = 3, window: Int = 4): DataFrame = {
+    val cfp = winnowingFingerprints(docs, idCol, textCol, n, window)
+      .select(col("doc_id").as("c_id"), col("fp"))
+    val bfp = winnowingFingerprints(bench, idCol, textCol, n, window)
+      .select(col("doc_id").as("doc_id"), col("fp"))
+    val hits = cfp.join(broadcast(bfp), Seq("fp"))
+      .groupBy(col("doc_id"))
+      .agg(count_distinct(col("c_id")).cast("long").as("n_leaking_docs"),
+        count(lit(1)).cast("long").as("n_shared_fp"))
+    bench.select(col(idCol).as("doc_id"))
+      .join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_leaking_docs"), lit(0L)).as("n_leaking_docs"),
+        coalesce(col("n_shared_fp"), lit(0L)).as("n_shared_fp"))
+  }
+
   def winnowingPairs(
       docs: DataFrame, idCol: String, textCol: String,
       n: Int = 3, window: Int = 4, minShared: Int = 2,

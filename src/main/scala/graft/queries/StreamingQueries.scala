@@ -964,6 +964,112 @@ object StreamingQueries {
         |FROM cls GROUP BY 1""".stripMargin)),
 
     Q(
+      "qst23_stream_profile_drift",
+      "Streaming profile-drift monitor (EventStreams.profileDriftFeed " +
+        "— qw24's drift verdicts per MICRO-BATCH against a frozen " +
+        "baseline profile): the ingest-side canary that catches a " +
+        "producer nulling a field or shifting a range batches before " +
+        "the warehouse merge. Events arrive as the qst22 split (even " +
+        "ids then odd ids, mtime-pinned); each batch profiles itself " +
+        "(column-pruned branches) and drift-joins the baseline; zero " +
+        "streaming state, so re-delivery re-emits identical verdicts. " +
+        "Oracle replays both batch profiles against the full-table " +
+        "baseline.",
+      (s, dir) => {
+        s.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+        val ev = graft.core.Tables.load(s, dir, "events")
+        val baseline = graft.core.OpCache.persist(
+          graft.warehouse.Profile.profile(ev))
+        baseline.count()
+        val in = java.nio.file.Files.createTempDirectory("graft_pd_in")
+        def stage(df: org.apache.spark.sql.DataFrame, name: String,
+            mtime: Long): Unit = {
+          val tmp = java.nio.file.Files
+            .createTempDirectory("graft_pd_w").toString
+          df.coalesce(1).write.mode("overwrite").parquet(tmp)
+          val part = new java.io.File(tmp).listFiles()
+            .find(f => f.getName.startsWith("part-") &&
+              f.getName.endsWith(".parquet")).get
+          val dst = in.resolve(name)
+          java.nio.file.Files.copy(part.toPath, dst)
+          dst.toFile.setLastModified(mtime)
+        }
+        val t0 = System.currentTimeMillis() - 120000L
+        stage(ev.filter(pmod(col("event_id"), lit(2)) === 0), "a1.parquet", t0)
+        stage(ev.filter(pmod(col("event_id"), lit(2)) === 1), "b2.parquet",
+          t0 + 60000L)
+        val schema = StructType.fromDDL(
+          "event_id BIGINT, ts TIMESTAMP, user_id BIGINT, " +
+            "event_type STRING, value DOUBLE, props STRING")
+        val stream = s.readStream.schema(schema)
+          .option("maxFilesPerTrigger", 1)
+          .parquet(in.toString + "/*.parquet")
+        val out = java.nio.file.Files
+          .createTempDirectory("graft_pd_out").toString
+        EventStreams.profileDriftFeed(stream, baseline, out)
+        s.read.parquet(out)
+          .select(col("batch_no"), col("col_name"), col("status"),
+            col("n_rows_old"), col("n_rows_new"),
+            col("n_distinct_old"), col("n_distinct_new"),
+            col("null_bp_old"), col("null_bp_new"))
+      },
+      Some {
+        def prof(rel: String, c: String, kind: String): String = {
+          val (mn, mx, mns, mxs) = kind match {
+            case "num" => (s"CAST(min($c) AS DOUBLE)",
+              s"CAST(max($c) AS DOUBLE)",
+              "CAST(NULL AS VARCHAR)", "CAST(NULL AS VARCHAR)")
+            case "ts" => (s"CAST(epoch_us(min($c)) AS DOUBLE)",
+              s"CAST(epoch_us(max($c)) AS DOUBLE)",
+              "CAST(NULL AS VARCHAR)", "CAST(NULL AS VARCHAR)")
+            case _ => ("CAST(NULL AS DOUBLE)", "CAST(NULL AS DOUBLE)",
+              s"min($c)", s"max($c)")
+          }
+          s"""SELECT '$c' AS col_name, CAST(count(*) AS BIGINT) AS n_rows,
+             |  CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+             |  CAST(count(DISTINCT $c) AS BIGINT) AS n_distinct,
+             |  $mn AS mn, $mx AS mx, $mns AS mns, $mxs AS mxs FROM $rel"""
+            .stripMargin
+        }
+        val cols = Seq(("event_id", "num"), ("ts", "ts"),
+          ("user_id", "num"), ("event_type", "str"), ("value", "num"),
+          ("props", "str"))
+        def profAll(rel: String): String =
+          cols.map { case (c, k) => prof(rel, c, k) }
+            .mkString("\nUNION ALL\n")
+        s"""WITH ev0 AS (SELECT * FROM events WHERE event_id % 2 = 0),
+          |ev1 AS (SELECT * FROM events WHERE event_id % 2 = 1),
+          |pb AS (${profAll("events")}),
+          |p0 AS (${profAll("ev0")}),
+          |p1 AS (${profAll("ev1")}),
+          |drift AS (
+          |  SELECT 0 AS batch_no, b.col_name,
+          |    b.n_rows AS n_rows_old, n.n_rows AS n_rows_new,
+          |    b.n_distinct AS n_distinct_old, n.n_distinct AS n_distinct_new,
+          |    b.n_nulls * 10000 // b.n_rows AS null_bp_old,
+          |    n.n_nulls * 10000 // n.n_rows AS null_bp_new,
+          |    b.mn AS mn_o, b.mx AS mx_o, b.mns AS mns_o, b.mxs AS mxs_o,
+          |    n.mn AS mn_n, n.mx AS mx_n, n.mns AS mns_n, n.mxs AS mxs_n
+          |  FROM pb b JOIN p0 n ON b.col_name = n.col_name
+          |  UNION ALL
+          |  SELECT 1 AS batch_no, b.col_name,
+          |    b.n_rows, n.n_rows, b.n_distinct, n.n_distinct,
+          |    b.n_nulls * 10000 // b.n_rows, n.n_nulls * 10000 // n.n_rows,
+          |    b.mn, b.mx, b.mns, b.mxs, n.mn, n.mx, n.mns, n.mxs
+          |  FROM pb b JOIN p1 n ON b.col_name = n.col_name)
+          |SELECT CAST(batch_no AS BIGINT) AS batch_no, col_name,
+          |  CASE WHEN null_bp_old IS DISTINCT FROM null_bp_new
+          |         OR mn_o IS DISTINCT FROM mn_n
+          |         OR mx_o IS DISTINCT FROM mx_n
+          |         OR mns_o IS DISTINCT FROM mns_n
+          |         OR mxs_o IS DISTINCT FROM mxs_n THEN 'drifted'
+          |       ELSE 'stable' END AS status,
+          |  n_rows_old, n_rows_new, n_distinct_old, n_distinct_new,
+          |  null_bp_old, null_bp_new
+          |FROM drift""".stripMargin
+      }),
+
+    Q(
       "qst09_stream_static_join",
       "Stream-static join: the event stream enriched against a " +
         "BROADCAST dimension (event_type → category) — stateless, " +

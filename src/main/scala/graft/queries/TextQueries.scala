@@ -2643,6 +2643,51 @@ object TextQueries {
         |FROM ex LEFT JOIN wit ON ex.doc_id = wit.b_id""".stripMargin)),
 
     Q(
+      "qd36_leak_report",
+      "Per-BENCHMARK-item leakage fan-out (Dedup.benchmarkLeakReport " +
+        "— qd17 reversed): for each benchmark doc (doc_id % 50 = 0), " +
+        "how many corpus docs share a winnowing fingerprint and the " +
+        "total shared occurrences — the table an eval owner reads to " +
+        "decide which items are BURNED (a contaminated corpus doc is " +
+        "curable by exclusion; a benchmark item mirrored across the " +
+        "web is not). Benchmark fingerprints broadcast; one narrow " +
+        "corpus pass; aggregation keyed on the benchmark id.",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        Dedup.benchmarkLeakReport(
+          docs.filter(pmod(col("doc_id"), lit(50)) =!= 0),
+          docs.filter(pmod(col("doc_id"), lit(50)) === 0),
+          "doc_id", "text", n = 3, window = 4)
+      },
+      Some(s"""WITH wd AS (
+        |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 6),
+        |hs AS (
+        |  SELECT doc_id,
+        |    list_transform(
+        |      list_transform(range(1, len(w) - 1),
+        |        i -> concat(w[i], ' ', w[i+1], ' ', w[i+2])),
+        |      g -> ${dkHash60("g")}) AS h
+        |  FROM wd),
+        |fp AS (
+        |  SELECT doc_id, unnest(list_distinct(
+        |    list_transform(range(1, len(h) - 2),
+        |      i -> list_min(list_slice(h, i, i + 3))))) AS fp
+        |  FROM hs),
+        |cfp AS (SELECT doc_id AS c_id, fp FROM fp WHERE doc_id % 50 <> 0),
+        |bfp AS (SELECT doc_id AS b_id, fp FROM fp WHERE doc_id % 50 = 0),
+        |hits AS (
+        |  SELECT b.b_id AS doc_id,
+        |    CAST(count(DISTINCT c.c_id) AS BIGINT) AS n_leaking_docs,
+        |    CAST(count(*) AS BIGINT) AS n_shared_fp
+        |  FROM bfp b JOIN cfp c ON b.fp = c.fp GROUP BY 1)
+        |SELECT d.doc_id,
+        |  CAST(coalesce(h.n_leaking_docs, 0) AS BIGINT) AS n_leaking_docs,
+        |  CAST(coalesce(h.n_shared_fp, 0) AS BIGINT) AS n_shared_fp
+        |FROM (SELECT doc_id FROM documents WHERE doc_id % 50 = 0) d
+        |LEFT JOIN hits h USING (doc_id)""".stripMargin)),
+
+    Q(
       "qt33_quality_classifier",
       "In-engine TRAINED text classifier (Logit.trainAndScore): " +
         "full-batch gradient descent over hashed unigram+bigram " +

@@ -421,6 +421,46 @@ object EventStreams {
     if (!q.awaitTermination(180000)) q.stop()
   }
 
+  /** Streaming profile-drift monitor —
+    * [[graft.warehouse.Profile.profileDrift]] run per micro-batch
+    * against a FROZEN baseline profile (the qst17/qst18 frozen-model
+    * serve contract applied to data observability): the baseline is
+    * computed once from the trusted snapshot and broadcast-joined
+    * against each batch's fresh per-column profile; every batch
+    * appends its (batch_no, col_name, status, …) verdict rows to
+    * `outDir`. This is the ingest-side canary that catches a
+    * producer silently dropping a column, nulling a field, or
+    * shifting a value range IN the stream, batches before the
+    * warehouse merge would.
+    *
+    * Zero streaming state (the batch counter is an ordinal label,
+    * not state — verdicts depend only on batch content + the frozen
+    * baseline), so re-delivery re-emits identical rows for the same
+    * batch content. Per batch: one profile pass over the batch
+    * (column-pruned branches) + a schema-sized join. */
+  def profileDriftFeed(
+      stream: DataFrame,
+      baselineProfile: DataFrame,
+      outDir: String,
+      queryName: String = "graft_profile_drift"): Unit = {
+    var batchNo = 0L
+    val q = stream.writeStream
+      .queryName(queryName)
+      .outputMode(OutputMode.Append())
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        graft.warehouse.Profile
+          .driftJoin(baselineProfile,
+            graft.warehouse.Profile.profile(batch.toDF()))
+          .withColumn("batch_no", lit(batchNo))
+          .write.mode("append").parquet(outDir)
+        batchNo += 1
+        ()
+      }
+      .start()
+    if (!q.awaitTermination(180000)) q.stop()
+  }
+
   /** Streaming subject-erasure feed — [[graft.warehouse.Erasure]] run
     * as a live compliance pipeline: deletion REQUESTS arrive as a
     * stream of subject keys, and each micro-batch emits its cascade

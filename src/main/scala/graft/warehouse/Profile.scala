@@ -121,16 +121,23 @@ object Profile {
     * output is schema-sized metadata. Everything integer/null-safe:
     * the drift verdict is bit-identical on any engine, which is what
     * lets a nightly monitor diff verdicts across runs. */
-  def profileDrift(oldDf: DataFrame, newDf: DataFrame): DataFrame = {
-    def side(df: DataFrame, s: String): DataFrame =
-      profile(df).select(col("col_name"),
+  def profileDrift(oldDf: DataFrame, newDf: DataFrame): DataFrame =
+    driftJoin(profile(oldDf), profile(newDf))
+
+  /** The classification half of [[profileDrift]], over two PREBUILT
+    * [[profile]] outputs — so a stored baseline profile (metadata,
+    * schema-sized) can be diffed against fresh snapshots or streaming
+    * micro-batches without re-profiling the baseline. */
+  def driftJoin(oldProfile: DataFrame, newProfile: DataFrame): DataFrame = {
+    def side(p: DataFrame, s: String): DataFrame =
+      p.select(col("col_name"),
         col("n_rows").as(s"n_rows_$s"),
         col("n_nulls").as(s"n_nulls_$s"),
         col("n_distinct").as(s"n_distinct_$s"),
         col("min_num").as(s"min_num_$s"), col("max_num").as(s"max_num_$s"),
         col("min_str").as(s"min_str_$s"), col("max_str").as(s"max_str_$s"))
-    val j = side(oldDf, "old").join(side(newDf, "new"), Seq("col_name"),
-      "full_outer")
+    val j = side(oldProfile, "old").join(side(newProfile, "new"),
+      Seq("col_name"), "full_outer")
     def bp(s: String) =
       expr(s"n_nulls_$s * 10000 div n_rows_$s") // null when n_rows = 0
     val moved =

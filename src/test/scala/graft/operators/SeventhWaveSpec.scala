@@ -138,6 +138,24 @@ class SeventhWaveSpec extends SparkSuite {
     assert(prov.filter(_._2._1 == "kept").keySet == kept)
   }
 
+  test("benchmarkLeakReport: zero-hit items stay, leaks count distinct docs") {
+    val bench = Seq(
+      (100L, base),                            // leaked into docs 1 and 2
+      (200L, "pristine benchmark item nothing in the corpus resembles it"))
+      .toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, base),
+      (2L, "prefix words here " + base),       // shares the run
+      (3L, "completely different text about spark catalyst optimizer rules"))
+      .toDF("doc_id", "text")
+    val got = Dedup.benchmarkLeakReport(corpus, bench, "doc_id", "text")
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(got.keySet == Set(100L, 200L))      // every benchmark item present
+    assert(got(200L) == (0L, 0L))              // zero-hit survives with zeros
+    assert(got(100L)._1 == 2L)                 // both leaking docs counted once
+    assert(got(100L)._2 >= got(100L)._1)       // occurrences ≥ distinct docs
+  }
+
   test("profileDrift classifies added/removed/drifted/stable columns") {
     val oldDf = Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, null, 30.0))
       .toDF("k", "s", "v")
