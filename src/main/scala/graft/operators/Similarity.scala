@@ -1405,6 +1405,20 @@ object Similarity {
         .map("%02x".format(_)).mkString.take(15)
       java.lang.Long.parseLong(hex, 16) % n
     }.distinct
+    val frontier0 = e.select(col("vec_id").as("qid"),
+      explode(array(seeds.map(lit(_)): _*)).as("node"))
+    greedyWalkTopK(e, g, frontier0, hops, beam, k)
+  }
+
+  /** The bulk-synchronous greedy walk shared by [[graphSearchTopK]]
+    * (hash-spread entries) and [[ivfRoutedGraphTopK]] (IVF-routed
+    * entries): per hop, expand the frontier over out-edges, score vs
+    * the query, keep the beam; answer = top-k of everything visited.
+    * `frontier0` = (qid, node) entry pairs; `g` = (gu, gv) edges with
+    * lineage already cut. */
+  private def greedyWalkTopK(
+      e: DataFrame, g: DataFrame, frontier0: DataFrame,
+      hops: Int, beam: Int, k: Int): DataFrame = {
     def score(cand: DataFrame): DataFrame = cand
       .join(e.select(col("vec_id").as("qid"), col("embedding").as("qe"),
         col("nrm").as("qn")), Seq("qid"))
@@ -1413,8 +1427,7 @@ object Similarity {
       .select(col("qid"), col("node"),
         cosineWithNorms(col("qe"), col("ne"), col("qn"), col("nn"))
           .as("cos"))
-    var frontier: DataFrame = e.select(col("vec_id").as("qid"),
-      explode(array(seeds.map(lit(_)): _*)).as("node"))
+    var frontier: DataFrame = frontier0
     var visited: DataFrame = null
     (1 to hops).foreach { _ =>
       val expanded = frontier
@@ -1432,5 +1445,52 @@ object Similarity {
       .filter(col("qid") =!= col("node"))
     topKHeap(uniq, "qid", col("cos"), col("node"), "nbr_id", k)
       .select(col("qid").as("vec_id"), col("nbr_id"), col("rnk"))
+  }
+
+  /** IVF-ROUTED graph search — the hierarchical-entry step separating
+    * HNSW-class serving from a flat greedy walk: instead of fixed
+    * hash-spread seeds (which cost hops crossing the space toward the
+    * query's region), each query enters the graph AT its region — the
+    * min-id member of each of its `nProbe` nearest IVF cells (the
+    * coarse quantizer IS the upper layer; HNSW's top levels play
+    * exactly this role). The walk then refines locally over the
+    * NN-Descent k-NN graph ∪ ring backbone.
+    *
+    * Scale shape: entry routing is qs02's broadcast centroid scoring
+    * (queries × C, linear) + one dim-sized cell-representative
+    * aggregate; the walk inherits [[graphSearchTopK]]'s bounded hop
+    * cost |Q|·beam·(graphK+2) — independent of corpus size. Both the
+    * IVF index and the graph are parquet-persistable stored
+    * artifacts; the query-time work never scans the corpus. */
+  def ivfRoutedGraphTopK(
+      em: DataFrame, idCol: String, vecCol: String,
+      queriesFilter: Column, k: Int,
+      beam: Int = 8, hops: Int = 3, graphK: Int = 5,
+      graphRounds: Int = 2, centroidStride: Int = 40,
+      nProbe: Int = 4): DataFrame = {
+    require(k >= 1 && beam >= 1 && hops >= 1 && nProbe >= 1)
+    val e = graft.core.OpCache.persist(withNorm(em, idCol, vecCol))
+    val n = e.count()
+    val knn = nnDescentGraph(em, idCol, vecCol, graphK, graphRounds)
+      .select(col("vec_id").as("gu"), col("nbr_id").as("gv"))
+    val ring = e.select(col("vec_id").as("gu"),
+      ((col("vec_id") + 1) % n).as("gv"))
+    val gPlan = knn.unionByName(ring)
+    val g = graft.core.OpCache.persist(em.sparkSession
+      .createDataFrame(gPlan.rdd, gPlan.schema))
+    val cents = e.filter(col("vec_id") % centroidStride === 0)
+      .select(col("vec_id").as("cent_id"), col("embedding").as("cemb"),
+        col("nrm").as("cnrm"))
+    // cell representative = min member id (deterministic entry point)
+    val assign = centroidRanks(e, broadcast(cents), maxRank = 1)
+      .filter(col("rn") === 1)
+    val reps = assign.groupBy(col("cent_id"))
+      .agg(min(col("vec_id")).as("node"))
+    val probes = centroidRanks(e.filter(queriesFilter),
+        broadcast(cents), maxRank = nProbe)
+      .select(col("vec_id").as("qid"), col("cent_id"))
+    val frontier0 = probes.join(broadcast(reps), Seq("cent_id"))
+      .select(col("qid"), col("node")).distinct()
+    greedyWalkTopK(e, g, frontier0, hops, beam, k)
   }
 }

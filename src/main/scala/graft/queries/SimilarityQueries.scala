@@ -1241,6 +1241,80 @@ object SimilarityQueries {
           |    ORDER BY cos DESC, node) AS rn
           |  FROM vis WHERE qid <> node)
           |WHERE rn <= 5""".stripMargin
+      }),
+
+    Q(
+      "qs30_ivf_routed_graph",
+      "IVF-ROUTED graph search (Similarity.ivfRoutedGraphTopK — the " +
+        "hierarchical-entry step separating HNSW-class serving from " +
+        "qs27's flat walk): each query (vec_id % 25 = 0) enters the " +
+        "k-NN graph AT its region — the min-id member of each of its " +
+        "4 nearest IVF cells (the coarse quantizer IS the upper " +
+        "layer, playing HNSW's top-level role) — then the same " +
+        "3-hop beam-8 walk refines locally. Entry routing = qs02's " +
+        "broadcast centroid scoring + a dim-sized representative " +
+        "aggregate; hop cost stays |Q|·beam·(graphK+2), corpus-" +
+        "independent. Routing's value needs STRUCTURE: on the " +
+        "planted-cluster fixture routed entry reaches recall 1.0 at " +
+        "hops=2 vs 0.963 for hash seeds (NnDescentSpec); on this " +
+        "clusterless synthetic corpus cells don't predict neighbors " +
+        "and spread seeds explore better — the fixture exercises " +
+        "plan shape and parity, not recall. Oracle = qs27's " +
+        "unrolled hops with the routed entry frontier.",
+      (s, dir) =>
+        Similarity.ivfRoutedGraphTopK(
+          Tables.load(s, dir, "embeddings"), "vec_id", "embedding",
+          queriesFilter = col("vec_id") % 25 === 0,
+          k = 5, beam = 8, hops = 3, graphK = 5, graphRounds = 2,
+          centroidStride = 40, nProbe = 4),
+      Some {
+        def hop(h: Int): String = {
+          val p = if (h == 1) "bf0" else s"bf${h - 1}"
+          s"""bx$h AS (
+            |  SELECT qid, node FROM $p
+            |  UNION
+            |  SELECT f.qid, g.v AS node FROM $p f JOIN ga g ON g.u = f.node),
+            |bs$h AS MATERIALIZED (
+            |  SELECT x.qid, x.node,
+            |    ${dkDot("eq.embedding", "en.embedding")} / (eq.nrm * en.nrm) AS cos
+            |  FROM bx$h x JOIN e eq ON eq.vec_id = x.qid
+            |    JOIN e en ON en.vec_id = x.node),
+            |bf$h AS MATERIALIZED (
+            |  SELECT qid, node FROM (
+            |    SELECT qid, node, row_number() OVER (PARTITION BY qid
+            |      ORDER BY cos DESC, node) AS rn FROM bs$h)
+            |  WHERE rn <= 8)""".stripMargin
+        }
+        s"""WITH $nnDescentCtes,
+          |ga AS (SELECT u, v FROM g2
+          |       UNION SELECT e.vec_id, (e.vec_id + 1) % nc.n FROM e, nc),
+          |cc AS (SELECT vec_id AS cent_id, embedding AS cemb, nrm AS cnrm
+          |       FROM e WHERE vec_id % 40 = 0),
+          |rc AS (
+          |  SELECT e.vec_id, cc.cent_id,
+          |    row_number() OVER (PARTITION BY e.vec_id ORDER BY
+          |      ${dkDot("e.embedding", "cc.cemb")} / (e.nrm * cc.cnrm) DESC,
+          |      cc.cent_id) AS rn
+          |  FROM e, cc),
+          |assign AS (SELECT vec_id, cent_id FROM rc WHERE rn = 1),
+          |reps AS (SELECT cent_id, min(vec_id) AS node FROM assign GROUP BY 1),
+          |bf0 AS (
+          |  SELECT DISTINCT r2.vec_id AS qid, rp.node
+          |  FROM rc r2 JOIN reps rp USING (cent_id)
+          |  WHERE r2.rn <= 4 AND r2.vec_id % 25 = 0),
+          |${hop(1)},
+          |${hop(2)},
+          |${hop(3)},
+          |vis AS (
+          |  SELECT qid, node, max(cos) AS cos FROM (
+          |    SELECT * FROM bs1 UNION ALL SELECT * FROM bs2
+          |    UNION ALL SELECT * FROM bs3)
+          |  GROUP BY qid, node)
+          |SELECT qid AS vec_id, node AS nbr_id, rn AS rnk FROM (
+          |  SELECT qid, node, row_number() OVER (PARTITION BY qid
+          |    ORDER BY cos DESC, node) AS rn
+          |  FROM vis WHERE qid <> node)
+          |WHERE rn <= 5""".stripMargin
       })
   )
 

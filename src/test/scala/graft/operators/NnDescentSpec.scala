@@ -111,6 +111,32 @@ class NnDescentSpec extends SparkSuite {
     assert(recall > 0.8, s"graph-serve recall too low: $recall")
   }
 
+  test("ivfRoutedGraphTopK: routed entry beats hash seeds at equal hops") {
+    import org.apache.spark.sql.functions.lit
+    val df = vecs.toDF("vec_id", "embedding")
+    // stride 12 plants one centroid per cluster (0,12,24,36,48 cover
+    // all five id%5 classes) — the regime routing is FOR: entries land
+    // in the query's region, so a SHORT walk suffices where the
+    // hash-spread entries still need hops to cross the space
+    def recallOf(served: Array[(Long, Long)]): Double = {
+      val m = served.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      recallVsBrute(m.view.mapValues(_.toSeq).toMap, 5)
+    }
+    val routed = recallOf(
+      Similarity.ivfRoutedGraphTopK(df, "vec_id", "embedding",
+        queriesFilter = lit(true), k = 5, beam = 8, hops = 2,
+        graphK = 5, graphRounds = 2, centroidStride = 12, nProbe = 2)
+        .collect().map(r => (r.getLong(0), r.getLong(1))))
+    val flat = recallOf(
+      Similarity.graphSearchTopK(df, "vec_id", "embedding",
+        k = 5, beam = 8, hops = 2, graphK = 5, graphRounds = 2, nSeeds = 8)
+        .collect().map(r => (r.getLong(0), r.getLong(1))))
+    info(s"routed recall@5 = $routed, flat recall@5 = $flat (hops = 2)")
+    assert(routed >= flat,
+      s"routing should not lose to hash seeds on clustered data: $routed < $flat")
+    assert(routed > 0.8, s"routed recall too low: $routed")
+  }
+
   test("graphSearchTopK is deterministic across runs") {
     val df = vecs.toDF("vec_id", "embedding")
     val a = rowsOf(Similarity.graphSearchTopK(df, "vec_id", "embedding",

@@ -109,7 +109,11 @@ class PlanAuditSpec extends SparkSuite {
       // per-layout 1-row × 1-row cross join of the folded zone-map
       // counters with the matching-row count; the zone maps themselves
       // come from one hash aggregate over the table
-      "qw19_zone_pruning")
+      "qw19_zone_pruning",
+      // qs02's broadcast centroid-scoring cross join, reused twice for
+      // the IVF entry routing (corpus assignment + query probes); the
+      // walk itself is equi-joins over the cut edge table
+      "qs30_ivf_routed_graph")
 
   test("no unexpected cartesian/nested-loop joins anywhere in the registry") {
     val dir = "/root/testdata/sf0.001"
