@@ -964,6 +964,67 @@ object StreamingQueries {
         |FROM cls GROUP BY 1""".stripMargin)),
 
     Q(
+      "qst24_stream_decontam_gate",
+      "Streaming benchmark-decontamination GATE " +
+        "(EventStreams.decontaminationGateFeed — qt17's exclusion " +
+        "stage at the ingest door): the benchmark fingerprint set " +
+        "(doc_id % 50 = 0, winnowed) loads once; corpus docs arrive " +
+        "TWICE via two staged files and each batch fingerprints " +
+        "itself, broadcast-semi-joins the frozen set, and emits " +
+        "(doc_id, n_shared_fp, admitted) — rejecting at ingest keeps " +
+        "a growing corpus decontaminated without re-auditing " +
+        "history. Stateless: re-delivery re-emits identical verdict " +
+        "rows (consumer distinct). Oracle = qd17's replay plus the " +
+        "admitted flag.",
+      (s, dir) => {
+        s.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+        val docs = graft.core.Tables.load(s, dir, "documents")
+        val benchFp = graft.core.OpCache.persist(
+          graft.operators.Dedup.winnowingFingerprints(
+            docs.filter(pmod(col("doc_id"), lit(50)) === 0), "doc_id", "text")
+            .select(col("fp")).distinct())
+        benchFp.count()
+        val in = java.nio.file.Files.createTempDirectory("graft_dg_in")
+        val src = java.nio.file.Paths.get(dir, "documents.parquet")
+        java.nio.file.Files.copy(src, in.resolve("d1.parquet"))
+        java.nio.file.Files.copy(src, in.resolve("d2.parquet"))
+        val stream = s.readStream.schema(docs.schema)
+          .option("maxFilesPerTrigger", 1)
+          .parquet(in.toString + "/*.parquet")
+          .filter(pmod(col("doc_id"), lit(50)) =!= 0)
+        val out = java.nio.file.Files
+          .createTempDirectory("graft_dg_out").toString
+        EventStreams.decontaminationGateFeed(stream, benchFp,
+          "doc_id", "text", out)
+        s.read.parquet(out).distinct()
+      },
+      Some(s"""WITH wd AS (
+        |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 6),
+        |hs AS (
+        |  SELECT doc_id,
+        |    list_transform(
+        |      list_transform(range(1, len(w) - 1),
+        |        i -> concat(w[i], ' ', w[i+1], ' ', w[i+2])),
+        |      g -> ${TextQueries.dkHash60("g")}) AS h
+        |  FROM wd),
+        |fp AS (
+        |  SELECT doc_id, unnest(list_distinct(
+        |    list_transform(range(1, len(h) - 2),
+        |      i -> list_min(list_slice(h, i, i + 3))))) AS fp
+        |  FROM hs),
+        |cfp AS (SELECT doc_id, fp FROM fp WHERE doc_id % 50 <> 0),
+        |bfp AS (SELECT DISTINCT fp FROM fp WHERE doc_id % 50 = 0),
+        |hits AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shared_fp
+        |  FROM cfp WHERE fp IN (SELECT fp FROM bfp) GROUP BY 1)
+        |SELECT d.doc_id,
+        |  CAST(coalesce(h.n_shared_fp, 0) AS BIGINT) AS n_shared_fp,
+        |  coalesce(h.n_shared_fp, 0) = 0 AS admitted
+        |FROM (SELECT doc_id FROM documents WHERE doc_id % 50 <> 0) d
+        |LEFT JOIN hits h USING (doc_id)""".stripMargin)),
+
+    Q(
       "qst23_stream_profile_drift",
       "Streaming profile-drift monitor (EventStreams.profileDriftFeed " +
         "— qw24's drift verdicts per MICRO-BATCH against a frozen " +

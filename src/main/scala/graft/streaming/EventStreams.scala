@@ -421,6 +421,52 @@ object EventStreams {
     if (!q.awaitTermination(180000)) q.stop()
   }
 
+  /** Streaming benchmark-decontamination gate — qt17's exclusion
+    * stage run AT THE DOOR (the qst19 frozen-model serve contract
+    * applied to contamination): the benchmark fingerprint set loads
+    * once (winnowed — substring-sensitive, eval-set-sized,
+    * broadcast); each arriving micro-batch fingerprints itself,
+    * counts shared fingerprints per document, and emits every batch
+    * document with its verdict — `admitted` = zero shared
+    * fingerprints. Rejecting at ingest is what keeps a continuously-
+    * growing corpus decontaminated WITHOUT re-running the batch audit
+    * over history.
+    *
+    * Stateless: a document's verdict depends only on its text and the
+    * frozen fingerprint set, so batch boundaries cannot change any
+    * row and at-least-once re-delivery re-emits IDENTICAL verdict
+    * rows (consumer distinct, like the qst19 rewrite feed). Per
+    * batch: one narrow fingerprint pass + a broadcast semi-join. */
+  def decontaminationGateFeed(
+      docs: DataFrame,
+      benchFp: DataFrame,
+      idCol: String,
+      textCol: String,
+      outDir: String,
+      queryName: String = "graft_decontam_gate"): Unit = {
+    val q = docs.writeStream
+      .queryName(queryName)
+      .outputMode(OutputMode.Append())
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val b = batch.toDF().dropDuplicates(Seq(idCol))
+        val hits = graft.operators.Dedup
+          .winnowingFingerprints(b, idCol, textCol)
+          .join(broadcast(benchFp), Seq("fp"), "left_semi")
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).cast("long").as("n_shared_fp"))
+        b.select(col(idCol).as("doc_id"))
+          .join(hits, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            coalesce(col("n_shared_fp"), lit(0L)).as("n_shared_fp"))
+          .withColumn("admitted", (col("n_shared_fp") === 0L).cast("boolean"))
+          .write.mode("append").parquet(outDir)
+        ()
+      }
+      .start()
+    if (!q.awaitTermination(180000)) q.stop()
+  }
+
   /** Streaming profile-drift monitor —
     * [[graft.warehouse.Profile.profileDrift]] run per micro-batch
     * against a FROZEN baseline profile (the qst17/qst18 frozen-model
