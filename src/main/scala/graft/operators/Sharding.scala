@@ -44,6 +44,20 @@ object Sharding {
     */
   def tokenShards(
       docs: DataFrame, idCol: String, tokensCol: Column,
+      budget: Long): DataFrame =
+    tokenShardAssignments(docs, idCol, tokensCol, budget)
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).cast("long").as("n_docs"),
+        sum(col("tokens")).cast("long").as("shard_tokens"))
+
+  /** The per-document assignment table behind [[tokenShards]] — the
+    * artifact an export job actually consumes (join it back to the
+    * corpus and write one directory per shard): (doc_id, tokens,
+    * before = tokens strictly ahead in placement order, shard).
+    * Same two-phase global cumsum; deterministic at any
+    * partitioning. */
+  def tokenShardAssignments(
+      docs: DataFrame, idCol: String, tokensCol: Column,
       budget: Long): DataFrame = {
     require(budget > 0, "budget must be positive")
     val keyed = docs.select(
@@ -66,11 +80,9 @@ object Sharding {
           (acc, s) => acc + s.getField("total")).as("offset")))).as("o"))
       .select(col("o.bucket").as("bucket"), col("o.offset").as("offset"))
     // (3) broadcast the 16-row offset table back onto the stream
-    val placed = local.join(broadcast(totals), Seq("bucket"))
+    local.join(broadcast(totals), Seq("bucket"))
       .withColumn("before", col("offset") + col("cum_in") - col("tokens"))
       .withColumn("shard", expr("before div " + budget))
-    placed.groupBy(col("shard"))
-      .agg(count(lit(1)).cast("long").as("n_docs"),
-        sum(col("tokens")).cast("long").as("shard_tokens"))
+      .select(col("doc_id"), col("tokens"), col("before"), col("shard"))
   }
 }

@@ -335,6 +335,66 @@ object WarehouseQueries {
       }),
 
     Q(
+      "qw25_incremental_profile",
+      "MERGEABLE incremental profile (Profile.mergeableProfile + " +
+        "mergeProfiles — qw05's IVM discipline applied to qw16's " +
+        "profile): counts and typed min/max merge as they stand; the " +
+        "one non-mergeable statistic (exact distinct) becomes the " +
+        "KMV bottom-64 sketch whose union-truncate is EXACT w.r.t. " +
+        "the full value set's bottom k — so the stored state " +
+        "(orders with o_orderkey %5 != 0) absorbs the delta batch " +
+        "(%5 = 0) in O(delta), never rescanning history, and the " +
+        "merged state equals a full rebuild bit-for-bit (distinct " +
+        "ESTIMATE included — the oracle recomputes from scratch). " +
+        "Doubles sketch exact integer cents, not their string " +
+        "rendering (the engine-portable hash discipline).",
+      (s, dir) => {
+        val ord = graft.core.Tables.load(s, dir, "orders")
+        val cols = Seq("o_orderkey", "o_orderstatus", "o_totalprice")
+        def dk(c: String) = c match {
+          case "o_totalprice" => graft.operators.Dedup.hash60(
+            floor(col(c) * 100).cast("long").cast("string"))
+          case _ => graft.operators.Dedup.hash60(col(c).cast("string"))
+        }
+        val stored = graft.warehouse.Profile.mergeableProfile(
+          ord.filter(pmod(col("o_orderkey"), lit(5)) =!= 0), cols, dk)
+        val delta = graft.warehouse.Profile.mergeableProfile(
+          ord.filter(pmod(col("o_orderkey"), lit(5)) === 0), cols, dk)
+        graft.warehouse.Profile.mergeProfiles(stored, delta)
+          .select(col("col_name"), col("n_rows"), col("n_nulls"),
+            graft.warehouse.Profile.kmvEstimate(col("sk")).as("est_distinct"),
+            col("min_num"), col("max_num"), col("min_str"), col("max_str"))
+      },
+      Some {
+        def one(c: String, hash: String, mn: String, mx: String,
+            mns: String, mxs: String): String =
+          s"""SELECT '$c' AS col_name, CAST(count(*) AS BIGINT) AS n_rows,
+             |  CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+             |  (SELECT CASE WHEN len(sk) < 64 THEN CAST(len(sk) AS DOUBLE)
+             |     ELSE CAST(63 AS DOUBLE) * power(CAST(2 AS DOUBLE), CAST(60 AS DOUBLE))
+             |          / CAST(sk[64] AS DOUBLE) END
+             |   FROM (SELECT list_slice(list_sort(list(DISTINCT $hash)), 1, 64) AS sk
+             |         FROM orders WHERE $c IS NOT NULL)) AS est_distinct,
+             |  $mn AS min_num, $mx AS max_num, $mns AS min_str, $mxs AS max_str
+             |FROM orders""".stripMargin
+        val k1 = TextQueries.dkHash60("CAST(o_orderkey AS VARCHAR)")
+        val k2 = TextQueries.dkHash60("o_orderstatus")
+        val k3 = TextQueries.dkHash60(
+          "CAST(CAST(floor(o_totalprice * 100) AS BIGINT) AS VARCHAR)")
+        Seq(
+          one("o_orderkey", k1,
+            "CAST(min(o_orderkey) AS DOUBLE)", "CAST(max(o_orderkey) AS DOUBLE)",
+            "CAST(NULL AS VARCHAR)", "CAST(NULL AS VARCHAR)"),
+          one("o_orderstatus", k2,
+            "CAST(NULL AS DOUBLE)", "CAST(NULL AS DOUBLE)",
+            "min(o_orderstatus)", "max(o_orderstatus)"),
+          one("o_totalprice", k3,
+            "CAST(min(o_totalprice) AS DOUBLE)", "CAST(max(o_totalprice) AS DOUBLE)",
+            "CAST(NULL AS VARCHAR)", "CAST(NULL AS VARCHAR)"))
+          .mkString("\nUNION ALL\n")
+      }),
+
+    Q(
       "qw12_compaction_plan",
       "Small-file compaction planning (Compaction.compactionPlan - " +
         "the lakehouse maintenance pass): a file inventory (here " +

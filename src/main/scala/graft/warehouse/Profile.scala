@@ -155,4 +155,87 @@ object Profile {
       col("n_distinct_old"), col("n_distinct_new"),
       bp("old").as("null_bp_old"), bp("new").as("null_bp_new"))
   }
+
+  /** KMV sketch size for the mergeable profile (the qw05 bottom-k). */
+  val ProfileSketchK: Int = 64
+
+  /** MERGEABLE per-column profile state — the incremental-maintenance
+    * face of [[profile]]: counts and typed min/max are mergeable as
+    * they stand, and the one non-mergeable statistic (exact distinct)
+    * is replaced by the KMV bottom-k sketch (qw05's
+    * `graft_bottom_k`), whose union-truncate merge is EXACT with
+    * respect to the full value set's bottom k — so profiling 100 TB
+    * happens once and each delta batch merges in O(delta), never a
+    * history rescan. One state row per column: (col_name, n_rows,
+    * n_nulls, sk, min_num, max_num, min_str, max_str).
+    *
+    * @param distinctKey per-column 60-bit hash input for the sketch.
+    *   The default hashes `CAST(col AS STRING)` — override for
+    *   columns whose string rendering is not engine-portable (e.g.
+    *   doubles: hash exact integer cents instead), the same hash
+    *   discipline every sketch here follows. */
+  def mergeableProfile(
+      df: DataFrame, cols: Seq[String] = Nil,
+      distinctKey: String => org.apache.spark.sql.Column =
+        c => graft.operators.Dedup.hash60(col(c).cast("string")),
+      k: Int = ProfileSketchK): DataFrame = {
+    graft.functions.GraftFunctions.register(df.sparkSession)
+    val targets = if (cols.nonEmpty) cols else df.columns.toSeq
+    val parts = targets.map { c =>
+      val dt = df.schema(c).dataType
+      val (mnN, mxN, mnS, mxS) = dt match {
+        case _: NumericType =>
+          (min(col(c)).cast("double"), max(col(c)).cast("double"),
+            lit(null).cast("string"), lit(null).cast("string"))
+        case _: TimestampType =>
+          (unix_micros(min(col(c))).cast("double"),
+            unix_micros(max(col(c))).cast("double"),
+            lit(null).cast("string"), lit(null).cast("string"))
+        case _: StringType =>
+          (lit(null).cast("double"), lit(null).cast("double"),
+            min(col(c)), max(col(c)))
+        case _ =>
+          (lit(null).cast("double"), lit(null).cast("double"),
+            lit(null).cast("string"), lit(null).cast("string"))
+      }
+      df.select(col(c), distinctKey(c).as("__dk"))
+        .agg(
+          count(lit(1)).cast("long").as("n_rows"),
+          sum(when(col(c).isNull, 1L).otherwise(0L)).cast("long")
+            .as("n_nulls"),
+          call_function("graft_bottom_k",
+            when(col(c).isNotNull, col("__dk")), lit(k)).as("sk"),
+          mnN.as("min_num"), mxN.as("max_num"),
+          mnS.as("min_str"), mxS.as("max_str"))
+        .select(lit(c).as("col_name"), col("n_rows"), col("n_nulls"),
+          col("sk"), col("min_num"), col("max_num"),
+          col("min_str"), col("max_str"))
+    }
+    parts.reduce(_ unionByName _)
+  }
+
+  /** Merge two [[mergeableProfile]] states — one union + one hash
+    * aggregate over 2·|columns| rows: counts add, min/max fold
+    * (null-ignoring, so a column absent on one side keeps the other's
+    * bound), KMV sketches union-truncate (order-invariant). The
+    * merged state equals the state a full rebuild would produce. */
+  def mergeProfiles(a: DataFrame, b: DataFrame,
+      k: Int = ProfileSketchK): DataFrame =
+    a.unionByName(b)
+      .groupBy(col("col_name"))
+      .agg(sum(col("n_rows")).cast("long").as("n_rows"),
+        sum(col("n_nulls")).cast("long").as("n_nulls"),
+        aggregate(collect_list(col("sk")),
+          array().cast("array<bigint>"),
+          (acc, x) => slice(array_sort(array_union(acc, x)), 1, k)).as("sk"),
+        min(col("min_num")).as("min_num"), max(col("max_num")).as("max_num"),
+        min(col("min_str")).as("min_str"), max(col("max_str")).as("max_str"))
+
+  /** Distinct-count estimate from a profile KMV sketch (qw05's
+    * estimator: exact below k, (k−1)·2^60 / kth-min at k). */
+  def kmvEstimate(sk: org.apache.spark.sql.Column,
+      k: Int = ProfileSketchK): org.apache.spark.sql.Column =
+    when(size(sk) < k, size(sk).cast("double"))
+      .otherwise(lit((k - 1).toDouble) * pow(lit(2.0), lit(60.0)) /
+        element_at(sk, k).cast("double"))
 }

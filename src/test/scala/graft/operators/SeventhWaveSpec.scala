@@ -174,6 +174,32 @@ class SeventhWaveSpec extends SparkSuite {
     assert(gone("t") == "col_removed")
   }
 
+  test("mergeableProfile: merged state equals a full rebuild, sketch included") {
+    val full = (1L to 300L).map(i =>
+      (i, if (i % 10 == 0) null else s"v${i % 97}", i * 1.5))
+      .toDF("k", "s", "v")
+    val a = full.filter(col("k") % 3 =!= 0)
+    val b = full.filter(col("k") % 3 === 0)
+    def prof(df: org.apache.spark.sql.DataFrame) =
+      graft.warehouse.Profile.mergeableProfile(df)
+    val merged = graft.warehouse.Profile.mergeProfiles(prof(a), prof(b))
+    val rebuilt = prof(full)
+    def norm(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("col_name"), col("n_rows"), col("n_nulls"),
+        col("sk"), col("min_num"), col("max_num"),
+        col("min_str"), col("max_str"))
+        .collect().map(_.toSeq.map {
+          case a: scala.collection.Seq[_] => a.toList
+          case x => x
+        }).sortBy(_.head.toString)
+    assert(norm(merged).toSeq == norm(rebuilt).toSeq)
+    // 300 distinct keys > k=64 → the estimator path is exercised and
+    // the merged estimate is the rebuild's estimate exactly
+    val est = merged.filter(col("col_name") === "k")
+      .select(graft.warehouse.Profile.kmvEstimate(col("sk"))).head.getDouble(0)
+    assert(est > 100.0 && est < 900.0, s"implausible KMV estimate $est")
+  }
+
   test("exportManifest shards cover exactly the packed sequences' tokens") {
     val corpus = graft.core.Tables.load(spark, "/root/testdata/sf0.001",
       "documents")
