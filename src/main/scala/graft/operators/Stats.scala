@@ -111,4 +111,31 @@ object Stats {
           .as("intercept"),
         when(dy > 0, round((cov * cov) / (dx * dy), 6)).as("r2"))
   }
+
+  /** Per-key SKEW report — the "why is my shuffle slow" diagnosis run
+    * BEFORE a 100 TB join/aggregation commits to a key: the `topN`
+    * heaviest keys with their share of all rows (exact integer basis
+    * points) and their multiple of the fair per-key share (`skew_x` —
+    * the number AQE's skew threshold and a salting factor are chosen
+    * from). One hash aggregate on the key (map-side combined), a
+    * TakeOrdered top-N (per-partition heads + merge — never a global
+    * sort), and a one-row globals broadcast. Output is topN rows of
+    * metadata whatever the table size. */
+  def skewReport(df: DataFrame, keyCol: String, topN: Int = 5): DataFrame = {
+    require(topN >= 1)
+    val kc = df.groupBy(col(keyCol).as("key"))
+      .agg(count(lit(1)).cast("long").as("key_rows"))
+    val g = kc.agg(count(lit(1)).cast("long").as("n_keys"),
+      sum(col("key_rows")).cast("long").as("total_rows"))
+    kc.orderBy(col("key_rows").desc, col("key")).limit(topN)
+      .withColumn("rnk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(lit(0)).orderBy(col("key_rows").desc, col("key"))))
+      .crossJoin(broadcast(g))
+      .select(col("rnk").cast("long").as("rnk"), col("key"),
+        col("key_rows"), col("total_rows"), col("n_keys"),
+        expr("key_rows * 10000 div total_rows").as("share_bp"),
+        round(col("key_rows").cast("double") * col("n_keys").cast("double") /
+          col("total_rows").cast("double"), 6).as("skew_x"))
+  }
 }

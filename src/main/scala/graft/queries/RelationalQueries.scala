@@ -1556,6 +1556,35 @@ object RelationalQueries {
         .stripMargin)),
 
     Q(
+      "q62_skew_report",
+      "Per-key SKEW report (Stats.skewReport — the diagnosis run " +
+        "before a 100 TB join/agg commits to a key): the 5 heaviest " +
+        "user_ids with their exact basis-point share of all events " +
+        "and their multiple of the fair per-key share (skew_x — the " +
+        "number AQE thresholds and salting factors are chosen from). " +
+        "One map-side-combined hash agg + TakeOrdered top-5 (never a " +
+        "global sort) + a one-row globals broadcast; output is 5 " +
+        "rows of metadata at any table size.",
+      (s, dir) =>
+        graft.operators.Stats.skewReport(
+          graft.core.Tables.load(s, dir, "events"), "user_id", topN = 5),
+      Some("""WITH kc AS (
+        |  SELECT user_id AS key, CAST(count(*) AS BIGINT) AS key_rows
+        |  FROM events GROUP BY 1),
+        |g AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_keys,
+        |    CAST(sum(key_rows) AS BIGINT) AS total_rows FROM kc),
+        |top AS (
+        |  SELECT key, key_rows,
+        |    row_number() OVER (ORDER BY key_rows DESC, key) AS rnk
+        |  FROM kc)
+        |SELECT CAST(rnk AS BIGINT) AS rnk, key, key_rows, total_rows,
+        |  n_keys, key_rows * 10000 // total_rows AS share_bp,
+        |  round(CAST(key_rows AS DOUBLE) * CAST(n_keys AS DOUBLE)
+        |    / CAST(total_rows AS DOUBLE), 6) AS skew_x
+        |FROM top, g WHERE rnk <= 5""".stripMargin)),
+
+    Q(
       "q60_gini",
       "Per-group Gini coefficient (Stats.groupedGini — the inequality " +
         "measure the reference's development-indicator domain reports " +

@@ -964,6 +964,87 @@ object StreamingQueries {
         |FROM cls GROUP BY 1""".stripMargin)),
 
     Q(
+      "qst25_stream_profile_maintenance",
+      "Streaming PROFILE MAINTENANCE (EventStreams." +
+        "profileMaintenanceFeed — qw25's mergeable profile as live " +
+        "state): events arrive as the even/odd split; each batch " +
+        "profiles itself and merges into the running per-column " +
+        "state (counts add, min/max fold, KMV sketches union-" +
+        "truncate), state cut+re-persisted per batch. The drained " +
+        "state must equal a from-scratch batch profile of ALL " +
+        "events — distinct estimate included — which is the " +
+        "merge-exactness claim under streaming arrival. Exactly-" +
+        "once feed contract (counts are not idempotent).",
+      (s, dir) => {
+        s.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+        val ev = graft.core.Tables.load(s, dir, "events")
+        val in = java.nio.file.Files.createTempDirectory("graft_pm_in")
+        def stage(df: org.apache.spark.sql.DataFrame, name: String,
+            mtime: Long): Unit = {
+          val tmp = java.nio.file.Files
+            .createTempDirectory("graft_pm_w").toString
+          df.coalesce(1).write.mode("overwrite").parquet(tmp)
+          val part = new java.io.File(tmp).listFiles()
+            .find(f => f.getName.startsWith("part-") &&
+              f.getName.endsWith(".parquet")).get
+          val dst = in.resolve(name)
+          java.nio.file.Files.copy(part.toPath, dst)
+          dst.toFile.setLastModified(mtime)
+        }
+        val t0 = System.currentTimeMillis() - 120000L
+        stage(ev.filter(pmod(col("event_id"), lit(2)) === 0), "a1.parquet", t0)
+        stage(ev.filter(pmod(col("event_id"), lit(2)) === 1), "b2.parquet",
+          t0 + 60000L)
+        val schema = StructType.fromDDL(
+          "event_id BIGINT, ts TIMESTAMP, user_id BIGINT, " +
+            "event_type STRING, value DOUBLE, props STRING")
+        val stream = s.readStream.schema(schema)
+          .option("maxFilesPerTrigger", 1)
+          .parquet(in.toString + "/*.parquet")
+        val out = java.nio.file.Files
+          .createTempDirectory("graft_pm_out").toString
+        def dk(c: String) = c match {
+          case "value" => graft.operators.Dedup.hash60(
+            floor(col(c) * 100).cast("long").cast("string"))
+          case _ => graft.operators.Dedup.hash60(col(c).cast("string"))
+        }
+        EventStreams.profileMaintenanceFeed(stream,
+          Seq("user_id", "event_type", "value"), dk, out)
+        s.read.parquet(out)
+          .select(col("col_name"), col("n_rows"), col("n_nulls"),
+            graft.warehouse.Profile.kmvEstimate(col("sk")).as("est_distinct"),
+            col("min_num"), col("max_num"), col("min_str"), col("max_str"))
+      },
+      Some {
+        def one(c: String, hash: String, mn: String, mx: String,
+            mns: String, mxs: String): String =
+          s"""SELECT '$c' AS col_name, CAST(count(*) AS BIGINT) AS n_rows,
+             |  CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+             |  (SELECT CASE WHEN len(sk) < 64 THEN CAST(len(sk) AS DOUBLE)
+             |     ELSE CAST(63 AS DOUBLE) * power(CAST(2 AS DOUBLE), CAST(60 AS DOUBLE))
+             |          / CAST(sk[64] AS DOUBLE) END
+             |   FROM (SELECT list_slice(list_sort(list(DISTINCT $hash)), 1, 64) AS sk
+             |         FROM events WHERE $c IS NOT NULL)) AS est_distinct,
+             |  $mn AS min_num, $mx AS max_num, $mns AS min_str, $mxs AS max_str
+             |FROM events""".stripMargin
+        val k1 = TextQueries.dkHash60("CAST(user_id AS VARCHAR)")
+        val k2 = TextQueries.dkHash60("event_type")
+        val k3 = TextQueries.dkHash60(
+          "CAST(CAST(floor(value * 100) AS BIGINT) AS VARCHAR)")
+        Seq(
+          one("user_id", k1,
+            "CAST(min(user_id) AS DOUBLE)", "CAST(max(user_id) AS DOUBLE)",
+            "CAST(NULL AS VARCHAR)", "CAST(NULL AS VARCHAR)"),
+          one("event_type", k2,
+            "CAST(NULL AS DOUBLE)", "CAST(NULL AS DOUBLE)",
+            "min(event_type)", "max(event_type)"),
+          one("value", k3,
+            "CAST(min(value) AS DOUBLE)", "CAST(max(value) AS DOUBLE)",
+            "CAST(NULL AS VARCHAR)", "CAST(NULL AS VARCHAR)"))
+          .mkString("\nUNION ALL\n")
+      }),
+
+    Q(
       "qst24_stream_decontam_gate",
       "Streaming benchmark-decontamination GATE " +
         "(EventStreams.decontaminationGateFeed — qt17's exclusion " +

@@ -467,6 +467,47 @@ object EventStreams {
     if (!q.awaitTermination(180000)) q.stop()
   }
 
+  /** Streaming PROFILE MAINTENANCE —
+    * [[graft.warehouse.Profile.mergeableProfile]] maintained as live
+    * state (qw25's incremental discipline on a stream): each
+    * micro-batch profiles itself and MERGES into the running state —
+    * counts add, min/max fold, KMV sketches union-truncate — so the
+    * state after draining equals a batch profile of everything that
+    * arrived, estimate included. State = one row per column (plus a
+    * KB of sketch), cut and re-persisted per batch (the qt33 model
+    * discipline: an un-cut state frame would re-analyze the whole
+    * merge history every batch). Deltas are NOT idempotent (counts
+    * add), so the feed contract is exactly-once — compose qst03's
+    * dedup for at-least-once sources. The final state lands in
+    * `outDir` when the stream drains. */
+  def profileMaintenanceFeed(
+      stream: DataFrame,
+      cols: Seq[String],
+      distinctKey: String => org.apache.spark.sql.Column,
+      outDir: String,
+      queryName: String = "graft_profile_maint"): Unit = {
+    val spark = stream.sparkSession
+    var state: Option[DataFrame] = None
+    val q = stream.writeStream
+      .queryName(queryName)
+      .outputMode(OutputMode.Append())
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val bp = graft.warehouse.Profile.mergeableProfile(
+          batch.toDF(), cols, distinctKey)
+        val merged = state match {
+          case None => bp
+          case Some(st) => graft.warehouse.Profile.mergeProfiles(st, bp)
+        }
+        state = Some(graft.core.OpCache.persist(
+          spark.createDataFrame(merged.rdd, merged.schema)))
+        ()
+      }
+      .start()
+    if (!q.awaitTermination(180000)) q.stop()
+    state.foreach(_.write.mode("overwrite").parquet(outDir))
+  }
+
   /** Streaming profile-drift monitor —
     * [[graft.warehouse.Profile.profileDrift]] run per micro-batch
     * against a FROZEN baseline profile (the qst17/qst18 frozen-model

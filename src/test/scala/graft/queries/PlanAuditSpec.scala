@@ -113,7 +113,10 @@ class PlanAuditSpec extends SparkSuite {
       // qs02's broadcast centroid-scoring cross join, reused twice for
       // the IVF entry routing (corpus assignment + query probes); the
       // walk itself is equi-joins over the cut edge table
-      "qs30_ivf_routed_graph")
+      "qs30_ivf_routed_graph",
+      // one-row globals (n_keys, total_rows) broadcast crossed into
+      // the ≤topN skew-key rows — metadata, never data×data
+      "q62_skew_report")
 
   test("no unexpected cartesian/nested-loop joins anywhere in the registry") {
     val dir = "/root/testdata/sf0.001"
@@ -155,7 +158,10 @@ class PlanAuditSpec extends SparkSuite {
     // moving-average trend over the DAILY AGGREGATE (one row per day;
     // the event stream collapses in a hash agg first) — years of data
     // is thousands of window rows
-    "q50_seasonal_decompose")
+    "q50_seasonal_decompose",
+    // rank over the ALREADY-LIMITED topN skew keys (≤5 rows by
+    // construction — the TakeOrdered limit runs first)
+    "q62_skew_report")
 
   test("no constant-key (de-facto global) windows outside the allow-list") {
     import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
