@@ -11,6 +11,14 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The bench/verify mains print machine-parseable JSON lines; sbt's default
+// LoggedOutput strategy prefixes every forked-stdout line with "[info] ",
+// which breaks the caller's json.loads of the final totals line (every
+// BENCH_r*.json so far is parsed:null). Pass forked stdout through raw,
+// and drop the "[success] Total time" trailer so the JSON line is LAST.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+Global / showSuccess := false
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -1503,7 +1503,8 @@ object StreamingQueries {
         |  FROM (SELECT doc_id, unnest(range(0, 60)) AS j FROM documents) g
         |  LEFT JOIN seg s ON s.doc_id = g.doc_id AND s.j = g.j
         |  JOIN tot t ON t.doc_id = g.doc_id)
-        |SELECT doc_id AS media_id, sum(bit << j) AS ahash
+        |SELECT doc_id AS media_id,
+        |  CAST(sum(bit << j) AS BIGINT) AS ahash
         |FROM bits GROUP BY 1""".stripMargin)),
 
     Q(

@@ -2437,7 +2437,8 @@ object TextQueries {
         |    sum(tokens) OVER (ORDER BY key ROWS UNBOUNDED PRECEDING)
         |      - tokens AS bef
         |  FROM t)
-        |SELECT bef // 4000 AS shard, CAST(count(*) AS BIGINT) AS n_docs,
+        |SELECT CAST(bef // 4000 AS BIGINT) AS shard,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
         |  CAST(sum(tokens) AS BIGINT) AS shard_tokens
         |FROM c GROUP BY 1""".stripMargin)),
 
@@ -2476,7 +2477,8 @@ object TextQueries {
         |    sum(seq_tokens) OVER (ORDER BY md5(sk) ROWS UNBOUNDED PRECEDING)
         |      - seq_tokens AS bef
         |  FROM seqs)
-        |SELECT bef // 1024 AS shard, CAST(count(*) AS BIGINT) AS n_seqs,
+        |SELECT CAST(bef // 1024 AS BIGINT) AS shard,
+        |  CAST(count(*) AS BIGINT) AS n_seqs,
         |  CAST(sum(seq_tokens) AS BIGINT) AS shard_tokens
         |FROM csum GROUP BY 1""".stripMargin)),
 

@@ -415,14 +415,17 @@ object WarehouseQueries {
         graft.storage.Compaction.compactionPlan(
           inv, "part_year", "o_orderkey", "cents", targetBytes = 500000000L)
       },
+      // duckdb sum(BIGINT) is HUGEINT and `//` keeps it; the driver's
+      // arrow/pandas bridge renders HUGEINT as float → hash mismatch even
+      // when every value is equal. CAST the bin back to BIGINT.
       Some("""SELECT CAST(year(o_orderdate) AS BIGINT) AS grp,
         |  o_orderkey AS file_id,
         |  CAST(floor(o_totalprice * 100) AS BIGINT) AS bytes,
-        |  (sum(CAST(floor(o_totalprice * 100) AS BIGINT)) OVER (
+        |  CAST((sum(CAST(floor(o_totalprice * 100) AS BIGINT)) OVER (
         |     PARTITION BY year(o_orderdate) ORDER BY o_orderkey
         |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
         |   - CAST(floor(o_totalprice * 100) AS BIGINT)) // 500000000
-        |    AS bin
+        |    AS BIGINT) AS bin
         |FROM orders""".stripMargin)),
 
     Q(
