@@ -1,0 +1,122 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType}
+
+/** Classifier / scorer evaluation — the measurement half of the
+  * learned-filter loop ([[Logit]], [[Curation.curateWithClassifier]],
+  * qt34): before a trained quality filter gates a 100 TB corpus, its
+  * scores need an AUC and a calibration audit against a labeled
+  * sample. Both operators are pure aggregation shapes that scale to
+  * the full corpus, not just the audit sample.
+  *
+  * Determinism: AUC is computed from exact INTEGER pair counts (the
+  * tie-aware Mann–Whitney identity) — no floating accumulation at
+  * all until the single final division; calibration means quantize
+  * each score to DECIMAL(30,6) before the order-invariant sum. Both
+  * round derived doubles to 6 decimals (the engine-comparability
+  * discipline of q42/qm01/Stats).
+  */
+object Eval {
+
+  /** Exact tie-aware ROC AUC in ONE aggregate row:
+    * (n_pos, n_neg, auc).
+    *
+    * Identity: with score groups g (distinct score values) holding
+    * pos_g positives, neg_g negatives, and negBelow_g = negatives at
+    * strictly smaller scores,
+    *
+    *   2·AUC·P·N = Σ_g pos_g · (2·negBelow_g + neg_g)
+    *
+    * — concordant pairs count 2, tied-score pairs count 1, all
+    * arithmetic on exact longs; the one double division at the end
+    * rounds to 6. This is P(score⁺ > score⁻) + ½·P(=), the
+    * probabilistic AUC definition, so ties need no rank averaging.
+    *
+    * The prefix sum negBelow runs WITHOUT a global window (the
+    * [[Sharding.tokenShards]] discipline): score groups bucket by the
+    * clamped quantization floor(score·buckets) — a monotone function
+    * of the sort key, so each bucket is a contiguous range of the
+    * global score order — then per-bucket windows (parallel), one
+    * bucket-total fold on a 1-row array frame, and a broadcast
+    * offset join. Scores are expected probability-like in [0, 1];
+    * out-of-range values clamp into the edge buckets, which only
+    * narrows parallelism, never correctness (in-bucket ordering is
+    * still by raw score).
+    *
+    * Scale shape: one hash agg on score (map-side combined), windows
+    * over |distinct scores| rows max — nothing touches pairs, nothing
+    * single-reducer. If either class is empty, auc is NULL (no pairs
+    * to rank).
+    */
+  def aucReport(
+      df: DataFrame, labelCol: String, scoreCol: String,
+      buckets: Int = 16): DataFrame = {
+    require(buckets >= 1, s"buckets must be >= 1, got $buckets")
+    val s = df.select(
+      col(scoreCol).cast("double").as("score"),
+      col(labelCol).cast("int").cast("long").as("y"))
+      .filter(col("score").isNotNull && col("y").isNotNull)
+    val g = s.groupBy(col("score")).agg(
+      sum(col("y")).as("pos"),
+      (count(lit(1)) - sum(col("y"))).as("neg"))
+    val b = g.withColumn("bucket",
+      greatest(lit(0L), least(floor(col("score") * buckets), lit(buckets - 1L))))
+    val wb = Window.partitionBy(col("bucket")).orderBy(col("score"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val local = b.withColumn("cumneg_in", sum(col("neg")).over(wb))
+    // bucket totals -> prefix offsets inside one 1-row array frame
+    // (sort_array orders by bucket, the struct's first field)
+    val offsets = b.groupBy(col("bucket")).agg(sum(col("neg")).as("total"))
+      .agg(sort_array(collect_list(struct(col("bucket"), col("total")))).as("bt"))
+      .select(explode(transform(col("bt"), (x, i) => struct(
+        x.getField("bucket").as("bucket"),
+        aggregate(slice(col("bt"), lit(1), i), lit(0L),
+          (acc, st) => acc + st.getField("total")).as("offset")))).as("o"))
+      .select(col("o.bucket").as("bucket"), col("o.offset").as("offset"))
+    local.join(broadcast(offsets), Seq("bucket"))
+      .select(col("pos"), col("neg"),
+        (col("pos") * (lit(2L) * (col("offset") + col("cumneg_in") - col("neg"))
+          + col("neg"))).as("u2"))
+      .agg(
+        sum(col("pos")).cast("long").as("n_pos"),
+        sum(col("neg")).cast("long").as("n_neg"),
+        sum(col("u2")).cast("long").as("u2s"))
+      .select(col("n_pos"), col("n_neg"),
+        when(col("n_pos") > 0 && col("n_neg") > 0,
+          round(col("u2s").cast("double") /
+            (lit(2.0) * col("n_pos") * col("n_neg")), 6)).as("auc"))
+  }
+
+  /** Reliability (calibration) table: scores cut into `bins`
+    * equal-width probability bins, per bin the count, positive count,
+    * DECIMAL-exact mean score and positive fraction — the table that
+    * says whether "score 0.8" means 80 % precision or just "higher
+    * than 0.7". A well-calibrated filter lets a curation run pick a
+    * threshold from the target kept-quality directly.
+    *
+    * One hash aggregate, |bins| output rows; mean quantizes each
+    * score to DECIMAL(30,6) before the order-invariant sum. Empty
+    * bins are absent (no row), derived doubles round to 6.
+    */
+  def calibrationBins(
+      df: DataFrame, labelCol: String, scoreCol: String,
+      bins: Int = 10): DataFrame = {
+    require(bins >= 1, s"bins must be >= 1, got $bins")
+    df.select(
+      col(scoreCol).cast("double").as("score"),
+      col(labelCol).cast("int").cast("long").as("y"))
+      .filter(col("score").isNotNull && col("y").isNotNull)
+      .withColumn("bin",
+        greatest(lit(0L), least(floor(col("score") * bins), lit(bins - 1L))))
+      .groupBy(col("bin"))
+      .agg(
+        count(lit(1)).cast("long").as("n"),
+        sum(col("y")).cast("long").as("n_pos"),
+        round((sum(col("score").cast(DecimalType(30, 6)))
+          .cast(DoubleType) / count(lit(1))), 6).as("mean_score"),
+        round(sum(col("y")).cast("double") / count(lit(1)), 6).as("frac_pos"))
+  }
+}

@@ -2864,6 +2864,80 @@ object TextQueries {
         |WHERE NOT is_target
         |GROUP BY 1
         |ORDER BY score DESC, doc_id
-        |LIMIT 100""".stripMargin)
+        |LIMIT 100""".stripMargin)),
+
+    Q(
+      "qt37_scorer_auc",
+      "Exact tie-aware ROC AUC of a quality scorer against labels " +
+        "(Eval.aucReport) — the measurement half of the learned-" +
+        "filter loop: before a filter gates the corpus, its score " +
+        "needs a discrimination number. Integer Mann–Whitney pair " +
+        "counts (concordant=2, tied=1) from one hash agg on distinct " +
+        "scores; the negBelow prefix sum runs bucketed (qt35's " +
+        "no-global-window discipline — floor(score·16) buckets are " +
+        "contiguous score ranges), one double division at the end. " +
+        "Scored here: qt02's type-token ratio vs the lang='en' " +
+        "labeling; Logit.trainAndScore output feeds the same " +
+        "operator unchanged.",
+      (s, dir) => {
+        val t = split(coalesce(col("text"), lit("")), " ")
+        graft.operators.Eval.aucReport(
+          Tables.load(s, dir, "documents").select(
+            (size(array_distinct(t)).cast("double") /
+              size(t).cast("double")).as("score"),
+            (col("lang") === "en").cast("int").as("label")),
+          "label", "score")
+      },
+      Some("""WITH s AS (
+        |  SELECT CAST(len(list_distinct(string_split(coalesce(text,''),' '))) AS DOUBLE) /
+        |      CAST(len(string_split(coalesce(text,''),' ')) AS DOUBLE) AS score,
+        |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+        |  FROM documents),
+        |g AS (
+        |  SELECT score, CAST(sum(y) AS BIGINT) AS pos,
+        |    CAST(count(*) - sum(y) AS BIGINT) AS neg
+        |  FROM s GROUP BY 1),
+        |c AS (
+        |  SELECT pos, neg,
+        |    sum(neg) OVER (ORDER BY score ROWS UNBOUNDED PRECEDING) - neg
+        |      AS negbelow
+        |  FROM g)
+        |SELECT CAST(sum(pos) AS BIGINT) AS n_pos,
+        |  CAST(sum(neg) AS BIGINT) AS n_neg,
+        |  round(CAST(sum(pos * (2 * negbelow + neg)) AS DOUBLE) /
+        |    (2.0 * CAST(sum(pos) AS DOUBLE) * CAST(sum(neg) AS DOUBLE)), 6)
+        |    AS auc
+        |FROM c""".stripMargin)),
+
+    Q(
+      "qt38_calibration",
+      "Reliability table for the same scorer (Eval.calibrationBins): " +
+        "scores cut into 10 equal-width probability bins, per bin " +
+        "count / positives / DECIMAL-exact mean score / positive " +
+        "fraction — whether 'score 0.8' means 80% precision or just " +
+        "'more than 0.7'. A calibrated filter lets curation pick its " +
+        "threshold from the target kept-quality directly. One hash " +
+        "aggregate, |bins| rows out.",
+      (s, dir) => {
+        val t = split(coalesce(col("text"), lit("")), " ")
+        graft.operators.Eval.calibrationBins(
+          Tables.load(s, dir, "documents").select(
+            (size(array_distinct(t)).cast("double") /
+              size(t).cast("double")).as("score"),
+            (col("lang") === "en").cast("int").as("label")),
+          "label", "score")
+      },
+      Some("""WITH s AS (
+        |  SELECT CAST(len(list_distinct(string_split(coalesce(text,''),' '))) AS DOUBLE) /
+        |      CAST(len(string_split(coalesce(text,''),' ')) AS DOUBLE) AS score,
+        |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+        |  FROM documents)
+        |SELECT CAST(least(greatest(floor(score * 10), 0), 9) AS BIGINT) AS bin,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(y) AS BIGINT) AS n_pos,
+        |  round(CAST(sum(CAST(score AS DECIMAL(30,6))) AS DOUBLE) /
+        |    count(*), 6) AS mean_score,
+        |  round(CAST(sum(y) AS DOUBLE) / count(*), 6) AS frac_pos
+        |FROM s GROUP BY 1""".stripMargin)
   ))
 }
