@@ -256,6 +256,64 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** RECALL audit of the MinHash-LSH configuration against exhaustive
+    * exact-jaccard ground truth — the dedup family's counterpart of
+    * qs22's ANN recall report, and the number that justifies a chosen
+    * (k, bands) operating point before it gates a corpus (composes
+    * with [[lshBandPlan]], which predicts the curve this measures).
+    *
+    * Ground truth is EXHAUSTIVE over pairs sharing ≥ 1 shingle (pairs
+    * sharing none have jaccard 0 < any real threshold): the inverted
+    * hashed-shingle index self-joined with NO df-cut and NO length
+    * blocking, intersection counts → exact jaccard. That is O(Σ df²)
+    * — an AUDIT operator: at 100 TB run it on a sample (the recall of
+    * a hash-bucketing scheme is sample-estimable; the production path
+    * never pays this cost), exactly like qs22's brute-force baseline.
+    *
+    * Output one row: n_true (exact pairs ≥ threshold), n_lsh
+    * (LSH-verified output pairs — all pass the same threshold, so
+    * precision is 1 by construction), n_missed (true pairs absent
+    * from the LSH output: candidate-generation misses), recall
+    * rounded to 6 (NULL when n_true = 0).
+    */
+  def lshRecallReport(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      nShingle: Int = 3,
+      k: Int = 16,
+      bands: Int = 4,
+      threshold: Double = 0.5,
+      maxBucketSize: Int = DefaultMaxBucketSize): DataFrame = {
+    val sh = shingleTable(docs, idCol, textCol, nShingle)
+    val lsh = graft.core.OpCache.persist(
+      pairsFromBandTable(sh, bandTable(sh, k, bands), threshold, maxBucketSize)
+        .select(col("a_id"), col("b_id")))
+    val inv = graft.core.OpCache.persist(
+      sh.select(col("doc_id"), size(col("shingles")).as("n_sh"),
+          explode(col("shingles")).as("s"))
+        .select(col("doc_id"), col("n_sh"), hash60(col("s")).as("shh")))
+    val truth = graft.core.OpCache.persist(
+      inv.as("p").join(inv.as("q"),
+          col("p.shh") === col("q.shh") && col("p.doc_id") < col("q.doc_id"))
+        .select(col("p.doc_id").as("a_id"), col("q.doc_id").as("b_id"),
+          col("p.n_sh").as("na"), col("q.n_sh").as("nb"))
+        .groupBy(col("a_id"), col("b_id"), col("na"), col("nb"))
+        .agg(count(lit(1)).as("inter"))
+        .filter(col("inter").cast("double") /
+          (col("na") + col("nb") - col("inter")).cast("double") >= threshold)
+        .select(col("a_id"), col("b_id")))
+    val nTrue = truth.agg(count(lit(1)).cast("long").as("n_true"))
+    val nLsh = lsh.agg(count(lit(1)).cast("long").as("n_lsh"))
+    val nMissed = truth.join(lsh, Seq("a_id", "b_id"), "left_anti")
+      .agg(count(lit(1)).cast("long").as("n_missed"))
+    nTrue.crossJoin(broadcast(nLsh)).crossJoin(broadcast(nMissed))
+      .select(col("n_true"), col("n_lsh"), col("n_missed"),
+        when(col("n_true") > 0,
+          round((col("n_true") - col("n_missed")).cast("double") /
+            col("n_true").cast("double"), 6)).as("recall"))
+  }
+
   /** SimHash signature (60-bit) over a column holding the DISTINCT
     * token hashes (array<long> from [[hash60]]): majority vote per bit,
     * computed by the native one-pass codegen kernel

@@ -2690,6 +2690,51 @@ object TextQueries {
         |LEFT JOIN hits h USING (doc_id)""".stripMargin)),
 
     Q(
+      "qd37_lsh_recall",
+      "RECALL audit of the qd02 LSH configuration vs exhaustive " +
+        "exact-jaccard truth (Dedup.lshRecallReport) — the dedup " +
+        "family's qs22, and the measured point on the curve " +
+        "qd33's band plan predicts: n_true exact pairs ≥ 0.5, n_lsh " +
+        "verified LSH pairs (precision 1 by construction), n_missed " +
+        "candidate-generation misses, recall. Ground truth is the " +
+        "unblocked inverted shingle-hash self-join (O(Σ df²) — an " +
+        "audit op: sample-estimable at 100 TB, never the production " +
+        "path).",
+      (s, dir) =>
+        Dedup.lshRecallReport(Tables.load(s, dir, "documents"),
+          "doc_id", "text", nShingle = 3, k = 16, bands = 4,
+          threshold = 0.5),
+      Some(s"""WITH ${lshCtes()},
+        |lshp AS (
+        |  SELECT c.a_id, c.b_id
+        |  FROM cand c
+        |  JOIN sh sa ON sa.doc_id = c.a_id
+        |  JOIN sh sb ON sb.doc_id = c.b_id
+        |  WHERE CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE) /
+        |        CAST(len(list_distinct(sa.shingles || sb.shingles)) AS DOUBLE) >= 0.5),
+        |inv AS (
+        |  SELECT doc_id, len(shingles) AS n_sh,
+        |    unnest(list_transform(shingles, x -> ${dkHash60("x")})) AS shh
+        |  FROM sh),
+        |tp AS (
+        |  SELECT p.doc_id AS a_id, q.doc_id AS b_id,
+        |    p.n_sh AS na, q.n_sh AS nb, count(*) AS inter
+        |  FROM inv p JOIN inv q ON p.shh = q.shh AND p.doc_id < q.doc_id
+        |  GROUP BY 1, 2, 3, 4),
+        |truth AS (
+        |  SELECT a_id, b_id FROM tp
+        |  WHERE CAST(inter AS DOUBLE) / CAST(na + nb - inter AS DOUBLE) >= 0.5),
+        |c1 AS (SELECT CAST(count(*) AS BIGINT) AS n_true FROM truth),
+        |c2 AS (SELECT CAST(count(*) AS BIGINT) AS n_lsh FROM lshp),
+        |c3 AS (SELECT CAST(count(*) AS BIGINT) AS n_missed FROM (
+        |  SELECT a_id, b_id FROM truth EXCEPT SELECT a_id, b_id FROM lshp))
+        |SELECT n_true, n_lsh, n_missed,
+        |  CASE WHEN n_true > 0 THEN
+        |    round(CAST(n_true - n_missed AS DOUBLE) / CAST(n_true AS DOUBLE), 6)
+        |  END AS recall
+        |FROM c1, c2, c3""".stripMargin)),
+
+    Q(
       "qt33_quality_classifier",
       "In-engine TRAINED text classifier (Logit.trainAndScore): " +
         "full-batch gradient descent over hashed unigram+bigram " +

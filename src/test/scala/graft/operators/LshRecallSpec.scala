@@ -1,0 +1,42 @@
+package graft.operators
+
+import graft.SparkSuite
+
+class LshRecallSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def doc(words: Seq[String]): String = words.mkString(" ")
+
+  test("lshRecallReport: identical docs are found, recall accounts the rest") {
+    // a/b identical (jaccard 1 → every band collides → always found);
+    // c/d share half their shingles (jaccard ≥ 0.5 → a true pair that
+    // LSH may or may not catch); e unrelated.
+    val base = (1 to 12).map(i => s"w$i")
+    val df = Seq(
+      (1L, doc(base)),
+      (2L, doc(base)),
+      (3L, doc(base.take(8) ++ Seq("x1", "x2", "x3", "x4"))),
+      (4L, doc(base.take(8) ++ Seq("y1", "y2", "y3", "y4"))),
+      (5L, doc((1 to 12).map(i => s"z$i")))
+    ).toDF("doc_id", "text")
+    val r = Dedup.lshRecallReport(df, "doc_id", "text").collect()(0)
+    val (nTrue, nLsh, nMissed) = (r.getLong(0), r.getLong(1), r.getLong(2))
+    // truth: at least the identical pair; every LSH pair is true
+    assert(nTrue >= 1L)
+    assert(nLsh == nTrue - nMissed)
+    assert(nMissed >= 0L && nMissed <= nTrue)
+    assert(r.getDouble(3) ==
+      BigDecimal((nTrue - nMissed).toDouble / nTrue)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    graft.core.OpCache.releaseAll()
+  }
+
+  test("lshRecallReport: no near-dups -> zero counts, NULL recall") {
+    val df = (1 to 6).map(i =>
+      (i.toLong, doc((1 to 10).map(j => s"u${i}_$j")))).toDF("doc_id", "text")
+    val r = Dedup.lshRecallReport(df, "doc_id", "text").collect()(0)
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) == ((0L, 0L, 0L)))
+    assert(r.isNullAt(3))
+    graft.core.OpCache.releaseAll()
+  }
+}
