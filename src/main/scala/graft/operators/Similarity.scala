@@ -1493,4 +1493,102 @@ object Similarity {
       .select(col("qid"), col("node")).distinct()
     greedyWalkTopK(e, g, frontier0, hops, beam, k)
   }
+
+  /** Deterministic top principal component via POWER ITERATION — the
+    * learned 1-D summary of an embedding corpus (drift axes, whitening
+    * prep, the "what direction explains this cluster" probe), trained
+    * with the same bit-reproducible discipline as
+    * [[trainIvfCentroids]]' Lloyd rounds and [[graft.operators.Logit]]:
+    *
+    *  - v₀ is the exact constant 1/√dim wherever dim is a power of 4
+    *    (0.125 for dim 64) — no seed, nothing random;
+    *  - every cross-row sum (the per-vector dot, the per-dim
+    *    back-projection, the squared norm) quantizes each TERM to
+    *    DECIMAL(30,6) before an order-invariant exact sum;
+    *  - sqrt and division are correctly-rounded IEEE ops, and each
+    *    round's component re-quantizes through round(·, 6) — so the
+    *    unrolled DuckDB oracle replays training bit-for-bit.
+    *
+    * The covariance matrix is never materialized: one iteration is
+    * c = (X−μ)v (a broadcast 64-row join + per-vector hash agg) then
+    * u = (X−μ)ᵀc (the same join transposed, per-dim hash agg), i.e.
+    * two linear passes per round, shuffles keyed on vec_id / dim.
+    * Mean-centering folds algebraically (c = Xv − μ·v,
+    * u = Xᵀc − (Σc)·μ), so no centered copy of the data exists. Model
+    * state is a dim-row frame, lineage-cut per round (the Logit
+    * discipline).
+    */
+  def pcaComponent(
+      em: DataFrame, idCol: String, vecCol: String,
+      iters: Int = 3): DataFrame =
+    pcaLoop(em, idCol, vecCol, iters)._1
+
+  /** Per-vector projection onto the [[pcaComponent]] axis:
+    * (vec_id, proj) with proj = ⟨x − μ, v⟩ rounded to 6 — the 1-D
+    * coordinate used for drift histograms and extreme-sample audits.
+    * One extra linear pass after training. */
+  def pcaProjection(
+      em: DataFrame, idCol: String, vecCol: String,
+      iters: Int = 3): DataFrame = {
+    val (v, mu, dims) = pcaLoop(em, idCol, vecCol, iters)
+    val muv = mu.join(v, Seq("dim"))
+      .agg(graft.expr.Exprs.exactSum(col("mu") * col("v")).as("muv"))
+    dims.join(broadcast(v), Seq("dim"))
+      .groupBy(col("vec_id"))
+      .agg(graft.expr.Exprs.exactSum(col("x") * col("v")).as("xv"))
+      .crossJoin(broadcast(muv))
+      .select(col("vec_id"), round(col("xv") - col("muv"), 6).as("proj"))
+  }
+
+  /** Shared training loop: returns (component v = (dim, v), mean
+    * μ = (dim, mu), and the persisted (vec_id, dim, x) long table). */
+  private def pcaLoop(
+      em: DataFrame, idCol: String, vecCol: String,
+      iters: Int): (DataFrame, DataFrame, DataFrame) = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    val spark = em.sparkSession
+    val dims = graft.core.OpCache.persist(
+      em.select(col(idCol).as("vec_id"),
+          posexplode(col(vecCol)).as(Seq("dim", "xf")))
+        .select(col("vec_id"), col("dim"), col("xf").cast("double").as("x")))
+    val nd = em.agg(count(lit(1)).cast("double").as("nd"))
+    val mu = graft.core.OpCache.persist(
+      dims.groupBy(col("dim"))
+        .agg(graft.expr.Exprs.exactSum(col("x")).as("sx"))
+        .crossJoin(broadcast(nd))
+        .select(col("dim"), (col("sx") / col("nd")).as("mu")))
+    val dim = mu.count().toInt
+    val v0 = 1.0 / math.sqrt(dim.toDouble)
+    var v: DataFrame = spark.range(dim)
+      .select(col("id").cast("int").as("dim"), lit(v0).as("v"))
+    (1 to iters).foreach { _ =>
+      val muv = mu.join(v, Seq("dim"))
+        .agg(graft.expr.Exprs.exactSum(col("mu") * col("v")).as("muv"))
+      val c = graft.core.OpCache.persist(
+        dims.join(broadcast(v), Seq("dim"))
+          .groupBy(col("vec_id"))
+          .agg(graft.expr.Exprs.exactSum(col("x") * col("v")).as("xv"))
+          .crossJoin(broadcast(muv))
+          .select(col("vec_id"),
+            (col("xv") - col("muv"))
+              .cast(org.apache.spark.sql.types.DecimalType(30, 6)).as("cq")))
+      val s = dims.join(c, Seq("vec_id"))
+        .groupBy(col("dim"))
+        .agg(graft.expr.Exprs.exactSum(col("cq").cast("double") * col("x"))
+          .as("sd"))
+      val ct = c.agg(sum(col("cq")).cast("double").as("ct"))
+      val u = s.join(mu, Seq("dim")).crossJoin(broadcast(ct))
+        .select(col("dim"), (col("sd") - col("ct") * col("mu")).as("u"))
+      val nrm = u.agg(sqrt(graft.expr.Exprs.exactSum(col("u") * col("u")))
+        .as("nrm"))
+      val vNext = u.crossJoin(broadcast(nrm))
+        .select(col("dim"), round(col("u") / col("nrm"), 6).as("v"))
+      // cut per round: the model is dim rows, the cut is free, and an
+      // un-cut component would nest every prior round's plan (the
+      // Logit / connectedComponents lesson)
+      v = graft.core.OpCache.persist(
+        spark.createDataFrame(vNext.rdd, vNext.schema))
+    }
+    (v, mu, dims)
+  }
 }

@@ -1315,6 +1315,77 @@ object SimilarityQueries {
           |    ORDER BY cos DESC, node) AS rn
           |  FROM vis WHERE qid <> node)
           |WHERE rn <= 5""".stripMargin
+      }),
+
+    Q(
+      "qs31_pca_projection",
+      "Deterministic top-principal-component projection via POWER " +
+        "ITERATION (Similarity.pcaProjection, 3 rounds): the learned " +
+        "1-D corpus summary (drift axis, whitening prep) trained with " +
+        "the Lloyd/Logit bit-reproducibility discipline — v0 = exact " +
+        "1/8, every cross-row sum term DECIMAL(30,6)-quantized, " +
+        "correctly-rounded sqrt/div, per-round round(·,6) " +
+        "re-quantization, per-round lineage cut. The covariance " +
+        "matrix never materializes: each round is c=(X−μ)v then " +
+        "u=Xᵀc−(Σc)μ — two linear passes, shuffles on vec_id/dim, " +
+        "model state = 64 rows. Output (vec_id, proj).",
+      (s, dir) =>
+        Similarity.pcaProjection(
+          Tables.load(s, dir, "embeddings"), "vec_id", "embedding",
+          iters = 3),
+      Some {
+        def rnd(r: Int): String = {
+          val pv = if (r == 1) "v0" else s"v${r - 1}"
+          s"""muv$r AS (
+            |  SELECT CAST(sum(CAST(m.mu * v.v AS DECIMAL(30,6))) AS DOUBLE)
+            |    AS muv
+            |  FROM mu m JOIN $pv v USING (dim)),
+            |c$r AS MATERIALIZED (
+            |  SELECT d.vec_id,
+            |    CAST(CAST(sum(CAST(d.x * v.v AS DECIMAL(30,6))) AS DOUBLE)
+            |      - muv AS DECIMAL(30,6)) AS cq
+            |  FROM dims d JOIN $pv v USING (dim), muv$r
+            |  GROUP BY d.vec_id, muv),
+            |s$r AS (
+            |  SELECT d.dim,
+            |    CAST(sum(CAST(CAST(c.cq AS DOUBLE) * d.x AS DECIMAL(30,6)))
+            |      AS DOUBLE) AS sd
+            |  FROM dims d JOIN c$r c USING (vec_id) GROUP BY 1),
+            |ct$r AS (SELECT CAST(sum(cq) AS DOUBLE) AS ct FROM c$r),
+            |u$r AS (
+            |  SELECT s.dim, s.sd - ct.ct * m.mu AS u
+            |  FROM s$r s JOIN mu m USING (dim), ct$r ct),
+            |nrm$r AS (
+            |  SELECT sqrt(CAST(sum(CAST(u * u AS DECIMAL(30,6))) AS DOUBLE))
+            |    AS nrm FROM u$r),
+            |v$r AS MATERIALIZED (
+            |  SELECT dim, round(u / nrm, 6) AS v FROM u$r, nrm$r)"""
+            .stripMargin
+        }
+        s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+          |dims AS MATERIALIZED (
+          |  SELECT vec_id, CAST(t.d AS INT) AS dim,
+          |    CAST(embedding[t.d + 1] AS DOUBLE) AS x
+          |  FROM e, unnest(range(0, 64)) t(d)),
+          |nd AS (SELECT CAST(count(*) AS DOUBLE) AS nd FROM e),
+          |mu AS MATERIALIZED (
+          |  SELECT dim,
+          |    CAST(sum(CAST(x AS DECIMAL(30,6))) AS DOUBLE) / nd AS mu
+          |  FROM dims, nd GROUP BY dim, nd),
+          |v0 AS (SELECT CAST(t.d AS INT) AS dim, 0.125 AS v
+          |       FROM unnest(range(0, 64)) t(d)),
+          |${rnd(1)},
+          |${rnd(2)},
+          |${rnd(3)},
+          |muvf AS (
+          |  SELECT CAST(sum(CAST(m.mu * v.v AS DECIMAL(30,6))) AS DOUBLE)
+          |    AS muv
+          |  FROM mu m JOIN v3 v USING (dim))
+          |SELECT d.vec_id,
+          |  round(CAST(sum(CAST(d.x * v.v AS DECIMAL(30,6))) AS DOUBLE)
+          |    - muv, 6) AS proj
+          |FROM dims d JOIN v3 v USING (dim), muvf
+          |GROUP BY d.vec_id, muv""".stripMargin
       })
   )
 
