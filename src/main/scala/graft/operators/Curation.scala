@@ -482,4 +482,71 @@ object Curation {
     Sharding.tokenShards(seqs, "seq_key", col("seq_tokens"), shardBudget)
       .select(col("shard"), col("n_docs").as("n_seqs"), col("shard_tokens"))
   }
+
+  /** WATER-FILLING token-budget allocation — the mixture-planning
+    * step before [[weightedMix]] samples anything: given per-source
+    * availability, integer mixing weights, and a total token budget,
+    * decide how many tokens each source contributes. Sources whose
+    * proportional claim exceeds what they have SATURATE (contribute
+    * everything) and their unused claim redistributes among the rest —
+    * the standard water-filling fixpoint, reached here by `rounds`
+    * unrolled passes (each pass saturates ≥ 1 source or is already
+    * stable, so rounds ≈ the expected saturation depth; 3 covers the
+    * usual "a couple of small high-weight sources" shape).
+    *
+    * All arithmetic is INTEGER (longs: want = ⌊R·w/Σw⌋), so the
+    * allocation is bit-reproducible and the oracle replays it exactly;
+    * floor slack (< |sources| tokens per round) is deliberately left
+    * unallocated. Overflow bound: budget·max(w) must fit a long —
+    * 10¹³ tokens × 10³ weight = 10¹⁶ ≪ 2⁶³.
+    *
+    * Scale shape: one hash agg over the corpus (per-source totals),
+    * then `rounds` passes over a |sources|-row frame (cut per round).
+    * Output: (source, avail_tokens, alloc_tokens, saturated).
+    */
+  def tokenBudgetWaterfill(
+      docs: DataFrame,
+      sourceCol: String,
+      tokensCol: org.apache.spark.sql.Column,
+      weights: Map[String, Int],
+      defaultWeight: Int,
+      budget: Long,
+      rounds: Int = 3): DataFrame = {
+    require(budget >= 0, s"budget must be >= 0, got $budget")
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    require(defaultWeight >= 0 && weights.values.forall(_ >= 0),
+      "weights must be >= 0")
+    val spark = docs.sparkSession
+    var st: DataFrame = docs
+      .groupBy(col(sourceCol).as("source"))
+      .agg(sum(tokensCol.cast("long")).as("avail"))
+      .select(col("source"), col("avail"),
+        coalesce(element_at(typedLit(weights), col("source")), lit(defaultWeight))
+          .cast("long").as("w"),
+        lit(false).as("saturated"), lit(null).cast("long").as("want"))
+    (1 to rounds).foreach { _ =>
+      val glob = st.agg(
+        (lit(budget) -
+          coalesce(sum(when(col("saturated"), col("avail"))), lit(0L)))
+          .as("rb"),
+        coalesce(sum(when(!col("saturated"), col("w"))), lit(0L)).as("ws"))
+      val next = st.crossJoin(broadcast(glob))
+        .select(col("source"), col("avail"), col("w"),
+          when(col("saturated"), col("want"))
+            .when(col("ws") > 0, expr("(rb * w) div ws"))
+            .otherwise(lit(0L)).as("want_n"),
+          (col("saturated") ||
+            (col("ws") > 0 && col("avail") <= expr("(rb * w) div ws")))
+            .as("sat_n"))
+        .select(col("source"), col("avail"), col("w"),
+          col("sat_n").as("saturated"), col("want_n").as("want"))
+      // cut per round: |sources| rows, free, keeps the plan flat
+      st = graft.core.OpCache.persist(
+        spark.createDataFrame(next.rdd, next.schema))
+    }
+    st.select(col("source"), col("avail").as("avail_tokens"),
+      when(col("saturated"), col("avail"))
+        .otherwise(coalesce(col("want"), lit(0L))).as("alloc_tokens"),
+      col("saturated"))
+  }
 }

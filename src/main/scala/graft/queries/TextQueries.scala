@@ -2983,6 +2983,59 @@ object TextQueries {
         |  round(CAST(sum(CAST(score AS DECIMAL(30,6))) AS DOUBLE) /
         |    count(*), 6) AS mean_score,
         |  round(CAST(sum(y) AS DOUBLE) / count(*), 6) AS frac_pos
-        |FROM s GROUP BY 1""".stripMargin)
-  ))
+        |FROM s GROUP BY 1""".stripMargin)),
+
+    Q(
+      "qt39_token_budget",
+      "WATER-FILLING token-budget allocation " +
+        "(Curation.tokenBudgetWaterfill) — the mixture-planning step " +
+        "before weightedMix samples anything: per-source availability " +
+        "vs integer mixing weights vs a 20k-token budget; sources " +
+        "whose proportional claim exceeds their supply SATURATE and " +
+        "the unused claim redistributes (3 unrolled rounds). Pure " +
+        "integer arithmetic (want = floor(R·w/Σw)) — the allocation " +
+        "is bit-reproducible and the oracle replays each round. One " +
+        "corpus hash agg, then |sources|-row passes.",
+      (s, dir) =>
+        graft.operators.Curation.tokenBudgetWaterfill(
+          Tables.load(s, dir, "documents"), "source",
+          size(split(col("text"), " ")).cast("long"),
+          Map("src0" -> 400, "src1" -> 300, "src2" -> 200),
+          defaultWeight = 10, budget = 20000L, rounds = 3),
+      Some {
+        def rnd(r: Int): String = {
+          val p = if (r == 1) "st0" else s"st${r - 1}"
+          s"""g$r AS (
+            |  SELECT 20000 - coalesce(sum(CASE WHEN sat THEN avail END), 0)
+            |      AS rb,
+            |    coalesce(sum(CASE WHEN NOT sat THEN w END), 0) AS ws
+            |  FROM $p),
+            |st$r AS (
+            |  SELECT source, avail, w,
+            |    CASE WHEN p.sat THEN p.want
+            |         WHEN g.ws > 0 THEN (g.rb * w) // g.ws
+            |         ELSE 0 END AS want,
+            |    p.sat OR (g.ws > 0 AND avail <= (g.rb * w) // g.ws) AS sat
+            |  FROM $p p, g$r g)""".stripMargin
+        }
+        s"""WITH av AS (
+          |  SELECT source,
+          |    CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS avail
+          |  FROM documents GROUP BY 1),
+          |st0 AS (
+          |  SELECT source, avail,
+          |    CAST(CASE source WHEN 'src0' THEN 400 WHEN 'src1' THEN 300
+          |         WHEN 'src2' THEN 200 ELSE 10 END AS BIGINT) AS w,
+          |    false AS sat, CAST(NULL AS BIGINT) AS want
+          |  FROM av),
+          |${rnd(1)},
+          |${rnd(2)},
+          |${rnd(3)}
+          |SELECT source, avail AS avail_tokens,
+          |  CAST(CASE WHEN sat THEN avail ELSE coalesce(want, 0) END
+          |    AS BIGINT) AS alloc_tokens,
+          |  sat AS saturated
+          |FROM st3""".stripMargin
+      })
+  )
 }
