@@ -107,7 +107,10 @@ object BloomJoin {
       smallKey: String,
       nBits: Int = DefaultBits,
       nHashes: Int = DefaultHashes): DataFrame = {
-    val bloom = keyBloom(small, smallKey, nBits, nHashes)
+    // both branches consume the filter — persist the 1-row frame so
+    // the small-side scan + OR-aggregate runs once, not per branch
+    val bloom = graft.core.OpCache.persist(
+      keyBloom(small, smallKey, nBits, nHashes))
     val flagged = big.join(broadcast(bloom))
       .withColumn(
         "__bloom_maybe",

@@ -549,4 +549,37 @@ object Curation {
         .otherwise(coalesce(col("want"), lit(0L))).as("alloc_tokens"),
       col("saturated"))
   }
+
+  /** EXECUTE a [[tokenBudgetWaterfill]] plan: each source's documents
+    * stand in stable md5-hash order and the PREFIX whose cumulative
+    * tokens fit the source's allocation is kept — a document never
+    * splits, a saturated source keeps everything (its allocation IS
+    * its availability), and the kept set is a reproducible manifest
+    * at any partitioning (the property that makes a budget-cut
+    * retryable without re-sampling drift).
+    *
+    * Scale shape: the allocation plan is |sources| rows (broadcast);
+    * the per-source cumulative sum is
+    * [[Sharding.groupedTokenPrefix]]'s two-phase bucketed form — no
+    * source ever pays a single-reducer sort. One corpus shuffle on
+    * (source, bucket).
+    *
+    * @return kept (doc_id, source, tokens) */
+  def waterfilledMix(
+      docs: DataFrame,
+      idCol: String,
+      sourceCol: String,
+      tokensCol: org.apache.spark.sql.Column,
+      weights: Map[String, Int],
+      defaultWeight: Int,
+      budget: Long,
+      rounds: Int = 3): DataFrame = {
+    val alloc = tokenBudgetWaterfill(docs, sourceCol, tokensCol,
+      weights, defaultWeight, budget, rounds)
+      .select(col("source").as("grp"), col("alloc_tokens"))
+    Sharding.groupedTokenPrefix(docs, sourceCol, idCol, tokensCol)
+      .join(broadcast(alloc), Seq("grp"))
+      .filter(col("before") + col("tokens") <= col("alloc_tokens"))
+      .select(col("doc_id"), col("grp").as("source"), col("tokens"))
+  }
 }

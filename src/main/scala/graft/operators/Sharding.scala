@@ -85,4 +85,44 @@ object Sharding {
       .withColumn("shard", expr("before div " + budget))
       .select(col("doc_id"), col("tokens"), col("before"), col("shard"))
   }
+
+  /** GROUPED two-phase cumulative token sum — the
+    * [[tokenShardAssignments]] machinery per group: every document
+    * stands at its stable md5-hash position WITHIN its group, and
+    * `before` counts the group's tokens strictly ahead of it. Used by
+    * [[graft.operators.Curation.waterfilledMix]] to cut deterministic
+    * per-source prefixes; the same no-single-reducer discipline —
+    * windows partition on (group, key-prefix bucket), one
+    * 16-rows-per-group offset fold, a broadcast join back (the offset
+    * table is 16·|groups| rows — switch the join to a plain equi-join
+    * if groups ever outgrow a broadcast).
+    *
+    * @return (doc_id, grp, tokens, before) */
+  def groupedTokenPrefix(
+      docs: DataFrame, groupCol: String, idCol: String,
+      tokensCol: Column): DataFrame = {
+    val keyed = docs.select(
+      col(groupCol).as("grp"),
+      col(idCol).as("doc_id"),
+      md5(col(idCol).cast("string")).as("key"),
+      tokensCol.cast("long").as("tokens"))
+      .withColumn("bucket", substring(col("key"), 1, 1))
+    val wb = Window.partitionBy(col("grp"), col("bucket")).orderBy(col("key"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val local = keyed.withColumn("cum_in", sum(col("tokens")).over(wb))
+    val totals = keyed.groupBy(col("grp"), col("bucket"))
+      .agg(sum(col("tokens")).as("total"))
+      .groupBy(col("grp"))
+      .agg(sort_array(collect_list(struct(col("bucket"), col("total")))).as("bt"))
+      .select(col("grp"),
+        explode(transform(col("bt"), (x, i) => struct(
+          x.getField("bucket").as("bucket"),
+          aggregate(slice(col("bt"), lit(1), i), lit(0L),
+            (acc, s) => acc + s.getField("total")).as("offset")))).as("o"))
+      .select(col("grp"), col("o.bucket").as("bucket"),
+        col("o.offset").as("offset"))
+    local.join(broadcast(totals), Seq("grp", "bucket"))
+      .withColumn("before", col("offset") + col("cum_in") - col("tokens"))
+      .select(col("doc_id"), col("grp"), col("tokens"), col("before"))
+  }
 }

@@ -1178,10 +1178,15 @@ object RelationalQueries {
         "minimal qualifying VALUE is selected, whatever the " +
         "within-run order.",
       (s, dir) => {
-        val ordw = Window.partitionBy(col("part_key"))
+        // both windows share ONE partitioning AND ordering so they
+        // evaluate in a single Window pass over one sort (the
+        // whole-partition total uses an unbounded-both-ends frame
+        // instead of a second, unordered window spec)
+        val ord = Window.partitionBy(col("part_key"))
           .orderBy(col("l_extendedprice"), col("l_orderkey"), col("l_linenumber"))
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        val pw = Window.partitionBy(col("part_key"))
+        val ordw = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val pw = ord.rowsBetween(
+          Window.unboundedPreceding, Window.unboundedFollowing)
         t(s, dir, "lineitem")
           .select(col("l_partkey").cast("long").as("part_key"),
             col("l_extendedprice"),

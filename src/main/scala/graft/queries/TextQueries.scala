@@ -3002,40 +3002,83 @@ object TextQueries {
           size(split(col("text"), " ")).cast("long"),
           Map("src0" -> 400, "src1" -> 300, "src2" -> 200),
           defaultWeight = 10, budget = 20000L, rounds = 3),
-      Some {
-        def rnd(r: Int): String = {
-          val p = if (r == 1) "st0" else s"st${r - 1}"
-          s"""g$r AS (
-            |  SELECT 20000 - coalesce(sum(CASE WHEN sat THEN avail END), 0)
-            |      AS rb,
-            |    coalesce(sum(CASE WHEN NOT sat THEN w END), 0) AS ws
-            |  FROM $p),
-            |st$r AS (
-            |  SELECT source, avail, w,
-            |    CASE WHEN p.sat THEN p.want
-            |         WHEN g.ws > 0 THEN (g.rb * w) // g.ws
-            |         ELSE 0 END AS want,
-            |    p.sat OR (g.ws > 0 AND avail <= (g.rb * w) // g.ws) AS sat
-            |  FROM $p p, g$r g)""".stripMargin
-        }
-        s"""WITH av AS (
-          |  SELECT source,
-          |    CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS avail
-          |  FROM documents GROUP BY 1),
-          |st0 AS (
-          |  SELECT source, avail,
-          |    CAST(CASE source WHEN 'src0' THEN 400 WHEN 'src1' THEN 300
-          |         WHEN 'src2' THEN 200 ELSE 10 END AS BIGINT) AS w,
-          |    false AS sat, CAST(NULL AS BIGINT) AS want
-          |  FROM av),
-          |${rnd(1)},
-          |${rnd(2)},
-          |${rnd(3)}
-          |SELECT source, avail AS avail_tokens,
-          |  CAST(CASE WHEN sat THEN avail ELSE coalesce(want, 0) END
-          |    AS BIGINT) AS alloc_tokens,
-          |  sat AS saturated
-          |FROM st3""".stripMargin
-      })
+      Some(s"""WITH $waterfillCtes
+        |SELECT source, avail AS avail_tokens,
+        |  CAST(CASE WHEN sat THEN avail ELSE coalesce(want, 0) END
+        |    AS BIGINT) AS alloc_tokens,
+        |  sat AS saturated
+        |FROM st3""".stripMargin)),
+
+    Q(
+      "qt40_budget_mix",
+      "EXECUTE the water-fill plan (Curation.waterfilledMix): qt39's " +
+        "per-source allocations realized as a deterministic document " +
+        "selection — each source's docs stand in md5-hash order and " +
+        "the prefix whose cumulative tokens fit the allocation is " +
+        "kept (a doc never splits; saturated sources keep " +
+        "everything). The per-source cumulative sum runs bucketed " +
+        "(qt35's two-phase discipline, partitioned by (source, " +
+        "key-prefix)), so no source ever needs a single-reducer " +
+        "sort. Output: the kept (doc_id, source, tokens) manifest, " +
+        "reproducible at any partitioning.",
+      (s, dir) =>
+        graft.operators.Curation.waterfilledMix(
+          Tables.load(s, dir, "documents"), "doc_id", "source",
+          size(split(col("text"), " ")).cast("long"),
+          Map("src0" -> 400, "src1" -> 300, "src2" -> 200),
+          defaultWeight = 10, budget = 20000L, rounds = 3),
+      Some(s"""WITH $waterfillCtes,
+        |alloc AS (
+        |  SELECT source,
+        |    CAST(CASE WHEN sat THEN avail ELSE coalesce(want, 0) END
+        |      AS BIGINT) AS alloc
+        |  FROM st3),
+        |t AS (
+        |  SELECT doc_id, source, md5(CAST(doc_id AS VARCHAR)) AS key,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS tokens
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, source, tokens,
+        |    sum(tokens) OVER (PARTITION BY source ORDER BY key
+        |      ROWS UNBOUNDED PRECEDING) - tokens AS bef
+        |  FROM t)
+        |SELECT c.doc_id, c.source, c.tokens
+        |FROM c JOIN alloc a ON a.source = c.source
+        |WHERE c.bef + c.tokens <= a.alloc""".stripMargin))
   )
+
+  /** DuckDB replay of Curation.tokenBudgetWaterfill (3 unrolled
+    * rounds, 20k budget, src0/1/2 weighted 400/300/200, default 10) —
+    * the CTE chain ending at `st3`; shared by qt39 (the plan) and
+    * qt40 (its execution). */
+  private def waterfillCtes: String = {
+    def rnd(r: Int): String = {
+      val p = if (r == 1) "st0" else s"st${r - 1}"
+      s"""g$r AS (
+        |  SELECT 20000 - coalesce(sum(CASE WHEN sat THEN avail END), 0)
+        |      AS rb,
+        |    coalesce(sum(CASE WHEN NOT sat THEN w END), 0) AS ws
+        |  FROM $p),
+        |st$r AS (
+        |  SELECT source, avail, w,
+        |    CASE WHEN p.sat THEN p.want
+        |         WHEN g.ws > 0 THEN (g.rb * w) // g.ws
+        |         ELSE 0 END AS want,
+        |    p.sat OR (g.ws > 0 AND avail <= (g.rb * w) // g.ws) AS sat
+        |  FROM $p p, g$r g)""".stripMargin
+    }
+    s"""av AS (
+      |  SELECT source,
+      |    CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS avail
+      |  FROM documents GROUP BY 1),
+      |st0 AS (
+      |  SELECT source, avail,
+      |    CAST(CASE source WHEN 'src0' THEN 400 WHEN 'src1' THEN 300
+      |         WHEN 'src2' THEN 200 ELSE 10 END AS BIGINT) AS w,
+      |    false AS sat, CAST(NULL AS BIGINT) AS want
+      |  FROM av),
+      |${rnd(1)},
+      |${rnd(2)},
+      |${rnd(3)}""".stripMargin
+  }
 }

@@ -52,4 +52,41 @@ class WaterfillSpec extends SparkSuite {
       assert(got.values.map(_._2).sum <= b, s"budget $b")
     }
   }
+
+  test("waterfilledMix: kept prefixes respect allocations; saturated keeps all") {
+    // 60 docs of 10 tokens each across 3 sources (200 tokens/source)
+    val df = (0 until 60).map(i =>
+      (i.toLong, s"s${i % 3}", 10L)).toDF("doc_id", "source", "tokens")
+    val kept = Curation.waterfilledMix(df, "doc_id", "source", col("tokens"),
+      Map("s0" -> 80), defaultWeight = 10, budget = 300L)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    graft.core.OpCache.releaseAll()
+    val bySrc = kept.groupBy(_._2).view.mapValues(_.map(_._3).sum).toMap
+    // round1: wsum=100 → s0 wants 240 > 200 SAT (keeps all 200);
+    // round2: R=100, wsum=20 → s1/s2 want 50 each → 5 docs each
+    assert(bySrc("s0") == 200L)
+    assert(bySrc.getOrElse("s1", 0L) == 50L && bySrc.getOrElse("s2", 0L) == 50L)
+    // partitioning invariance: identical kept set at another layout
+    val kept7 = Curation.waterfilledMix(df.repartition(7), "doc_id", "source",
+      col("tokens"), Map("s0" -> 80), defaultWeight = 10, budget = 300L)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    graft.core.OpCache.releaseAll()
+    assert(kept7.toSet == kept.toSet)
+  }
+
+  test("groupedTokenPrefix: before = tokens strictly ahead in key order, per group") {
+    val df = (0 until 30).map(i =>
+      (i.toLong, s"g${i % 2}", (i % 4 + 1).toLong)).toDF("doc_id", "g", "tokens")
+    val got = Sharding.groupedTokenPrefix(df, "g", "doc_id", col("tokens"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    // recompute the expected prefix sums naively
+    val expected = got.groupBy(_._2).toSeq.flatMap { case (_, rows) =>
+      val order = rows.toSeq.sortBy(r =>
+        java.security.MessageDigest.getInstance("MD5")
+          .digest(r._1.toString.getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString)
+      order.scanLeft(0L)(_ + _._3).zip(order).map { case (bef, r) => r._1 -> bef }
+    }.toMap
+    assert(got.map(r => r._1 -> r._4).toMap == expected)
+  }
 }

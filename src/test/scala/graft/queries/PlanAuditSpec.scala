@@ -116,7 +116,20 @@ class PlanAuditSpec extends SparkSuite {
       "qs30_ivf_routed_graph",
       // one-row globals (n_keys, total_rows) broadcast crossed into
       // the ≤topN skew-key rows — metadata, never data×data
-      "q62_skew_report")
+      "q62_skew_report",
+      // three 1-row count aggregates cross-joined into the one-row
+      // report; the truth/LSH pair work is all equi-joins
+      "qd37_lsh_recall",
+      // per-round one-row globals (muv, Σc, norm, n) broadcast crossed
+      // into the dim-row model / per-vector aggregates — the Logit
+      // bias pattern; corpus passes are equi-joins on vec_id/dim
+      "qs31_pca_projection",
+      // per-round one-row (remaining budget, weight sum) broadcast
+      // crossed into the |sources|-row state frame — metadata-sized
+      "qt39_token_budget",
+      // inherits qt39's one-row waterfill broadcasts; the execution
+      // side is equi-joins on (source, bucket) / source
+      "qt40_budget_mix")
 
   test("no unexpected cartesian/nested-loop joins anywhere in the registry") {
     val dir = "/root/testdata/sf0.001"
