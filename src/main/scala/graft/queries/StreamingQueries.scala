@@ -1662,6 +1662,71 @@ object StreamingQueries {
         |                THEN 1 ELSE 0 END) AS BIGINT) AS n_cuts,
         |  round(CAST(sum(CAST(mean_byte AS DECIMAL(30,6))) AS DOUBLE) /
         |        CAST(count(*) AS DOUBLE), 6) AS mean_level
-        |FROM w GROUP BY 1""".stripMargin))
+        |FROM w GROUP BY 1""".stripMargin)),
+
+    Q(
+      "qst26_stream_scorer_auc",
+      "Streaming SCORER-HEALTH canary (EventStreams.scorerAucFeed — " +
+        "qt37's AUC at the ingest door): the labeled audit stream " +
+        "arrives in two parity-staged batches; each batch scores " +
+        "itself (qt02's type-token ratio vs the lang='en' labeling) " +
+        "and emits ONE exact tie-aware AUC row (grp, n_pos, n_neg, " +
+        "auc) — a quality filter losing discrimination trips an " +
+        "alert within one batch, not one retraining cycle. " +
+        "Stateless, re-delivery-idempotent (verdicts are pure " +
+        "functions of their batch). Oracle = qt37's integer " +
+        "Mann–Whitney replay per parity group.",
+      (s, dir) => {
+        s.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+        val docs = graft.core.Tables.load(s, dir, "documents")
+        val in = java.nio.file.Files.createTempDirectory("graft_auc_in")
+        def stage(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+          val tmp = java.nio.file.Files
+            .createTempDirectory("graft_auc_w").toString
+          df.coalesce(1).write.mode("overwrite").parquet(tmp)
+          val part = new java.io.File(tmp).listFiles()
+            .find(f => f.getName.startsWith("part-") &&
+              f.getName.endsWith(".parquet")).get
+          java.nio.file.Files.copy(part.toPath, in.resolve(name))
+          ()
+        }
+        stage(docs.filter(pmod(col("doc_id"), lit(2)) === 0), "e0.parquet")
+        stage(docs.filter(pmod(col("doc_id"), lit(2)) === 1), "o1.parquet")
+        val stream = s.readStream.schema(docs.schema)
+          .option("maxFilesPerTrigger", 1)
+          .parquet(in.toString + "/*.parquet")
+        val out = java.nio.file.Files
+          .createTempDirectory("graft_auc_out").toString
+        val t = split(coalesce(col("text"), lit("")), " ")
+        EventStreams.scorerAucFeed(stream,
+          score = size(array_distinct(t)).cast("double") /
+            size(t).cast("double"),
+          label = (col("lang") === "en").cast("int"),
+          grp = pmod(col("doc_id"), lit(2)),
+          outDir = out)
+        s.read.parquet(out).distinct()
+      },
+      Some("""WITH s AS (
+        |  SELECT doc_id % 2 AS grp,
+        |    CAST(len(list_distinct(string_split(coalesce(text,''),' '))) AS DOUBLE) /
+        |      CAST(len(string_split(coalesce(text,''),' ')) AS DOUBLE) AS score,
+        |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+        |  FROM documents),
+        |g AS (
+        |  SELECT grp, score, CAST(sum(y) AS BIGINT) AS pos,
+        |    CAST(count(*) - sum(y) AS BIGINT) AS neg
+        |  FROM s GROUP BY 1, 2),
+        |c AS (
+        |  SELECT grp, pos, neg,
+        |    sum(neg) OVER (PARTITION BY grp ORDER BY score
+        |      ROWS UNBOUNDED PRECEDING) - neg AS negbelow
+        |  FROM g)
+        |SELECT CAST(grp AS BIGINT) AS grp,
+        |  CAST(sum(pos) AS BIGINT) AS n_pos,
+        |  CAST(sum(neg) AS BIGINT) AS n_neg,
+        |  round(CAST(sum(pos * (2 * negbelow + neg)) AS DOUBLE) /
+        |    (2.0 * CAST(sum(pos) AS DOUBLE) * CAST(sum(neg) AS DOUBLE)), 6)
+        |    AS auc
+        |FROM c GROUP BY 1""".stripMargin))
   )
 }

@@ -733,4 +733,43 @@ object EventStreams {
       .flatMapGroupsWithState(
         OutputMode.Append(), GroupStateTimeout.EventTimeTimeout())(fn)
   }
+
+  /** Streaming SCORER-HEALTH canary — [[graft.operators.Eval.aucReport]]
+    * per micro-batch: each arriving labeled audit batch is scored and
+    * its exact tie-aware AUC lands as one (grp, n_pos, n_neg, auc)
+    * row, so a quality filter losing discrimination (model rot, drift
+    * in the incoming mix) trips an alert within one batch instead of
+    * one retraining cycle. Runs on the LABELED audit stream (a sampled
+    * side channel), not the raw corpus — AUC needs labels.
+    *
+    * Stateless: verdict rows are a pure function of their batch, so
+    * re-delivery re-emits identical rows (consumer distinct).
+    * `grp` must be constant within a batch (it identifies the batch
+    * in the output — here min() reduces it); score/label are any
+    * batch-column expressions.
+    */
+  def scorerAucFeed(
+      docs: DataFrame,
+      score: org.apache.spark.sql.Column,
+      label: org.apache.spark.sql.Column,
+      grp: org.apache.spark.sql.Column,
+      outDir: String,
+      queryName: String = "graft_scorer_auc"): Unit = {
+    val q = docs.writeStream
+      .queryName(queryName)
+      .outputMode(OutputMode.Append())
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val scored = batch.toDF()
+          .select(score.as("score"), label.as("label"), grp.as("grp"))
+        val rep = graft.operators.Eval.aucReport(scored, "label", "score")
+        val g = scored.agg(min(col("grp")).as("grp"))
+        rep.crossJoin(broadcast(g))
+          .select(col("grp"), col("n_pos"), col("n_neg"), col("auc"))
+          .write.mode("append").parquet(outDir)
+        ()
+      }
+      .start()
+    if (!q.awaitTermination(180000)) q.stop()
+  }
 }
