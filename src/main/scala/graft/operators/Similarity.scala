@@ -1540,6 +1540,39 @@ object Similarity {
       .select(col("vec_id"), round(col("xv") - col("muv"), 6).as("proj"))
   }
 
+  /** Variance-explained report for the [[pcaComponent]] axis: one row
+    * (total_ss, pc1_ss, explained) — total centered sum of squares,
+    * the projection's sum of squares, and their ratio (NULL on a
+    * degenerate zero-variance corpus). The number that says whether
+    * the trained axis actually summarizes the corpus, and when more
+    * components are worth their passes. Two linear passes past the
+    * shared training loop, same decimal-term discipline. */
+  def pcaVarianceReport(
+      em: DataFrame, idCol: String, vecCol: String,
+      iters: Int = 3): DataFrame = {
+    import graft.expr.Exprs.exactSum
+    val (v, mu, dims) = pcaLoop(em, idCol, vecCol, iters)
+    val muv = mu.join(v, Seq("dim"))
+      .agg(exactSum(col("mu") * col("v")).as("muv"))
+    val cf = dims.join(broadcast(v), Seq("dim"))
+      .groupBy(col("vec_id"))
+      .agg(exactSum(col("x") * col("v")).as("xv"))
+      .crossJoin(broadcast(muv))
+      .select((col("xv") - col("muv"))
+        .cast(org.apache.spark.sql.types.DecimalType(30, 6)).as("cq"))
+    val t1 = dims.join(broadcast(mu), Seq("dim"))
+      .agg(exactSum((col("x") - col("mu")) * (col("x") - col("mu")))
+        .as("total_ss"))
+    val t2 = cf.agg(
+      exactSum(col("cq").cast("double") * col("cq").cast("double"))
+        .as("pc1_ss"))
+    t1.crossJoin(broadcast(t2))
+      .select(round(col("total_ss"), 6).as("total_ss"),
+        round(col("pc1_ss"), 6).as("pc1_ss"),
+        when(col("total_ss") > 0,
+          round(col("pc1_ss") / col("total_ss"), 6)).as("explained"))
+  }
+
   /** Shared training loop: returns (component v = (dim, v), mean
     * μ = (dim, mu), and the persisted (vec_id, dim, x) long table). */
   private def pcaLoop(

@@ -1333,61 +1333,100 @@ object SimilarityQueries {
         Similarity.pcaProjection(
           Tables.load(s, dir, "embeddings"), "vec_id", "embedding",
           iters = 3),
-      Some {
-        def rnd(r: Int): String = {
-          val pv = if (r == 1) "v0" else s"v${r - 1}"
-          s"""muv$r AS (
-            |  SELECT CAST(sum(CAST(m.mu * v.v AS DECIMAL(30,6))) AS DOUBLE)
-            |    AS muv
-            |  FROM mu m JOIN $pv v USING (dim)),
-            |c$r AS MATERIALIZED (
-            |  SELECT d.vec_id,
-            |    CAST(CAST(sum(CAST(d.x * v.v AS DECIMAL(30,6))) AS DOUBLE)
-            |      - muv AS DECIMAL(30,6)) AS cq
-            |  FROM dims d JOIN $pv v USING (dim), muv$r
-            |  GROUP BY d.vec_id, muv),
-            |s$r AS (
-            |  SELECT d.dim,
-            |    CAST(sum(CAST(CAST(c.cq AS DOUBLE) * d.x AS DECIMAL(30,6)))
-            |      AS DOUBLE) AS sd
-            |  FROM dims d JOIN c$r c USING (vec_id) GROUP BY 1),
-            |ct$r AS (SELECT CAST(sum(cq) AS DOUBLE) AS ct FROM c$r),
-            |u$r AS (
-            |  SELECT s.dim, s.sd - ct.ct * m.mu AS u
-            |  FROM s$r s JOIN mu m USING (dim), ct$r ct),
-            |nrm$r AS (
-            |  SELECT sqrt(CAST(sum(CAST(u * u AS DECIMAL(30,6))) AS DOUBLE))
-            |    AS nrm FROM u$r),
-            |v$r AS MATERIALIZED (
-            |  SELECT dim, round(u / nrm, 6) AS v FROM u$r, nrm$r)"""
-            .stripMargin
-        }
-        s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
-          |dims AS MATERIALIZED (
-          |  SELECT vec_id, CAST(t.d AS INT) AS dim,
-          |    CAST(embedding[t.d + 1] AS DOUBLE) AS x
-          |  FROM e, unnest(range(0, 64)) t(d)),
-          |nd AS (SELECT CAST(count(*) AS DOUBLE) AS nd FROM e),
-          |mu AS MATERIALIZED (
-          |  SELECT dim,
-          |    CAST(sum(CAST(x AS DECIMAL(30,6))) AS DOUBLE) / nd AS mu
-          |  FROM dims, nd GROUP BY dim, nd),
-          |v0 AS (SELECT CAST(t.d AS INT) AS dim, 0.125 AS v
-          |       FROM unnest(range(0, 64)) t(d)),
-          |${rnd(1)},
-          |${rnd(2)},
-          |${rnd(3)},
-          |muvf AS (
-          |  SELECT CAST(sum(CAST(m.mu * v.v AS DECIMAL(30,6))) AS DOUBLE)
-          |    AS muv
-          |  FROM mu m JOIN v3 v USING (dim))
-          |SELECT d.vec_id,
-          |  round(CAST(sum(CAST(d.x * v.v AS DECIMAL(30,6))) AS DOUBLE)
-          |    - muv, 6) AS proj
-          |FROM dims d JOIN v3 v USING (dim), muvf
-          |GROUP BY d.vec_id, muv""".stripMargin
-      })
+      Some(s"""WITH $pcaCtes
+        |SELECT d.vec_id,
+        |  round(CAST(sum(CAST(d.x * v.v AS DECIMAL(30,6))) AS DOUBLE)
+        |    - muv, 6) AS proj
+        |FROM dims d JOIN v3 v USING (dim), muvf
+        |GROUP BY d.vec_id, muv""".stripMargin)),
+
+    Q(
+      "qs32_pca_variance",
+      "Variance-explained report for the trained axis " +
+        "(Similarity.pcaVarianceReport): total centered sum of " +
+        "squares vs the component's projection sum of squares and " +
+        "their ratio — the one-row number that says whether the " +
+        "qs31 axis actually summarizes the corpus (and when to add " +
+        "components). Same decimal-term discipline as training; two " +
+        "linear passes past the shared 3-round power iteration.",
+      (s, dir) =>
+        Similarity.pcaVarianceReport(
+          Tables.load(s, dir, "embeddings"), "vec_id", "embedding",
+          iters = 3),
+      Some(s"""WITH $pcaCtes,
+        |cf AS (
+        |  SELECT d.vec_id,
+        |    CAST(CAST(sum(CAST(d.x * v.v AS DECIMAL(30,6))) AS DOUBLE)
+        |      - muv AS DECIMAL(30,6)) AS cq
+        |  FROM dims d JOIN v3 v USING (dim), muvf
+        |  GROUP BY d.vec_id, muv),
+        |t1 AS (
+        |  SELECT CAST(sum(CAST((d.x - m.mu) * (d.x - m.mu)
+        |    AS DECIMAL(30,6))) AS DOUBLE) AS total_ss
+        |  FROM dims d JOIN mu m USING (dim)),
+        |t2 AS (
+        |  SELECT CAST(sum(CAST(CAST(cq AS DOUBLE) * CAST(cq AS DOUBLE)
+        |    AS DECIMAL(30,6))) AS DOUBLE) AS pc1_ss
+        |  FROM cf)
+        |SELECT round(total_ss, 6) AS total_ss, round(pc1_ss, 6) AS pc1_ss,
+        |  CASE WHEN total_ss > 0 THEN round(pc1_ss / total_ss, 6) END
+        |    AS explained
+        |FROM t1, t2""".stripMargin))
   )
+
+  /** DuckDB replay of Similarity.pcaLoop (3 unrolled power-iteration
+    * rounds over the embeddings table) — CTE chain ending at the
+    * trained component `v3` and its mean-dot `muvf`; shared by qs31
+    * (projections) and qs32 (variance report). */
+  private def pcaCtes: String = {
+    def rnd(r: Int): String = {
+      val pv = if (r == 1) "v0" else s"v${r - 1}"
+      s"""muv$r AS (
+        |  SELECT CAST(sum(CAST(m.mu * v.v AS DECIMAL(30,6))) AS DOUBLE)
+        |    AS muv
+        |  FROM mu m JOIN $pv v USING (dim)),
+        |c$r AS MATERIALIZED (
+        |  SELECT d.vec_id,
+        |    CAST(CAST(sum(CAST(d.x * v.v AS DECIMAL(30,6))) AS DOUBLE)
+        |      - muv AS DECIMAL(30,6)) AS cq
+        |  FROM dims d JOIN $pv v USING (dim), muv$r
+        |  GROUP BY d.vec_id, muv),
+        |s$r AS (
+        |  SELECT d.dim,
+        |    CAST(sum(CAST(CAST(c.cq AS DOUBLE) * d.x AS DECIMAL(30,6)))
+        |      AS DOUBLE) AS sd
+        |  FROM dims d JOIN c$r c USING (vec_id) GROUP BY 1),
+        |ct$r AS (SELECT CAST(sum(cq) AS DOUBLE) AS ct FROM c$r),
+        |u$r AS (
+        |  SELECT s.dim, s.sd - ct.ct * m.mu AS u
+        |  FROM s$r s JOIN mu m USING (dim), ct$r ct),
+        |nrm$r AS (
+        |  SELECT sqrt(CAST(sum(CAST(u * u AS DECIMAL(30,6))) AS DOUBLE))
+        |    AS nrm FROM u$r),
+        |v$r AS MATERIALIZED (
+        |  SELECT dim, round(u / nrm, 6) AS v FROM u$r, nrm$r)"""
+        .stripMargin
+    }
+    s"""e AS (SELECT vec_id, embedding FROM embeddings),
+      |dims AS MATERIALIZED (
+      |  SELECT vec_id, CAST(t.d AS INT) AS dim,
+      |    CAST(embedding[t.d + 1] AS DOUBLE) AS x
+      |  FROM e, unnest(range(0, 64)) t(d)),
+      |nd AS (SELECT CAST(count(*) AS DOUBLE) AS nd FROM e),
+      |mu AS MATERIALIZED (
+      |  SELECT dim,
+      |    CAST(sum(CAST(x AS DECIMAL(30,6))) AS DOUBLE) / nd AS mu
+      |  FROM dims, nd GROUP BY dim, nd),
+      |v0 AS (SELECT CAST(t.d AS INT) AS dim, 0.125 AS v
+      |       FROM unnest(range(0, 64)) t(d)),
+      |${rnd(1)},
+      |${rnd(2)},
+      |${rnd(3)},
+      |muvf AS (
+      |  SELECT CAST(sum(CAST(m.mu * v.v AS DECIMAL(30,6))) AS DOUBLE)
+      |    AS muv
+      |  FROM mu m JOIN v3 v USING (dim))""".stripMargin
+  }
 
   /** Shared NN-Descent CTE chain (e, nc, ring seed g0, two unrolled
     * candidate-propagation rounds ending at g2) — qs25 reads the

@@ -42,4 +42,15 @@ class PcaSpec extends SparkSuite {
     graft.core.OpCache.releaseAll()
     assert(proj7 == proj)
   }
+
+  test("pcaVarianceReport: axis-concentrated corpus explains ~everything") {
+    val r = Similarity.pcaVarianceReport(corpus(), "vec_id", "embedding",
+      iters = 3).collect()(0)
+    val (total, pc1, explained) =
+      (r.getDouble(0), r.getDouble(1), r.getDouble(2))
+    graft.core.OpCache.releaseAll()
+    assert(pc1 <= total, s"projection ss $pc1 exceeds total $total")
+    // dim-0 carries ±10 signal, dim-1 only 0.1-scale noise
+    assert(explained > 0.99, s"explained $explained")
+  }
 }

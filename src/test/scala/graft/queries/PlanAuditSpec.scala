@@ -124,6 +124,9 @@ class PlanAuditSpec extends SparkSuite {
       // into the dim-row model / per-vector aggregates — the Logit
       // bias pattern; corpus passes are equi-joins on vec_id/dim
       "qs31_pca_projection",
+      // inherits qs31's one-row training broadcasts plus the final
+      // 1-row × 1-row report cross join
+      "qs32_pca_variance",
       // per-round one-row (remaining budget, weight sum) broadcast
       // crossed into the |sources|-row state frame — metadata-sized
       "qt39_token_budget",
