@@ -1540,6 +1540,42 @@ object Similarity {
       .select(col("vec_id"), round(col("xv") - col("muv"), 6).as("proj"))
   }
 
+  /** SEMANTIC leakage audit — the embedding-space complement of the
+    * winnowing contamination ops (qd08/qd17 catch shared SURFACE
+    * text; paraphrased or translated benchmark items share no
+    * n-grams but sit next to their source in embedding space): for
+    * every benchmark vector, its nearest corpus neighbor by cosine
+    * and whether that proximity crosses the leak threshold.
+    *
+    * Scale shape: the benchmark side broadcasts (eval sets are
+    * KB–MB), the corpus side is ONE linear scan, and the per-query
+    * max collapses map-side (a struct-max aggregate, no window, no
+    * pair shuffle) — the qs10 broadcast-query discipline. For a
+    * benchmark too big to broadcast, route through the stored IVF
+    * index ([[ivfTopKWithIndex]]) and apply the same threshold.
+    *
+    * @return (vec_id, nbr_id, max_cos, leaked) — one row per
+    *         benchmark vector; ties on cosine break to the smallest
+    *         neighbor id; max_cos rounds to 6. */
+  def semanticLeakageReport(
+      corpus: DataFrame, bench: DataFrame,
+      idCol: String, vecCol: String,
+      threshold: Double = 0.5): DataFrame = {
+    val c = withNorm(corpus, idCol, vecCol)
+    val q = withNorm(bench, idCol, vecCol)
+      .select(col("vec_id").as("qid"), col("embedding").as("qemb"),
+        col("nrm").as("qnrm"))
+    c.join(broadcast(q))
+      .select(col("qid"), col("vec_id").as("nbr"),
+        cosineWithNorms(col("qemb"), col("embedding"),
+          col("qnrm"), col("nrm")).as("cos"))
+      .groupBy(col("qid"))
+      .agg(max(struct(col("cos"), (-col("nbr")).as("nn"))).as("m"))
+      .select(col("qid").as("vec_id"), (-col("m.nn")).as("nbr_id"),
+        round(col("m.cos"), 6).as("max_cos"))
+      .withColumn("leaked", col("max_cos") >= threshold)
+  }
+
   /** Variance-explained report for the [[pcaComponent]] axis: one row
     * (total_ss, pc1_ss, explained) — total centered sum of squares,
     * the projection's sum of squares, and their ratio (NULL on a

@@ -1371,7 +1371,43 @@ object SimilarityQueries {
         |SELECT round(total_ss, 6) AS total_ss, round(pc1_ss, 6) AS pc1_ss,
         |  CASE WHEN total_ss > 0 THEN round(pc1_ss / total_ss, 6) END
         |    AS explained
-        |FROM t1, t2""".stripMargin))
+        |FROM t1, t2""".stripMargin)),
+
+    Q(
+      "qs33_semantic_leakage",
+      "SEMANTIC benchmark-leakage audit " +
+        "(Similarity.semanticLeakageReport) — the embedding-space " +
+        "complement of qd08/qd17's surface contamination: " +
+        "paraphrased or translated eval items share no n-grams but " +
+        "sit next to their source in embedding space. Benchmark = " +
+        "vec_id % 50 = 0 (broadcast — eval sets are KB–MB), corpus " +
+        "= the rest in ONE linear scan; per-query nearest neighbor " +
+        "collapses map-side (struct-max, no window, no pair " +
+        "shuffle). Output (vec_id, nbr_id, max_cos, leaked ≥ 0.5), " +
+        "ties to the smallest neighbor id.",
+      (s, dir) => {
+        val em = Tables.load(s, dir, "embeddings")
+        Similarity.semanticLeakageReport(
+          em.filter(col("vec_id") % 50 =!= 0),
+          em.filter(col("vec_id") % 50 === 0),
+          "vec_id", "embedding", threshold = 0.5)
+      },
+      Some(s"""WITH e AS (
+        |  SELECT vec_id, embedding, ${dkNorm("embedding")} AS nrm
+        |  FROM embeddings),
+        |c AS (SELECT * FROM e WHERE vec_id % 50 <> 0),
+        |q AS (SELECT * FROM e WHERE vec_id % 50 = 0),
+        |s AS (
+        |  SELECT q.vec_id AS qid, c.vec_id AS nbr,
+        |    ${dkDot("q.embedding", "c.embedding")} / (q.nrm * c.nrm) AS cos
+        |  FROM q, c),
+        |r AS (
+        |  SELECT qid, nbr, cos, row_number() OVER (PARTITION BY qid
+        |    ORDER BY cos DESC, nbr) AS rn
+        |  FROM s)
+        |SELECT qid AS vec_id, nbr AS nbr_id, round(cos, 6) AS max_cos,
+        |  round(cos, 6) >= 0.5 AS leaked
+        |FROM r WHERE rn = 1""".stripMargin))
   )
 
   /** DuckDB replay of Similarity.pcaLoop (3 unrolled power-iteration

@@ -475,4 +475,26 @@ class SimilaritySpec extends SparkSuite {
     assert(tiny.count() == 1)
     graft.core.OpCache.releaseAll(blocking = true)
   }
+
+  test("semanticLeakageReport: a planted copy leaks, orthogonal items don't") {
+    val corpus = Seq(
+      (1L, Array(1f, 0f, 0f, 0f)),
+      (2L, Array(0f, 1f, 0f, 0f)),
+      (3L, Array(0.6f, 0.8f, 0f, 0f))
+    ).toDF("vec_id", "embedding")
+    val bench = Seq(
+      (100L, Array(1f, 0f, 0f, 0f)),   // exact copy of corpus 1 → leaked
+      (101L, Array(0f, 0f, 0f, 1f))    // orthogonal to everything
+    ).toDF("vec_id", "embedding")
+    val got = Similarity.semanticLeakageReport(corpus, bench,
+      "vec_id", "embedding", threshold = 0.95)
+      .collect().map(r =>
+        r.getLong(0) -> ((r.getLong(1), r.getDouble(2), r.getBoolean(3))))
+      .toMap
+    graft.core.OpCache.releaseAll(blocking = true)
+    assert(got(100L) == ((1L, 1.0, true)))
+    assert(got(101L)._2 == 0.0 && !got(101L)._3)
+    // tie on cosine (101 is equidistant from all) breaks to smallest id
+    assert(got(101L)._1 == 1L)
+  }
 }

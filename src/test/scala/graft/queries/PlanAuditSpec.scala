@@ -127,6 +127,10 @@ class PlanAuditSpec extends SparkSuite {
       // inherits qs31's one-row training broadcasts plus the final
       // 1-row × 1-row report cross join
       "qs32_pca_variance",
+      // qs10's broadcast query-batch × corpus linear scan (benchmark
+      // vectors broadcast, one corpus pass, map-side struct-max) —
+      // never a pair join
+      "qs33_semantic_leakage",
       // per-round one-row (remaining budget, weight sum) broadcast
       // crossed into the |sources|-row state frame — metadata-sized
       "qt39_token_budget",
