@@ -1727,6 +1727,78 @@ object StreamingQueries {
         |  round(CAST(sum(pos * (2 * negbelow + neg)) AS DOUBLE) /
         |    (2.0 * CAST(sum(pos) AS DOUBLE) * CAST(sum(neg) AS DOUBLE)), 6)
         |    AS auc
-        |FROM c GROUP BY 1""".stripMargin))
+        |FROM c GROUP BY 1""".stripMargin)),
+
+    Q(
+      "qst27_stream_budget_gate",
+      "Streaming BUDGET GATE (EventStreams.budgetGateFeed — qt39's " +
+        "allocation enforced at the ingest door across the stream's " +
+        "lifetime): every source holds a 600-token allocation; docs " +
+        "arrive in two mtime-ordered parity batches, each batch " +
+        "admits its per-source hash-order prefix while running " +
+        "consumption fits, and the (source, consumed) state — one " +
+        "row per source, cut per batch — carries what batch 1 spent " +
+        "into batch 2's headroom. In-batch rejections are " +
+        "suffix-contiguous, so verdicts are deterministic at any " +
+        "partitioning. Exactly-once feed contract (consumption adds). " +
+        "Oracle replays both batches with the carried offsets.",
+      (s, dir) => {
+        s.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+        val docs = graft.core.Tables.load(s, dir, "documents")
+        val alloc = graft.core.OpCache.persist(
+          docs.select(col("source")).distinct()
+            .select(col("source"), lit(600L).as("alloc_tokens")))
+        alloc.count()
+        val in = java.nio.file.Files.createTempDirectory("graft_bg_in")
+        def stage(df: org.apache.spark.sql.DataFrame, name: String,
+            mtime: Long): Unit = {
+          val tmp = java.nio.file.Files
+            .createTempDirectory("graft_bg_w").toString
+          df.coalesce(1).write.mode("overwrite").parquet(tmp)
+          val part = new java.io.File(tmp).listFiles()
+            .find(f => f.getName.startsWith("part-") &&
+              f.getName.endsWith(".parquet")).get
+          val dst = in.resolve(name)
+          java.nio.file.Files.copy(part.toPath, dst)
+          dst.toFile.setLastModified(mtime)
+          ()
+        }
+        val t0 = System.currentTimeMillis() - 120000L
+        stage(docs.filter(pmod(col("doc_id"), lit(2)) === 0), "e0.parquet", t0)
+        stage(docs.filter(pmod(col("doc_id"), lit(2)) === 1), "o1.parquet",
+          t0 + 60000L)
+        val stream = s.readStream.schema(docs.schema)
+          .option("maxFilesPerTrigger", 1)
+          .parquet(in.toString + "/*.parquet")
+        val out = java.nio.file.Files
+          .createTempDirectory("graft_bg_out").toString
+        EventStreams.budgetGateFeed(stream, "doc_id", "source",
+          size(split(col("text"), " ")).cast("long"), alloc, out)
+        s.read.parquet(out)
+      },
+      Some("""WITH t AS (
+        |  SELECT doc_id, source, md5(CAST(doc_id AS VARCHAR)) AS key,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS tokens,
+        |    doc_id % 2 AS par
+        |  FROM documents),
+        |c AS (
+        |  SELECT *, sum(tokens) OVER (PARTITION BY source, par
+        |    ORDER BY key ROWS UNBOUNDED PRECEDING) - tokens AS bef
+        |  FROM t),
+        |e AS (
+        |  SELECT doc_id, source, tokens,
+        |    bef + tokens <= 600 AS admitted
+        |  FROM c WHERE par = 0),
+        |ce AS (
+        |  SELECT source,
+        |    coalesce(sum(CASE WHEN admitted THEN tokens END), 0) AS consumed
+        |  FROM e GROUP BY 1),
+        |o AS (
+        |  SELECT c.doc_id, c.source, c.tokens,
+        |    c.bef + c.tokens <= 600 - coalesce(ce.consumed, 0) AS admitted
+        |  FROM c LEFT JOIN ce USING (source) WHERE par = 1)
+        |SELECT doc_id, source, tokens, admitted FROM e
+        |UNION ALL
+        |SELECT doc_id, source, tokens, admitted FROM o""".stripMargin))
   )
 }

@@ -748,6 +748,79 @@ object EventStreams {
     * in the output — here min() reduces it); score/label are any
     * batch-column expressions.
     */
+  /** Streaming BUDGET GATE — the per-source token allocation
+    * ([[graft.operators.Curation.tokenBudgetWaterfill]]'s plan, or any
+    * (source, alloc_tokens) table) enforced at the ingest door across
+    * the stream's LIFETIME: each batch admits its per-source hash-order
+    * prefix while the source's running consumption stays within its
+    * allocation, and rejects the rest — so a source can never crowd
+    * the corpus past its planned share no matter how much it ships.
+    *
+    * State = one (source, consumed) row per source that ever admitted
+    * a document — the inherent minimum — cut and re-persisted per
+    * batch (the profile-maintenance discipline). Within a batch the
+    * admitted set is the [[graft.operators.Sharding.groupedTokenPrefix]]
+    * prefix (rejections are suffix-contiguous), so verdicts are
+    * deterministic at any partitioning. Consumption deltas are NOT
+    * idempotent → exactly-once feed contract (compose qst03's dedup
+    * for at-least-once sources). Sources absent from `alloc` are
+    * rejected outright.
+    *
+    * Emits (doc_id, source, tokens, admitted) per document. */
+  def budgetGateFeed(
+      docs: DataFrame,
+      idCol: String,
+      sourceCol: String,
+      tokensCol: org.apache.spark.sql.Column,
+      alloc: DataFrame,
+      outDir: String,
+      queryName: String = "graft_budget_gate"): Unit = {
+    val spark = docs.sparkSession
+    val a = graft.core.OpCache.persist(
+      alloc.select(col("source").as("grp"), col("alloc_tokens")))
+    var state: Option[DataFrame] = None
+    val q = docs.writeStream
+      .queryName(queryName)
+      .outputMode(OutputMode.Append())
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val pre = graft.operators.Sharding.groupedTokenPrefix(
+          batch.toDF(), sourceCol, idCol, tokensCol)
+        val withC = state match {
+          case Some(cs) => pre.join(broadcast(cs), Seq("grp"), "left")
+            .withColumn("consumed", coalesce(col("consumed"), lit(0L)))
+          case None => pre.withColumn("consumed", lit(0L))
+        }
+        val verdicts = graft.core.OpCache.persist(
+          withC.join(broadcast(a), Seq("grp"), "left")
+            .withColumn("admitted",
+              col("alloc_tokens").isNotNull &&
+                col("before") + col("tokens") <=
+                  col("alloc_tokens") - col("consumed"))
+            .select(col("doc_id"), col("grp").as("source"),
+              col("tokens"), col("admitted")))
+        verdicts.write.mode("append").parquet(outDir)
+        val delta = verdicts.filter(col("admitted"))
+          .groupBy(col("source"))
+          .agg(sum(col("tokens")).as("d"))
+          .select(col("source").as("grp"), col("d"))
+        val merged = state match {
+          case Some(cs) => cs.join(delta, Seq("grp"), "full_outer")
+            .select(col("grp"),
+              (coalesce(col("consumed"), lit(0L)) +
+                coalesce(col("d"), lit(0L))).as("consumed"))
+          case None => delta.select(col("grp"), col("d").as("consumed"))
+        }
+        // cut: an un-cut state would re-analyze the whole merge
+        // history every batch (the qt33 model discipline)
+        state = Some(graft.core.OpCache.persist(
+          spark.createDataFrame(merged.rdd, merged.schema)))
+        ()
+      }
+      .start()
+    if (!q.awaitTermination(180000)) q.stop()
+  }
+
   def scorerAucFeed(
       docs: DataFrame,
       score: org.apache.spark.sql.Column,
