@@ -1540,6 +1540,37 @@ object Similarity {
       .select(col("vec_id"), round(col("xv") - col("muv"), 6).as("proj"))
   }
 
+  /** Per-dimension embedding DATASHEET — qw16's column profile for
+    * vector data: n, DECIMAL-exact mean, population variance, min,
+    * max per dimension. The pre-flight audit before quantization or
+    * indexing (a dead dimension wastes SQ code range; a runaway scale
+    * breaks max-abs calibration; drift between embedding versions
+    * shows up as mean/variance movement dim by dim).
+    *
+    * One posexplode + hash aggregate (map-side combined, keyed on the
+    * 64-value dim — broadcast-tiny output); variance derives from the
+    * two exact sums in a fixed IEEE dag, so rows are bit-reproducible
+    * at any partitioning. */
+  def embeddingDimStats(
+      em: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    import graft.expr.Exprs.exactSum
+    em.select(posexplode(col(vecCol)).as(Seq("dim", "xf")))
+      .select(col("dim").cast("long").as("dim"),
+        col("xf").cast("double").as("x"))
+      .groupBy(col("dim"))
+      .agg(
+        count(lit(1)).cast("long").as("n"),
+        exactSum(col("x")).as("sx"),
+        exactSum(col("x") * col("x")).as("sxx"),
+        min(col("x")).as("min_x"),
+        max(col("x")).as("max_x"))
+      .select(col("dim"), col("n"),
+        round(col("sx") / col("n"), 6).as("mean"),
+        round((col("sxx") - col("sx") * col("sx") / col("n")) / col("n"), 6)
+          .as("variance"),
+        col("min_x"), col("max_x"))
+  }
+
   /** SEMANTIC leakage audit — the embedding-space complement of the
     * winnowing contamination ops (qd08/qd17 catch shared SURFACE
     * text; paraphrased or translated benchmark items share no

@@ -1407,7 +1407,34 @@ object SimilarityQueries {
         |  FROM s)
         |SELECT qid AS vec_id, nbr AS nbr_id, round(cos, 6) AS max_cos,
         |  round(cos, 6) >= 0.5 AS leaked
-        |FROM r WHERE rn = 1""".stripMargin))
+        |FROM r WHERE rn = 1""".stripMargin)),
+
+    Q(
+      "qs34_embedding_datasheet",
+      "Per-dimension embedding DATASHEET " +
+        "(Similarity.embeddingDimStats — qw16's profile for vector " +
+        "data): n / DECIMAL-exact mean / population variance / min / " +
+        "max per dim. The pre-flight audit before quantization or " +
+        "indexing: dead dims waste SQ code range, runaway scales " +
+        "break max-abs calibration, version drift shows as per-dim " +
+        "movement. One posexplode + map-side-combined hash agg to 64 " +
+        "rows; variance from two exact sums in a fixed IEEE dag.",
+      (s, dir) =>
+        Similarity.embeddingDimStats(
+          Tables.load(s, dir, "embeddings"), "vec_id", "embedding"),
+      Some("""WITH d AS (
+        |  SELECT CAST(t.d AS BIGINT) AS dim,
+        |    CAST(embedding[t.d + 1] AS DOUBLE) AS x
+        |  FROM embeddings, unnest(range(0, 64)) t(d))
+        |SELECT dim, CAST(count(*) AS BIGINT) AS n,
+        |  round(CAST(sum(CAST(x AS DECIMAL(30,6))) AS DOUBLE)
+        |    / count(*), 6) AS mean,
+        |  round((CAST(sum(CAST(x * x AS DECIMAL(30,6))) AS DOUBLE)
+        |    - CAST(sum(CAST(x AS DECIMAL(30,6))) AS DOUBLE)
+        |      * CAST(sum(CAST(x AS DECIMAL(30,6))) AS DOUBLE) / count(*))
+        |    / count(*), 6) AS variance,
+        |  min(x) AS min_x, max(x) AS max_x
+        |FROM d GROUP BY 1""".stripMargin))
   )
 
   /** DuckDB replay of Similarity.pcaLoop (3 unrolled power-iteration
