@@ -591,6 +591,45 @@ object ScaleSmoke {
         val st = d.groupBy($"grp").agg(sum($"dn").cast("long").as("n"),
           sum($"dv").as("v"))
         graft.warehouse.Cdc.retractMerge(st, d).count()
+      },
+      time("scorer_auc") {
+        // one hash agg on distinct scores + bucketed prefix sums —
+        // slope should be the scan alone
+        val t2 = split(coalesce($"text", lit("")), " ")
+        graft.operators.Eval.aucReport(
+          docs.select((size(array_distinct(t2)).cast("double") /
+            size(t2).cast("double")).as("score"),
+            ($"lang" === "en").cast("int").as("label")),
+          "label", "score").count()
+      },
+      time("pca_power3") {
+        // 3 power-iteration rounds = 6 linear passes + dim-row model
+        // updates; slope is the per-round corpus passes
+        val r = Similarity.pcaProjection(docs.sparkSession.read
+          .parquet(s"$out/embeddings.parquet"), "vec_id", "embedding",
+          iters = 3).count()
+        graft.core.OpCache.releaseAll()
+        r
+      },
+      time("waterfill_mix") {
+        // one per-source hash agg + |sources|-row rounds + the
+        // grouped two-phase prefix cut — slope is the two corpus
+        // passes
+        val r = graft.operators.Curation.waterfilledMix(
+          docs, "doc_id", "source",
+          size(split($"text", " ")).cast("long"),
+          Map("src0" -> 400, "src1" -> 300, "src2" -> 200),
+          defaultWeight = 10, budget = 20000L).count()
+        graft.core.OpCache.releaseAll()
+        r
+      },
+      time("semantic_leakage") {
+        // broadcast benchmark × one linear corpus pass, map-side max
+        val em2 = docs.sparkSession.read.parquet(s"$out/embeddings.parquet")
+        Similarity.semanticLeakageReport(
+          em2.filter(pmod($"vec_id", lit(50)) =!= 0),
+          em2.filter(pmod($"vec_id", lit(50)) === 0),
+          "vec_id", "embedding", threshold = 0.5).count()
       })
 
     val total = results.map(_._2).sum
