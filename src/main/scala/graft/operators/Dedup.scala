@@ -916,6 +916,43 @@ object Dedup {
     connectedComponents(memberEdges.unionByName(repPairs), "a", "b")
   }
 
+  /** QUALITY-aware cluster representative selection — every
+    * production dedup keeps ONE document per duplicate cluster, and
+    * min-id ([[dedupCorpus]]'s rule) is arbitrary: this keeps the
+    * HIGHEST-scoring copy instead ("keep the clean mirror, drop the
+    * boilerplate-wrapped scrape"), with ties broken to the smallest
+    * id so the kept set stays deterministic. `scoreCol` is any
+    * non-null per-document expression (a quality ratio, a trained
+    * [[Logit]] score, recency).
+    *
+    * Scale shape: labels come from [[corpusClusters]]' collapse-first
+    * pipeline; the per-cluster argmax is a struct-max hash aggregate
+    * (map-side combined — never a window over members), so the added
+    * cost over labeling is one narrow join + one agg.
+    *
+    * @return (component, keep_id, cluster_size, score) — one row per
+    *         cluster; score is the winner's, rounded to 6. */
+  def bestRepresentatives(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      scoreCol: Column,
+      nShingle: Int = 3,
+      k: Int = 16,
+      bands: Int = 4,
+      threshold: Double = 0.5,
+      maxBucketSize: Int = DefaultMaxBucketSize): DataFrame = {
+    val labels = corpusClusters(docs, idCol, textCol,
+      nShingle, k, bands, threshold, maxBucketSize)
+    val scored = docs.select(col(idCol).as("node"), scoreCol.as("score"))
+    labels.join(scored, Seq("node"))
+      .groupBy(col("component"))
+      .agg(count(lit(1)).cast("long").as("cluster_size"),
+        max(struct(col("score"), (-col("node")).as("nn"))).as("m"))
+      .select(col("component"), (-col("m.nn")).as("keep_id"),
+        col("cluster_size"), round(col("m.score"), 6).as("score"))
+  }
+
   /** Cluster-size HISTOGRAM over a label table — the one-page
     * diagnostic every dedup run prints before anyone trusts its
     * output: (cluster_size, n_clusters). A healthy near-dup graph is

@@ -1523,6 +1523,20 @@ object Similarity {
       iters: Int = 3): DataFrame =
     pcaLoop(em, idCol, vecCol, iters)._1
 
+  /** The trained axis plus its mean-dot — the SERVE-side constants of
+    * the projection (what a streaming drift monitor broadcasts:
+    * proj(x) = ⟨x, v⟩ − muv). Both frames are dim-row / 1-row
+    * broadcast tables, persistable like any stored index here. */
+  def pcaAxisWithMean(
+      em: DataFrame, idCol: String, vecCol: String,
+      iters: Int = 3): (DataFrame, DataFrame) = {
+    val (v, mu, _) = pcaLoop(em, idCol, vecCol, iters)
+    val muv = graft.core.OpCache.persist(
+      mu.join(v, Seq("dim"))
+        .agg(graft.expr.Exprs.exactSum(col("mu") * col("v")).as("muv")))
+    (v, muv)
+  }
+
   /** Per-vector projection onto the [[pcaComponent]] axis:
     * (vec_id, proj) with proj = ⟨x − μ, v⟩ rounded to 6 — the 1-D
     * coordinate used for drift histograms and extreme-sample audits.

@@ -1441,7 +1441,7 @@ object SimilarityQueries {
     * rounds over the embeddings table) — CTE chain ending at the
     * trained component `v3` and its mean-dot `muvf`; shared by qs31
     * (projections) and qs32 (variance report). */
-  private def pcaCtes: String = {
+  private[queries] def pcaCtes: String = {
     def rnd(r: Int): String = {
       val pv = if (r == 1) "v0" else s"v${r - 1}"
       s"""muv$r AS (

@@ -1799,6 +1799,63 @@ object StreamingQueries {
         |  FROM c LEFT JOIN ce USING (source) WHERE par = 1)
         |SELECT doc_id, source, tokens, admitted FROM e
         |UNION ALL
-        |SELECT doc_id, source, tokens, admitted FROM o""".stripMargin))
+        |SELECT doc_id, source, tokens, admitted FROM o""".stripMargin)),
+
+    Q(
+      "qst28_stream_embedding_drift",
+      "Streaming EMBEDDING-DRIFT monitor " +
+        "(EventStreams.embeddingDriftFeed — qst23's canary in " +
+        "embedding space): vectors arrive in two parity batches and " +
+        "each projects onto the FROZEN qs31 axis (trained offline on " +
+        "the reference corpus), emitting one (grp, n, mean_proj, " +
+        "var_proj) row — a new embedding version or mix shift moves " +
+        "the projection distribution within one batch. Stateless " +
+        "(the axis broadcasts), re-delivery-idempotent; projections " +
+        "quantize to DECIMAL(30,6) before the exact-sum variance " +
+        "dag. Oracle = the unrolled PCA replay + per-parity stats.",
+      (s, dir) => {
+        s.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+        val em = graft.core.Tables.load(s, dir, "embeddings")
+        val (v, muv) = graft.operators.Similarity.pcaAxisWithMean(
+          em, "vec_id", "embedding", iters = 3)
+        v.count(); muv.count()
+        val in = java.nio.file.Files.createTempDirectory("graft_ed_in")
+        def stage(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+          val tmp = java.nio.file.Files
+            .createTempDirectory("graft_ed_w").toString
+          df.coalesce(1).write.mode("overwrite").parquet(tmp)
+          val part = new java.io.File(tmp).listFiles()
+            .find(f => f.getName.startsWith("part-") &&
+              f.getName.endsWith(".parquet")).get
+          java.nio.file.Files.copy(part.toPath, in.resolve(name))
+          ()
+        }
+        stage(em.filter(pmod(col("vec_id"), lit(2)) === 0), "e0.parquet")
+        stage(em.filter(pmod(col("vec_id"), lit(2)) === 1), "o1.parquet")
+        val stream = s.readStream.schema(em.schema)
+          .option("maxFilesPerTrigger", 1)
+          .parquet(in.toString + "/*.parquet")
+        val out = java.nio.file.Files
+          .createTempDirectory("graft_ed_out").toString
+        EventStreams.embeddingDriftFeed(stream, "vec_id", "embedding",
+          v, muv, pmod(col("vec_id"), lit(2)), out)
+        s.read.parquet(out).distinct()
+      },
+      Some(s"""WITH ${SimilarityQueries.pcaCtes},
+        |cf AS (
+        |  SELECT d.vec_id,
+        |    CAST(CAST(sum(CAST(d.x * v.v AS DECIMAL(30,6))) AS DOUBLE)
+        |      - muv AS DECIMAL(30,6)) AS cq
+        |  FROM dims d JOIN v3 v USING (dim), muvf
+        |  GROUP BY d.vec_id, muv),
+        |pp AS (SELECT vec_id % 2 AS grp, cq FROM cf)
+        |SELECT CAST(grp AS BIGINT) AS grp,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  round(CAST(sum(cq) AS DOUBLE) / count(*), 6) AS mean_proj,
+        |  round((CAST(sum(CAST(CAST(cq AS DOUBLE) * CAST(cq AS DOUBLE)
+        |      AS DECIMAL(30,6))) AS DOUBLE)
+        |    - CAST(sum(cq) AS DOUBLE) * CAST(sum(cq) AS DOUBLE) / count(*))
+        |    / count(*), 6) AS var_proj
+        |FROM pp GROUP BY 1""".stripMargin))
   )
 }

@@ -372,6 +372,30 @@ object TextQueries {
       |  FROM bands a JOIN bands b2
       |    ON a.band = b2.band AND a.bkey = b2.bkey AND a.doc_id < b2.doc_id)""".stripMargin
 
+  /** DuckDB replay of Dedup.corpusClusters (exact collapse-first +
+    * LSH pairs over representatives + recursive component closure) —
+    * CTE chain ending at `lab` = (doc_id, component). The caller must
+    * open the statement with WITH RECURSIVE. Shared by
+    * qd11/qd29/qd38. */
+  private def clusterLabelCtes: String =
+    s"""reps AS (SELECT min(doc_id) AS keep_id, md5(text) AS h
+      |         FROM documents GROUP BY md5(text)),
+      |hm AS (SELECT d.doc_id, r.keep_id FROM documents d
+      |       JOIN reps r ON md5(d.text) = r.h),
+      |repdocs AS (SELECT d.doc_id, d.text FROM documents d
+      |            JOIN reps r ON d.doc_id = r.keep_id),
+      |${lshCtes("repdocs")},
+      |pairs AS ($lshPairSelect),
+      |sym(s, t) AS (
+      |  SELECT keep_id, doc_id FROM hm UNION SELECT doc_id, keep_id FROM hm
+      |  UNION SELECT a_id, b_id FROM pairs UNION SELECT b_id, a_id FROM pairs),
+      |r(s, t) AS (
+      |  SELECT s, t FROM sym
+      |  UNION
+      |  SELECT r.s, sym.t FROM r JOIN sym ON r.t = sym.s),
+      |lab AS (SELECT s AS doc_id, min(t) AS component FROM r GROUP BY s)"""
+      .stripMargin
+
   private[queries] val lshPairSelect: String =
     """SELECT c.a_id, c.b_id,
       |  CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE) /
@@ -2235,22 +2259,47 @@ object TextQueries {
           "doc_id", "text")
           .select(col("node").as("doc_id"), col("component")),
       Some(s"""WITH RECURSIVE
-        |reps AS (SELECT min(doc_id) AS keep_id, md5(text) AS h
-        |         FROM documents GROUP BY md5(text)),
-        |hm AS (SELECT d.doc_id, r.keep_id FROM documents d
-        |       JOIN reps r ON md5(d.text) = r.h),
-        |repdocs AS (SELECT d.doc_id, d.text FROM documents d
-        |            JOIN reps r ON d.doc_id = r.keep_id),
-        |${lshCtes("repdocs")},
-        |pairs AS ($lshPairSelect),
-        |sym(s, t) AS (
-        |  SELECT keep_id, doc_id FROM hm UNION SELECT doc_id, keep_id FROM hm
-        |  UNION SELECT a_id, b_id FROM pairs UNION SELECT b_id, a_id FROM pairs),
-        |r(s, t) AS (
-        |  SELECT s, t FROM sym
-        |  UNION
-        |  SELECT r.s, sym.t FROM r JOIN sym ON r.t = sym.s)
-        |SELECT s AS doc_id, min(t) AS component FROM r GROUP BY s""".stripMargin)),
+        |$clusterLabelCtes
+        |SELECT doc_id, component FROM lab""".stripMargin)),
+
+    Q(
+      "qd38_best_representative",
+      "QUALITY-aware cluster representative selection " +
+        "(Dedup.bestRepresentatives): every production dedup keeps " +
+        "ONE doc per duplicate cluster — min-id (qd07) is arbitrary; " +
+        "this keeps the HIGHEST-QUALITY copy (qt02's type-token " +
+        "ratio, ties to the smallest id) — the 'keep the clean " +
+        "mirror, drop the boilerplate-wrapped scrape' rule. Labels " +
+        "from qd11's collapse-first clustering; the per-cluster " +
+        "argmax is a map-side struct-max aggregate, no window. " +
+        "Output (component, keep_id, cluster_size, score).",
+      (s, dir) => {
+        val t = split(coalesce(col("text"), lit("")), " ")
+        Dedup.bestRepresentatives(
+          Tables.load(s, dir, "documents"), "doc_id", "text",
+          size(array_distinct(t)).cast("double") /
+            size(t).cast("double"))
+      },
+      Some(s"""WITH RECURSIVE
+        |$clusterLabelCtes,
+        |sc AS (
+        |  SELECT doc_id,
+        |    CAST(len(list_distinct(string_split(coalesce(text,''),' '))) AS DOUBLE) /
+        |      CAST(len(string_split(coalesce(text,''),' ')) AS DOUBLE) AS score
+        |  FROM documents),
+        |j AS (
+        |  SELECT l.component, l.doc_id, s.score
+        |  FROM lab l JOIN sc s USING (doc_id)),
+        |rk AS (
+        |  SELECT component, doc_id, score,
+        |    row_number() OVER (PARTITION BY component
+        |      ORDER BY score DESC, doc_id) AS rn,
+        |    count(*) OVER (PARTITION BY component) AS cluster_size
+        |  FROM j)
+        |SELECT component, doc_id AS keep_id,
+        |  CAST(cluster_size AS BIGINT) AS cluster_size,
+        |  round(score, 6) AS score
+        |FROM rk WHERE rn = 1""".stripMargin)),
 
     Q(
       "qd29_cluster_histogram",
@@ -2267,22 +2316,7 @@ object TextQueries {
           Dedup.corpusClusters(Tables.load(s, dir, "documents"),
             "doc_id", "text")),
       Some(s"""WITH RECURSIVE
-        |reps AS (SELECT min(doc_id) AS keep_id, md5(text) AS h
-        |         FROM documents GROUP BY md5(text)),
-        |hm AS (SELECT d.doc_id, r.keep_id FROM documents d
-        |       JOIN reps r ON md5(d.text) = r.h),
-        |repdocs AS (SELECT d.doc_id, d.text FROM documents d
-        |            JOIN reps r ON d.doc_id = r.keep_id),
-        |${lshCtes("repdocs")},
-        |pairs AS ($lshPairSelect),
-        |sym(s, t) AS (
-        |  SELECT keep_id, doc_id FROM hm UNION SELECT doc_id, keep_id FROM hm
-        |  UNION SELECT a_id, b_id FROM pairs UNION SELECT b_id, a_id FROM pairs),
-        |r(s, t) AS (
-        |  SELECT s, t FROM sym
-        |  UNION
-        |  SELECT r.s, sym.t FROM r JOIN sym ON r.t = sym.s),
-        |lab AS (SELECT s AS doc_id, min(t) AS component FROM r GROUP BY s),
+        |$clusterLabelCtes,
         |cs AS (SELECT component, CAST(count(*) AS BIGINT) AS cluster_size
         |       FROM lab GROUP BY 1)
         |SELECT cluster_size, CAST(count(*) AS BIGINT) AS n_clusters

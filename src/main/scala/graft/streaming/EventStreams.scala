@@ -734,6 +734,72 @@ object EventStreams {
         OutputMode.Append(), GroupStateTimeout.EventTimeTimeout())(fn)
   }
 
+  /** Streaming EMBEDDING-DRIFT monitor — each arriving vector batch
+    * projects onto a FROZEN principal axis
+    * ([[graft.operators.Similarity.pcaComponent]], trained offline on
+    * the reference corpus) and emits one (grp, n, mean_proj, var_proj)
+    * row: a new embedding-model version, a mix shift, or an upstream
+    * preprocessing change moves the projection distribution within one
+    * batch — the embedding-space twin of the profile-drift canary
+    * (qst23). Stateless (the axis is a broadcast constant), so
+    * re-delivery re-emits identical rows.
+    *
+    * Per batch: one dim-keyed broadcast join + per-vector hash agg
+    * (the qs31 serve pass), then the qs34 exact-sum variance dag —
+    * projections quantize to DECIMAL(30,6) before the order-invariant
+    * sums, so rows are bit-reproducible at any partitioning.
+    *
+    * @param axis (dim, v) — the trained component
+    * @param muv  1-row (muv) — the axis·mean dot from training
+    * @param grp  batch identifier expression (constant within a batch)
+    */
+  def embeddingDriftFeed(
+      vecs: DataFrame,
+      idCol: String,
+      vecCol: String,
+      axis: DataFrame,
+      muv: DataFrame,
+      grp: org.apache.spark.sql.Column,
+      outDir: String,
+      queryName: String = "graft_embedding_drift"): Unit = {
+    import graft.expr.Exprs.exactSum
+    val q = vecs.writeStream
+      .queryName(queryName)
+      .outputMode(OutputMode.Append())
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val b = batch.toDF()
+        val cq = b
+          .select(col(idCol).as("vec_id"),
+            posexplode(col(vecCol)).as(Seq("dim", "xf")))
+          .select(col("vec_id"), col("dim"),
+            col("xf").cast("double").as("x"))
+          .join(broadcast(axis), Seq("dim"))
+          .groupBy(col("vec_id"))
+          .agg(exactSum(col("x") * col("v")).as("xv"))
+          .crossJoin(broadcast(muv))
+          .select((col("xv") - col("muv"))
+            .cast(org.apache.spark.sql.types.DecimalType(30, 6))
+            .as("cq"))
+        val stats = cq.agg(
+          count(lit(1)).cast("long").as("n"),
+          sum(col("cq")).cast("double").as("sx"),
+          exactSum(col("cq").cast("double") * col("cq").cast("double"))
+            .as("sxx"))
+          .select(col("n"),
+            round(col("sx") / col("n"), 6).as("mean_proj"),
+            round((col("sxx") - col("sx") * col("sx") / col("n"))
+              / col("n"), 6).as("var_proj"))
+        val g = b.agg(min(grp).as("grp"))
+        stats.crossJoin(broadcast(g))
+          .select(col("grp"), col("n"), col("mean_proj"), col("var_proj"))
+          .write.mode("append").parquet(outDir)
+        ()
+      }
+      .start()
+    if (!q.awaitTermination(180000)) q.stop()
+  }
+
   /** Streaming SCORER-HEALTH canary — [[graft.operators.Eval.aucReport]]
     * per micro-batch: each arriving labeled audit batch is scored and
     * its exact tie-aware AUC lands as one (grp, n_pos, n_neg, auc)

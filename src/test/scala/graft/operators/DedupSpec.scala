@@ -564,4 +564,28 @@ class DedupSpec extends SparkSuite {
     assert(links.toSeq == Seq((7L, 7L)))
     graft.core.OpCache.releaseAll(blocking = true)
   }
+
+  test("bestRepresentatives: highest score wins the cluster, not lowest id") {
+    import org.apache.spark.sql.functions.{coalesce => cl, _}
+    // docs 1/2 are exact duplicates with a repeated tail word (ttr
+    // 10/11); doc 3 shares all but the final shingle and has no
+    // repeat (ttr 1.0 — the higher-quality copy). 8 of 10 distinct
+    // shingles shared → jaccard 0.8, well over the 0.5 verify bar.
+    val dup = "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 w10"
+    val clean = "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 w11"
+    val df = Seq(
+      (1L, dup), (2L, dup), (3L, clean),
+      (9L, "u1 u2 u3 u4 u5 u6 u7 u8 u9 u10 u11")
+    ).toDF("doc_id", "text")
+    val t = split(cl(col("text"), lit("")), " ")
+    val score = size(array_distinct(t)).cast("double") / size(t).cast("double")
+    val got = Dedup.bestRepresentatives(df, "doc_id", "text", score)
+      .collect().map(r =>
+        r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    graft.core.OpCache.releaseAll(blocking = true)
+    // one 3-doc cluster keeping doc 3 (ttr 1.0 beats 10/11, despite
+    // the larger id) and one singleton keeping itself
+    assert(got.values.toSet == Set((3L, 3L), (9L, 1L)),
+      got.mkString(","))
+  }
 }
