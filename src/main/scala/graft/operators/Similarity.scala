@@ -1554,6 +1554,66 @@ object Similarity {
       .select(col("vec_id"), round(col("xv") - col("muv"), 6).as("proj"))
   }
 
+  /** IVF OPERATING CURVE in one amortized pass — recall@k for several
+    * nProbe settings at once, the table an index owner reads to pick
+    * the latency/recall point (qs22 measures one configuration; a
+    * sweep re-run per probe count would rescore the same candidates
+    * p times). Candidates score ONCE against the full probe fan-out
+    * (maxRank = max(probes), each corpus vector lives in exactly one
+    * cell so (query, candidate) pairs are unique and carry their
+    * cell's probe rank); each sweep point is then a cheap filter
+    * (prn ≤ p) + mergeable top-k + one semi-join against the exact
+    * truth — no rescoring, no rescanning. Exact truth is the
+    * documented O(n²) audit baseline (qs22's contract: sample-sized
+    * query sets at scale).
+    *
+    * @return (n_probe, n_queries, n_hits, recall) — one row per
+    *         swept probe count, recall = hits/(k·queries) rounded 6. */
+  def probeSweepRecall(
+      em: DataFrame, idCol: String, vecCol: String,
+      k: Int = 5, centroidStride: Int = 40,
+      probes: Seq[Int] = Seq(1, 2, 4, 8)): DataFrame = {
+    require(probes.nonEmpty && probes.forall(_ >= 1), "probes must be >= 1")
+    val maxP = probes.max
+    val e = graft.core.OpCache.persist(withNorm(em, idCol, vecCol))
+    val cents = e.filter(col("vec_id") % centroidStride === 0)
+      .select(col("vec_id").as("cent_id"), col("embedding").as("cemb"),
+        col("nrm").as("cnrm"))
+    val ranked = graft.core.OpCache.persist(
+      centroidRanks(e, broadcast(cents), maxRank = maxP))
+    val cells = e.join(
+      ranked.filter(col("rn") === 1).select(col("vec_id"), col("cent_id")),
+      Seq("vec_id"))
+      .select(col("cent_id"), col("vec_id").as("cand"),
+        col("embedding").as("cemb2"), col("nrm").as("cnrm2"))
+    val cand = graft.core.OpCache.persist(
+      e.select(col("vec_id").as("qid"), col("embedding").as("qemb"),
+          col("nrm").as("qnrm"))
+        .join(ranked.select(col("vec_id").as("qid"), col("cent_id"),
+          col("rn").as("prn")), Seq("qid"))
+        .join(cells, Seq("cent_id"))
+        .filter(col("qid") =!= col("cand"))
+        .select(col("qid"), col("cand"), col("prn"),
+          cosineWithNorms(col("qemb"), col("cemb2"),
+            col("qnrm"), col("cnrm2")).as("cos")))
+    val exact = graft.core.OpCache.persist(
+      bruteForceTopK(em, idCol, vecCol, k)
+        .select(col("vec_id").as("qid"), col("nbr_id").as("cand")))
+    val nq = exact.agg(countDistinct(col("qid")).cast("long").as("n_queries"))
+    probes.map { p =>
+      val top = topKHeap(
+        cand.filter(col("prn") <= p).select(col("qid"), col("cand"), col("cos")),
+        "qid", col("cos"), col("cand"), "cand", k)
+      top.join(exact, Seq("qid", "cand"), "left_semi")
+        .agg(count(lit(1)).cast("long").as("n_hits"))
+        .select(lit(p).cast("long").as("n_probe"), col("n_hits"))
+    }.reduce(_.unionByName(_))
+      .crossJoin(broadcast(nq))
+      .select(col("n_probe"), col("n_queries"), col("n_hits"),
+        round(col("n_hits").cast("double") /
+          (lit(k.toDouble) * col("n_queries")), 6).as("recall"))
+  }
+
   /** Per-dimension embedding DATASHEET — qw16's column profile for
     * vector data: n, DECIMAL-exact mean, population variance, min,
     * max per dimension. The pre-flight audit before quantization or

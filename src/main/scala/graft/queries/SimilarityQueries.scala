@@ -1434,7 +1434,77 @@ object SimilarityQueries {
         |      * CAST(sum(CAST(x AS DECIMAL(30,6))) AS DOUBLE) / count(*))
         |    / count(*), 6) AS variance,
         |  min(x) AS min_x, max(x) AS max_x
-        |FROM d GROUP BY 1""".stripMargin))
+        |FROM d GROUP BY 1""".stripMargin)),
+
+    Q(
+      "qs35_probe_sweep",
+      "IVF OPERATING CURVE in one amortized pass " +
+        "(Similarity.probeSweepRecall): recall@5 for nProbe ∈ " +
+        "{1,2,4,8} at once — candidates score ONCE against the " +
+        "maxProbe fan-out (each corpus vector lives in exactly one " +
+        "cell, so pairs carry their cell's probe rank), each sweep " +
+        "point is a filter + mergeable top-k + one semi-join vs " +
+        "exact truth. The table an index owner reads to pick the " +
+        "latency/recall point; qs22 measures one configuration, " +
+        "this measures the curve without rescoring.",
+      (s, dir) =>
+        Similarity.probeSweepRecall(
+          Tables.load(s, dir, "embeddings"), "vec_id", "embedding",
+          k = 5, centroidStride = 40, probes = Seq(1, 2, 4, 8)),
+      Some {
+        def point(p: Int): String =
+          s"""ivf$p AS (
+            |  SELECT vec_id, nbr_id FROM (
+            |    SELECT pp.vec_id AS vec_id, q.vec_id AS nbr_id,
+            |      row_number() OVER (PARTITION BY pp.vec_id ORDER BY
+            |        ${dkDot("pp.embedding", "q.embedding")} / (pp.nrm * q.nrm)
+            |          DESC, q.vec_id) AS rnk
+            |    FROM (SELECT e.vec_id, e.embedding, e.nrm, r.cent_id
+            |          FROM e JOIN ranked r USING (vec_id)
+            |          WHERE r.rn <= $p) pp
+            |    JOIN b q ON pp.cent_id = q.cent_id AND pp.vec_id <> q.vec_id)
+            |  WHERE rnk <= 5),
+            |hits$p AS (SELECT CAST(count(*) AS BIGINT) AS n_hits
+            |           FROM ivf$p JOIN exact USING (vec_id, nbr_id))"""
+            .stripMargin
+        def row(p: Int): String =
+          s"""SELECT CAST($p AS BIGINT) AS n_probe, nq.n_queries,
+            |  h.n_hits,
+            |  round(CAST(h.n_hits AS DOUBLE) /
+            |    (5.0 * CAST(nq.n_queries AS DOUBLE)), 6) AS recall
+            |FROM hits$p h, nq""".stripMargin
+        s"""WITH e AS (
+          |  SELECT vec_id, embedding, ${dkNorm("embedding")} AS nrm
+          |  FROM embeddings),
+          |c AS (SELECT vec_id AS cent_id, embedding AS cemb, nrm AS cnrm
+          |      FROM e WHERE vec_id % 40 = 0),
+          |ranked AS MATERIALIZED (
+          |  SELECT e.vec_id, c.cent_id,
+          |    row_number() OVER (PARTITION BY e.vec_id ORDER BY
+          |      ${dkDot("e.embedding", "c.cemb")} / (e.nrm * c.cnrm) DESC,
+          |      c.cent_id) AS rn
+          |  FROM e, c),
+          |assign AS (SELECT vec_id, cent_id FROM ranked WHERE rn = 1),
+          |b AS MATERIALIZED (
+          |  SELECT e.vec_id, e.embedding, e.nrm, a.cent_id
+          |  FROM e JOIN assign a USING (vec_id)),
+          |exact AS MATERIALIZED (
+          |  SELECT vec_id, nbr_id FROM (
+          |    SELECT a.vec_id AS vec_id, b2.vec_id AS nbr_id,
+          |      row_number() OVER (PARTITION BY a.vec_id ORDER BY
+          |        ${dkDot("a.embedding", "b2.embedding")} / (a.nrm * b2.nrm)
+          |          DESC, b2.vec_id) AS rnk
+          |    FROM e a JOIN e b2 ON a.vec_id <> b2.vec_id)
+          |  WHERE rnk <= 5),
+          |nq AS (SELECT CAST(count(DISTINCT vec_id) AS BIGINT) AS n_queries
+          |       FROM exact),
+          |${point(1)},
+          |${point(2)},
+          |${point(4)},
+          |${point(8)}
+          |${Seq(1, 2, 4, 8).map(row).mkString("\n", "\nUNION ALL\n", "")}"""
+          .stripMargin
+      })
   )
 
   /** DuckDB replay of Similarity.pcaLoop (3 unrolled power-iteration

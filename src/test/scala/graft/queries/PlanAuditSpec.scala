@@ -131,6 +131,10 @@ class PlanAuditSpec extends SparkSuite {
       // vectors broadcast, one corpus pass, map-side struct-max) —
       // never a pair join
       "qs33_semantic_leakage",
+      // qs02's broadcast centroid-scoring cross join (probe fan-out
+      // scored once) + qs01's documented exact baseline for truth —
+      // the sweep points themselves are filters + equi-joins
+      "qs35_probe_sweep",
       // per-round one-row (remaining budget, weight sum) broadcast
       // crossed into the |sources|-row state frame — metadata-sized
       "qt39_token_budget",
