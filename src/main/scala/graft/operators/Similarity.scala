@@ -1554,6 +1554,44 @@ object Similarity {
       .select(col("vec_id"), round(col("xv") - col("muv"), 6).as("proj"))
   }
 
+  /** Scalar-quantization DISTORTION audit — per-vector cosine
+    * fidelity between the original embedding and its int8
+    * round-trip (quantize with the corpus-calibrated scales, then
+    * dequantize q·s/127): the "how lossy is my index tier" datasheet
+    * read before qs10's codes serve traffic. Recall (qs22/qs35)
+    * measures end-to-end ranking damage; this localizes it per
+    * vector, so outlier-heavy dimensions that crush the code range
+    * show up as a low-fidelity tail (compose qt21's percentile cut
+    * or q38's histogram over the output).
+    *
+    * One calibration aggregate + a map-side quantize/dequantize pass
+    * (the one-row scales array broadcast, no corpus shuffle); folds
+    * are the engine-wide ascending-index double discipline.
+    *
+    * @return (vec_id, fidelity) — cos(x, deq(q(x))) rounded to 6. */
+  def sqDistortionReport(
+      em: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    graft.functions.GraftFunctions.register(em.sparkSession)
+    val scalesArr = sqCalibrate(em, vecCol).groupBy()
+      .agg(transform(
+        array_sort(collect_list(struct(col("dim"), col("scale")))),
+        s => s.getField("scale")).as("scales"))
+    val deq = em.select(col(idCol).as("vec_id"), col(vecCol).as("embedding"))
+      .crossJoin(broadcast(scalesArr))
+      .select(col("vec_id"), col("embedding"),
+        zip_with(col("embedding"), col("scales"), (x, s) =>
+          least(greatest(floor(x.cast("double") / s * lit(127.0) + lit(0.5)),
+            lit(-127L)), lit(127L)).cast("double") * s / lit(127.0))
+          .as("deq"))
+    val dotxy = aggregate(
+      zip_with(col("embedding"), col("deq"), (x, y) => x.cast("double") * y),
+      lit(0.0), (acc, v) => acc + v)
+    val ny = sqrt(aggregate(col("deq"), lit(0.0), (acc, y) => acc + y * y))
+    deq.select(col("vec_id"),
+      round(dotxy / (graft.functions.VectorFunctions.l2Norm(col("embedding"))
+        * ny), 6).as("fidelity"))
+  }
+
   /** IVF OPERATING CURVE in one amortized pass — recall@k for several
     * nProbe settings at once, the table an index owner reads to pick
     * the latency/recall point (qs22 measures one configuration; a

@@ -1504,7 +1504,34 @@ object SimilarityQueries {
           |${point(8)}
           |${Seq(1, 2, 4, 8).map(row).mkString("\n", "\nUNION ALL\n", "")}"""
           .stripMargin
-      })
+      }),
+
+    Q(
+      "qs36_sq_distortion",
+      "Scalar-quantization DISTORTION audit " +
+        "(Similarity.sqDistortionReport): per-vector cosine fidelity " +
+        "between each embedding and its int8 round-trip (quantize on " +
+        "corpus-calibrated scales, dequantize q·s/127) — the 'how " +
+        "lossy is this tier' datasheet read before qs10's codes " +
+        "serve traffic; recall (qs22/qs35) measures ranking damage, " +
+        "this localizes it per vector. One calibration agg + a " +
+        "map-side quantize/dequantize pass, ascending-index double " +
+        "folds.",
+      (s, dir) =>
+        Similarity.sqDistortionReport(
+          Tables.load(s, dir, "embeddings"), "vec_id", "embedding"),
+      Some(s"""WITH $sqCtes,
+        |d AS (
+        |  SELECT vec_id, embedding,
+        |    list_transform(range(1, len(embedding) + 1), i ->
+        |      CAST(least(greatest(floor(CAST(embedding[i] AS DOUBLE)
+        |        / s[i] * 127 + 0.5), -127), 127) AS DOUBLE)
+        |        * s[i] / 127.0) AS deq
+        |  FROM embeddings, scl)
+        |SELECT vec_id,
+        |  round(${dkDot("embedding", "deq")} /
+        |    (${dkNorm("embedding")} * ${dkNorm("deq")}), 6) AS fidelity
+        |FROM d""".stripMargin))
   )
 
   /** DuckDB replay of Similarity.pcaLoop (3 unrolled power-iteration

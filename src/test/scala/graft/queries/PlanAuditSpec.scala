@@ -135,6 +135,9 @@ class PlanAuditSpec extends SparkSuite {
       // scored once) + qs01's documented exact baseline for truth —
       // the sweep points themselves are filters + equi-joins
       "qs35_probe_sweep",
+      // qs10's one-row calibration-array broadcast crossed into the
+      // linear quantize/dequantize pass — never a pair join
+      "qs36_sq_distortion",
       // per-round one-row (remaining budget, weight sum) broadcast
       // crossed into the |sources|-row state frame — metadata-sized
       "qt39_token_budget",
