@@ -60,11 +60,15 @@ object Sharding {
       docs: DataFrame, idCol: String, tokensCol: Column,
       budget: Long): DataFrame = {
     require(budget > 0, "budget must be positive")
-    val keyed = docs.select(
+    // keyed feeds BOTH the in-bucket windows and the bucket-total
+    // fold — persist so the upstream (possibly a whole composed
+    // pipeline, e.g. qt36's decontaminate→dedup→mix→pack) computes
+    // once, not per consumer (measured qt36 12.8 → ~7 s)
+    val keyed = graft.core.OpCache.persist(docs.select(
       col(idCol).as("doc_id"),
       md5(col(idCol).cast("string")).as("key"),
       tokensCol.cast("long").as("tokens"))
-      .withColumn("bucket", substring(col("key"), 1, 1))
+      .withColumn("bucket", substring(col("key"), 1, 1)))
     // (1) in-bucket running totals — 16-way parallel window
     val wb = Window.partitionBy(col("bucket")).orderBy(col("key"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -101,12 +105,14 @@ object Sharding {
   def groupedTokenPrefix(
       docs: DataFrame, groupCol: String, idCol: String,
       tokensCol: Column): DataFrame = {
-    val keyed = docs.select(
+    // same two-consumer shape as tokenShardAssignments — persist so
+    // the upstream computes once
+    val keyed = graft.core.OpCache.persist(docs.select(
       col(groupCol).as("grp"),
       col(idCol).as("doc_id"),
       md5(col(idCol).cast("string")).as("key"),
       tokensCol.cast("long").as("tokens"))
-      .withColumn("bucket", substring(col("key"), 1, 1))
+      .withColumn("bucket", substring(col("key"), 1, 1)))
     val wb = Window.partitionBy(col("grp"), col("bucket")).orderBy(col("key"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val local = keyed.withColumn("cum_in", sum(col("tokens")).over(wb))
