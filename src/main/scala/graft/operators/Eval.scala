@@ -90,6 +90,61 @@ object Eval {
             (lit(2.0) * col("n_pos") * col("n_neg")), 6)).as("auc"))
   }
 
+  /** SLICED AUC — [[aucReport]] per group, the "which slices does my
+    * filter fail on" table (per-source, per-language, per-length
+    * bucket): a scorer can hold a healthy global AUC while being
+    * noise on one source, and the global number will never say so.
+    * Same integer Mann–Whitney identity and bucketed-prefix
+    * discipline, with every stage keyed by (group, …): one hash agg
+    * on (group, score), per-(group, bucket) windows, a
+    * 16-rows-per-group offset fold, one broadcast join. Groups with a
+    * single class report NULL auc (no pairs to rank).
+    *
+    * @return (group, n_pos, n_neg, auc) — one row per group. */
+  def aucReportBy(
+      df: DataFrame, groupCol: String, labelCol: String, scoreCol: String,
+      buckets: Int = 16): DataFrame = {
+    require(buckets >= 1, s"buckets must be >= 1, got $buckets")
+    val s = df.select(
+      col(groupCol).as("grp"),
+      col(scoreCol).cast("double").as("score"),
+      col(labelCol).cast("int").cast("long").as("y"))
+      .filter(col("score").isNotNull && col("y").isNotNull)
+    val g = s.groupBy(col("grp"), col("score")).agg(
+      sum(col("y")).as("pos"),
+      (count(lit(1)) - sum(col("y"))).as("neg"))
+    val b = g.withColumn("bucket",
+      greatest(lit(0L), least(floor(col("score") * buckets), lit(buckets - 1L))))
+    val wb = Window.partitionBy(col("grp"), col("bucket"))
+      .orderBy(col("score"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val local = b.withColumn("cumneg_in", sum(col("neg")).over(wb))
+    val offsets = b.groupBy(col("grp"), col("bucket"))
+      .agg(sum(col("neg")).as("total"))
+      .groupBy(col("grp"))
+      .agg(sort_array(collect_list(struct(col("bucket"), col("total")))).as("bt"))
+      .select(col("grp"),
+        explode(transform(col("bt"), (x, i) => struct(
+          x.getField("bucket").as("bucket"),
+          aggregate(slice(col("bt"), lit(1), i), lit(0L),
+            (acc, st) => acc + st.getField("total")).as("offset")))).as("o"))
+      .select(col("grp"), col("o.bucket").as("bucket"),
+        col("o.offset").as("offset"))
+    local.join(broadcast(offsets), Seq("grp", "bucket"))
+      .select(col("grp"), col("pos"), col("neg"),
+        (col("pos") * (lit(2L) * (col("offset") + col("cumneg_in") - col("neg"))
+          + col("neg"))).as("u2"))
+      .groupBy(col("grp"))
+      .agg(
+        sum(col("pos")).cast("long").as("n_pos"),
+        sum(col("neg")).cast("long").as("n_neg"),
+        sum(col("u2")).cast("long").as("u2s"))
+      .select(col("grp").as(groupCol), col("n_pos"), col("n_neg"),
+        when(col("n_pos") > 0 && col("n_neg") > 0,
+          round(col("u2s").cast("double") /
+            (lit(2.0) * col("n_pos") * col("n_neg")), 6)).as("auc"))
+  }
+
   /** Reliability (calibration) table: scores cut into `bins`
     * equal-width probability bins, per bin the count, positive count,
     * DECIMAL-exact mean score and positive fraction — the table that

@@ -3020,6 +3020,50 @@ object TextQueries {
         |FROM s GROUP BY 1""".stripMargin)),
 
     Q(
+      "qt41_sliced_auc",
+      "SLICED scorer evaluation (Eval.aucReportBy — qt37 per group): " +
+        "the type-token-ratio scorer's AUC per SOURCE — a scorer can " +
+        "hold a healthy global AUC while being noise on one source, " +
+        "and the global number never says so. Same integer " +
+        "Mann–Whitney identity, every stage keyed by (source, …): " +
+        "one (source, score) hash agg, per-(source, bucket) windows, " +
+        "a 16-rows-per-group offset fold, one broadcast join. " +
+        "Single-class slices report NULL auc.",
+      (s, dir) => {
+        val t = split(coalesce(col("text"), lit("")), " ")
+        graft.operators.Eval.aucReportBy(
+          Tables.load(s, dir, "documents").select(
+            col("source"),
+            (size(array_distinct(t)).cast("double") /
+              size(t).cast("double")).as("score"),
+            (col("lang") === "en").cast("int").as("label")),
+          "source", "label", "score")
+      },
+      Some("""WITH s AS (
+        |  SELECT source,
+        |    CAST(len(list_distinct(string_split(coalesce(text,''),' '))) AS DOUBLE) /
+        |      CAST(len(string_split(coalesce(text,''),' ')) AS DOUBLE) AS score,
+        |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+        |  FROM documents),
+        |g AS (
+        |  SELECT source, score, CAST(sum(y) AS BIGINT) AS pos,
+        |    CAST(count(*) - sum(y) AS BIGINT) AS neg
+        |  FROM s GROUP BY 1, 2),
+        |c AS (
+        |  SELECT source, pos, neg,
+        |    sum(neg) OVER (PARTITION BY source ORDER BY score
+        |      ROWS UNBOUNDED PRECEDING) - neg AS negbelow
+        |  FROM g)
+        |SELECT source,
+        |  CAST(sum(pos) AS BIGINT) AS n_pos,
+        |  CAST(sum(neg) AS BIGINT) AS n_neg,
+        |  CASE WHEN sum(pos) > 0 AND sum(neg) > 0 THEN
+        |    round(CAST(sum(pos * (2 * negbelow + neg)) AS DOUBLE) /
+        |      (2.0 * CAST(sum(pos) AS DOUBLE) * CAST(sum(neg) AS DOUBLE)), 6)
+        |  END AS auc
+        |FROM c GROUP BY 1""".stripMargin)),
+
+    Q(
       "qt39_token_budget",
       "WATER-FILLING token-budget allocation " +
         "(Curation.tokenBudgetWaterfill) — the mixture-planning step " +

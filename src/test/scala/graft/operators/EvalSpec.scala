@@ -55,6 +55,26 @@ class EvalSpec extends SparkSuite {
     assert(Eval.aucReport(df, "label", "score").collect()(0).getDouble(2) == 1.0)
   }
 
+  test("aucReportBy: per-group AUC matches per-group global runs") {
+    val df = Seq(
+      ("a", 0.9, 1), ("a", 0.8, 1), ("a", 0.2, 0), ("a", 0.1, 0), // perfect
+      ("b", 0.1, 1), ("b", 0.9, 0),                               // inverted
+      ("c", 0.5, 1), ("c", 0.5, 1)                                // one class
+    ).toDF("g", "score", "label")
+    val got = Eval.aucReportBy(df, "g", "label", "score")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), Option(r.get(3))))).toMap
+    assert(got("a") == ((2L, 2L, Some(1.0))))
+    assert(got("b") == ((1L, 1L, Some(0.0))))
+    assert(got("c") == ((2L, 0L, None)))
+    // each slice equals a standalone aucReport on that slice
+    for (g <- Seq("a", "b")) {
+      val solo = Eval.aucReport(df.filter($"g" === g), "label", "score")
+        .collect()(0).getDouble(2)
+      assert(Some(solo) == got(g)._3.map(_.asInstanceOf[Double]), g)
+    }
+  }
+
   test("calibrationBins: bin membership, counts, exact means") {
     val df = Seq(
       (0.05, 0), (0.08, 0),            // bin 0
