@@ -69,6 +69,10 @@ object Sharding {
       md5(col(idCol).cast("string")).as("key"),
       tokensCol.cast("long").as("tokens"))
       .withColumn("bucket", substring(col("key"), 1, 1)))
+    // materialize BEFORE branching: the two consumers' shuffles map
+    // over keyed concurrently in one job, and a lazily-populated cache
+    // would let both recompute the upstream (measured on qt36)
+    keyed.count()
     // (1) in-bucket running totals — 16-way parallel window
     val wb = Window.partitionBy(col("bucket")).orderBy(col("key"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -113,6 +117,7 @@ object Sharding {
       md5(col(idCol).cast("string")).as("key"),
       tokensCol.cast("long").as("tokens"))
       .withColumn("bucket", substring(col("key"), 1, 1)))
+    keyed.count() // materialize before the two consumers branch
     val wb = Window.partitionBy(col("grp"), col("bucket")).orderBy(col("key"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val local = keyed.withColumn("cum_in", sum(col("tokens")).over(wb))
