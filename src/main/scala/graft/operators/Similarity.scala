@@ -1592,6 +1592,44 @@ object Similarity {
         * ny), 6).as("fidelity"))
   }
 
+  /** Product-quantization DISTORTION audit — [[sqDistortionReport]]'s
+    * twin for the PQ tier: per-vector cosine fidelity between the
+    * original embedding and its PQ reconstruction (each subvector
+    * replaced by its codebook centroid — the decode ADC search never
+    * actually performs, materialized here only to measure the loss).
+    * Together the two reports price the whole quantization ladder:
+    * SQ (4× smaller, per-dim loss) vs PQ (32× smaller, per-subspace
+    * loss).
+    *
+    * Training/encoding reuse [[pqTrainCodebooks]]/pqEncode verbatim;
+    * reconstruction is one (m, cent_id) equi-join against the
+    * broadcast codebooks + a per-vector sorted-struct flatten —
+    * map-side, no new shuffle shape.
+    *
+    * @return (vec_id, fidelity) rounded to 6. */
+  def pqDistortionReport(
+      em: DataFrame, idCol: String, vecCol: String,
+      nSub: Int = 8, dim: Int = 64, centroidStride: Int = 40,
+      iters: Int = 1): DataFrame = {
+    graft.functions.GraftFunctions.register(em.sparkSession)
+    val subDim = dim / nSub
+    val cb = graft.core.OpCache.persist(
+      pqTrainCodebooks(em, idCol, vecCol, nSub, dim, centroidStride, iters))
+    val e = graft.core.Partitioning.parallelize(em, col(idCol))
+      .select(col(idCol).as("vec_id"), col(vecCol).as("embedding"))
+    val codes = pqEncode(subvectors(e, nSub, subDim), broadcast(cb))
+    val recon = codes.join(broadcast(cb), Seq("m", "cent_id"))
+      .groupBy(col("vec_id"))
+      .agg(flatten(transform(
+        array_sort(collect_list(struct(col("m"), col("cvec")))),
+        s => s.getField("cvec"))).as("deq"))
+    import graft.functions.VectorFunctions.{dotProduct, l2Norm}
+    e.join(recon, Seq("vec_id"))
+      .select(col("vec_id"),
+        round(dotProduct(col("embedding"), col("deq")) /
+          (l2Norm(col("embedding")) * l2Norm(col("deq"))), 6).as("fidelity"))
+  }
+
   /** IVF OPERATING CURVE in one amortized pass — recall@k for several
     * nProbe settings at once, the table an index owner reads to pick
     * the latency/recall point (qs22 measures one configuration; a

@@ -1531,7 +1531,32 @@ object SimilarityQueries {
         |SELECT vec_id,
         |  round(${dkDot("embedding", "deq")} /
         |    (${dkNorm("embedding")} * ${dkNorm("deq")}), 6) AS fidelity
-        |FROM d""".stripMargin))
+        |FROM d""".stripMargin)),
+
+    Q(
+      "qs37_pq_distortion",
+      "Product-quantization DISTORTION audit " +
+        "(Similarity.pqDistortionReport — qs36's twin for the PQ " +
+        "tier): per-vector cosine fidelity vs the PQ reconstruction " +
+        "(each subvector replaced by its codebook centroid). " +
+        "Together with qs36 this prices the quantization ladder: SQ " +
+        "4× smaller / per-dim loss, PQ 32× smaller / per-subspace " +
+        "loss. Training/encoding are qs14's verbatim; reconstruction " +
+        "is one (m, cent_id) equi-join + a sorted-struct flatten.",
+      (s, dir) =>
+        Similarity.pqDistortionReport(
+          Tables.load(s, dir, "embeddings"), "vec_id", "embedding",
+          nSub = 8, dim = 64, centroidStride = 40, iters = 1),
+      Some(s"""WITH $pqCtes,
+        |rec AS (
+        |  SELECT c.vec_id,
+        |    flatten(list(cb.cvec ORDER BY c.m)) AS deq
+        |  FROM codes c JOIN cb ON cb.m = c.m AND cb.cent_id = c.cent_id
+        |  GROUP BY 1)
+        |SELECT e.vec_id,
+        |  round(${dkDot("e.embedding", "r.deq")} /
+        |    (${dkNorm("e.embedding")} * ${dkNorm("r.deq")}), 6) AS fidelity
+        |FROM embeddings e JOIN rec r USING (vec_id)""".stripMargin))
   )
 
   /** DuckDB replay of Similarity.pcaLoop (3 unrolled power-iteration

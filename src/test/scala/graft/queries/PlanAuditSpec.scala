@@ -138,6 +138,9 @@ class PlanAuditSpec extends SparkSuite {
       // qs10's one-row calibration-array broadcast crossed into the
       // linear quantize/dequantize pass — never a pair join
       "qs36_sq_distortion",
+      // qs15's broadcast codebook cross joins (train/encode); the
+      // reconstruction is a (m, cent_id) equi-join
+      "qs37_pq_distortion",
       // per-round one-row (remaining budget, weight sum) broadcast
       // crossed into the |sources|-row state frame — metadata-sized
       "qt39_token_budget",
