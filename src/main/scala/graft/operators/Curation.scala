@@ -471,9 +471,18 @@ object Curation {
       nStrata: Int = 4,
       maxSharedFp: Long = 0L,
       shardBudget: Long = 4096L): DataFrame = {
-    val packed = trainingPipelineDecontaminated(docs, bench, idCol, textCol,
-      langCol, sourceCol, langs, permille, defaultPermille, maxLen, nStrata,
-      maxSharedFp)
+    // CUT the pipeline lineage before the sharding stage fans out:
+    // packed is sequence-manifest-sized, but an un-cut frame carries
+    // the whole composed pipeline's logical plan into every downstream
+    // action — the shard stage alone re-analyzed it per job (measured
+    // 11.9 s over a CACHED 43-row input; < 1 s after the cut). The
+    // Logit/connectedComponents entry-cut lesson, applied at the
+    // pipeline→export seam.
+    val packedPlan = trainingPipelineDecontaminated(docs, bench, idCol,
+      textCol, langCol, sourceCol, langs, permille, defaultPermille, maxLen,
+      nStrata, maxSharedFp)
+    val packed = graft.core.OpCache.persist(
+      docs.sparkSession.createDataFrame(packedPlan.rdd, packedPlan.schema))
     val seqs = packed
       .groupBy(col("stratum"), col("seq_id"))
       .agg(sum(col("n_tokens")).cast("long").as("seq_tokens"))
