@@ -117,9 +117,13 @@ object Logit {
     // ONE persisted feature table feeds training AND final scoring —
     // the feature build (explode + two hash aggs over corpus tokens)
     // is the costliest single stage, and train-then-score would
-    // otherwise run it twice
+    // otherwise run it twice. CUT as well as persist: every round
+    // constructs margin/gradient frames over x, and an un-cut x makes
+    // each construction re-analyze the feature plan (the pipeline
+    // seam lesson).
+    val xPlan = features(docs, idCol, textCol, buckets)
     val x = graft.core.OpCache.persist(
-      features(docs, idCol, textCol, buckets))
+      docs.sparkSession.createDataFrame(xPlan.rdd, xPlan.schema))
     val y = graft.core.OpCache.persist(
       docs.select(col(idCol).as("doc_id"),
         col(labelCol).cast("int").cast("double").as("y")))
@@ -140,8 +144,9 @@ object Logit {
       buckets: Int = 256, rounds: Int = 3, lr: Double = 1.0,
       gain: Double = 8.0): LogitModel = {
     require(buckets >= 2, s"buckets must be >= 2, got $buckets")
+    val xPlan = features(docs, idCol, textCol, buckets)
     val x = graft.core.OpCache.persist(
-      features(docs, idCol, textCol, buckets))
+      docs.sparkSession.createDataFrame(xPlan.rdd, xPlan.schema))
     val y = graft.core.OpCache.persist(
       docs.select(col(idCol).as("doc_id"),
         col(labelCol).cast("int").cast("double").as("y")))
