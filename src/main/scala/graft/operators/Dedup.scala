@@ -314,6 +314,50 @@ object Dedup {
             col("n_true").cast("double"), 6)).as("recall"))
   }
 
+  /** MinHash ESTIMATOR-ERROR audit — the sketch-accuracy twin of the
+    * quantization distortion reports (qs36/qs37) for the dedup
+    * family: for every LSH-verified near-dup pair, the k-coordinate
+    * signature-agreement estimate of jaccard next to the exact value
+    * and their absolute error. E[agreement/k] = jaccard, sd
+    * ≈ √(j(1−j)/k) — this measures the realized spread at the
+    * configured k, the number that justifies (or indicts) a
+    * signature width before [[lshBandPlan]]'s S-curve is trusted.
+    *
+    * Costs nothing new at scale: pairs and shingle sets come from the
+    * audited LSH machinery; the estimate adds one fixed-k
+    * zip-and-count over the two signatures per VERIFIED pair
+    * (output-proportional, never corpus-proportional).
+    *
+    * @return (a_id, b_id, jaccard, est_jaccard, abs_err) — jaccard
+    *         exact (the verify value), est = agreements/k, both
+    *         rounded to 6. */
+  def minhashErrorReport(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      nShingle: Int = 3,
+      k: Int = 16,
+      bands: Int = 4,
+      threshold: Double = 0.5,
+      maxBucketSize: Int = DefaultMaxBucketSize): DataFrame = {
+    val sh = shingleTable(docs, idCol, textCol, nShingle)
+    val pairs = pairsFromBandTable(sh, bandTable(sh, k, bands),
+      threshold, maxBucketSize)
+    val sigs = sh.select(col("doc_id"),
+      minhashSignature(col("shingles"), k).as("sig"))
+    val est = (size(filter(zip_with(col("sa"), col("sb"),
+      (x, y) => x === y), b => b)).cast("double") / k)
+    pairs
+      .join(sigs.select(col("doc_id").as("a_id"), col("sig").as("sa")),
+        Seq("a_id"))
+      .join(sigs.select(col("doc_id").as("b_id"), col("sig").as("sb")),
+        Seq("b_id"))
+      .select(col("a_id"), col("b_id"),
+        round(col("jaccard"), 6).as("jaccard"),
+        round(est, 6).as("est_jaccard"),
+        round(abs(est - col("jaccard")), 6).as("abs_err"))
+  }
+
   /** SimHash signature (60-bit) over a column holding the DISTINCT
     * token hashes (array<long> from [[hash60]]): majority vote per bit,
     * computed by the native one-pass codegen kernel

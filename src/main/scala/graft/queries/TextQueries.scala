@@ -2769,6 +2769,32 @@ object TextQueries {
         |FROM c1, c2, c3""".stripMargin)),
 
     Q(
+      "qd39_minhash_error",
+      "MinHash ESTIMATOR-ERROR audit (Dedup.minhashErrorReport — the " +
+        "sketch-accuracy twin of qs36/qs37's distortion reports): for " +
+        "every LSH-verified near-dup pair, the 16-coordinate " +
+        "signature-agreement jaccard estimate next to the exact " +
+        "value and |error| — the realized spread (sd ≈ √(j(1−j)/k)) " +
+        "that justifies a signature width before qd33's S-curve is " +
+        "trusted. Output-proportional: one fixed-k zip per verified " +
+        "pair, nothing corpus-scale beyond the audited LSH machinery.",
+      (s, dir) =>
+        Dedup.minhashErrorReport(Tables.load(s, dir, "documents"),
+          "doc_id", "text", nShingle = 3, k = 16, bands = 4,
+          threshold = 0.5),
+      Some(s"""WITH ${lshCtes()},
+        |pairs AS ($lshPairSelect)
+        |SELECT p.a_id, p.b_id, round(p.jaccard, 6) AS jaccard,
+        |  round(CAST(len(list_filter(range(1, 17),
+        |    i -> x.sig[i] = y.sig[i])) AS DOUBLE) / 16, 6) AS est_jaccard,
+        |  round(abs(CAST(len(list_filter(range(1, 17),
+        |    i -> x.sig[i] = y.sig[i])) AS DOUBLE) / 16 - p.jaccard), 6)
+        |    AS abs_err
+        |FROM pairs p
+        |JOIN sigs x ON x.doc_id = p.a_id
+        |JOIN sigs y ON y.doc_id = p.b_id""".stripMargin)),
+
+    Q(
       "qt33_quality_classifier",
       "In-engine TRAINED text classifier (Logit.trainAndScore): " +
         "full-batch gradient descent over hashed unigram+bigram " +

@@ -39,4 +39,23 @@ class LshRecallSpec extends SparkSuite {
     assert(r.isNullAt(3))
     graft.core.OpCache.releaseAll()
   }
+
+  test("minhashErrorReport: identical docs estimate exactly 1.0, error 0") {
+    val txt = doc((1 to 12).map(i => s"w$i"))
+    val near = doc((1 to 11).map(i => s"w$i") :+ "x9")
+    val df = Seq((1L, txt), (2L, txt), (3L, near)).toDF("doc_id", "text")
+    val got = Dedup.minhashErrorReport(df, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getDouble(2), r.getDouble(3), r.getDouble(4)))).toMap
+    graft.core.OpCache.releaseAll()
+    // the exact-duplicate pair: jaccard 1, every signature coordinate
+    // agrees, error exactly 0
+    assert(got((1L, 2L)) == ((1.0, 1.0, 0.0)))
+    // every reported estimate is a multiple of 1/16 within [0, 1] and
+    // abs_err is consistent with the pair's own columns
+    got.values.foreach { case (j, e, err) =>
+      assert(e >= 0.0 && e <= 1.0 && (e * 16).round == e * 16)
+      assert(math.abs(err - math.abs(e - j)) < 2e-6, s"$j $e $err")
+    }
+  }
 }
