@@ -630,6 +630,25 @@ object ScaleSmoke {
           em2.filter(pmod($"vec_id", lit(50)) =!= 0),
           em2.filter(pmod($"vec_id", lit(50)) === 0),
           "vec_id", "embedding", threshold = 0.5).count()
+      },
+      time("export_manifest") {
+        // the full composed lifecycle + sequence sharding — the slope
+        // should equal the decontaminated pipeline's (the sharding
+        // stage is manifest-sized after the round-8 lineage cuts).
+        // maxSharedFp is loosened here: the duplicated smoke corpus
+        // puts ~20% of distinct TEXTS into the id-sampled benchmark,
+        // so the production threshold would empty the pool and
+        // short-circuit the very stages being timed — the audit
+        // stage still runs at full cost, it just excludes nothing
+        val r = graft.operators.Curation.exportManifest(
+          docs.filter(pmod($"doc_id", lit(50)) =!= 0),
+          docs.filter(pmod($"doc_id", lit(50)) === 0),
+          "doc_id", "text", "lang", "source", Seq("en", "es", "fr"),
+          Map("src0" -> 900, "src1" -> 700, "src2" -> 500, "src3" -> 200),
+          defaultPermille = 100, maxLen = 1024, nStrata = 4,
+          maxSharedFp = Long.MaxValue, shardBudget = 1024L).count()
+        graft.core.OpCache.releaseAll()
+        r
       })
 
     val total = results.map(_._2).sum
