@@ -71,6 +71,20 @@ object Bench {
     // line is short (<120 bytes) so no tail-capture window can lose the
     // headline total (r6: a 3.7 KB final line lost its front → parsed:null).
     println(s"""{"metric":"detail","queries":$qs,"errors":$errs}""")
+    // The stdout detail line is at the mercy of the caller's tail
+    // capture (r8 kept only 68/241 per-query timings) — ALSO write the
+    // full map to a file this process controls, named for the upcoming
+    // round (max existing BENCH_r{N}.json + 1) so round-over-round
+    // regressions are diffable without a judge re-run.
+    try {
+      val rounds = Option(new java.io.File(".").listFiles()).getOrElse(Array())
+        .flatMap(f => "^BENCH_r(\\d+)\\.json$".r
+          .findFirstMatchIn(f.getName).map(_.group(1).toInt))
+      val tag = if (rounds.nonEmpty) s"_r${"%02d".format(rounds.max + 1)}" else ""
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(s"bench_queries$tag.json"),
+        s"""{"sf":"$sfDir","total":${r3(total)},"queries":$qs,"errors":$errs}""")
+    } catch { case _: Throwable => () } // diagnostics only — never fail the bench
     println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","n":${timed.size},"errors":${timed.count(_._3.isDefined)},"sf":"$sfDir"}""")
     spark.stop()
   }

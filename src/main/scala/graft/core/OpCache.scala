@@ -51,6 +51,17 @@ object OpCache {
     * callers that released it themselves (index-scoped unpersist). */
   def untrack(df: DataFrame): Unit = live.remove(df)
 
+  /** Identity snapshot of the currently tracked frames — the scoped
+    * release pattern for long-running loops (streaming foreachBatch):
+    * snapshot before the batch work, then release exactly the frames
+    * the batch persisted (snapshot delta minus anything carried
+    * forward) so a lifetime stream never accumulates per-batch cache. */
+  def trackedSnapshot: Set[DataFrame] = {
+    val b = Set.newBuilder[DataFrame]
+    live.forEach(f => b += f)
+    b.result()
+  }
+
   /** Unpersist every tracked frame; returns how many were released. */
   def releaseAll(blocking: Boolean = false): Int = {
     var n = 0

@@ -14,7 +14,10 @@ import org.apache.spark.sql.types.{DecimalType, DoubleType}
   *
   * Determinism: AUC is computed from exact INTEGER pair counts (the
   * tie-aware Mann–Whitney identity) — no floating accumulation at
-  * all until the single final division; calibration means quantize
+  * all until the single final division. The pair-count products and
+  * their sum run in DECIMAL (2·AUC·P·N wraps a long once P·N exceeds
+  * ~4.6e18, i.e. ~2B rows per class — exactly the full-corpus regime
+  * these operators claim); calibration means quantize
   * each score to DECIMAL(30,6) before the order-invariant sum. Both
   * round derived doubles to 6 decimals (the engine-comparability
   * discipline of q42/qm01/Stats).
@@ -78,12 +81,19 @@ object Eval {
       .select(col("o.bucket").as("bucket"), col("o.offset").as("offset"))
     local.join(broadcast(offsets), Seq("bucket"))
       .select(col("pos"), col("neg"),
-        (col("pos") * (lit(2L) * (col("offset") + col("cumneg_in") - col("neg"))
-          + col("neg"))).as("u2"))
+        // DECIMAL term + sum: 2·AUC·P·N reaches ~4.6e18 at ~2B rows per
+        // class and would wrap a long there; DECIMAL(19,0) factors
+        // (each a count ≤ corpus size) multiply into DECIMAL(38,0)
+        // exactly, keeping the "scales to the full corpus" scaladoc
+        // claim honest.
+        (col("pos").cast(DecimalType(19, 0)) *
+          ((col("offset") + col("cumneg_in") - col("neg"))
+            .cast(DecimalType(19, 0)) * lit(2)
+            + col("neg").cast(DecimalType(19, 0)))).as("u2"))
       .agg(
         sum(col("pos")).cast("long").as("n_pos"),
         sum(col("neg")).cast("long").as("n_neg"),
-        sum(col("u2")).cast("long").as("u2s"))
+        sum(col("u2")).as("u2s"))
       .select(col("n_pos"), col("n_neg"),
         when(col("n_pos") > 0 && col("n_neg") > 0,
           round(col("u2s").cast("double") /
@@ -132,13 +142,16 @@ object Eval {
         col("o.offset").as("offset"))
     local.join(broadcast(offsets), Seq("grp", "bucket"))
       .select(col("grp"), col("pos"), col("neg"),
-        (col("pos") * (lit(2L) * (col("offset") + col("cumneg_in") - col("neg"))
-          + col("neg"))).as("u2"))
+        // DECIMAL term + sum — the aucReport overflow discipline
+        (col("pos").cast(DecimalType(19, 0)) *
+          ((col("offset") + col("cumneg_in") - col("neg"))
+            .cast(DecimalType(19, 0)) * lit(2)
+            + col("neg").cast(DecimalType(19, 0)))).as("u2"))
       .groupBy(col("grp"))
       .agg(
         sum(col("pos")).cast("long").as("n_pos"),
         sum(col("neg")).cast("long").as("n_neg"),
-        sum(col("u2")).cast("long").as("u2s"))
+        sum(col("u2")).as("u2s"))
       .select(col("grp").as(groupCol), col("n_pos"), col("n_neg"),
         when(col("n_pos") > 0 && col("n_neg") > 0,
           round(col("u2s").cast("double") /

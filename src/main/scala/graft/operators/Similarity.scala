@@ -1643,8 +1643,11 @@ object Similarity {
     * documented O(n²) audit baseline (qs22's contract: sample-sized
     * query sets at scale).
     *
-    * @return (n_probe, n_queries, n_hits, recall) — one row per
-    *         swept probe count, recall = hits/(k·queries) rounded 6. */
+    * @return (n_probe, n_queries, n_truth, n_hits, recall) — one row
+    *         per swept probe count; recall = hits / exact-truth pairs
+    *         (NOT k·queries — a short exact list, e.g. a corpus with
+    *         ≤ k vectors, would make 1.0 unreachable and understate
+    *         the curve), rounded 6, NULL when the truth is empty. */
   def probeSweepRecall(
       em: DataFrame, idCol: String, vecCol: String,
       k: Int = 5, centroidStride: Int = 40,
@@ -1675,7 +1678,13 @@ object Similarity {
     val exact = graft.core.OpCache.persist(
       bruteForceTopK(em, idCol, vecCol, k)
         .select(col("vec_id").as("qid"), col("nbr_id").as("cand")))
-    val nq = exact.agg(countDistinct(col("qid")).cast("long").as("n_queries"))
+    // denominator = the exact-truth PAIR count, not k·queries: on a
+    // corpus with ≤ k vectors (or any query whose exact list comes up
+    // short) k·queries overstates the reachable hits and recall 1.0
+    // becomes unreachable — the truth side defines what "all" means
+    val nq = exact.agg(
+      countDistinct(col("qid")).cast("long").as("n_queries"),
+      count(lit(1)).cast("long").as("n_truth"))
     probes.map { p =>
       val top = topKHeap(
         cand.filter(col("prn") <= p).select(col("qid"), col("cand"), col("cos")),
@@ -1685,9 +1694,10 @@ object Similarity {
         .select(lit(p).cast("long").as("n_probe"), col("n_hits"))
     }.reduce(_.unionByName(_))
       .crossJoin(broadcast(nq))
-      .select(col("n_probe"), col("n_queries"), col("n_hits"),
-        round(col("n_hits").cast("double") /
-          (lit(k.toDouble) * col("n_queries")), 6).as("recall"))
+      .select(col("n_probe"), col("n_queries"), col("n_truth"), col("n_hits"),
+        when(col("n_truth") > 0,
+          round(col("n_hits").cast("double") /
+            col("n_truth").cast("double"), 6)).as("recall"))
   }
 
   /** Per-dimension embedding DATASHEET — qw16's column profile for

@@ -1444,7 +1444,9 @@ object SimilarityQueries {
         "maxProbe fan-out (each corpus vector lives in exactly one " +
         "cell, so pairs carry their cell's probe rank), each sweep " +
         "point is a filter + mergeable top-k + one semi-join vs " +
-        "exact truth. The table an index owner reads to pick the " +
+        "exact truth (recall denominator = the truth PAIR count, so " +
+        "1.0 stays reachable even when an exact list comes up " +
+        "short). The table an index owner reads to pick the " +
         "latency/recall point; qs22 measures one configuration, " +
         "this measures the curve without rescoring.",
       (s, dir) =>
@@ -1469,9 +1471,10 @@ object SimilarityQueries {
             .stripMargin
         def row(p: Int): String =
           s"""SELECT CAST($p AS BIGINT) AS n_probe, nq.n_queries,
-            |  h.n_hits,
-            |  round(CAST(h.n_hits AS DOUBLE) /
-            |    (5.0 * CAST(nq.n_queries AS DOUBLE)), 6) AS recall
+            |  nq.n_truth, h.n_hits,
+            |  CASE WHEN nq.n_truth > 0 THEN
+            |    round(CAST(h.n_hits AS DOUBLE) /
+            |      CAST(nq.n_truth AS DOUBLE), 6) END AS recall
             |FROM hits$p h, nq""".stripMargin
         s"""WITH e AS (
           |  SELECT vec_id, embedding, ${dkNorm("embedding")} AS nrm
@@ -1496,7 +1499,8 @@ object SimilarityQueries {
           |          DESC, b2.vec_id) AS rnk
           |    FROM e a JOIN e b2 ON a.vec_id <> b2.vec_id)
           |  WHERE rnk <= 5),
-          |nq AS (SELECT CAST(count(DISTINCT vec_id) AS BIGINT) AS n_queries
+          |nq AS (SELECT CAST(count(DISTINCT vec_id) AS BIGINT) AS n_queries,
+          |       CAST(count(*) AS BIGINT) AS n_truth
           |       FROM exact),
           |${point(1)},
           |${point(2)},

@@ -800,20 +800,6 @@ object EventStreams {
     if (!q.awaitTermination(180000)) q.stop()
   }
 
-  /** Streaming SCORER-HEALTH canary — [[graft.operators.Eval.aucReport]]
-    * per micro-batch: each arriving labeled audit batch is scored and
-    * its exact tie-aware AUC lands as one (grp, n_pos, n_neg, auc)
-    * row, so a quality filter losing discrimination (model rot, drift
-    * in the incoming mix) trips an alert within one batch instead of
-    * one retraining cycle. Runs on the LABELED audit stream (a sampled
-    * side channel), not the raw corpus — AUC needs labels.
-    *
-    * Stateless: verdict rows are a pure function of their batch, so
-    * re-delivery re-emits identical rows (consumer distinct).
-    * `grp` must be constant within a batch (it identifies the batch
-    * in the output — here min() reduces it); score/label are any
-    * batch-column expressions.
-    */
   /** Streaming BUDGET GATE — the per-source token allocation
     * ([[graft.operators.Curation.tokenBudgetWaterfill]]'s plan, or any
     * (source, alloc_tokens) table) enforced at the ingest door across
@@ -850,6 +836,7 @@ object EventStreams {
       .outputMode(OutputMode.Append())
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val trackedBefore = graft.core.OpCache.trackedSnapshot
         val pre = graft.operators.Sharding.groupedTokenPrefix(
           batch.toDF(), sourceCol, idCol, tokensCol)
         val withC = state match {
@@ -879,14 +866,45 @@ object EventStreams {
         }
         // cut: an un-cut state would re-analyze the whole merge
         // history every batch (the qt33 model discipline)
-        state = Some(graft.core.OpCache.persist(
-          spark.createDataFrame(merged.rdd, merged.schema)))
+        val next = graft.core.OpCache.persist(
+          spark.createDataFrame(merged.rdd, merged.schema))
+        next.count() // materialize before releasing the frames it reads
+        // Release every frame this batch persisted except the new
+        // state (the superseded state, the verdicts, and
+        // groupedTokenPrefix's keyed table) — the prev-release
+        // discipline of componentMaintenance, applied scope-wide: a
+        // LIFETIME stream must not accumulate one cached frame per
+        // micro-batch.
+        (graft.core.OpCache.trackedSnapshot -- trackedBefore - next)
+          .foreach { f =>
+            f.unpersist(false); graft.core.OpCache.untrack(f)
+          }
+        state.foreach { prev =>
+          prev.unpersist(false); graft.core.OpCache.untrack(prev)
+        }
+        state = Some(next)
         ()
       }
       .start()
     if (!q.awaitTermination(180000)) q.stop()
+    a.unpersist(false)
+    graft.core.OpCache.untrack(a)
   }
 
+  /** Streaming SCORER-HEALTH canary — [[graft.operators.Eval.aucReport]]
+    * per micro-batch: each arriving labeled audit batch is scored and
+    * its exact tie-aware AUC lands as one (grp, n_pos, n_neg, auc)
+    * row, so a quality filter losing discrimination (model rot, drift
+    * in the incoming mix) trips an alert within one batch instead of
+    * one retraining cycle. Runs on the LABELED audit stream (a sampled
+    * side channel), not the raw corpus — AUC needs labels.
+    *
+    * Stateless: verdict rows are a pure function of their batch, so
+    * re-delivery re-emits identical rows (consumer distinct).
+    * `grp` must be constant within a batch (it identifies the batch
+    * in the output — here min() reduces it); score/label are any
+    * batch-column expressions.
+    */
   def scorerAucFeed(
       docs: DataFrame,
       score: org.apache.spark.sql.Column,
