@@ -16,12 +16,26 @@ import org.apache.spark.sql.types._
   *  - decoded features are fixed-schema structs so downstream is
   *    ordinary columnar relational work.
   *
-  * The decode kernels themselves are STUBS: this container has no
-  * imaging/audio codec, so [[decodeImage]] computes deterministic
-  * byte-level pseudo-features (size, entropy, histogram moments,
-  * magic-byte format sniff) standing in for a real `ImageIO`/ffmpeg
-  * call. The function signature, batching, schema, and partitioning —
-  * the parts that matter for the engine — are real and tested.
+  * IMAGE decode is REAL: `javax.imageio.ImageIO` (the JDK's
+  * `java.desktop` module — no external dependency) decodes PNG / JPEG
+  * / GIF / BMP payloads at the per-partition seam, and [[decodeImage]]
+  * reports TRUE pixel dimensions plus an integer-exact mean luma
+  * (Rec.601 integer weights — engine-replayable arithmetic, see
+  * [[decodeLuma]]). Non-image payloads (and codec failures) report
+  * width = height = 0 — an honest "not decodable", never a guess.
+  * Byte-level payload statistics (size, entropy, histogram moments,
+  * magic-byte sniff) are computed for every payload regardless.
+  *
+  * AUDIO/VIDEO decode remains a STUB — the JDK ships no audio/video
+  * codec and this container has no ffmpeg. The integration seam is
+  * specified precisely (see the scaladoc on [[sampleFrames]] /
+  * [[frameSceneStats]] and the ignored contract spec in
+  * MultimodalSpec): a production build binds a demuxer inside the
+  * same `mapPartitions` blocks, initialised once per partition,
+  * emitting the exact (media_id, frame_no, frame-bytes) rows the
+  * relational stages already consume. Everything downstream of the
+  * codec call — schema, batching, partitioning, windowing — is real
+  * and tested.
   */
 object Multimodal {
 
@@ -37,20 +51,95 @@ object Multimodal {
       n_bytes: Long,
       entropy: Double,
       mean_byte: Double,
-      width: Int,     // stub: derived deterministically, real decode would read headers
-      height: Int)
+      width: Int,       // TRUE decoded pixel width; 0 when not decodable
+      height: Int,      // TRUE decoded pixel height; 0 when not decodable
+      mean_luma: Double) // integer-exact Rec.601 mean luma; 0.0 when not decodable
 
   /** Magic-byte format sniff (real logic — headers are just bytes). */
   def sniffFormat(b: Array[Byte]): String =
     if (b.length >= 8 &&
       (b(0) & 0xff) == 0x89 && b(1) == 'P' && b(2) == 'N' && b(3) == 'G') "png"
     else if (b.length >= 3 && (b(0) & 0xff) == 0xff && (b(1) & 0xff) == 0xd8) "jpeg"
+    else if (b.length >= 6 && b(0) == 'G' && b(1) == 'I' && b(2) == 'F' &&
+      b(3) == '8') "gif"
+    else if (b.length >= 2 && b(0) == 'B' && b(1) == 'M') "bmp"
     else if (b.length >= 4 && b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F') "riff"
     else "unknown"
 
-  /** Decode + feature-extract one image payload.
-    * STUB decode: byte histogram statistics instead of pixel decode;
-    * a production build swaps the marked block for the codec call. */
+  private val ImageFormats = Set("png", "jpeg", "gif", "bmp")
+
+  /** Decoded image: true dimensions plus the per-pixel luma stream in
+    * row-major order, scaled ×1000 (lumaMilli = 299·R + 587·G + 114·B,
+    * the Rec.601 weights in INTEGER thousandths — no float anywhere,
+    * so every derived statistic is bit-replayable by any engine).
+    * Samples read straight off the raster (no ColorModel conversion):
+    * a 1-band (grayscale) image uses its single band as R = G = B —
+    * lumaMilli = 1000·v — and ≥3-band images use bands 0/1/2 as RGB.
+    * Conversion-free reads keep the decoded values exactly the
+    * samples the file stores (lossless for PNG/BMP/GIF), which is
+    * what makes an encode→decode round-trip oracle-checkable. */
+  final case class DecodedImage(width: Int, height: Int, lumaMilli: Array[Int])
+
+  /** Real image decode via `javax.imageio.ImageIO` (JDK `java.desktop`
+    * — present in this runtime; verified `java --list-modules`).
+    * Returns None for non-image payloads or codec failures. */
+  def decodeLuma(bytes: Array[Byte]): Option[DecodedImage] = {
+    if (!ImageFormats.contains(sniffFormat(bytes))) return None
+    try {
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(bytes))
+      if (img == null) return None
+      val w = img.getWidth
+      val h = img.getHeight
+      val r = img.getRaster
+      val bands = r.getNumBands
+      val luma = new Array[Int](w * h)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val l =
+            if (bands == 1) 1000 * r.getSample(x, y, 0)
+            else if (bands == 2) 1000 * r.getSample(x, y, 0) // gray+alpha
+            else 299 * r.getSample(x, y, 0) + 587 * r.getSample(x, y, 1) +
+              114 * r.getSample(x, y, 2)
+          luma(y * w + x) = l
+          x += 1
+        }
+        y += 1
+      }
+      Some(DecodedImage(w, h, luma))
+    } catch { case _: Exception => None }
+  }
+
+  /** Deterministic grayscale-PNG ENCODER (the round-trip fixture
+    * factory and the write half of the image seam): pixel (x, y) =
+    * `pixels(y·w + x)` (0–255), written through a TYPE_BYTE_GRAY
+    * raster — sample-exact, no colorspace conversion — and encoded
+    * with the JDK PNG writer (lossless, timestamp-free, so identical
+    * pixels yield identical bytes within a JVM). */
+  def encodeGrayPng(w: Int, h: Int, pixels: Array[Int]): Array[Byte] = {
+    require(w >= 1 && h >= 1 && pixels.length == w * h,
+      s"need $w x $h = ${w * h} pixels, got ${pixels.length}")
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    val r = img.getRaster
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) { r.setSample(x, y, 0, pixels(y * w + x) & 0xff); x += 1 }
+      y += 1
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", out)
+    out.toByteArray
+  }
+
+  /** Decode + feature-extract one media payload: byte-stream stats
+    * (size, entropy, histogram mean — computed for EVERY payload) plus
+    * the REAL decode ([[decodeLuma]]) for image formats — true
+    * width/height and integer-exact mean luma; 0/0/0.0 for non-image
+    * or undecodable payloads. */
   def decodeImage(mediaId: Long, bytes: Array[Byte]): MediaFeatures = {
     val hist = new Array[Long](256)
     var i = 0
@@ -65,13 +154,18 @@ object Multimodal {
       mean += j * p
       j += 1
     }
-    // --- STUB: real decode (e.g. ImageIO.read) would supply true
-    // dimensions; here they derive deterministically from content.
-    val w = 64 + (math.abs(java.util.Arrays.hashCode(bytes)) % 512)
-    val h = 64 + (math.abs(java.util.Arrays.hashCode(bytes) / 7) % 512)
-    // --- end stub
+    val (w, h, ml) = decodeLuma(bytes) match {
+      case Some(d) =>
+        var s = 0L
+        var k = 0
+        while (k < d.lumaMilli.length) { s += d.lumaMilli(k); k += 1 }
+        // s and the divisor are exact integers; one IEEE division —
+        // the same value any engine computes from the same pixels
+        (d.width, d.height, s.toDouble / (1000.0 * d.lumaMilli.length))
+      case None => (0, 0, 0.0)
+    }
     MediaFeatures(mediaId, sniffFormat(bytes), bytes.length.toLong,
-      entropy, mean, w, h)
+      entropy, mean, w, h, ml)
   }
 
   /** Batched feature extraction: one pass per partition, decoder state
@@ -82,7 +176,9 @@ object Multimodal {
     media.select(col("media_id"), col("bytes"))
       .as[(Long, Array[Byte])]
       .mapPartitions { rows =>
-        // decoder init would happen HERE, once per partition
+        // per-partition seam: heavyweight decoder state (a JNI codec,
+        // an ffmpeg context) initialises HERE once; ImageIO itself is
+        // stateless per call
         rows.map { case (id, b) =>
           decodeImage(id, if (b == null) Array.emptyByteArray else b)
         }
@@ -97,16 +193,20 @@ object Multimodal {
       explode(sequence(lit(0L), lit(((maxFrames - 1) * everyN).toLong), lit(everyN.toLong)))
         .as("frame_no"))
 
-  /** Resize plumbing: emit (media_id, target_w, target_h, scale) rows
-    * for a batch resize pass. STUB: the pixel work is the decode
-    * kernel's job; the aspect-preserving geometry (the part a pipeline
-    * plans around) is real. */
+  /** Resize planning: emit (media_id, target_w, target_h, scale) rows
+    * for a batch resize pass — aspect-preserving, never upscaling.
+    * Undecodable payloads (width = height = 0) plan to 0×0 at scale
+    * 1.0 (nothing to resize — the honest propagation of the decode
+    * verdict, not a 1×1 fabrication). */
   def resizePlan(features: Dataset[MediaFeatures], maxSide: Int = 256): DataFrame = {
     import features.sparkSession.implicits._
     features.map { f =>
-      val scale = math.min(1.0, maxSide.toDouble / math.max(f.width, f.height))
-      (f.media_id, math.max(1, math.round(f.width * scale).toInt),
-        math.max(1, math.round(f.height * scale).toInt), scale)
+      if (f.width <= 0 || f.height <= 0) (f.media_id, 0, 0, 1.0)
+      else {
+        val scale = math.min(1.0, maxSide.toDouble / math.max(f.width, f.height))
+        (f.media_id, math.max(1, math.round(f.width * scale).toInt),
+          math.max(1, math.round(f.height * scale).toInt), scale)
+      }
     }.toDF("media_id", "target_w", "target_h", "scale")
   }
 
@@ -492,10 +592,16 @@ object Multimodal {
     * candidate generation is COMPLETE), exact popcount verify. The
     * simhash60 discipline applied to media payloads; same linear
     * shuffle, no all-pairs. */
-  def phashNearDupPairs(media: DataFrame, maxDist: Int = 3): DataFrame = {
+  def phashNearDupPairs(media: DataFrame, maxDist: Int = 3): DataFrame =
+    hammingPairs(perceptualHashes(media), maxDist)
+
+  /** Banded hamming-distance pair search over any (media_id, ahash)
+    * table — the candidate-complete (pigeonhole) banding shared by
+    * the byte-stream ([[phashNearDupPairs]]) and decoded-pixel
+    * ([[curateMediaDecoded]]) perceptual families. */
+  private def hammingPairs(h: DataFrame, maxDist: Int): DataFrame = {
     require(maxDist >= 0 && maxDist < 60, "maxDist in 0..59")
     val nBands = maxDist + 1
-    val h = perceptualHashes(media)
     val banded = h.select(col("media_id"), col("ahash"),
       explode(array((0 until nBands).map { b =>
         val lo = b * 60 / nBands
@@ -514,5 +620,133 @@ object Multimodal {
       .distinct()
       .filter(col("hamming") <= maxDist)
       .select(col("a_id"), col("b_id"), col("hamming").cast("long").as("hamming"))
+  }
+
+  // ---------------------------------------------------------------
+  // Real-codec image path (ImageIO round-trip) — qm10/qm11/qm12
+  // ---------------------------------------------------------------
+
+  /** Deterministic synthetic image table from a text corpus — the
+    * REAL-CODEC round-trip fixture the decoded-image queries run on:
+    * doc id becomes a w×h grayscale PNG (w = 8 + id mod 25,
+    * h = 8 + (id div 3) mod 25 — 8..32 px a side) whose row-major
+    * pixel p is the byte code of the text's char at (p mod len). All
+    * of (w, h, pixels) are pure formulas over (doc_id, text) an
+    * oracle replays WITHOUT ever seeing the bytes, while the engine
+    * path runs text → [[encodeGrayPng]] (real JDK PNG encoder) →
+    * binary column → [[decodeLuma]] (real ImageIO decode): a lie
+    * anywhere in the codec path breaks formula parity and fails the
+    * hash compare. Chars must be single bytes (the ASCII contract of
+    * the Gear family) — a wider char fails loudly. */
+  def syntheticImages(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.filter(length(col(textCol)) >= 1)
+      .select(col(idCol).cast("long").as("media_id"), col(textCol).as("txt"))
+      .as[(Long, String)]
+      .mapPartitions { rows =>
+        rows.map { case (id, txt) =>
+          val w = (8 + (id % 25)).toInt
+          val h = (8 + ((id / 3) % 25)).toInt
+          val len = txt.length
+          val px = Array.tabulate(w * h) { p =>
+            val c = txt.charAt(p % len).toInt
+            if (c > 255) throw new IllegalArgumentException(
+              s"syntheticImages: non-byte char in doc $id")
+            c
+          }
+          (id, encodeGrayPng(w, h, px))
+        }
+      }
+      .toDF("media_id", "bytes")
+      .select(col("media_id"), col("bytes"), lit("image/png").as("mime"),
+        map(lit("origin"), lit("synthetic-png")).as("meta"))
+  }
+
+  /** [[aHash60]] over a decoded luma stream (lumaMilli ints): 60
+    * segments over the row-major pixel order, bit j set iff segment
+    * j's mean beats the global mean — integer cross-multiplies, no
+    * division, and SCALE-INVARIANT (segSum·n > total·segCnt holds for
+    * v and 1000·v alike), so an oracle may replay it on raw 0–255
+    * values while the engine hashes Rec.601 thousandths. */
+  def lumaAHash60(luma: Array[Int]): Long = {
+    val n = luma.length
+    if (n == 0) return 0L
+    val segSum = new Array[Long](60)
+    val segCnt = new Array[Long](60)
+    var total = 0L
+    var p = 0
+    while (p < n) {
+      val v = luma(p).toLong
+      val j = (p.toLong * 60L / n).toInt
+      segSum(j) += v
+      segCnt(j) += 1
+      total += v
+      p += 1
+    }
+    var h = 0L
+    var j = 0
+    while (j < 60) {
+      if (segSum(j) * n > total * segCnt(j)) h |= (1L << j)
+      j += 1
+    }
+    h
+  }
+
+  /** One REAL decode pass per payload → the two curation signals:
+    * (media_id, width, height, luma_md5, ahash) — exact pixel
+    * identity (md5 over the big-endian lumaMilli stream) and the
+    * perceptual [[lumaAHash60]], both from the same [[decodeLuma]]
+    * call so the payload is decoded exactly once. Undecodable
+    * payloads are EXCLUDED: a row the codec cannot read has no pixel
+    * identity (an upstream quality gate owns it). Digest instance
+    * initialised once per partition — the codec-seam discipline. */
+  def decodedSignatures(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id"), col("bytes"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        rows.flatMap { case (id, b) =>
+          decodeLuma(if (b == null) Array.emptyByteArray else b).map { d =>
+            md.reset()
+            val bb = java.nio.ByteBuffer.allocate(4 * d.lumaMilli.length)
+            d.lumaMilli.foreach(bb.putInt)
+            val key = md.digest(bb.array()).map("%02x".format(_)).mkString
+            (id, d.width, d.height, key, lumaAHash60(d.lumaMilli))
+          }
+        }
+      }
+      .toDF("media_id", "width", "height", "luma_md5", "ahash")
+  }
+
+  /** [[curateMedia]] on DECODED PIXELS — the composed curation the
+    * real codec path unlocks: exact dedup keys on the decoded luma
+    * stream identity (width, height, luma md5 — encoding details like
+    * PNG filter choices can no longer split identical images), then
+    * perceptual near-dedup among survivors via [[lumaAHash60]]'s
+    * banded hamming join (drop any id with a smaller-id neighbor
+    * within `maxDist` — qd07's greedy keep rule). One decode pass
+    * feeds both stages ([[decodedSignatures]] persisted). Collapse-
+    * first ordering is the same 100 TB argument as qm09.
+    *
+    * @return surviving (media_id, n_px) */
+  def curateMediaDecoded(media: DataFrame, maxDist: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sig = graft.core.OpCache.persist(decodedSignatures(media))
+    val keepW = Window
+      .partitionBy(col("width"), col("height"), col("luma_md5"))
+      .orderBy(col("media_id"))
+    val s1 = graft.core.OpCache.persist(
+      sig.withColumn("__rn", row_number().over(keepW))
+        .filter(col("__rn") === 1)
+        .select(col("media_id"), col("width"), col("height"), col("ahash")))
+    val dropped = hammingPairs(
+      s1.select(col("media_id"), col("ahash")), maxDist)
+      .select(col("b_id").as("media_id")).distinct()
+    s1.join(dropped, Seq("media_id"), "left_anti")
+      .select(col("media_id"),
+        (col("width").cast("long") * col("height").cast("long")).as("n_px"))
   }
 }

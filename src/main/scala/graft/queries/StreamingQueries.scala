@@ -1557,18 +1557,21 @@ object StreamingQueries {
     Q(
       "qm01_media_features",
       "Multimodal plumbing: wrap document text bytes as media rows, " +
-        "extract per-partition batched byte-level features (stub " +
-        "decode). Oracle-checked: n_bytes/entropy/mean_byte/format are " +
+        "extract per-partition batched payload features. " +
+        "Oracle-checked: n_bytes/entropy/mean_byte/format are " +
         "replayed in SQL over the text bytes (6-decimal rounding " +
-        "absorbs libm log ulp differences); the stub-derived " +
-        "width/height stay library-only.",
+        "absorbs libm log ulp differences); width/height come from " +
+        "the REAL ImageIO decode attempt and are honestly 0 for " +
+        "these non-image payloads (the decoded-image path with true " +
+        "dimensions is qm10's round-trip).",
       (s, dir) => {
         val docs = graft.core.Tables.load(s, dir, "documents")
         val media = Multimodal.asMedia(docs, "doc_id", "text", "text/plain")
         Multimodal.extractFeatures(media).toDF()
           .select(col("media_id"), col("format"), col("n_bytes"),
             round(col("entropy"), 6).as("entropy"),
-            round(col("mean_byte"), 6).as("mean_byte"))
+            round(col("mean_byte"), 6).as("mean_byte"),
+            col("width"), col("height"))
       },
       Some("""WITH b AS (
         |  SELECT doc_id, unicode(substring(text, CAST(t.i AS INT), 1)) AS code
@@ -1584,8 +1587,142 @@ object StreamingQueries {
         |  CASE WHEN substring(d.text,1,4)='RIFF' THEN 'riff' ELSE 'unknown' END AS format,
         |  CAST(length(d.text) AS BIGINT) AS n_bytes,
         |  round(e.ent, 6) AS entropy,
-        |  round(e.mb, 6) AS mean_byte
+        |  round(e.mb, 6) AS mean_byte,
+        |  CAST(0 AS INT) AS width,
+        |  CAST(0 AS INT) AS height
         |FROM documents d JOIN e ON d.doc_id = e.doc_id""".stripMargin)),
+
+    Q(
+      "qm10_image_decode",
+      "REAL image decode round-trip (Multimodal.syntheticImages -> " +
+        "encodeGrayPng -> ImageIO decodeLuma): each doc becomes a " +
+        "w x h grayscale PNG (w = 8 + id%25, h = 8 + (id div 3)%25, " +
+        "pixel p = text char code at p mod len - pure formulas), the " +
+        "engine encodes with the JDK PNG writer and decodes with " +
+        "ImageIO, reporting TRUE width/height and the integer-exact " +
+        "mean luma. The oracle replays the construction formulas " +
+        "without ever seeing the bytes - a lie anywhere in the codec " +
+        "path breaks parity. Decode batched per partition (the codec " +
+        "seam), features are one narrow pass.",
+      (s, dir) => {
+        val media = Multimodal.syntheticImages(
+          graft.core.Tables.load(s, dir, "documents"), "doc_id", "text")
+        Multimodal.extractFeatures(media).toDF()
+          .select(col("media_id"), col("format"),
+            col("width"), col("height"),
+            round(col("mean_luma"), 6).as("mean_luma"))
+      },
+      Some("""WITH d AS (
+        |  SELECT doc_id, text, length(text) AS len,
+        |    CAST(8 + doc_id % 25 AS INT) AS w,
+        |    CAST(8 + (doc_id // 3) % 25 AS INT) AS h
+        |  FROM documents WHERE length(text) >= 1),
+        |px AS (
+        |  SELECT doc_id,
+        |    unicode(substring(text, CAST((t.p % len) + 1 AS INT), 1)) AS v
+        |  FROM d, unnest(range(0, w * h)) t(p)),
+        |s AS (SELECT doc_id, sum(v) AS sv, count(*) AS n FROM px GROUP BY 1)
+        |SELECT d.doc_id AS media_id, 'png' AS format,
+        |  d.w AS width, d.h AS height,
+        |  round(CAST(s.sv AS DOUBLE) / CAST(s.n AS DOUBLE), 6) AS mean_luma
+        |FROM d JOIN s ON d.doc_id = s.doc_id""".stripMargin)),
+
+    Q(
+      "qm11_luma_phash",
+      "Perceptual aHash over REAL DECODED PIXELS " +
+        "(Multimodal.decodedSignatures -> lumaAHash60): the synthetic " +
+        "PNGs decode through ImageIO and the 60-bit average-hash runs " +
+        "on the row-major luma stream - qm06's hash arithmetic, now " +
+        "fed by a real codec. The integer cross-multiply compare is " +
+        "SCALE-INVARIANT, so the oracle replays it on raw 0-255 " +
+        "pixel formulas while the engine hashes Rec.601 thousandths; " +
+        "any decode disagreement flips bits and fails the compare.",
+      (s, dir) =>
+        Multimodal.decodedSignatures(
+          Multimodal.syntheticImages(
+            graft.core.Tables.load(s, dir, "documents"), "doc_id", "text"))
+          .select(col("media_id"), col("ahash")),
+      Some("""WITH d AS (
+        |  SELECT doc_id, text, length(text) AS len,
+        |    CAST(8 + doc_id % 25 AS INT) AS w,
+        |    CAST(8 + (doc_id // 3) % 25 AS INT) AS h
+        |  FROM documents WHERE length(text) >= 1),
+        |b AS (
+        |  SELECT doc_id, t.p AS p,
+        |    unicode(substring(text, CAST((t.p % len) + 1 AS INT), 1)) AS v,
+        |    w * h AS n
+        |  FROM d, unnest(range(0, w * h)) t(p)),
+        |seg AS (
+        |  SELECT doc_id, (p * 60) // n AS j, sum(v) AS s, count(*) AS c
+        |  FROM b GROUP BY 1, 2),
+        |tot AS (SELECT doc_id, sum(v) AS ts, count(*) AS tn FROM b GROUP BY 1),
+        |bits AS (
+        |  SELECT g.doc_id, g.j,
+        |    CASE WHEN coalesce(s.s, 0) * t.tn > t.ts * coalesce(s.c, 0)
+        |         THEN 1 ELSE 0 END AS bit
+        |  FROM (SELECT doc_id, unnest(range(0, 60)) AS j FROM d) g
+        |  LEFT JOIN seg s ON s.doc_id = g.doc_id AND s.j = g.j
+        |  JOIN tot t ON t.doc_id = g.doc_id)
+        |SELECT doc_id AS media_id,
+        |  CAST(sum(bit << j) AS BIGINT) AS ahash
+        |FROM bits GROUP BY 1""".stripMargin)),
+
+    Q(
+      "qm12_image_curation",
+      "Composed curation on REAL DECODED PIXELS " +
+        "(Multimodal.curateMediaDecoded - qm09 upgraded to the codec " +
+        "path): exact dedup keys on the decoded luma-stream identity " +
+        "(width, height, pixel md5 - encoding details can no longer " +
+        "split identical images), then lumaAHash60 banded-hamming " +
+        "near-dedup among survivors at maxDist=10 (qd07's greedy " +
+        "keep). ONE ImageIO decode pass feeds both stages. Oracle " +
+        "replays stream identity as the cyclic text prefix and the " +
+        "aHash + all-pairs popcount + keep rule on pixel formulas.",
+      (s, dir) =>
+        Multimodal.curateMediaDecoded(
+          Multimodal.syntheticImages(
+            graft.core.Tables.load(s, dir, "documents"), "doc_id", "text"),
+          maxDist = 10),
+      Some("""WITH d AS (
+        |  SELECT doc_id, text, length(text) AS len,
+        |    CAST(8 + doc_id % 25 AS INT) AS w,
+        |    CAST(8 + (doc_id // 3) % 25 AS INT) AS h
+        |  FROM documents WHERE length(text) >= 1),
+        |ky AS (
+        |  SELECT doc_id, w, h,
+        |    substring(repeat(text, CAST((w * h) // len + 1 AS INT)),
+        |      1, w * h) AS stream
+        |  FROM d),
+        |s1 AS (
+        |  SELECT doc_id, w, h FROM ky k
+        |  WHERE NOT EXISTS (SELECT 1 FROM ky k2
+        |                    WHERE k2.w = k.w AND k2.h = k.h
+        |                      AND k2.stream = k.stream
+        |                      AND k2.doc_id < k.doc_id)),
+        |b AS (
+        |  SELECT d.doc_id, t.p AS p,
+        |    unicode(substring(d.text, CAST((t.p % d.len) + 1 AS INT), 1)) AS v,
+        |    d.w * d.h AS n
+        |  FROM d JOIN s1 ON d.doc_id = s1.doc_id,
+        |    unnest(range(0, d.w * d.h)) t(p)),
+        |seg AS (
+        |  SELECT doc_id, (p * 60) // n AS j, sum(v) AS s, count(*) AS c
+        |  FROM b GROUP BY 1, 2),
+        |tot AS (SELECT doc_id, sum(v) AS ts, count(*) AS tn FROM b GROUP BY 1),
+        |bits AS (
+        |  SELECT g.doc_id, g.j,
+        |    CASE WHEN coalesce(s.s, 0) * t.tn > t.ts * coalesce(s.c, 0)
+        |         THEN 1 ELSE 0 END AS bit
+        |  FROM (SELECT doc_id, unnest(range(0, 60)) AS j FROM s1) g
+        |  LEFT JOIN seg s ON s.doc_id = g.doc_id AND s.j = g.j
+        |  JOIN tot t ON t.doc_id = g.doc_id),
+        |ah AS (SELECT doc_id, sum(bit << j) AS ahash FROM bits GROUP BY 1),
+        |drop0 AS (
+        |  SELECT DISTINCT b2.doc_id FROM ah a JOIN ah b2
+        |  ON a.doc_id < b2.doc_id
+        |    AND bit_count(xor(a.ahash, b2.ahash)) <= 10)
+        |SELECT s1.doc_id AS media_id, CAST(s1.w * s1.h AS BIGINT) AS n_px
+        |FROM s1 WHERE s1.doc_id NOT IN (SELECT doc_id FROM drop0)""".stripMargin)),
 
     Q(
       "qm02_media_embed",

@@ -6,8 +6,14 @@ import graft.SparkSuite
 class MultimodalSpec extends SparkSuite {
   import spark.implicits._
 
+  // one REAL 4×3 grayscale PNG (JDK encoder), one truncated JPEG
+  // header (sniffs jpeg, fails decode), one plain-text payload
+  private val realPngPixels = Array(
+    10, 20, 30, 40,
+    50, 60, 70, 80,
+    90, 100, 110, 120)
   private def media = {
-    val png = Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a, 1, 2, 3)
+    val png = Multimodal.encodeGrayPng(4, 3, realPngPixels)
     val jpg = Array[Byte](0xff.toByte, 0xd8.toByte, 0xff.toByte, 0xe0.toByte, 9, 9)
     val other = "plain text bytes".getBytes("UTF-8")
     Seq((1L, png), (2L, jpg), (3L, other)).toDF("media_id", "bytes")
@@ -19,21 +25,57 @@ class MultimodalSpec extends SparkSuite {
     assert(Multimodal.sniffFormat(Array(0x89.toByte, 'P', 'N', 'G', 1, 2, 3, 4)) == "png")
     assert(Multimodal.sniffFormat(Array(0xff.toByte, 0xd8.toByte, 0x00)) == "jpeg")
     assert(Multimodal.sniffFormat("RIFF....".getBytes) == "riff")
+    assert(Multimodal.sniffFormat("GIF89a..".getBytes) == "gif")
+    assert(Multimodal.sniffFormat("BM......".getBytes) == "bmp")
   }
 
-  test("feature extraction runs batched per partition with stable schema") {
+  test("feature extraction: REAL decode dims for images, honest zeros otherwise") {
     val feats = Multimodal.extractFeatures(media)
     assert(feats.columns.toSeq == Seq("media_id", "format", "n_bytes",
-      "entropy", "mean_byte", "width", "height"))
+      "entropy", "mean_byte", "width", "height", "mean_luma"))
     val byId = feats.collect().map(f => f.media_id -> f).toMap
+    // the real PNG decodes: TRUE dimensions and the exact pixel mean
     assert(byId(1L).format == "png")
+    assert((byId(1L).width, byId(1L).height) == (4, 3))
+    assert(byId(1L).mean_luma == realPngPixels.sum.toDouble / realPngPixels.length)
+    // a sniffed-jpeg payload that cannot decode reports 0×0, not a guess
     assert(byId(2L).format == "jpeg")
+    assert((byId(2L).width, byId(2L).height, byId(2L).mean_luma) == (0, 0, 0.0))
     assert(byId(3L).n_bytes == 16)
     assert(byId(3L).entropy > 0)
+    assert((byId(3L).width, byId(3L).height) == (0, 0))
     // determinism: same bytes, same features
     val again = Multimodal.extractFeatures(media).collect()
       .map(f => f.media_id -> f).toMap
     assert(again == byId)
+  }
+
+  test("encodeGrayPng → decodeLuma round-trips pixels exactly (lossless codec)") {
+    val d = Multimodal.decodeLuma(Multimodal.encodeGrayPng(4, 3, realPngPixels)).get
+    assert((d.width, d.height) == (4, 3))
+    assert(d.lumaMilli.toSeq == realPngPixels.map(_ * 1000).toSeq)
+  }
+
+  test("decodeLuma reads RGB rasters with integer Rec.601 weights") {
+    val img = new java.awt.image.BufferedImage(
+      2, 1, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    img.setRGB(0, 0, (200 << 16) | (100 << 8) | 50) // R=200 G=100 B=50
+    img.setRGB(1, 0, (0 << 16) | (255 << 8) | 0)    // pure green
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", out)
+    val d = Multimodal.decodeLuma(out.toByteArray).get
+    assert((d.width, d.height) == (2, 1))
+    assert(d.lumaMilli(0) == 299 * 200 + 587 * 100 + 114 * 50)
+    assert(d.lumaMilli(1) == 587 * 255)
+  }
+
+  test("decodeLuma: non-image and corrupt payloads return None, never throw") {
+    assert(Multimodal.decodeLuma("not an image".getBytes).isEmpty)
+    assert(Multimodal.decodeLuma(Array.emptyByteArray).isEmpty)
+    // valid PNG magic, garbage body
+    val corrupt = Array[Byte](0x89.toByte, 'P', 'N', 'G',
+      0x0d, 0x0a, 0x1a, 0x0a, 1, 2, 3)
+    assert(Multimodal.decodeLuma(corrupt).isEmpty)
   }
 
   test("frame sampling emits the expected cadence") {
@@ -42,8 +84,12 @@ class MultimodalSpec extends SparkSuite {
     assert(f1.toSeq == Seq(0L, 30L, 60L, 90L))
   }
 
-  test("resize plan preserves aspect ratio and never upscales") {
-    val feats = Multimodal.extractFeatures(media)
+  test("resize plan preserves aspect ratio, never upscales, 0×0 passes through") {
+    val big = Multimodal.encodeGrayPng(400, 100, Array.fill(40000)(128))
+    val feats = Multimodal.extractFeatures(
+      media.unionByName(Seq((4L, big)).toDF("media_id", "bytes")
+        .withColumn("mime", lit("image/png"))
+        .withColumn("meta", map(lit("k"), lit("v")))))
     val plans = Multimodal.resizePlan(feats, maxSide = 256)
       .collect().map(r => r.getLong(0) ->
         (r.getInt(1), r.getInt(2), r.getDouble(3))).toMap
@@ -52,10 +98,16 @@ class MultimodalSpec extends SparkSuite {
       val (tw, th, scale) = plans(id)
       assert(scale <= 1.0) // never upscale
       assert(math.max(tw, th) <= 256)
-      assert(tw == math.max(1, math.round(w * scale).toInt))
-      assert(th == math.max(1, math.round(h * scale).toInt))
-      if (math.max(w, h) <= 256) assert((tw, th) == (w, h)) // small stays
+      if (w == 0 || h == 0) {
+        assert((tw, th, scale) == (0, 0, 1.0)) // undecodable: nothing to plan
+      } else {
+        assert(tw == math.max(1, math.round(w * scale).toInt))
+        assert(th == math.max(1, math.round(h * scale).toInt))
+        if (math.max(w, h) <= 256) assert((tw, th) == (w, h)) // small stays
+      }
     }
+    // the 400×100 image scales to the 256 cap, aspect kept
+    assert(plans(4L) == (256, 64, 0.64))
   }
 
   test("asMedia wraps arbitrary binary-able columns into the contract") {
@@ -279,5 +331,89 @@ class MultimodalSpec extends SparkSuite {
     assert(got.keySet == Set(5L, 11L), got.toString)
     assert(got(5L) == 600L && got(11L) == 600L)
     graft.core.OpCache.releaseAll(blocking = true)
+  }
+
+  test("lumaAHash60 is scale-invariant and matches aHash60 on byte streams") {
+    val vs = Array.tabulate(240)(i => (i * 37 + 11) % 256)
+    assert(Multimodal.lumaAHash60(vs) == Multimodal.lumaAHash60(vs.map(_ * 1000)),
+      "the cross-multiply compare must not see a uniform scale")
+    // on a 0–255 stream the int and byte kernels agree bit for bit
+    assert(Multimodal.lumaAHash60(vs) ==
+      Multimodal.aHash60(0L, vs.map(_.toByte)))
+  }
+
+  test("syntheticImages: formula dims, real PNG bytes, cyclic pixel stream") {
+    val docs = Seq((10L, "abcdef"), (31L, "zzzz")).toDF("doc_id", "text")
+    val m = Multimodal.syntheticImages(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getAs[Array[Byte]]("bytes")).toMap
+    // id 10 → w = 8 + 10%25 = 18, h = 8 + (10/3)%25 = 11
+    val d10 = Multimodal.decodeLuma(m(10L)).get
+    assert((d10.width, d10.height) == (18, 11))
+    val txt = "abcdef"
+    assert(d10.lumaMilli.toSeq ==
+      (0 until 18 * 11).map(p => 1000 * txt(p % 6).toInt))
+    // id 31 → w = 8 + 31%25 = 14, h = 8 + (31/3)%25 = 18, constant 'z'
+    val d31 = Multimodal.decodeLuma(m(31L)).get
+    assert((d31.width, d31.height) == (14, 18))
+    assert(d31.lumaMilli.forall(_ == 1000 * 'z'.toInt))
+  }
+
+  test("decodedSignatures: one pass, identical pixels share md5, undecodable drop") {
+    val png = Multimodal.encodeGrayPng(4, 3, realPngPixels)
+    val png2 = Multimodal.encodeGrayPng(4, 3, realPngPixels) // same pixels
+    val other = Multimodal.encodeGrayPng(3, 4, realPngPixels) // same stream, other shape
+    val rows = Seq((1L, png), (2L, png2), (3L, other),
+        (4L, "not an image".getBytes))
+      .toDF("media_id", "bytes")
+    val sig = Multimodal.decodedSignatures(rows)
+      .collect().map(r => r.getLong(0) ->
+        (r.getInt(1), r.getInt(2), r.getString(3), r.getLong(4))).toMap
+    assert(sig.keySet == Set(1L, 2L, 3L), "undecodable row must be excluded")
+    assert(sig(1L) == sig(2L), "identical pixels → identical signature")
+    assert(sig(1L)._3 == sig(3L)._3, "same stream → same luma md5")
+    assert((sig(1L)._1, sig(1L)._2) == (4, 3))
+    assert((sig(3L)._1, sig(3L)._2) == (3, 4))
+  }
+
+  test("curateMediaDecoded: pixel-identity collapse, then luma-hamming drop") {
+    val base = Array.tabulate(600)(i => ('a' + (i % 7)).toInt)
+    val twin = base.clone(); twin(3) = 'z'.toInt // near-dup: one pixel bumped
+    val far = Array.tabulate(600)(i => ('A' + (i * 13 % 26)).toInt)
+    val rows = Seq(
+      (5L, Multimodal.encodeGrayPng(30, 20, base)),
+      (9L, Multimodal.encodeGrayPng(30, 20, base)), // exact pixel dup — dies stage 1
+      (7L, Multimodal.encodeGrayPng(30, 20, twin)), // perceptual near-dup — dies stage 2
+      (11L, Multimodal.encodeGrayPng(30, 20, far)), // unrelated — survives
+      (13L, "junk".getBytes)                        // undecodable — excluded
+    ).toDF("media_id", "bytes")
+    val got = Multimodal.curateMediaDecoded(rows, maxDist = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got.keySet == Set(5L, 11L), got.toString)
+    assert(got.values.forall(_ == 600L))
+    graft.core.OpCache.releaseAll(blocking = true)
+  }
+
+  /** AUDIO/VIDEO integration contract — ignored until a demuxer is
+    * available (the JDK ships none; this container has no ffmpeg).
+    * The seam is fully specified so a production build only binds the
+    * codec:
+    *  - demux replaces frameSceneStats' byte-slice stage: a
+    *    per-partition ffmpeg/JNI context (initialised ONCE at the
+    *    mapPartitions seam, exactly where ImageIO now runs for
+    *    stills) emits (media_id, frame_no, frame_bytes) at the
+    *    requested stride — the SAME rows the windowed scene-cut and
+    *    level aggregation already consume unchanged;
+    *  - audio analogously emits (media_id, window_no, pcm_bytes)
+    *    windows feeding the identical lag-window/aggregate shapes;
+    *  - decoded frame features then flow through decodeLuma/
+    *    lumaAHash60 verbatim (a decoded frame IS an image).
+    * The assertions below document the expected schema/cardinality
+    * contract against a hypothetical demuxFrames(media, stride). */
+  ignore("video demux contract: (media_id, frame_no, frame_bytes) at stride") {
+    // val frames = Multimodal.demuxFrames(media, stride = 24)
+    // assert(frames.columns.toSeq == Seq("media_id", "frame_no", "frame_bytes"))
+    // assert(frames.filter($"media_id" === 1L).count() ==
+    //   expectedFrameCount(duration = ..., stride = 24))
+    // Multimodal.frameSceneStats consumes these rows unchanged.
   }
 }
