@@ -314,6 +314,87 @@ object Dedup {
             col("n_true").cast("double"), 6)).as("recall"))
   }
 
+  /** SAMPLED-TRUTH recall audit — [[lshRecallReport]] made runnable at
+    * production scale: the exhaustive exact-jaccard ground truth (the
+    * O(Σ df²) cost that keeps qd37 an audit-only operator) runs on a
+    * deterministic hash-order document sample (the qt24
+    * bottom-k-of-hash machinery — stable under corpus growth, so the
+    * audit is refreshable), while the LSH side stays the FULL
+    * production output restricted to sampled pairs. Restricting BOTH
+    * sides to pairs within the sample makes the two sides count the
+    * same pair universe, so est_recall is an unbiased estimate of
+    * pair recall under uniform document sampling; with t true pairs
+    * observed in the sample, the binomial se is ≈ √(r(1−r)/t) —
+    * report n_true alongside so the reader can size the error bar.
+    *
+    * Scale shape: truth cost is sample²-bounded (FLAT as the corpus
+    * grows — the ScaleSmoke contrast with qd37's corpus-quadratic
+    * truth side), the sample is one mergeable bottom-k aggregate
+    * (k longs of state), and the LSH side is the candidate machinery
+    * the production dedup already ran.
+    *
+    * @return one row (sample_n, n_true, n_lsh, n_missed, est_recall) —
+    *         counts over sampled pairs only; est_recall NULL when the
+    *         sample holds no true pair. */
+  def lshRecallSampled(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      nShingle: Int = 3,
+      k: Int = 16,
+      bands: Int = 4,
+      threshold: Double = 0.5,
+      maxBucketSize: Int = DefaultMaxBucketSize,
+      sampleSize: Int = 250): DataFrame = {
+    require(sampleSize >= 2, s"sampleSize must be >= 2, got $sampleSize")
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    // deterministic hash-order sample: the sampleSize docs with the
+    // smallest hash60(id) — one bottom-k aggregate, stable hash order
+    val hashed = docs.select(col(idCol).as("doc_id"),
+      hash60(col(idCol).cast("string")).as("__h"))
+    val picked = hashed
+      .agg(call_function("graft_bottom_k", col("__h"), lit(sampleSize)).as("hs"))
+      .select(explode(col("hs")).as("__h"))
+    val sample = graft.core.OpCache.persist(
+      hashed.join(picked, Seq("__h"), "left_semi").select(col("doc_id")))
+    val sh = shingleTable(docs, idCol, textCol, nShingle)
+      .join(sample, Seq("doc_id"), "left_semi")
+    // the FULL production LSH output, restricted to in-sample pairs
+    val shAll = shingleTable(docs, idCol, textCol, nShingle)
+    val lsh = graft.core.OpCache.persist(
+      pairsFromBandTable(shAll, bandTable(shAll, k, bands),
+        threshold, maxBucketSize)
+        .join(sample.select(col("doc_id").as("a_id")), Seq("a_id"), "left_semi")
+        .join(sample.select(col("doc_id").as("b_id")), Seq("b_id"), "left_semi")
+        .select(col("a_id"), col("b_id")))
+    // exhaustive truth over the SAMPLE only — sample²-bounded
+    val inv = graft.core.OpCache.persist(
+      sh.select(col("doc_id"), size(col("shingles")).as("n_sh"),
+          explode(col("shingles")).as("s"))
+        .select(col("doc_id"), col("n_sh"), hash60(col("s")).as("shh")))
+    val truth = graft.core.OpCache.persist(
+      inv.as("p").join(inv.as("q"),
+          col("p.shh") === col("q.shh") && col("p.doc_id") < col("q.doc_id"))
+        .select(col("p.doc_id").as("a_id"), col("q.doc_id").as("b_id"),
+          col("p.n_sh").as("na"), col("q.n_sh").as("nb"))
+        .groupBy(col("a_id"), col("b_id"), col("na"), col("nb"))
+        .agg(count(lit(1)).as("inter"))
+        .filter(col("inter").cast("double") /
+          (col("na") + col("nb") - col("inter")).cast("double") >= threshold)
+        .select(col("a_id"), col("b_id")))
+    val nS = sample.agg(count(lit(1)).cast("long").as("sample_n"))
+    val nTrue = truth.agg(count(lit(1)).cast("long").as("n_true"))
+    val nLsh = lsh.agg(count(lit(1)).cast("long").as("n_lsh"))
+    val nMissed = truth.join(lsh, Seq("a_id", "b_id"), "left_anti")
+      .agg(count(lit(1)).cast("long").as("n_missed"))
+    nS.crossJoin(broadcast(nTrue)).crossJoin(broadcast(nLsh))
+      .crossJoin(broadcast(nMissed))
+      .select(col("sample_n"), col("n_true"), col("n_lsh"), col("n_missed"),
+        when(col("n_true") > 0,
+          round((col("n_true") - col("n_missed")).cast("double") /
+            col("n_true").cast("double"), 6)).as("est_recall"))
+  }
+
   /** MinHash ESTIMATOR-ERROR audit — the sketch-accuracy twin of the
     * quantization distortion reports (qs36/qs37) for the dedup
     * family: for every LSH-verified near-dup pair, the k-coordinate

@@ -1767,6 +1767,41 @@ object Similarity {
       .withColumn("leaked", col("max_cos") >= threshold)
   }
 
+  /** INDEXED semantic leakage — [[semanticLeakageReport]] routed
+    * through a stored [[IvfIndex]] instead of a linear corpus scan:
+    * the benchmark ranks the broadcast centroids for its nProbe probe
+    * cells and only the matching cells' members are scored (the
+    * qs07 probe discipline). This is the shape for a benchmark too
+    * big to broadcast, or a corpus that already serves ANN traffic
+    * from the stored index: per-bench-item cost is probed-cells-
+    * sized, never corpus-sized, and the index artifacts are the ones
+    * the service already maintains. Approximation contract is IVF's:
+    * a source document assigned to an unprobed cell is invisible —
+    * nProbe is the recall dial ([[probeSweepRecall]] prices it).
+    *
+    * Same output and tie discipline as [[semanticLeakageReport]];
+    * bench items with no candidate in any probed cell emit no row. */
+  def semanticLeakageReportIndexed(
+      index: IvfIndex, bench: DataFrame,
+      idCol: String, vecCol: String,
+      threshold: Double = 0.5, nProbe: Int = 4): DataFrame = {
+    val q = withNorm(bench, idCol, vecCol)
+    val probes = centroidRanks(q, broadcast(index.centroids), maxRank = nProbe)
+      .select(col("vec_id"), col("cent_id"))
+    val probe = q.join(probes, Seq("vec_id"))
+    probe.as("p").join(index.cells.as("c"),
+        col("p.cent_id") === col("c.cent_id") &&
+          col("p.vec_id") =!= col("c.vec_id"))
+      .select(col("p.vec_id").as("qid"), col("c.vec_id").as("nbr"),
+        cosineWithNorms(col("p.embedding"), col("c.embedding"),
+          col("p.nrm"), col("c.nrm")).as("cos"))
+      .groupBy(col("qid"))
+      .agg(max(struct(col("cos"), (-col("nbr")).as("nn"))).as("m"))
+      .select(col("qid").as("vec_id"), (-col("m.nn")).as("nbr_id"),
+        round(col("m.cos"), 6).as("max_cos"))
+      .withColumn("leaked", col("max_cos") >= threshold)
+  }
+
   /** Variance-explained report for the [[pcaComponent]] axis: one row
     * (total_ss, pc1_ss, explained) — total centered sum of squares,
     * the projection's sum of squares, and their ratio (NULL on a

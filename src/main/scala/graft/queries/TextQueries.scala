@@ -2769,6 +2769,59 @@ object TextQueries {
         |FROM c1, c2, c3""".stripMargin)),
 
     Q(
+      "qd40_lsh_recall_sampled",
+      "SAMPLED-TRUTH recall audit (Dedup.lshRecallSampled — qd37 " +
+        "made runnable at production scale): exact-jaccard truth on " +
+        "a deterministic 250-doc hash-order sample (qt24's bottom-k " +
+        "machinery, stable under corpus growth), LSH side = the FULL " +
+        "production pairs restricted to in-sample pairs, so both " +
+        "sides count the same pair universe and est_recall is an " +
+        "unbiased pair-recall estimate (binomial se ≈ √(r(1−r)/" +
+        "n_true) — n_true reported for the error bar). Truth cost " +
+        "is sample²-bounded: FLAT as the corpus grows where qd37's " +
+        "is corpus-quadratic (ScaleSmoke).",
+      (s, dir) =>
+        Dedup.lshRecallSampled(Tables.load(s, dir, "documents"),
+          "doc_id", "text", nShingle = 3, k = 16, bands = 4,
+          threshold = 0.5, sampleSize = 250),
+      Some(s"""WITH ${lshCtes()},
+        |smp AS (SELECT doc_id FROM (
+        |    SELECT doc_id, row_number() OVER (ORDER BY
+        |      ${dkHash60("CAST(doc_id AS VARCHAR)")}, doc_id) AS rn
+        |    FROM documents) WHERE rn <= 250),
+        |lshp AS (
+        |  SELECT c.a_id, c.b_id
+        |  FROM cand c
+        |  JOIN smp pa ON pa.doc_id = c.a_id
+        |  JOIN smp pb ON pb.doc_id = c.b_id
+        |  JOIN sh sa ON sa.doc_id = c.a_id
+        |  JOIN sh sb ON sb.doc_id = c.b_id
+        |  WHERE CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE) /
+        |        CAST(len(list_distinct(sa.shingles || sb.shingles)) AS DOUBLE) >= 0.5),
+        |inv AS (
+        |  SELECT sh.doc_id, len(sh.shingles) AS n_sh,
+        |    unnest(list_transform(sh.shingles, x -> ${dkHash60("x")})) AS shh
+        |  FROM sh JOIN smp USING (doc_id)),
+        |tp AS (
+        |  SELECT p.doc_id AS a_id, q.doc_id AS b_id,
+        |    p.n_sh AS na, q.n_sh AS nb, count(*) AS inter
+        |  FROM inv p JOIN inv q ON p.shh = q.shh AND p.doc_id < q.doc_id
+        |  GROUP BY 1, 2, 3, 4),
+        |truth AS (
+        |  SELECT a_id, b_id FROM tp
+        |  WHERE CAST(inter AS DOUBLE) / CAST(na + nb - inter AS DOUBLE) >= 0.5),
+        |c0 AS (SELECT CAST(count(*) AS BIGINT) AS sample_n FROM smp),
+        |c1 AS (SELECT CAST(count(*) AS BIGINT) AS n_true FROM truth),
+        |c2 AS (SELECT CAST(count(*) AS BIGINT) AS n_lsh FROM lshp),
+        |c3 AS (SELECT CAST(count(*) AS BIGINT) AS n_missed FROM (
+        |  SELECT a_id, b_id FROM truth EXCEPT SELECT a_id, b_id FROM lshp))
+        |SELECT sample_n, n_true, n_lsh, n_missed,
+        |  CASE WHEN n_true > 0 THEN
+        |    round(CAST(n_true - n_missed AS DOUBLE) / CAST(n_true AS DOUBLE), 6)
+        |  END AS est_recall
+        |FROM c0, c1, c2, c3""".stripMargin)),
+
+    Q(
       "qd39_minhash_error",
       "MinHash ESTIMATOR-ERROR audit (Dedup.minhashErrorReport — the " +
         "sketch-accuracy twin of qs36/qs37's distortion reports): for " +

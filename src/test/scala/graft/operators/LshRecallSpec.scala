@@ -40,6 +40,40 @@ class LshRecallSpec extends SparkSuite {
     graft.core.OpCache.releaseAll()
   }
 
+  test("lshRecallSampled: full-corpus sample reproduces the exhaustive audit") {
+    val base = (1 to 12).map(i => s"w$i")
+    val df = Seq(
+      (1L, doc(base)),
+      (2L, doc(base)),
+      (3L, doc(base.take(8) ++ Seq("x1", "x2", "x3", "x4"))),
+      (4L, doc(base.take(8) ++ Seq("y1", "y2", "y3", "y4"))),
+      (5L, doc((1 to 12).map(i => s"z$i")))
+    ).toDF("doc_id", "text")
+    val full = Dedup.lshRecallReport(df, "doc_id", "text").collect()(0)
+    val samp = Dedup.lshRecallSampled(df, "doc_id", "text",
+      sampleSize = 100).collect()(0)
+    // sample ⊇ corpus → identical counts and estimate
+    assert(samp.getLong(0) == 5L) // sample_n = all docs
+    assert((samp.getLong(1), samp.getLong(2), samp.getLong(3)) ==
+      ((full.getLong(0), full.getLong(1), full.getLong(2))))
+    assert(samp.getDouble(4) == full.getDouble(3))
+    graft.core.OpCache.releaseAll()
+  }
+
+  test("lshRecallSampled: out-of-sample pairs are invisible to both sides") {
+    // two identical pairs; a 2-doc sample can see at most one of them
+    val a = doc((1 to 12).map(i => s"a$i"))
+    val b = doc((1 to 12).map(i => s"b$i"))
+    val df = Seq((1L, a), (2L, a), (3L, b), (4L, b)).toDF("doc_id", "text")
+    val r = Dedup.lshRecallSampled(df, "doc_id", "text", sampleSize = 2)
+      .collect()(0)
+    assert(r.getLong(0) == 2L)
+    assert(r.getLong(1) <= 1L, "a 2-doc sample holds at most one pair")
+    // every sampled LSH pair is jaccard-verified → n_lsh ≤ n_true
+    assert(r.getLong(2) <= r.getLong(1))
+    graft.core.OpCache.releaseAll()
+  }
+
   test("minhashErrorReport: identical docs estimate exactly 1.0, error 0") {
     val txt = doc((1 to 12).map(i => s"w$i"))
     val near = doc((1 to 11).map(i => s"w$i") :+ "x9")

@@ -497,4 +497,37 @@ class SimilaritySpec extends SparkSuite {
     // tie on cosine (101 is equidistant from all) breaks to smallest id
     assert(got(101L)._1 == 1L)
   }
+
+  test("semanticLeakageReportIndexed: all-cells probe equals the linear scan") {
+    // 40 corpus vectors on a ring, 2 centroids (stride 20), 4 bench
+    // probes; probing EVERY cell must reproduce the exact linear-scan
+    // report row for row — the IVF routing only prunes, never rescores
+    val corpus = (0 until 40).map { i =>
+      val a = 2 * math.Pi * i / 40
+      (i.toLong, Array(math.cos(a).toFloat, math.sin(a).toFloat, 0f, 0f))
+    }.toDF("vec_id", "embedding")
+    val bench = Seq(
+      (100L, Array(1f, 0f, 0f, 0f)),
+      (101L, Array(0f, 1f, 0f, 0f)),
+      (102L, Array(0f, 0f, 1f, 0f)),
+      (103L, Array(-0.7f, -0.7f, 0f, 0f))
+    ).toDF("vec_id", "embedding")
+    val exact = Similarity.semanticLeakageReport(corpus, bench,
+      "vec_id", "embedding", threshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getBoolean(3))).toSet
+    val idx = Similarity.buildIvfIndex(corpus, "vec_id", "embedding",
+      centroidStride = 20)
+    val viaIdx = Similarity.semanticLeakageReportIndexed(idx, bench,
+      "vec_id", "embedding", threshold = 0.9, nProbe = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getBoolean(3))).toSet
+    assert(viaIdx == exact, s"all-cells probe must equal linear scan:\n$viaIdx\n$exact")
+    // nProbe = 1 restricts each bench item to one cell's members —
+    // the reported neighbor must come from the probed cell
+    val one = Similarity.semanticLeakageReportIndexed(idx, bench,
+      "vec_id", "embedding", threshold = 0.9, nProbe = 1)
+    assert(one.count() == 4)
+    graft.core.OpCache.releaseAll(blocking = true)
+  }
 }
