@@ -721,6 +721,62 @@ object Multimodal {
       .toDF("media_id", "width", "height", "luma_md5", "ahash")
   }
 
+  /** REAL pixel-resize EXECUTION (the work [[resizePlan]] plans):
+    * integer BOX-AVERAGE downsample of the decoded luma raster to
+    * tw×th. Target pixel (tx, ty) averages the half-open source box
+    * [⌊tx·w/tw⌋, ⌊(tx+1)·w/tw⌋) × [⌊ty·h/th⌋, ⌊(ty+1)·h/th⌋) — never
+    * empty when w ≥ tw and h ≥ th — and the mean is the FLOOR integer
+    * division of the lumaMilli sum: all-integer arithmetic, so every
+    * output pixel replays exactly in SQL. One decode+resize pass per
+    * payload at the codec seam; output (media_id, tx, ty, v_milli)
+    * rows are ordinary columnar data for downstream feature work
+    * (this 8×8 grid is precisely the input the canonical aHash
+    * thresholds). Payloads that cannot decode, or are smaller than
+    * the target, are excluded. */
+  def resizeLumaBox(media: DataFrame, tw: Int = 8, th: Int = 8): DataFrame = {
+    require(tw >= 1 && th >= 1, "target dims must be >= 1")
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id"), col("bytes"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.flatMap { case (id, b) =>
+          decodeLuma(if (b == null) Array.emptyByteArray else b) match {
+            case Some(d) if d.width >= tw && d.height >= th =>
+              val out = new Array[(Long, Int, Int, Long)](tw * th)
+              var i = 0
+              var ty = 0
+              while (ty < th) {
+                val y0 = ty * d.height / th
+                val y1 = (ty + 1) * d.height / th
+                var tx = 0
+                while (tx < tw) {
+                  val x0 = tx * d.width / tw
+                  val x1 = (tx + 1) * d.width / tw
+                  var s = 0L
+                  var n = 0L
+                  var y = y0
+                  while (y < y1) {
+                    var x = x0
+                    while (x < x1) {
+                      s += d.lumaMilli(y * d.width + x); n += 1; x += 1
+                    }
+                    y += 1
+                  }
+                  out(i) = (id, tx, ty, s / n)
+                  i += 1
+                  tx += 1
+                }
+                ty += 1
+              }
+              out.iterator
+            case _ => Iterator.empty
+          }
+        }
+      }
+      .toDF("media_id", "tx", "ty", "v_milli")
+  }
+
   /** [[curateMedia]] on DECODED PIXELS — the composed curation the
     * real codec path unlocks: exact dedup keys on the decoded luma
     * stream identity (width, height, luma md5 — encoding details like

@@ -1700,6 +1700,61 @@ object Similarity {
             col("n_truth").cast("double"), 6)).as("recall"))
   }
 
+  /** SAMPLED-truth ANN recall — qs22's audit made runnable at
+    * production scale (the qd40 discipline applied to vectors): exact
+    * truth is computed ONLY for a deterministic bottom-k-of-hash
+    * sample of query vectors — O(sample · corpus) as one
+    * broadcast-query scan collapsed by the mergeable top-k heap,
+    * never the O(n²) all-pairs baseline — and the served IVF ranking
+    * is evaluated on the same sampled queries. Micro-averaged recall
+    * over the sampled truth pairs estimates full recall unbiasedly
+    * under uniform query sampling (binomial se ≈ √(r(1−r)/n_truth) —
+    * n_truth is reported for the error bar). Denominator is the truth
+    * PAIR count (the [[probeSweepRecall]] discipline).
+    *
+    * @return one row (sample_n, n_truth, n_hits, recall) — recall
+    *         NULL when the sampled truth is empty. */
+  def recallReportSampled(
+      em: DataFrame, idCol: String, vecCol: String,
+      k: Int = 5, centroidStride: Int = 40, nProbe: Int = 4,
+      sampleSize: Int = 100): DataFrame = {
+    require(sampleSize >= 1, s"sampleSize must be >= 1, got $sampleSize")
+    val e = graft.core.OpCache.persist(withNorm(em, idCol, vecCol))
+    val hashed = e.select(col("vec_id"),
+      graft.operators.Dedup.hash60(col("vec_id").cast("string")).as("__h"))
+    val picked = hashed
+      .agg(call_function("graft_bottom_k", col("__h"), lit(sampleSize)).as("hs"))
+      .select(explode(col("hs")).as("__h"))
+    val sample = graft.core.OpCache.persist(
+      hashed.join(picked, Seq("__h"), "left_semi").select(col("vec_id")))
+    val q = e.join(sample, Seq("vec_id"))
+      .select(col("vec_id").as("qid"), col("embedding").as("qemb"),
+        col("nrm").as("qnrm"))
+    val truth = graft.core.OpCache.persist(
+      topKHeap(
+        e.join(broadcast(q), col("qid") =!= col("vec_id"))
+          .select(col("qid"), col("vec_id").as("cand"),
+            cosineWithNorms(col("qemb"), col("embedding"),
+              col("qnrm"), col("nrm")).as("cos")),
+        "qid", col("cos"), col("cand"), "cand", k)
+        .select(col("qid"), col("cand")))
+    val served = ivfTopKWithIndex(
+      buildIvfIndex(em, idCol, vecCol, centroidStride),
+      e.join(sample, Seq("vec_id"))
+        .select(col("vec_id"), col("embedding")),
+      "vec_id", "embedding", k, nProbe)
+      .select(col("vec_id").as("qid"), col("nbr_id").as("cand"))
+    val nS = sample.agg(count(lit(1)).cast("long").as("sample_n"))
+    val nT = truth.agg(count(lit(1)).cast("long").as("n_truth"))
+    val nH = served.join(truth, Seq("qid", "cand"), "left_semi")
+      .agg(count(lit(1)).cast("long").as("n_hits"))
+    nS.crossJoin(broadcast(nT)).crossJoin(broadcast(nH))
+      .select(col("sample_n"), col("n_truth"), col("n_hits"),
+        when(col("n_truth") > 0,
+          round(col("n_hits").cast("double") /
+            col("n_truth").cast("double"), 6)).as("recall"))
+  }
+
   /** Per-dimension embedding DATASHEET — qw16's column profile for
     * vector data: n, DECIMAL-exact mean, population variance, min,
     * max per dimension. The pre-flight audit before quantization or

@@ -1618,6 +1618,70 @@ object SimilarityQueries {
       }),
 
     Q(
+      "qs39_recall_sampled",
+      "SAMPLED-truth ANN recall (Similarity.recallReportSampled — " +
+        "qd40's discipline applied to vectors): exact truth only for " +
+        "a deterministic bottom-k-of-hash sample of 100 query " +
+        "vectors — O(sample·corpus) as one broadcast-query scan " +
+        "collapsed by the mergeable top-k heap, never qs22's O(n²) " +
+        "baseline — served IVF (stride 40, nProbe 4) evaluated on " +
+        "the same sample. Unbiased recall estimate under uniform " +
+        "query sampling; n_truth reported for the binomial error " +
+        "bar. The audit that stays runnable when the corpus is 10^10 " +
+        "vectors.",
+      (s, dir) =>
+        Similarity.recallReportSampled(
+          Tables.load(s, dir, "embeddings"), "vec_id", "embedding",
+          k = 5, centroidStride = 40, nProbe = 4, sampleSize = 100),
+      Some(s"""WITH e AS (
+        |  SELECT vec_id, embedding, ${dkNorm("embedding")} AS nrm
+        |  FROM embeddings),
+        |smp AS (SELECT vec_id FROM (
+        |    SELECT vec_id, row_number() OVER (ORDER BY
+        |      ${TextQueries.dkHash60("CAST(vec_id AS VARCHAR)")}, vec_id) AS rn
+        |    FROM e) WHERE rn <= 100),
+        |q AS (SELECT e.* FROM e JOIN smp USING (vec_id)),
+        |truth AS (
+        |  SELECT vec_id, nbr_id FROM (
+        |    SELECT a.vec_id AS vec_id, b2.vec_id AS nbr_id,
+        |      row_number() OVER (PARTITION BY a.vec_id ORDER BY
+        |        ${dkDot("a.embedding", "b2.embedding")} / (a.nrm * b2.nrm)
+        |          DESC, b2.vec_id) AS rnk
+        |    FROM q a JOIN e b2 ON a.vec_id <> b2.vec_id)
+        |  WHERE rnk <= 5),
+        |c AS (SELECT vec_id AS cent_id, embedding AS cemb, nrm AS cnrm
+        |      FROM e WHERE vec_id % 40 = 0),
+        |ranked AS (
+        |  SELECT e.vec_id, c.cent_id,
+        |    row_number() OVER (PARTITION BY e.vec_id ORDER BY
+        |      ${dkDot("e.embedding", "c.cemb")} / (e.nrm * c.cnrm) DESC,
+        |      c.cent_id) AS rn
+        |  FROM e, c),
+        |assign AS (SELECT vec_id, cent_id FROM ranked WHERE rn = 1),
+        |b AS (SELECT e.vec_id, e.embedding, e.nrm, a.cent_id
+        |      FROM e JOIN assign a USING (vec_id)),
+        |p AS (SELECT q.vec_id, q.embedding, q.nrm, r.cent_id
+        |      FROM q JOIN ranked r USING (vec_id) WHERE r.rn <= 4),
+        |served AS (
+        |  SELECT vec_id, nbr_id FROM (
+        |    SELECT p.vec_id AS vec_id, bb.vec_id AS nbr_id,
+        |      row_number() OVER (PARTITION BY p.vec_id ORDER BY
+        |        ${dkDot("p.embedding", "bb.embedding")} / (p.nrm * bb.nrm)
+        |          DESC, bb.vec_id) AS rnk
+        |    FROM p JOIN b bb ON p.cent_id = bb.cent_id
+        |      AND p.vec_id <> bb.vec_id)
+        |  WHERE rnk <= 5),
+        |c0 AS (SELECT CAST(count(*) AS BIGINT) AS sample_n FROM smp),
+        |c1 AS (SELECT CAST(count(*) AS BIGINT) AS n_truth FROM truth),
+        |c2 AS (SELECT CAST(count(*) AS BIGINT) AS n_hits
+        |       FROM served JOIN truth USING (vec_id, nbr_id))
+        |SELECT sample_n, n_truth, n_hits,
+        |  CASE WHEN n_truth > 0 THEN
+        |    round(CAST(n_hits AS DOUBLE) / CAST(n_truth AS DOUBLE), 6)
+        |  END AS recall
+        |FROM c0, c1, c2""".stripMargin)),
+
+    Q(
       "qs36_sq_distortion",
       "Scalar-quantization DISTORTION audit " +
         "(Similarity.sqDistortionReport): per-vector cosine fidelity " +

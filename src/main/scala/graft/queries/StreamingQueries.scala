@@ -1668,6 +1668,41 @@ object StreamingQueries {
         |FROM bits GROUP BY 1""".stripMargin)),
 
     Q(
+      "qm13_image_resize",
+      "REAL pixel-resize EXECUTION (Multimodal.resizeLumaBox - the " +
+        "work resizePlan only planned): the synthetic PNGs decode " +
+        "through ImageIO and box-average down to an 8x8 luma grid - " +
+        "target pixel (tx,ty) floors the integer mean of its " +
+        "half-open source box, all-integer arithmetic, so every " +
+        "output pixel replays exactly in SQL over the construction " +
+        "formulas. One decode+resize pass per payload at the codec " +
+        "seam; the 8x8 grid is the canonical aHash input shape.",
+      (s, dir) =>
+        Multimodal.resizeLumaBox(
+          Multimodal.syntheticImages(
+            graft.core.Tables.load(s, dir, "documents"), "doc_id", "text"),
+          tw = 8, th = 8),
+      Some("""WITH d AS (
+        |  SELECT doc_id, text, length(text) AS len,
+        |    CAST(8 + doc_id % 25 AS INT) AS w,
+        |    CAST(8 + (doc_id // 3) % 25 AS INT) AS h
+        |  FROM documents WHERE length(text) >= 1),
+        |t AS (
+        |  SELECT doc_id, w, h, len, text, txx.v AS tx, tyy.v AS ty
+        |  FROM d, unnest(range(0, 8)) txx(v), unnest(range(0, 8)) tyy(v)),
+        |b AS (
+        |  SELECT doc_id, tx, ty,
+        |    unicode(substring(text,
+        |      CAST(((yy.v * w + xx.v) % len) + 1 AS INT), 1)) AS v
+        |  FROM t,
+        |    unnest(range(tx * w // 8, (tx + 1) * w // 8)) xx(v),
+        |    unnest(range(ty * h // 8, (ty + 1) * h // 8)) yy(v))
+        |SELECT doc_id AS media_id, CAST(tx AS INT) AS tx,
+        |  CAST(ty AS INT) AS ty,
+        |  CAST((1000 * sum(v)) // count(*) AS BIGINT) AS v_milli
+        |FROM b GROUP BY 1, 2, 3""".stripMargin)),
+
+    Q(
       "qm12_image_curation",
       "Composed curation on REAL DECODED PIXELS " +
         "(Multimodal.curateMediaDecoded - qm09 upgraded to the codec " +

@@ -498,6 +498,31 @@ object ScaleSmoke {
           graft.operators.Multimodal.asMedia(
             docs, "doc_id", "text", "text/plain"), maxDist = 10).count()
       },
+      time("image_decode") {
+        // REAL ImageIO decode at the per-partition seam: synthesize a
+        // PNG per doc (real JDK encoder) and decode it back — pure
+        // map-side work, zero exchange; the slope is raw codec
+        // throughput. The width sum forces the decode (a count could
+        // not prove pixels were read).
+        graft.operators.Multimodal.extractFeatures(
+          graft.operators.Multimodal.syntheticImages(docs, "doc_id", "text"))
+          .toDF().agg(sum($"width".cast("long"))).head().getLong(0)
+      },
+      time("lsh_recall_sampled") {
+        // qd40: truth side runs on a FIXED 250-doc hash-order sample —
+        // sample²-bounded, so the slope should be the shared LSH
+        // candidate machinery alone (compare lsh_recall_full, whose
+        // exhaustive truth grows with Σ df² — the duplicated corpus
+        // multiplies every shingle's df by the factor)
+        Dedup.lshRecallSampled(docs, "doc_id", "text", sampleSize = 250)
+          .count()
+      },
+      time("lsh_recall_full") {
+        // qd37's exhaustive truth — the corpus-quadratic contrast the
+        // sampled audit replaces at production scale. Expect
+        // superlinear growth BY DESIGN; run at small factors only.
+        Dedup.lshRecallReport(docs, "doc_id", "text").count()
+      },
       time("nn_descent") {
         // the id remap keeps vec_ids dense (0..n·factor-1), so the ring
         // seed contract holds at every factor; candidate volume is

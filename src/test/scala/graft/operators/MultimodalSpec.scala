@@ -375,6 +375,27 @@ class MultimodalSpec extends SparkSuite {
     assert((sig(3L)._1, sig(3L)._2) == (3, 4))
   }
 
+  test("resizeLumaBox: exact integer box means; undecodable/too-small drop") {
+    val px = Array(
+      10, 20, 30, 40,
+      50, 60, 70, 80) // 4×2
+    val rows = Seq(
+      (1L, Multimodal.encodeGrayPng(4, 2, px)),
+      (2L, "junk".getBytes),                          // undecodable
+      (3L, Multimodal.encodeGrayPng(1, 1, Array(9))) // smaller than target
+    ).toDF("media_id", "bytes")
+    val got = Multimodal.resizeLumaBox(rows, tw = 2, th = 1)
+      .collect().map(r =>
+        ((r.getLong(0), r.getInt(1), r.getInt(2)), r.getLong(3))).toMap
+    // boxes: [0,2)×[0,2) = {10,20,50,60} → 35; [2,4)×[0,2) = {30,40,70,80} → 55
+    assert(got == Map((1L, 0, 0) -> 35000L, (1L, 1, 0) -> 55000L), got.toString)
+    // identity resize (target == source) returns the pixels themselves
+    val same = Multimodal.resizeLumaBox(rows.filter($"media_id" === 1L),
+      tw = 4, th = 2).collect()
+      .map(r => (r.getInt(2) * 4 + r.getInt(1)) -> r.getLong(3)).toMap
+    assert((0 until 8).forall(i => same(i) == px(i) * 1000L))
+  }
+
   test("curateMediaDecoded: pixel-identity collapse, then luma-hamming drop") {
     val base = Array.tabulate(600)(i => ('a' + (i % 7)).toInt)
     val twin = base.clone(); twin(3) = 'z'.toInt // near-dup: one pixel bumped

@@ -498,6 +498,28 @@ class SimilaritySpec extends SparkSuite {
     assert(got(101L)._1 == 1L)
   }
 
+  test("recallReportSampled: full sample reproduces the exhaustive audit") {
+    val em = (0 until 60).map { i =>
+      (i.toLong, Array.tabulate(8)(d => math.sin(i * 0.37 + d).toFloat))
+    }.toDF("vec_id", "embedding")
+    val exact = Similarity.bruteForceTopK(em, "vec_id", "embedding", 5)
+      .select($"vec_id", $"nbr_id")
+    val ivf = Similarity.ivfTopK(em, "vec_id", "embedding", 5,
+      centroidStride = 20, nProbe = 2).select($"vec_id", $"nbr_id")
+    val hits = ivf.intersect(exact).count()
+    // sample ⊇ corpus → the estimate IS the exhaustive number
+    val r = Similarity.recallReportSampled(em, "vec_id", "embedding",
+      k = 5, centroidStride = 20, nProbe = 2, sampleSize = 1000)
+      .collect()(0)
+    assert(r.getLong(0) == 60L, "sample_n = all 60 vectors")
+    assert(r.getLong(1) == 300L, "n_truth = 60 queries x 5 exact pairs")
+    assert(r.getLong(2) == hits, "hits must equal the exhaustive intersect")
+    assert(r.getDouble(3) ==
+      BigDecimal(hits.toDouble / 300.0)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    graft.core.OpCache.releaseAll(blocking = true)
+  }
+
   test("semanticLeakageReportIndexed: all-cells probe equals the linear scan") {
     // 40 corpus vectors on a ring, 2 centroids (stride 20), 4 bench
     // probes; probing EVERY cell must reproduce the exact linear-scan
