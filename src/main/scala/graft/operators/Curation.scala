@@ -177,6 +177,56 @@ object Curation {
     Packing.sequencePack(mixed, idCol, textCol, maxLen, nStrata)
   }
 
+  /** DUAL-MODALITY decontamination audit — the TWO leakage channels a
+    * real pre-training run must close, as one table per corpus doc:
+    *
+    *  - SURFACE: winnowing fingerprints shared with the benchmark
+    *    text ([[graft.operators.Dedup.winnowingContamination]] —
+    *    catches verbatim and near-verbatim runs);
+    *  - SEMANTIC: the doc's embedding within `cosThreshold` of a
+    *    benchmark vector, probed through an IVF index built OVER THE
+    *    BENCHMARK ([[graft.operators.Similarity.semanticLeakageReportIndexed]]
+    *    with the roles flipped — catches paraphrase/translation that
+    *    shares no n-grams). Indexing the benchmark is the right
+    *    100 TB orientation: the bench index is eval-set-sized and
+    *    builds once, the corpus makes ONE probing pass (per-doc cost
+    *    = nProbe cells of a small index, never corpus × bench).
+    *
+    * `kept` = clears BOTH channels (n_shared_fp ≤ maxSharedFp AND
+    * max_cos below threshold or no candidate). Zero-hit docs stay in
+    * the output — this is the audit table a release review reads;
+    * filter on `kept` for the gate. Semantic flags inherit IVF's
+    * approximation contract (nProbe is the recall dial); surface
+    * flags are exact.
+    *
+    * @return (doc_id, n_shared_fp, max_cos, kept) — max_cos NULL when
+    *   the doc has no embedding or its probe finds no candidate. */
+  def dualDecontaminationReport(
+      corpus: DataFrame, bench: DataFrame,
+      idCol: String, textCol: String,
+      em: DataFrame, vecIdCol: String, vecCol: String,
+      n: Int = 3, window: Int = 4,
+      benchStride: Int = 3, nProbe: Int = 2,
+      cosThreshold: Double = 0.5, maxSharedFp: Long = 0L): DataFrame = {
+    val surface = Dedup.winnowingContamination(
+      corpus, bench, idCol, textCol, n, window)
+    val emK = em.select(col(vecIdCol).as("vec_id"), col(vecCol).as("__emb"))
+    val benchEm = emK.join(bench.select(col(idCol).as("vec_id")),
+      Seq("vec_id"), "left_semi")
+    val corpusEm = emK.join(corpus.select(col(idCol).as("vec_id")),
+      Seq("vec_id"), "left_semi")
+    val idx = Similarity.buildIvfIndex(
+      benchEm, "vec_id", "__emb", benchStride)
+    val sem = Similarity.semanticLeakageReportIndexed(
+      idx, corpusEm, "vec_id", "__emb", cosThreshold, nProbe)
+      .select(col("vec_id").as("doc_id"), col("max_cos"))
+    surface.join(sem, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_shared_fp"), col("max_cos"),
+        (col("n_shared_fp") <= maxSharedFp &&
+          (col("max_cos").isNull || col("max_cos") < cosThreshold))
+          .as("kept"))
+  }
+
   /** Exact per-group percentile cut — keep the top `keepPermille`‰ of
     * each group by `scoreCol` (ties broken by ascending `idCol`, so
     * the kept set is deterministic). The per-domain quality-percentile

@@ -1473,9 +1473,10 @@ object StreamingQueries {
     Q(
       "qm06_perceptual_hash",
       "60-bit average-hash (aHash) per media payload " +
-        "(Multimodal.aHash60 in the mapPartitions decode seam): byte " +
-        "stream stands in for the pixel stream (stub decode, real " +
-        "aHash logic) — 60 segments, bit j set iff segment j's mean " +
+        "(Multimodal.aHash60 in the mapPartitions decode seam): the " +
+        "format-agnostic BYTE-stream variant for arbitrary payloads " +
+        "(the decoded-PIXEL variant over real ImageIO output is " +
+        "qm11) — 60 segments, bit j set iff segment j's mean " +
         "beats the global mean, both compares integer CROSS-MULTIPLIES " +
         "so the hash is bit-reproducible with zero float risk. Pair " +
         "search (banded hamming join, pigeonhole-complete) is " +
@@ -1510,7 +1511,9 @@ object StreamingQueries {
     Q(
       "qm09_media_curation",
       "Composed MEDIA curation (Multimodal.curateMedia - qt13's " +
-        "lifecycle for binary payloads): exact byte dedup (md5, keep " +
+        "lifecycle for arbitrary binary payloads; the decoded-pixel " +
+        "variant over real ImageIO output is qm12): exact byte dedup " +
+        "(md5, keep " +
         "lowest id - the qd01 collapse) THEN perceptual near-dedup " +
         "among survivors (qm06's banded hamming join at maxDist=10, " +
         "pigeonhole-complete; drop ids with a smaller-id neighbor - " +

@@ -332,4 +332,39 @@ class CorpusOpsSpec extends SparkSuite {
     assert(physical.contains("BroadcastHashJoin") ||
       physical.contains("BroadcastExchange"), physical)
   }
+
+  test("dualDecontaminationReport: surface and semantic channels flag independently") {
+    // bench doc 100 = a verbatim 8-word run; bench embedding 100 points
+    // along e1. Corpus: 1 copies the run (surface hit, orthogonal
+    // embedding), 2 is clean text with an embedding parallel to the
+    // bench's (semantic hit), 3 is clean on both channels.
+    val run = "alpha beta gamma delta epsilon zeta eta theta"
+    val docs = Seq(
+      (100L, run + " and the benchmark tail words here"),
+      (1L, "prefix words " + run + " suffix words"),
+      (2L, "totally different clean words one two three four five six"),
+      (3L, "another clean document with its own words seven eight nine ten")
+    ).toDF("doc_id", "text")
+    val em = Seq(
+      (100L, Array(1f, 0f, 0f, 0f)),
+      (1L, Array(0f, 1f, 0f, 0f)),
+      (2L, Array(0.99f, 0.1f, 0f, 0f)),
+      (3L, Array(0f, 0f, 1f, 0f))
+    ).toDF("vec_id", "embedding")
+    val got = Curation.dualDecontaminationReport(
+      docs.filter($"doc_id" =!= 100L), docs.filter($"doc_id" === 100L),
+      "doc_id", "text", em, "vec_id", "embedding",
+      n = 3, window = 4, benchStride = 1, nProbe = 1,
+      cosThreshold = 0.9, maxSharedFp = 0L)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), if (r.isNullAt(2)) None else Some(r.getDouble(2)),
+          r.getBoolean(3)))).toMap
+    assert(got(1L)._1 > 0L, "verbatim run must share fingerprints")
+    assert(!got(1L)._3, "surface hit → dropped")
+    assert(got(2L)._1 == 0L && got(2L)._2.exists(_ >= 0.9),
+      s"doc 2 is a semantic-only hit: ${got(2L)}")
+    assert(!got(2L)._3, "semantic hit → dropped")
+    assert(got(3L)._1 == 0L && got(3L)._3, s"doc 3 clears both: ${got(3L)}")
+    graft.core.OpCache.releaseAll(blocking = true)
+  }
 }

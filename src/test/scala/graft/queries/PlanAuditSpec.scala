@@ -146,7 +146,21 @@ class PlanAuditSpec extends SparkSuite {
       "qt39_token_budget",
       // inherits qt39's one-row waterfill broadcasts; the execution
       // side is equi-joins on (source, bucket) / source
-      "qt40_budget_mix")
+      "qt40_budget_mix",
+      // qd37's 1-row count-aggregate report cross joins; the sampled
+      // truth / LSH pair work is all equi-joins (sample²-bounded)
+      "qd40_lsh_recall_sampled",
+      // qs02's broadcast centroid-scoring cross join on the bench
+      // probe side; the probe↔cell stage is an EQUI-join on cent_id
+      "qs38_semantic_leakage_indexed",
+      // qs33's broadcast sampled-query-batch × corpus linear truth
+      // scan + qs02's centroid cross join for the served side + the
+      // 1-row report cross joins — sample·corpus, never corpus²
+      "qs39_recall_sampled",
+      // qs02's broadcast centroid cross join over the BENCH-side
+      // index (eval-set-sized); the probe↔cell stage and the surface
+      // channel are equi-joins
+      "qt42_dual_decontamination")
 
   test("no unexpected cartesian/nested-loop joins anywhere in the registry") {
     val dir = "/root/testdata/sf0.001"
