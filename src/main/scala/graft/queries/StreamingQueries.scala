@@ -1295,6 +1295,97 @@ object StreamingQueries {
         |WHERE rnk <= 10""".stripMargin)),
 
     Q(
+      "qst29_stream_semantic_gate",
+      "Streaming SEMANTIC-decontamination gate " +
+        "(EventStreams.semanticGateFeed - qst24's twin for the " +
+        "embedding channel; qt42's semantic half at the ingest " +
+        "door): the benchmark's IVF index (vec_id % 50 = 0, stride " +
+        "3) loads once and stays FROZEN; corpus embeddings arrive " +
+        "TWICE via two staged files, each batch probes 2 cells per " +
+        "vector and emits (vec_id, max_cos, admitted) - paraphrased " +
+        "benchmark material is rejected at ingest before it claims " +
+        "a corpus place. Stateless, re-delivery idempotent " +
+        "(consumer distinct). Oracle = qt42's semantic replay + the " +
+        "admitted flag.",
+      (s, dir) => {
+        s.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+        val em = graft.core.Tables.load(s, dir, "embeddings")
+        val idx = {
+          val b = graft.operators.Similarity.buildIvfIndex(
+            em.filter(pmod(col("vec_id"), lit(50)) === 0),
+            "vec_id", "embedding", centroidStride = 3)
+          val p = graft.operators.Similarity.IvfIndex(
+            graft.core.OpCache.persist(b.centroids),
+            graft.core.OpCache.persist(b.cells))
+          p.centroids.count(); p.cells.count(); p
+        }
+        val in = java.nio.file.Files.createTempDirectory("graft_sg_in")
+        val src = java.nio.file.Paths.get(dir, "embeddings.parquet")
+        java.nio.file.Files.copy(src, in.resolve("e1.parquet"))
+        java.nio.file.Files.copy(src, in.resolve("e2.parquet"))
+        val stream = s.readStream.schema(em.schema)
+          .option("maxFilesPerTrigger", 1)
+          .parquet(in.toString + "/*.parquet")
+          .filter(pmod(col("vec_id"), lit(50)) =!= 0)
+        val out = java.nio.file.Files
+          .createTempDirectory("graft_sg_out").toString
+        EventStreams.semanticGateFeed(stream, idx, "vec_id", "embedding",
+          out, threshold = 0.5, nProbe = 2)
+        s.read.parquet(out).distinct()
+      },
+      Some(s"""WITH e AS (
+        |  SELECT vec_id, embedding,
+        |    sqrt(list_reduce(list_transform(embedding,
+        |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+        |      (x, y) -> x + y)) AS nrm
+        |  FROM embeddings),
+        |be AS (SELECT * FROM e WHERE vec_id % 50 = 0),
+        |ce AS (SELECT * FROM e WHERE vec_id % 50 <> 0),
+        |cents AS (SELECT vec_id AS cent_id, embedding AS cemb, nrm AS cnrm
+        |          FROM be WHERE vec_id % 3 = 0),
+        |ar AS (
+        |  SELECT be.vec_id, ct.cent_id,
+        |    row_number() OVER (PARTITION BY be.vec_id ORDER BY
+        |      list_reduce(list_transform(list_zip(be.embedding, ct.cemb),
+        |        s -> CAST(s[1] AS DOUBLE) * CAST(s[2] AS DOUBLE)),
+        |        (x, y) -> x + y) / (be.nrm * ct.cnrm) DESC,
+        |      ct.cent_id) AS rn
+        |  FROM be, cents ct),
+        |cells AS (
+        |  SELECT be.vec_id, be.embedding, be.nrm, a.cent_id
+        |  FROM be JOIN (SELECT vec_id, cent_id FROM ar WHERE rn = 1) a
+        |    USING (vec_id)),
+        |qr AS (
+        |  SELECT ce.vec_id, ct.cent_id,
+        |    row_number() OVER (PARTITION BY ce.vec_id ORDER BY
+        |      list_reduce(list_transform(list_zip(ce.embedding, ct.cemb),
+        |        s -> CAST(s[1] AS DOUBLE) * CAST(s[2] AS DOUBLE)),
+        |        (x, y) -> x + y) / (ce.nrm * ct.cnrm) DESC,
+        |      ct.cent_id) AS rn
+        |  FROM ce, cents ct),
+        |p AS (
+        |  SELECT ce.vec_id, ce.embedding, ce.nrm, pr.cent_id
+        |  FROM ce JOIN (SELECT vec_id, cent_id FROM qr WHERE rn <= 2) pr
+        |    USING (vec_id)),
+        |sc AS (
+        |  SELECT p.vec_id AS qid, cl.vec_id AS nbr,
+        |    list_reduce(list_transform(list_zip(p.embedding, cl.embedding),
+        |      s -> CAST(s[1] AS DOUBLE) * CAST(s[2] AS DOUBLE)),
+        |      (x, y) -> x + y) / (p.nrm * cl.nrm) AS cos
+        |  FROM p JOIN cells cl ON p.cent_id = cl.cent_id
+        |    AND p.vec_id <> cl.vec_id),
+        |rr AS (
+        |  SELECT qid, cos, row_number() OVER (PARTITION BY qid
+        |    ORDER BY cos DESC, nbr) AS rn
+        |  FROM sc),
+        |sem AS (SELECT qid AS vec_id, round(cos, 6) AS max_cos
+        |        FROM rr WHERE rn = 1)
+        |SELECT c.vec_id, sem.max_cos,
+        |  (sem.max_cos IS NULL OR sem.max_cos < 0.5) AS admitted
+        |FROM (SELECT vec_id FROM embeddings WHERE vec_id % 50 <> 0) c
+        |LEFT JOIN sem USING (vec_id)""".stripMargin)),
+
+    Q(
       "qm04_chunk_dedup",
       "Content-chunk dedup over binary payloads " +
         "(Multimodal.chunkDedupStats — the storage-dedup primitive): " +

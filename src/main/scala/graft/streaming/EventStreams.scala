@@ -467,6 +467,51 @@ object EventStreams {
     if (!q.awaitTermination(180000)) q.stop()
   }
 
+  /** Streaming SEMANTIC-decontamination GATE — the embedding channel
+    * at the ingest door ([[decontaminationGateFeed]]'s twin; qt42's
+    * semantic half as a stream): the benchmark's IVF index
+    * ([[graft.operators.Similarity.IvfIndex]], eval-set-sized) loads
+    * once and stays FROZEN; each arriving micro-batch of
+    * (vec_id, embedding) rows probes it
+    * ([[graft.operators.Similarity.semanticLeakageReportIndexed]])
+    * and every batch row gets a verdict — (vec_id, max_cos,
+    * admitted), max_cos NULL when no probed cell holds a candidate —
+    * so paraphrased benchmark material is rejected at ingest, before
+    * it can claim a place in the corpus. Stateless: verdicts are a
+    * pure function of (batch, frozen index), so at-least-once
+    * re-delivery re-emits identical rows (consumer distinct).
+    * Semantic verdicts inherit IVF's approximation contract — nProbe
+    * is the recall dial. */
+  def semanticGateFeed(
+      vecs: DataFrame,
+      index: graft.operators.Similarity.IvfIndex,
+      idCol: String,
+      vecCol: String,
+      outDir: String,
+      threshold: Double = 0.5,
+      nProbe: Int = 2,
+      queryName: String = "graft_semantic_gate"): Unit = {
+    val q = vecs.writeStream
+      .queryName(queryName)
+      .outputMode(OutputMode.Append())
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val b = batch.toDF().dropDuplicates(Seq(idCol))
+        val rep = graft.operators.Similarity.semanticLeakageReportIndexed(
+          index, b, idCol, vecCol, threshold, nProbe)
+          .select(col("vec_id"), col("max_cos"))
+        b.select(col(idCol).as("vec_id"))
+          .join(rep, Seq("vec_id"), "left")
+          .select(col("vec_id"), col("max_cos"),
+            (col("max_cos").isNull || col("max_cos") < threshold)
+              .as("admitted"))
+          .write.mode("append").parquet(outDir)
+        ()
+      }
+      .start()
+    if (!q.awaitTermination(180000)) q.stop()
+  }
+
   /** Streaming PROFILE MAINTENANCE —
     * [[graft.warehouse.Profile.mergeableProfile]] maintained as live
     * state (qw25's incremental discipline on a stream): each
