@@ -1755,6 +1755,38 @@ object Similarity {
             col("n_truth").cast("double"), 6)).as("recall"))
   }
 
+  /** IVF index HEALTH datasheet — the one-row report an index owner
+    * reads before trusting (or retraining) a quantizer: cell-count /
+    * vector-count totals, min/max/mean cell population, the
+    * max-to-mean SKEW ratio (a hot cell serves most probes slowly —
+    * the signal to retrain or split), and how many centroids own no
+    * vectors at all (dead cells waste probe budget). Pure metadata
+    * aggregation over the stored cell table: one hash agg on cent_id
+    * + one broadcast anti-join against the centroid list — never
+    * touches embedding floats. Mean/skew are single end divisions
+    * rounded to 6; NULL skew on an empty index. */
+  def ivfIndexStats(index: IvfIndex): DataFrame = {
+    val perCell = index.cells.groupBy(col("cent_id"))
+      .agg(count(lit(1)).cast("long").as("members"))
+    val dead = index.centroids.select(col("cent_id"))
+      .join(perCell.select(col("cent_id")), Seq("cent_id"), "left_anti")
+      .agg(count(lit(1)).cast("long").as("empty_cells"))
+    perCell.agg(
+      count(lit(1)).cast("long").as("n_cells"),
+      sum(col("members")).cast("long").as("n_vectors"),
+      min(col("members")).as("min_cell"),
+      max(col("members")).as("max_cell"))
+      .crossJoin(broadcast(dead))
+      .select(col("n_cells"), col("n_vectors"), col("min_cell"),
+        col("max_cell"), col("empty_cells"),
+        when(col("n_cells") > 0,
+          round(col("n_vectors").cast("double") /
+            col("n_cells").cast("double"), 6)).as("mean_cell"),
+        when(col("n_vectors") > 0,
+          round(col("max_cell").cast("double") * col("n_cells").cast("double") /
+            col("n_vectors").cast("double"), 6)).as("skew"))
+  }
+
   /** Per-dimension embedding DATASHEET — qw16's column profile for
     * vector data: n, DECIMAL-exact mean, population variance, min,
     * max per dimension. The pre-flight audit before quantization or

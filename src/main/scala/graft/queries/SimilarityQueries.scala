@@ -1682,6 +1682,53 @@ object SimilarityQueries {
         |FROM c0, c1, c2""".stripMargin)),
 
     Q(
+      "qs40_ivf_index_stats",
+      "IVF index HEALTH datasheet (Similarity.ivfIndexStats): one " +
+        "row of cell-population metadata over the stored index — " +
+        "n_cells / n_vectors / min / max / dead cells / mean / " +
+        "max-to-mean SKEW, the number that says when a hot cell " +
+        "will serve most probes slowly and the quantizer needs a " +
+        "retrain (qs08) or a split. Pure metadata aggregation: one " +
+        "hash agg on cent_id + a broadcast anti-join for dead " +
+        "cells — never touches embedding floats.",
+      (s, dir) =>
+        Similarity.ivfIndexStats(
+          Similarity.buildIvfIndex(
+            Tables.load(s, dir, "embeddings"), "vec_id", "embedding",
+            centroidStride = 40)),
+      Some(s"""WITH e AS (
+        |  SELECT vec_id, embedding, ${dkNorm("embedding")} AS nrm
+        |  FROM embeddings),
+        |c AS (SELECT vec_id AS cent_id, embedding AS cemb, nrm AS cnrm
+        |      FROM e WHERE vec_id % 40 = 0),
+        |ranked AS (
+        |  SELECT e.vec_id, c.cent_id,
+        |    row_number() OVER (PARTITION BY e.vec_id ORDER BY
+        |      ${dkDot("e.embedding", "c.cemb")} / (e.nrm * c.cnrm) DESC,
+        |      c.cent_id) AS rn
+        |  FROM e, c),
+        |assign AS (SELECT vec_id, cent_id FROM ranked WHERE rn = 1),
+        |pc AS (SELECT cent_id, CAST(count(*) AS BIGINT) AS members
+        |       FROM assign GROUP BY 1),
+        |dead AS (SELECT CAST(count(*) AS BIGINT) AS empty_cells
+        |         FROM c WHERE cent_id NOT IN (SELECT cent_id FROM pc)),
+        |agg AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_cells,
+        |    CAST(sum(members) AS BIGINT) AS n_vectors,
+        |    CAST(min(members) AS BIGINT) AS min_cell,
+        |    CAST(max(members) AS BIGINT) AS max_cell
+        |  FROM pc)
+        |SELECT n_cells, n_vectors, min_cell, max_cell, empty_cells,
+        |  CASE WHEN n_cells > 0 THEN
+        |    round(CAST(n_vectors AS DOUBLE) / CAST(n_cells AS DOUBLE), 6)
+        |  END AS mean_cell,
+        |  CASE WHEN n_vectors > 0 THEN
+        |    round(CAST(max_cell AS DOUBLE) * CAST(n_cells AS DOUBLE) /
+        |      CAST(n_vectors AS DOUBLE), 6)
+        |  END AS skew
+        |FROM agg, dead""".stripMargin)),
+
+    Q(
       "qs36_sq_distortion",
       "Scalar-quantization DISTORTION audit " +
         "(Similarity.sqDistortionReport): per-vector cosine fidelity " +

@@ -1386,6 +1386,63 @@ object StreamingQueries {
         |LEFT JOIN sem USING (vec_id)""".stripMargin)),
 
     Q(
+      "qst30_stream_media_ingest",
+      "Streaming MEDIA-ingest dedup with REAL decode " +
+        "(EventStreams.mediaIngestFeed - qst06's first-occurrence " +
+        "discipline keyed on DECODED PIXEL IDENTITY, qm12's exact " +
+        "stage at the door): synthetic PNGs arrive TWICE via two " +
+        "staged files; each batch ImageIO-decodes once, collapses " +
+        "to the lowest media_id per (width, height, luma md5), " +
+        "anti-joins the stored identity set, emits only first " +
+        "occurrences and grows the store - re-uploaded copies never " +
+        "enter twice however their FILE bytes differ. Re-delivery " +
+        "emits nothing new. Oracle = the cyclic-stream first-" +
+        "occurrence replay (no bytes needed).",
+      (s, dir) => {
+        s.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+        val media = Multimodal.syntheticImages(
+          graft.core.Tables.load(s, dir, "documents"), "doc_id", "text")
+          .select(col("media_id"), col("bytes"))
+        val in = java.nio.file.Files.createTempDirectory("graft_mi_in")
+        def stage(name: String): Unit = {
+          val tmp = java.nio.file.Files
+            .createTempDirectory("graft_mi_w").toString
+          media.coalesce(1).write.mode("overwrite").parquet(tmp)
+          val part = new java.io.File(tmp).listFiles()
+            .find(f => f.getName.startsWith("part-") &&
+              f.getName.endsWith(".parquet")).get
+          java.nio.file.Files.copy(part.toPath, in.resolve(name))
+          ()
+        }
+        stage("m1.parquet")
+        stage("m2.parquet")
+        val stream = s.readStream
+          .schema("media_id LONG, bytes BINARY")
+          .option("maxFilesPerTrigger", 1)
+          .parquet(in.toString + "/*.parquet")
+        val out = java.nio.file.Files
+          .createTempDirectory("graft_mi_out").toString
+        EventStreams.mediaIngestFeed(stream, out)
+        s.read.parquet(out).distinct()
+      },
+      Some("""WITH d AS (
+        |  SELECT doc_id, text, length(text) AS len,
+        |    CAST(8 + doc_id % 25 AS INT) AS w,
+        |    CAST(8 + (doc_id // 3) % 25 AS INT) AS h
+        |  FROM documents WHERE length(text) >= 1),
+        |ky AS (
+        |  SELECT doc_id, w, h,
+        |    substring(repeat(text, CAST((w * h) // len + 1 AS INT)),
+        |      1, w * h) AS stream
+        |  FROM d)
+        |SELECT doc_id AS media_id, w AS width, h AS height
+        |FROM ky k
+        |WHERE NOT EXISTS (SELECT 1 FROM ky k2
+        |                  WHERE k2.w = k.w AND k2.h = k.h
+        |                    AND k2.stream = k.stream
+        |                    AND k2.doc_id < k.doc_id)""".stripMargin)),
+
+    Q(
       "qm04_chunk_dedup",
       "Content-chunk dedup over binary payloads " +
         "(Multimodal.chunkDedupStats — the storage-dedup primitive): " +

@@ -512,6 +512,69 @@ object EventStreams {
     if (!q.awaitTermination(180000)) q.stop()
   }
 
+  /** Streaming MEDIA-ingest dedup with REAL decode — qst06's
+    * first-occurrence discipline keyed on DECODED PIXEL IDENTITY
+    * (qm12's exact stage at the ingest door): each arriving media
+    * batch decodes ONCE ([[graft.operators.Multimodal.decodedSignatures]]
+    * — ImageIO at the per-partition seam), collapses batch-internal
+    * duplicates to the lowest media_id per (width, height, luma md5),
+    * anti-joins the stored identity set, emits ONLY first occurrences
+    * (media_id, width, height), and grows the store — so re-encoded
+    * or re-uploaded copies of an image never enter the corpus twice,
+    * regardless of how their FILE bytes differ. Output rows are first
+    * occurrences, so at-least-once re-delivery emits nothing new
+    * (consumer distinct); undecodable payloads are excluded (the
+    * upstream quality gate owns them). State = one
+    * (width, height, luma_md5) row per distinct stored image — cut
+    * and re-persisted per batch with scoped release (the budget-gate
+    * discipline), KB-sized keys, never pixels. */
+  def mediaIngestFeed(
+      media: DataFrame,
+      outDir: String,
+      queryName: String = "graft_media_ingest"): Unit = {
+    val spark = media.sparkSession
+    var state: Option[DataFrame] = None
+    val q = media.writeStream
+      .queryName(queryName)
+      .outputMode(OutputMode.Append())
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val trackedBefore = graft.core.OpCache.trackedSnapshot
+        val sig = graft.operators.Multimodal.decodedSignatures(
+          batch.toDF().dropDuplicates(Seq("media_id")))
+        val firstInBatch = sig
+          .groupBy(col("width"), col("height"), col("luma_md5"))
+          .agg(min(col("media_id")).as("media_id"))
+        val fresh = graft.core.OpCache.persist(state match {
+          case Some(st) => firstInBatch.join(st,
+            Seq("width", "height", "luma_md5"), "left_anti")
+          case None => firstInBatch
+        })
+        fresh.select(col("media_id"), col("width"), col("height"))
+          .write.mode("append").parquet(outDir)
+        val merged = state match {
+          case Some(st) => st.unionByName(
+            fresh.select(col("width"), col("height"), col("luma_md5")))
+          case None => fresh.select(col("width"), col("height"),
+            col("luma_md5"))
+        }
+        val next = graft.core.OpCache.persist(
+          spark.createDataFrame(merged.rdd, merged.schema))
+        next.count() // materialize before releasing its inputs
+        (graft.core.OpCache.trackedSnapshot -- trackedBefore - next)
+          .foreach { f =>
+            f.unpersist(false); graft.core.OpCache.untrack(f)
+          }
+        state.foreach { prev =>
+          prev.unpersist(false); graft.core.OpCache.untrack(prev)
+        }
+        state = Some(next)
+        ()
+      }
+      .start()
+    if (!q.awaitTermination(180000)) q.stop()
+  }
+
   /** Streaming PROFILE MAINTENANCE —
     * [[graft.warehouse.Profile.mergeableProfile]] maintained as live
     * state (qw25's incremental discipline on a stream): each

@@ -498,6 +498,20 @@ class SimilaritySpec extends SparkSuite {
     assert(got(101L)._1 == 1L)
   }
 
+  test("ivfIndexStats: population, dead cells, and skew from metadata only") {
+    val cents = Seq((1L, Array(1f), 1.0), (2L, Array(1f), 1.0),
+      (3L, Array(1f), 1.0)).toDF("cent_id", "cemb", "cnrm")
+    val cells = Seq((10L, 1L), (11L, 1L), (12L, 2L))
+      .toDF("vec_id", "cent_id")
+    val r = Similarity.ivfIndexStats(
+      Similarity.IvfIndex(cents, cells)).collect()(0)
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+      r.getLong(4)) == ((2L, 3L, 1L, 2L, 1L)),
+      "2 live cells, 3 vectors, min 1, max 2, 1 dead centroid")
+    assert(r.getDouble(5) == 1.5)           // mean
+    assert(r.getDouble(6) == 1.333333)      // max/mean = 2/1.5
+  }
+
   test("recallReportSampled: full sample reproduces the exhaustive audit") {
     val em = (0 until 60).map { i =>
       (i.toLong, Array.tabulate(8)(d => math.sin(i * 0.37 + d).toFloat))
