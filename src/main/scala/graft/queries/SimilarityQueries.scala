@@ -1729,6 +1729,57 @@ object SimilarityQueries {
         |FROM agg, dead""".stripMargin)),
 
     Q(
+      "qs41_trained_index_stats",
+      "qs40's health datasheet over the K-MEANS-TRAINED index " +
+        "(Similarity.kmeansIvfIndex, 2 Lloyd rounds — qs08's " +
+        "quantizer): the measured value of training is the SKEW " +
+        "delta between this row and qs40's stride-seeded row — " +
+        "Lloyd rounds move centroids toward population balance, so " +
+        "hot cells shrink and probe latency evens out. The pair is " +
+        "the retrain decision, in-engine and bit-reproducible. " +
+        "Oracle unrolls both Lloyd rounds then replays the " +
+        "metadata aggregation.",
+      (s, dir) =>
+        Similarity.ivfIndexStats(
+          Similarity.kmeansIvfIndex(
+            Tables.load(s, dir, "embeddings"), "vec_id", "embedding",
+            centroidStride = 40, iters = 2)),
+      Some(s"""WITH e AS (
+        |  SELECT vec_id, embedding, ${dkNorm("embedding")} AS nrm
+        |  FROM embeddings),
+        |c0 AS (
+        |  SELECT vec_id AS cent_id, embedding AS cemb, nrm AS cnrm
+        |  FROM e WHERE vec_id % 40 = 0),
+        |${lloydRound(1, "c0")},
+        |${lloydRound(2, "cn1")},
+        |rf AS (
+        |  SELECT e.vec_id, c.cent_id,
+        |    row_number() OVER (PARTITION BY e.vec_id ORDER BY
+        |      ${dkDot("e.embedding", "c.cemb")} / (e.nrm * c.cnrm) DESC,
+        |      c.cent_id) AS rn
+        |  FROM e, cn2 c),
+        |assign AS (SELECT vec_id, cent_id FROM rf WHERE rn = 1),
+        |pc AS (SELECT cent_id, CAST(count(*) AS BIGINT) AS members
+        |       FROM assign GROUP BY 1),
+        |dead AS (SELECT CAST(count(*) AS BIGINT) AS empty_cells
+        |         FROM cn2 WHERE cent_id NOT IN (SELECT cent_id FROM pc)),
+        |agg AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_cells,
+        |    CAST(sum(members) AS BIGINT) AS n_vectors,
+        |    CAST(min(members) AS BIGINT) AS min_cell,
+        |    CAST(max(members) AS BIGINT) AS max_cell
+        |  FROM pc)
+        |SELECT n_cells, n_vectors, min_cell, max_cell, empty_cells,
+        |  CASE WHEN n_cells > 0 THEN
+        |    round(CAST(n_vectors AS DOUBLE) / CAST(n_cells AS DOUBLE), 6)
+        |  END AS mean_cell,
+        |  CASE WHEN n_vectors > 0 THEN
+        |    round(CAST(max_cell AS DOUBLE) * CAST(n_cells AS DOUBLE) /
+        |      CAST(n_vectors AS DOUBLE), 6)
+        |  END AS skew
+        |FROM agg, dead""".stripMargin)),
+
+    Q(
       "qs36_sq_distortion",
       "Scalar-quantization DISTORTION audit " +
         "(Similarity.sqDistortionReport): per-vector cosine fidelity " +
