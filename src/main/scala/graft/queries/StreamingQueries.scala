@@ -1854,6 +1854,81 @@ object StreamingQueries {
         |FROM b GROUP BY 1, 2, 3""".stripMargin)),
 
     Q(
+      "qm14_media_manifest",
+      "Composed MEDIA export manifest - qt36's lifecycle for images: " +
+        "curate on decoded pixels (qm12: identity collapse + " +
+        "luma-hamming near-dedup, one ImageIO pass) THEN pack the " +
+        "survivors into pixel-budgeted shards (qt35's two-phase " +
+        "bucketed cumsum over n_px - no global window). The handoff " +
+        "a vision-data run ships to trainers: (shard, n_media, " +
+        "shard_px). Oracle replays the full chain - survivors from " +
+        "pixel formulas, then the straightforward global-window " +
+        "cumsum the engine refuses to run.",
+      (s, dir) => {
+        val surv = Multimodal.curateMediaDecoded(
+          Multimodal.syntheticImages(
+            graft.core.Tables.load(s, dir, "documents"), "doc_id", "text"),
+          maxDist = 10)
+        graft.operators.Sharding.tokenShards(
+          surv, "media_id", col("n_px"), budget = 20000L)
+          .select(col("shard"), col("n_docs").as("n_media"),
+            col("shard_tokens").as("shard_px"))
+      },
+      Some("""WITH d AS (
+        |  SELECT doc_id, text, length(text) AS len,
+        |    CAST(8 + doc_id % 25 AS INT) AS w,
+        |    CAST(8 + (doc_id // 3) % 25 AS INT) AS h
+        |  FROM documents WHERE length(text) >= 1),
+        |ky AS (
+        |  SELECT doc_id, w, h,
+        |    substring(repeat(text, CAST((w * h) // len + 1 AS INT)),
+        |      1, w * h) AS stream
+        |  FROM d),
+        |s1 AS (
+        |  SELECT doc_id, w, h FROM ky k
+        |  WHERE NOT EXISTS (SELECT 1 FROM ky k2
+        |                    WHERE k2.w = k.w AND k2.h = k.h
+        |                      AND k2.stream = k.stream
+        |                      AND k2.doc_id < k.doc_id)),
+        |b AS (
+        |  SELECT d.doc_id, t.p AS p,
+        |    unicode(substring(d.text, CAST((t.p % d.len) + 1 AS INT), 1)) AS v,
+        |    d.w * d.h AS n
+        |  FROM d JOIN s1 ON d.doc_id = s1.doc_id,
+        |    unnest(range(0, d.w * d.h)) t(p)),
+        |seg AS (
+        |  SELECT doc_id, (p * 60) // n AS j, sum(v) AS s, count(*) AS c
+        |  FROM b GROUP BY 1, 2),
+        |tot AS (SELECT doc_id, sum(v) AS ts, count(*) AS tn FROM b GROUP BY 1),
+        |bits AS (
+        |  SELECT g.doc_id, g.j,
+        |    CASE WHEN coalesce(s.s, 0) * t.tn > t.ts * coalesce(s.c, 0)
+        |         THEN 1 ELSE 0 END AS bit
+        |  FROM (SELECT doc_id, unnest(range(0, 60)) AS j FROM s1) g
+        |  LEFT JOIN seg s ON s.doc_id = g.doc_id AND s.j = g.j
+        |  JOIN tot t ON t.doc_id = g.doc_id),
+        |ah AS (SELECT doc_id, sum(bit << j) AS ahash FROM bits GROUP BY 1),
+        |drop0 AS (
+        |  SELECT DISTINCT b2.doc_id FROM ah a JOIN ah b2
+        |  ON a.doc_id < b2.doc_id
+        |    AND bit_count(xor(a.ahash, b2.ahash)) <= 10),
+        |surv AS (
+        |  SELECT s1.doc_id AS media_id, CAST(s1.w * s1.h AS BIGINT) AS n_px
+        |  FROM s1 WHERE s1.doc_id NOT IN (SELECT doc_id FROM drop0)),
+        |t2 AS (
+        |  SELECT media_id, md5(CAST(media_id AS VARCHAR)) AS key, n_px
+        |  FROM surv),
+        |cm AS (
+        |  SELECT n_px,
+        |    sum(n_px) OVER (ORDER BY key ROWS UNBOUNDED PRECEDING)
+        |      - n_px AS bef
+        |  FROM t2)
+        |SELECT CAST(bef // 20000 AS BIGINT) AS shard,
+        |  CAST(count(*) AS BIGINT) AS n_media,
+        |  CAST(sum(n_px) AS BIGINT) AS shard_px
+        |FROM cm GROUP BY 1""".stripMargin)),
+
+    Q(
       "qm12_image_curation",
       "Composed curation on REAL DECODED PIXELS " +
         "(Multimodal.curateMediaDecoded - qm09 upgraded to the codec " +
