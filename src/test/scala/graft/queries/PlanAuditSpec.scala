@@ -160,7 +160,13 @@ class PlanAuditSpec extends SparkSuite {
       // qs02's broadcast centroid cross join over the BENCH-side
       // index (eval-set-sized); the probe↔cell stage and the surface
       // channel are equi-joins
-      "qt42_dual_decontamination")
+      "qt42_dual_decontamination",
+      // qs02's broadcast centroid cross join builds the audited
+      // index; the stats themselves are one hash agg + a broadcast
+      // anti-join + the 1-row report cross join
+      "qs40_ivf_index_stats",
+      // same, over the k-means-trained quantizer (qs08's exception)
+      "qs41_trained_index_stats")
 
   test("no unexpected cartesian/nested-loop joins anywhere in the registry") {
     val dir = "/root/testdata/sf0.001"
