@@ -1787,6 +1787,86 @@ object Similarity {
             col("n_vectors").cast("double"), 6)).as("skew"))
   }
 
+  /** HOT-CELL SPLIT — the rebalance ACTION [[ivfIndexStats]]'s skew
+    * row signals: every cell holding more than `maxCell` members
+    * splits in two. Deterministic 2-means inside each hot cell: the
+    * cell's two lowest-id members seed the children, ONE Lloyd round
+    * trains them (cosine assignment among the cell's members, ties →
+    * lower seed rank; per-dim DECIMAL(30,6)-exact means cast to
+    * float — the [[trainIvfCentroids]] discipline), and members
+    * re-assign to the nearer trained child. Cold cells pass through
+    * untouched. Ids stay collision-free by construction: a cold cell
+    * keeps 2·cent_id, the children of hot cell p take 2·p and
+    * 2·p + 1 (p is hot, never cold, so no even-id collision). A
+    * child that wins no member in the final re-assignment stays in
+    * the centroid table and shows up in [[ivfIndexStats]]'s dead
+    * count — the honest outcome of a degenerate split.
+    *
+    * Scale shape: everything keys on cent_id / (cent_id, vec_id) —
+    * sizes are one hash agg, seeds a per-hot-cell window over
+    * member-count-bounded partitions, training one equi-join pass ×
+    * one exploded exact-mean agg, re-assignment one more equi-join.
+    * Only hot-cell members move; the corpus never re-shuffles. */
+  def splitHotCells(index: IvfIndex, maxCell: Int): IvfIndex = {
+    require(maxCell >= 2, s"maxCell must be >= 2, got $maxCell")
+    import org.apache.spark.sql.expressions.Window
+    val sizes = index.cells.groupBy(col("cent_id"))
+      .agg(count(lit(1)).as("n"))
+    val hot = sizes.filter(col("n") > maxCell).select(col("cent_id"))
+    val hotCells = graft.core.OpCache.persist(
+      index.cells.join(broadcast(hot), Seq("cent_id"), "left_semi"))
+    val coldCells = index.cells.join(broadcast(hot), Seq("cent_id"), "left_anti")
+    val w = Window.partitionBy(col("cent_id")).orderBy(col("vec_id"))
+    val seeds = hotCells.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 2)
+      .select(col("cent_id"), col("rk"),
+        col("embedding").as("semb"), col("nrm").as("snrm"))
+    // one Lloyd round: seed-assignment (ties → lower seed rank) …
+    val a1 = hotCells.join(seeds, Seq("cent_id"))
+      .select(col("cent_id"), col("vec_id"), col("rk"),
+        cosineWithNorms(col("embedding"), col("semb"),
+          col("nrm"), col("snrm")).as("c"))
+      .groupBy(col("cent_id"), col("vec_id"))
+      .agg(max(struct(col("c"), (-col("rk")).as("nrk"))).as("m"))
+      .select(col("cent_id"), col("vec_id"), (-col("m.nrk")).as("rk"))
+    // … then per-(cell, child, dim) exact means, repacked in dim order
+    val children = graft.core.OpCache.persist(
+      hotCells.join(a1, Seq("cent_id", "vec_id"))
+        .select(col("cent_id"), col("rk"),
+          posexplode(col("embedding")).as(Seq("dim", "x")))
+        .groupBy(col("cent_id"), col("rk"), col("dim"))
+        .agg((graft.expr.Exprs.exactSum(col("x").cast("double")) /
+          count(lit(1)).cast("double")).as("mu"))
+        .groupBy(col("cent_id"), col("rk"))
+        .agg(transform(
+          array_sort(collect_list(struct(col("dim"), col("mu")))),
+          s => s.getField("mu")).cast("array<float>").as("cvec"))
+        .select(col("cent_id"), col("rk"), col("cvec"),
+          l2Norm(col("cvec")).as("cnrm")))
+    // final re-assignment of hot members against the TRAINED children
+    val a2 = hotCells.join(children, Seq("cent_id"))
+      .select(col("cent_id"), col("vec_id"), col("rk"),
+        cosineWithNorms(col("embedding"), col("cvec"),
+          col("nrm"), col("cnrm")).as("c"))
+      .groupBy(col("cent_id"), col("vec_id"))
+      .agg(max(struct(col("c"), (-col("rk")).as("nrk"))).as("m"))
+      .select(col("cent_id"), col("vec_id"), (-col("m.nrk")).as("rk"))
+    val newHotCells = hotCells.join(a2, Seq("cent_id", "vec_id"))
+      .select(col("vec_id"), col("embedding"), col("nrm"),
+        (col("cent_id") * 2 + col("rk") - 1).as("cent_id"))
+    val newCells = coldCells
+      .select(col("vec_id"), col("embedding"), col("nrm"),
+        (col("cent_id") * 2).as("cent_id"))
+      .unionByName(newHotCells)
+    val newCents = index.centroids
+      .join(broadcast(hot), Seq("cent_id"), "left_anti")
+      .select((col("cent_id") * 2).as("cent_id"), col("cemb"), col("cnrm"))
+      .unionByName(children.select(
+        (col("cent_id") * 2 + col("rk") - 1).as("cent_id"),
+        col("cvec").as("cemb"), col("cnrm")))
+    IvfIndex(newCents, newCells)
+  }
+
   /** Per-dimension embedding DATASHEET — qw16's column profile for
     * vector data: n, DECIMAL-exact mean, population variance, min,
     * max per dimension. The pre-flight audit before quantization or

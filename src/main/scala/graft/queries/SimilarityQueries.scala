@@ -1780,6 +1780,87 @@ object SimilarityQueries {
         |FROM agg, dead""".stripMargin)),
 
     Q(
+      "qs42_hot_cell_split",
+      "HOT-CELL SPLIT (Similarity.splitHotCells — the rebalance " +
+        "ACTION qs40's skew row signals): every cell over 40 " +
+        "members splits by a deterministic in-cell 2-means (two " +
+        "lowest-id members seed, ONE Lloyd round with decimal-exact " +
+        "means, re-assign to the nearer trained child; ids stay " +
+        "collision-free — cold cells keep 2·id, children take 2·p " +
+        "and 2·p+1). Only hot-cell members move; the corpus never " +
+        "re-shuffles. Output = the split index's per-cell " +
+        "populations; oracle replays the whole split.",
+      (s, dir) => {
+        val idx = Similarity.buildIvfIndex(
+          Tables.load(s, dir, "embeddings"), "vec_id", "embedding",
+          centroidStride = 40)
+        Similarity.splitHotCells(idx, maxCell = 40).cells
+          .groupBy(col("cent_id"))
+          .agg(org.apache.spark.sql.functions.count(
+            org.apache.spark.sql.functions.lit(1)).cast("long").as("members"))
+      },
+      Some(s"""WITH e AS (
+        |  SELECT vec_id, embedding, ${dkNorm("embedding")} AS nrm
+        |  FROM embeddings),
+        |c AS (SELECT vec_id AS cent_id, embedding AS cemb, nrm AS cnrm
+        |      FROM e WHERE vec_id % 40 = 0),
+        |ranked AS (
+        |  SELECT e.vec_id, c.cent_id,
+        |    row_number() OVER (PARTITION BY e.vec_id ORDER BY
+        |      ${dkDot("e.embedding", "c.cemb")} / (e.nrm * c.cnrm) DESC,
+        |      c.cent_id) AS rn
+        |  FROM e, c),
+        |cl AS (
+        |  SELECT e.vec_id, e.embedding, e.nrm, a.cent_id
+        |  FROM e JOIN (SELECT vec_id, cent_id FROM ranked WHERE rn = 1) a
+        |    USING (vec_id)),
+        |sz AS (SELECT cent_id, count(*) AS n FROM cl GROUP BY 1),
+        |hot AS (SELECT cent_id FROM sz WHERE n > 40),
+        |hm AS (SELECT cl.* FROM cl JOIN hot USING (cent_id)),
+        |cold AS (SELECT cl.* FROM cl
+        |         WHERE cent_id NOT IN (SELECT cent_id FROM hot)),
+        |sd AS (
+        |  SELECT cent_id, rk, embedding AS semb, nrm AS snrm FROM (
+        |    SELECT cent_id, embedding, nrm,
+        |      row_number() OVER (PARTITION BY cent_id ORDER BY vec_id) AS rk
+        |    FROM hm) WHERE rk <= 2),
+        |r1 AS (
+        |  SELECT hm.cent_id, hm.vec_id, s.rk,
+        |    row_number() OVER (PARTITION BY hm.cent_id, hm.vec_id ORDER BY
+        |      ${dkDot("hm.embedding", "s.semb")} / (hm.nrm * s.snrm) DESC,
+        |      s.rk) AS rn
+        |  FROM hm JOIN sd s USING (cent_id)),
+        |a1 AS (SELECT cent_id, vec_id, rk FROM r1 WHERE rn = 1),
+        |m1 AS (
+        |  SELECT a1.cent_id, a1.rk, t.i AS dim,
+        |    CAST(sum(CAST(CAST(hm.embedding[t.i] AS DOUBLE)
+        |      AS DECIMAL(30,6))) AS DOUBLE) /
+        |      CAST(count(*) AS DOUBLE) AS mu
+        |  FROM hm JOIN a1 ON hm.cent_id = a1.cent_id
+        |    AND hm.vec_id = a1.vec_id,
+        |    unnest(range(1, len(hm.embedding) + 1)) t(i)
+        |  GROUP BY 1, 2, 3),
+        |ch AS (
+        |  SELECT cent_id, rk,
+        |    list_transform(list(mu ORDER BY dim),
+        |      x -> CAST(x AS FLOAT)) AS cvec
+        |  FROM m1 GROUP BY 1, 2),
+        |chn AS (SELECT cent_id, rk, cvec, ${dkNorm("cvec")} AS cnrm FROM ch),
+        |r2 AS (
+        |  SELECT hm.cent_id, hm.vec_id, ch2.rk,
+        |    row_number() OVER (PARTITION BY hm.cent_id, hm.vec_id ORDER BY
+        |      ${dkDot("hm.embedding", "ch2.cvec")} / (hm.nrm * ch2.cnrm) DESC,
+        |      ch2.rk) AS rn
+        |  FROM hm JOIN chn ch2 USING (cent_id)),
+        |a2 AS (SELECT cent_id, vec_id, rk FROM r2 WHERE rn = 1),
+        |newcells AS (
+        |  SELECT vec_id, cent_id * 2 AS cent_id FROM cold
+        |  UNION ALL
+        |  SELECT vec_id, cent_id * 2 + rk - 1 AS cent_id FROM a2)
+        |SELECT cent_id, CAST(count(*) AS BIGINT) AS members
+        |FROM newcells GROUP BY 1""".stripMargin)),
+
+    Q(
       "qs36_sq_distortion",
       "Scalar-quantization DISTORTION audit " +
         "(Similarity.sqDistortionReport): per-vector cosine fidelity " +

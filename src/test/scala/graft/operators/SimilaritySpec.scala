@@ -512,6 +512,46 @@ class SimilaritySpec extends SparkSuite {
     assert(r.getDouble(6) == 1.333333)      // max/mean = 2/1.5
   }
 
+  test("splitHotCells: hot cell partitions into two children, cold passes through") {
+    // cell 1: five members clustered in two directions (3 near e1,
+    // 2 near e2) — hot at maxCell 3; cell 9: two members — cold
+    val cells = Seq(
+      (10L, Array(1f, 0.0f, 0f, 0f), 1L),
+      (11L, Array(1f, 0.1f, 0f, 0f), 1L),
+      (12L, Array(1f, -0.1f, 0f, 0f), 1L),
+      (13L, Array(0.1f, 1f, 0f, 0f), 1L),
+      (14L, Array(-0.1f, 1f, 0f, 0f), 1L),
+      (20L, Array(0f, 0f, 1f, 0f), 9L),
+      (21L, Array(0f, 0f, 1f, 0.1f), 9L)
+    ).map { case (id, v, c) =>
+      val n = math.sqrt(v.map(x => x.toDouble * x).sum)
+      (id, v, n, c)
+    }.toDF("vec_id", "embedding", "nrm", "cent_id")
+    val cents = Seq(
+      (1L, Array(1f, 0f, 0f, 0f), 1.0),
+      (9L, Array(0f, 0f, 1f, 0f), 1.0)).toDF("cent_id", "cemb", "cnrm")
+    val split = Similarity.splitHotCells(
+      Similarity.IvfIndex(cents, cells), maxCell = 3)
+    val pops = split.cells.groupBy($"cent_id").count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // cold cell 9 → id 18 untouched; hot cell 1 → children 2 and 3
+    assert(pops(18L) == 2L, pops.toString)
+    assert(pops.keySet == Set(2L, 3L, 18L), pops.toString)
+    assert(pops(2L) + pops(3L) == 5L, "no hot member lost")
+    // the e1-leaning members and e2-leaning members separate
+    val assign = split.cells.filter($"cent_id".isin(2L, 3L))
+      .select($"vec_id", $"cent_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(Set(assign(10L), assign(11L), assign(12L)).size == 1)
+    assert(Set(assign(13L), assign(14L)).size == 1)
+    assert(assign(10L) != assign(13L), "the two directions must split apart")
+    // centroid table covers exactly the new ids
+    val cids = split.centroids.select($"cent_id").collect()
+      .map(_.getLong(0)).toSet
+    assert(cids == Set(2L, 3L, 18L), cids.toString)
+    graft.core.OpCache.releaseAll(blocking = true)
+  }
+
   test("recallReportSampled: full sample reproduces the exhaustive audit") {
     val em = (0 until 60).map { i =>
       (i.toLong, Array.tabulate(8)(d => math.sin(i * 0.37 + d).toFloat))

@@ -166,7 +166,11 @@ class PlanAuditSpec extends SparkSuite {
       // anti-join + the 1-row report cross join
       "qs40_ivf_index_stats",
       // same, over the k-means-trained quantizer (qs08's exception)
-      "qs41_trained_index_stats")
+      "qs41_trained_index_stats",
+      // qs02's broadcast centroid cross join builds the index being
+      // split; the split itself is cent_id equi-joins + per-cell
+      // windows over member-bounded partitions
+      "qs42_hot_cell_split")
 
   test("no unexpected cartesian/nested-loop joins anywhere in the registry") {
     val dir = "/root/testdata/sf0.001"
