@@ -1443,6 +1443,104 @@ object StreamingQueries {
         |                    AND k2.doc_id < k.doc_id)""".stripMargin)),
 
     Q(
+      "qst31_stream_index_health",
+      "Streaming INDEX-HEALTH canary (EventStreams.indexHealthFeed " +
+        "- qs40's datasheet over a LIVE ingest): the base index " +
+        "(vec_id % 4 = 0, frozen stride-40 quantizer) loads once; " +
+        "two staged batches (odd ids, then the remaining evens) " +
+        "assign against the frozen centroids, append " +
+        "batch-proportional deltas, and emit one stats row each - " +
+        "the skew drift that says when qs42's split or qs41's " +
+        "retrain is due, visible within one batch. Oracle replays " +
+        "the frozen assignment and both cumulative states.",
+      (s, dir) => {
+        s.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+        val em = graft.core.Tables.load(s, dir, "embeddings")
+        val idx = {
+          val b = graft.operators.Similarity.buildIvfIndex(
+            em.filter(pmod(col("vec_id"), lit(4)) === 0),
+            "vec_id", "embedding", centroidStride = 40)
+          val p = graft.operators.Similarity.IvfIndex(
+            graft.core.OpCache.persist(b.centroids),
+            graft.core.OpCache.persist(b.cells))
+          p.centroids.count(); p.cells.count(); p
+        }
+        val in = java.nio.file.Files.createTempDirectory("graft_ih_in")
+        def stage(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+          val tmp = java.nio.file.Files
+            .createTempDirectory("graft_ih_w").toString
+          df.coalesce(1).write.mode("overwrite").parquet(tmp)
+          val part = new java.io.File(tmp).listFiles()
+            .find(f => f.getName.startsWith("part-") &&
+              f.getName.endsWith(".parquet")).get
+          java.nio.file.Files.copy(part.toPath, in.resolve(name))
+          ()
+        }
+        stage(em.filter(pmod(col("vec_id"), lit(2)) === 1), "a1.parquet")
+        stage(em.filter(pmod(col("vec_id"), lit(2)) === 0 &&
+          pmod(col("vec_id"), lit(4)) =!= 0), "b2.parquet")
+        val stream = s.readStream.schema(em.schema)
+          .option("maxFilesPerTrigger", 1)
+          .parquet(in.toString + "/*.parquet")
+        val out = java.nio.file.Files
+          .createTempDirectory("graft_ih_out").toString
+        EventStreams.indexHealthFeed(stream, idx, "vec_id", "embedding",
+          pmod(col("vec_id"), lit(2)), out)
+        s.read.parquet(out)
+      },
+      Some(s"""WITH e AS (
+        |  SELECT vec_id, embedding,
+        |    sqrt(list_reduce(list_transform(embedding,
+        |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+        |      (x, y) -> x + y)) AS nrm
+        |  FROM embeddings),
+        |c AS (SELECT vec_id AS cent_id, embedding AS cemb, nrm AS cnrm
+        |      FROM e WHERE vec_id % 40 = 0),
+        |ranked AS (
+        |  SELECT e.vec_id, c.cent_id,
+        |    row_number() OVER (PARTITION BY e.vec_id ORDER BY
+        |      list_reduce(list_transform(list_zip(e.embedding, c.cemb),
+        |        s -> CAST(s[1] AS DOUBLE) * CAST(s[2] AS DOUBLE)),
+        |        (x, y) -> x + y) / (e.nrm * c.cnrm) DESC,
+        |      c.cent_id) AS rn
+        |  FROM e, c),
+        |assign AS (SELECT vec_id, cent_id FROM ranked WHERE rn = 1),
+        |pc1 AS (SELECT cent_id, CAST(count(*) AS BIGINT) AS members
+        |        FROM assign WHERE vec_id % 4 = 0 OR vec_id % 2 = 1
+        |        GROUP BY 1),
+        |d1 AS (SELECT CAST(count(*) AS BIGINT) AS empty_cells
+        |       FROM c WHERE cent_id NOT IN (SELECT cent_id FROM pc1)),
+        |g1 AS (SELECT CAST(count(*) AS BIGINT) AS n_cells,
+        |         CAST(sum(members) AS BIGINT) AS n_vectors,
+        |         CAST(min(members) AS BIGINT) AS min_cell,
+        |         CAST(max(members) AS BIGINT) AS max_cell
+        |       FROM pc1),
+        |pc2 AS (SELECT cent_id, CAST(count(*) AS BIGINT) AS members
+        |        FROM assign GROUP BY 1),
+        |d2 AS (SELECT CAST(count(*) AS BIGINT) AS empty_cells
+        |       FROM c WHERE cent_id NOT IN (SELECT cent_id FROM pc2)),
+        |g2 AS (SELECT CAST(count(*) AS BIGINT) AS n_cells,
+        |         CAST(sum(members) AS BIGINT) AS n_vectors,
+        |         CAST(min(members) AS BIGINT) AS min_cell,
+        |         CAST(max(members) AS BIGINT) AS max_cell
+        |       FROM pc2)
+        |SELECT CAST(1 AS BIGINT) AS grp, n_cells, n_vectors, min_cell,
+        |  max_cell, empty_cells,
+        |  round(CAST(n_vectors AS DOUBLE) / CAST(n_cells AS DOUBLE), 6)
+        |    AS mean_cell,
+        |  round(CAST(max_cell AS DOUBLE) * CAST(n_cells AS DOUBLE) /
+        |    CAST(n_vectors AS DOUBLE), 6) AS skew
+        |FROM g1, d1
+        |UNION ALL
+        |SELECT CAST(0 AS BIGINT) AS grp, n_cells, n_vectors, min_cell,
+        |  max_cell, empty_cells,
+        |  round(CAST(n_vectors AS DOUBLE) / CAST(n_cells AS DOUBLE), 6)
+        |    AS mean_cell,
+        |  round(CAST(max_cell AS DOUBLE) * CAST(n_cells AS DOUBLE) /
+        |    CAST(n_vectors AS DOUBLE), 6) AS skew
+        |FROM g2, d2""".stripMargin)),
+
+    Q(
       "qm04_chunk_dedup",
       "Content-chunk dedup over binary payloads " +
         "(Multimodal.chunkDedupStats — the storage-dedup primitive): " +

@@ -575,6 +575,65 @@ object EventStreams {
     if (!q.awaitTermination(180000)) q.stop()
   }
 
+  /** Streaming INDEX-HEALTH canary — qs40's datasheet maintained over
+    * a live ingest ([[graft.operators.Similarity.ivfInsert]]'s shape
+    * as a stream): the quantizer stays FROZEN (broadcast centroids),
+    * each arriving vector batch assigns against it and appends to the
+    * cell table (batch-proportional work — the corpus never
+    * re-shuffles), and after every batch ONE
+    * (grp, n_cells, n_vectors, min_cell, max_cell, empty_cells,
+    * mean_cell, skew) row lands — so the drift that degrades a
+    * serving index (a hot cell fattening probe latency, dead cells
+    * wasting probe budget) trips an alert within one batch, the
+    * moment [[graft.operators.Similarity.splitHotCells]] (qs42) or a
+    * retrain (qs41) becomes worth running. State = the grown cell
+    * table as lazy unions of persisted per-batch deltas (the
+    * componentMaintenance discipline — nothing corpus-sized copied
+    * per batch). `grp` identifies the batch in the output (min()
+    * reduced). Stats are pure metadata aggregation per batch;
+    * at-least-once re-delivery of a batch double-counts its vectors
+    * (consumption deltas are not idempotent) → exactly-once feed
+    * contract, as the budget gate. */
+  def indexHealthFeed(
+      vecs: DataFrame,
+      index0: graft.operators.Similarity.IvfIndex,
+      idCol: String,
+      vecCol: String,
+      grp: org.apache.spark.sql.Column,
+      outDir: String,
+      queryName: String = "graft_index_health"): Unit = {
+    var cur = index0
+    val noCells = index0.cells.limit(0)
+    val q = vecs.writeStream
+      .queryName(queryName)
+      .outputMode(OutputMode.Append())
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val b = batch.toDF()
+        // assign ONLY the batch against the frozen centroids (ivfInsert
+        // over an empty cell table yields exactly the batch's delta);
+        // persist + materialize the delta, keep the union lazy over
+        // cached children (the componentMaintenance rule)
+        val delta = graft.core.OpCache.persist(
+          graft.operators.Similarity.ivfInsert(
+            graft.operators.Similarity.IvfIndex(cur.centroids, noCells),
+            b.select(col(idCol), col(vecCol)), idCol, vecCol).cells)
+        delta.count()
+        cur = graft.operators.Similarity.IvfIndex(
+          cur.centroids, cur.cells.unionByName(delta))
+        val g = b.agg(min(grp).as("grp"))
+        graft.operators.Similarity.ivfIndexStats(cur)
+          .crossJoin(broadcast(g))
+          .select(col("grp"), col("n_cells"), col("n_vectors"),
+            col("min_cell"), col("max_cell"), col("empty_cells"),
+            col("mean_cell"), col("skew"))
+          .write.mode("append").parquet(outDir)
+        ()
+      }
+      .start()
+    if (!q.awaitTermination(180000)) q.stop()
+  }
+
   /** Streaming PROFILE MAINTENANCE —
     * [[graft.warehouse.Profile.mergeableProfile]] maintained as live
     * state (qw25's incremental discipline on a stream): each
