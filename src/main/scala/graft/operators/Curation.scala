@@ -222,10 +222,35 @@ object Curation {
       .select(col("vec_id").as("doc_id"), col("max_cos"))
     surface.join(sem, Seq("doc_id"), "left")
       .select(col("doc_id"), col("n_shared_fp"), col("max_cos"),
+        (col("max_cos").isNotNull && col("max_cos") >= cosThreshold)
+          .as("semantic_hit"),
         (col("n_shared_fp") <= maxSharedFp &&
           (col("max_cos").isNull || col("max_cos") < cosThreshold))
           .as("kept"))
   }
+
+  /** One-row CONTAMINATION-RATE rollup of
+    * [[dualDecontaminationReport]] — the MODEL-CARD number: how much
+    * of the corpus each leakage channel flags, their overlap, and the
+    * total drop rate a release review signs off on. One hash
+    * aggregate over the audit table; rate is a single end division
+    * rounded to 6 (NULL on an empty corpus). */
+  def contaminationRate(report: DataFrame): DataFrame =
+    report.agg(
+      count(lit(1)).cast("long").as("n_docs"),
+      sum(when(col("n_shared_fp") > 0, 1L).otherwise(0L))
+        .cast("long").as("n_surface"),
+      sum(when(col("semantic_hit"), 1L).otherwise(0L))
+        .cast("long").as("n_semantic"),
+      sum(when(col("n_shared_fp") > 0 && col("semantic_hit"), 1L)
+        .otherwise(0L)).cast("long").as("n_both"),
+      sum(when(!col("kept"), 1L).otherwise(0L))
+        .cast("long").as("n_dropped"))
+      .select(col("n_docs"), col("n_surface"), col("n_semantic"),
+        col("n_both"), col("n_dropped"),
+        when(col("n_docs") > 0,
+          round(col("n_dropped").cast("double") /
+            col("n_docs").cast("double"), 6)).as("drop_rate"))
 
   /** Exact per-group percentile cut — keep the top `keepPermille`‰ of
     * each group by `scoreCol` (ties broken by ascending `idCol`, so

@@ -345,6 +345,86 @@ object TextQueries {
           |  CAST(start_tok % 1024 AS BIGINT) AS seq_offset
           |FROM packed""".stripMargin
 
+  /** DuckDB replay of Curation.dualDecontaminationReport's two
+    * channels (corpus = doc_id % 50 <> 0, bench = % 50 = 0, winnowing
+    * n=3/window=4, bench-indexed IVF stride 3 / nProbe 2) — CTE chain
+    * ending at `surf` (doc_id, n_shared_fp) and `sem`
+    * (doc_id, max_cos). Shared by qt42 (per-doc audit) and qt43
+    * (rate rollup). */
+  private def dualDecontCtes: String =
+    s"""wd AS (
+      |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+      |  WHERE len(string_split(text, ' ')) >= 6),
+      |hs AS (
+      |  SELECT doc_id,
+      |    list_transform(
+      |      list_transform(range(1, len(w) - 1),
+      |        i -> concat(w[i], ' ', w[i+1], ' ', w[i+2])),
+      |      g -> ${dkHash60("g")}) AS h
+      |  FROM wd),
+      |fp AS (
+      |  SELECT doc_id, unnest(list_distinct(
+      |    list_transform(range(1, len(h) - 2),
+      |      i -> list_min(list_slice(h, i, i + 3))))) AS fp
+      |  FROM hs),
+      |cfp AS (SELECT doc_id, fp FROM fp WHERE doc_id % 50 <> 0),
+      |bfp AS (SELECT DISTINCT fp FROM fp WHERE doc_id % 50 = 0),
+      |shd AS (
+      |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shared_fp
+      |  FROM cfp WHERE fp IN (SELECT fp FROM bfp) GROUP BY 1),
+      |surf AS (
+      |  SELECT d.doc_id,
+      |    CAST(coalesce(shd.n_shared_fp, 0) AS BIGINT) AS n_shared_fp
+      |  FROM (SELECT doc_id FROM documents WHERE doc_id % 50 <> 0) d
+      |  LEFT JOIN shd USING (doc_id)),
+      |e AS (
+      |  SELECT vec_id, embedding,
+      |    sqrt(list_reduce(list_transform(embedding,
+      |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+      |      (x, y) -> x + y)) AS nrm
+      |  FROM embeddings),
+      |be AS (SELECT * FROM e WHERE vec_id % 50 = 0),
+      |ce AS (SELECT * FROM e WHERE vec_id % 50 <> 0),
+      |cents AS (SELECT vec_id AS cent_id, embedding AS cemb, nrm AS cnrm
+      |          FROM be WHERE vec_id % 3 = 0),
+      |ar AS (
+      |  SELECT be.vec_id, ct.cent_id,
+      |    row_number() OVER (PARTITION BY be.vec_id ORDER BY
+      |      list_reduce(list_transform(list_zip(be.embedding, ct.cemb),
+      |        s -> CAST(s[1] AS DOUBLE) * CAST(s[2] AS DOUBLE)),
+      |        (x, y) -> x + y) / (be.nrm * ct.cnrm) DESC,
+      |      ct.cent_id) AS rn
+      |  FROM be, cents ct),
+      |cells AS (
+      |  SELECT be.vec_id, be.embedding, be.nrm, a.cent_id
+      |  FROM be JOIN (SELECT vec_id, cent_id FROM ar WHERE rn = 1) a
+      |    USING (vec_id)),
+      |qr AS (
+      |  SELECT ce.vec_id, ct.cent_id,
+      |    row_number() OVER (PARTITION BY ce.vec_id ORDER BY
+      |      list_reduce(list_transform(list_zip(ce.embedding, ct.cemb),
+      |        s -> CAST(s[1] AS DOUBLE) * CAST(s[2] AS DOUBLE)),
+      |        (x, y) -> x + y) / (ce.nrm * ct.cnrm) DESC,
+      |      ct.cent_id) AS rn
+      |  FROM ce, cents ct),
+      |p AS (
+      |  SELECT ce.vec_id, ce.embedding, ce.nrm, pr.cent_id
+      |  FROM ce JOIN (SELECT vec_id, cent_id FROM qr WHERE rn <= 2) pr
+      |    USING (vec_id)),
+      |sc AS (
+      |  SELECT p.vec_id AS qid, cl.vec_id AS nbr,
+      |    list_reduce(list_transform(list_zip(p.embedding, cl.embedding),
+      |      s -> CAST(s[1] AS DOUBLE) * CAST(s[2] AS DOUBLE)),
+      |      (x, y) -> x + y) / (p.nrm * cl.nrm) AS cos
+      |  FROM p JOIN cells cl ON p.cent_id = cl.cent_id
+      |    AND p.vec_id <> cl.vec_id),
+      |rr AS (
+      |  SELECT qid, cos, row_number() OVER (PARTITION BY qid
+      |    ORDER BY cos DESC, nbr) AS rn
+      |  FROM sc),
+      |sem AS (SELECT qid AS doc_id, round(cos, 6) AS max_cos
+      |        FROM rr WHERE rn = 1)""".stripMargin
+
   private[queries] def lshCtes(src: String = "documents"): String =
     s"""sh AS (
       |  SELECT doc_id,
@@ -2843,82 +2923,53 @@ object TextQueries {
           n = 3, window = 4, benchStride = 3, nProbe = 2,
           cosThreshold = 0.5, maxSharedFp = 0L)
       },
-      Some(s"""WITH wd AS (
-        |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
-        |  WHERE len(string_split(text, ' ')) >= 6),
-        |hs AS (
-        |  SELECT doc_id,
-        |    list_transform(
-        |      list_transform(range(1, len(w) - 1),
-        |        i -> concat(w[i], ' ', w[i+1], ' ', w[i+2])),
-        |      g -> ${dkHash60("g")}) AS h
-        |  FROM wd),
-        |fp AS (
-        |  SELECT doc_id, unnest(list_distinct(
-        |    list_transform(range(1, len(h) - 2),
-        |      i -> list_min(list_slice(h, i, i + 3))))) AS fp
-        |  FROM hs),
-        |cfp AS (SELECT doc_id, fp FROM fp WHERE doc_id % 50 <> 0),
-        |bfp AS (SELECT DISTINCT fp FROM fp WHERE doc_id % 50 = 0),
-        |sh AS (
-        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shared_fp
-        |  FROM cfp WHERE fp IN (SELECT fp FROM bfp) GROUP BY 1),
-        |surf AS (
-        |  SELECT d.doc_id,
-        |    CAST(coalesce(sh.n_shared_fp, 0) AS BIGINT) AS n_shared_fp
-        |  FROM (SELECT doc_id FROM documents WHERE doc_id % 50 <> 0) d
-        |  LEFT JOIN sh USING (doc_id)),
-        |e AS (
-        |  SELECT vec_id, embedding,
-        |    sqrt(list_reduce(list_transform(embedding,
-        |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
-        |      (x, y) -> x + y)) AS nrm
-        |  FROM embeddings),
-        |be AS (SELECT * FROM e WHERE vec_id % 50 = 0),
-        |ce AS (SELECT * FROM e WHERE vec_id % 50 <> 0),
-        |cents AS (SELECT vec_id AS cent_id, embedding AS cemb, nrm AS cnrm
-        |          FROM be WHERE vec_id % 3 = 0),
-        |ar AS (
-        |  SELECT be.vec_id, ct.cent_id,
-        |    row_number() OVER (PARTITION BY be.vec_id ORDER BY
-        |      list_reduce(list_transform(list_zip(be.embedding, ct.cemb),
-        |        s -> CAST(s[1] AS DOUBLE) * CAST(s[2] AS DOUBLE)),
-        |        (x, y) -> x + y) / (be.nrm * ct.cnrm) DESC,
-        |      ct.cent_id) AS rn
-        |  FROM be, cents ct),
-        |cells AS (
-        |  SELECT be.vec_id, be.embedding, be.nrm, a.cent_id
-        |  FROM be JOIN (SELECT vec_id, cent_id FROM ar WHERE rn = 1) a
-        |    USING (vec_id)),
-        |qr AS (
-        |  SELECT ce.vec_id, ct.cent_id,
-        |    row_number() OVER (PARTITION BY ce.vec_id ORDER BY
-        |      list_reduce(list_transform(list_zip(ce.embedding, ct.cemb),
-        |        s -> CAST(s[1] AS DOUBLE) * CAST(s[2] AS DOUBLE)),
-        |        (x, y) -> x + y) / (ce.nrm * ct.cnrm) DESC,
-        |      ct.cent_id) AS rn
-        |  FROM ce, cents ct),
-        |p AS (
-        |  SELECT ce.vec_id, ce.embedding, ce.nrm, pr.cent_id
-        |  FROM ce JOIN (SELECT vec_id, cent_id FROM qr WHERE rn <= 2) pr
-        |    USING (vec_id)),
-        |sc AS (
-        |  SELECT p.vec_id AS qid, cl.vec_id AS nbr,
-        |    list_reduce(list_transform(list_zip(p.embedding, cl.embedding),
-        |      s -> CAST(s[1] AS DOUBLE) * CAST(s[2] AS DOUBLE)),
-        |      (x, y) -> x + y) / (p.nrm * cl.nrm) AS cos
-        |  FROM p JOIN cells cl ON p.cent_id = cl.cent_id
-        |    AND p.vec_id <> cl.vec_id),
-        |rr AS (
-        |  SELECT qid, cos, row_number() OVER (PARTITION BY qid
-        |    ORDER BY cos DESC, nbr) AS rn
-        |  FROM sc),
-        |sem AS (SELECT qid AS doc_id, round(cos, 6) AS max_cos
-        |        FROM rr WHERE rn = 1)
+      Some(s"""WITH $dualDecontCtes
         |SELECT surf.doc_id, surf.n_shared_fp, sem.max_cos,
+        |  (sem.max_cos IS NOT NULL AND sem.max_cos >= 0.5) AS semantic_hit,
         |  (surf.n_shared_fp <= 0 AND
         |   (sem.max_cos IS NULL OR sem.max_cos < 0.5)) AS kept
         |FROM surf LEFT JOIN sem USING (doc_id)""".stripMargin)),
+
+    Q(
+      "qt43_contamination_rate",
+      "One-row CONTAMINATION-RATE rollup " +
+        "(Curation.contaminationRate over qt42's dual audit) — the " +
+        "MODEL-CARD number: docs flagged by the surface channel, by " +
+        "the semantic channel, by both, total dropped, and the drop " +
+        "rate a release review signs off on. One hash aggregate " +
+        "over the audit table; rate is a single end division.",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        val em = Tables.load(s, dir, "embeddings")
+        graft.operators.Curation.contaminationRate(
+          graft.operators.Curation.dualDecontaminationReport(
+            docs.filter(pmod(col("doc_id"), lit(50)) =!= 0),
+            docs.filter(pmod(col("doc_id"), lit(50)) === 0),
+            "doc_id", "text", em, "vec_id", "embedding",
+            n = 3, window = 4, benchStride = 3, nProbe = 2,
+            cosThreshold = 0.5, maxSharedFp = 0L))
+      },
+      Some(s"""WITH $dualDecontCtes,
+        |rep AS (
+        |  SELECT surf.n_shared_fp,
+        |    (sem.max_cos IS NOT NULL AND sem.max_cos >= 0.5) AS semantic_hit,
+        |    (surf.n_shared_fp <= 0 AND
+        |     (sem.max_cos IS NULL OR sem.max_cos < 0.5)) AS kept
+        |  FROM surf LEFT JOIN sem USING (doc_id))
+        |SELECT CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(CASE WHEN n_shared_fp > 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_surface,
+        |  CAST(sum(CASE WHEN semantic_hit THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_semantic,
+        |  CAST(sum(CASE WHEN n_shared_fp > 0 AND semantic_hit
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_both,
+        |  CAST(sum(CASE WHEN NOT kept THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_dropped,
+        |  CASE WHEN count(*) > 0 THEN
+        |    round(CAST(sum(CASE WHEN NOT kept THEN 1 ELSE 0 END) AS DOUBLE) /
+        |      CAST(count(*) AS DOUBLE), 6)
+        |  END AS drop_rate
+        |FROM rep""".stripMargin)),
 
     Q(
       "qd39_minhash_error",

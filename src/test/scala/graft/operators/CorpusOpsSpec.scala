@@ -351,20 +351,28 @@ class CorpusOpsSpec extends SparkSuite {
       (2L, Array(0.99f, 0.1f, 0f, 0f)),
       (3L, Array(0f, 0f, 1f, 0f))
     ).toDF("vec_id", "embedding")
-    val got = Curation.dualDecontaminationReport(
+    val report = Curation.dualDecontaminationReport(
       docs.filter($"doc_id" =!= 100L), docs.filter($"doc_id" === 100L),
       "doc_id", "text", em, "vec_id", "embedding",
       n = 3, window = 4, benchStride = 1, nProbe = 1,
       cosThreshold = 0.9, maxSharedFp = 0L)
+    val got = report
       .collect().map(r => r.getLong(0) ->
         ((r.getLong(1), if (r.isNullAt(2)) None else Some(r.getDouble(2)),
-          r.getBoolean(3)))).toMap
+          r.getBoolean(3), r.getBoolean(4)))).toMap
     assert(got(1L)._1 > 0L, "verbatim run must share fingerprints")
-    assert(!got(1L)._3, "surface hit → dropped")
-    assert(got(2L)._1 == 0L && got(2L)._2.exists(_ >= 0.9),
+    assert(!got(1L)._4, "surface hit → dropped")
+    assert(got(2L)._1 == 0L && got(2L)._2.exists(_ >= 0.9) && got(2L)._3,
       s"doc 2 is a semantic-only hit: ${got(2L)}")
-    assert(!got(2L)._3, "semantic hit → dropped")
-    assert(got(3L)._1 == 0L && got(3L)._3, s"doc 3 clears both: ${got(3L)}")
+    assert(!got(2L)._4, "semantic hit → dropped")
+    assert(got(3L)._1 == 0L && !got(3L)._3 && got(3L)._4,
+      s"doc 3 clears both: ${got(3L)}")
+    // the model-card rollup counts each channel and the overlap
+    val rate = Curation.contaminationRate(report).collect()(0)
+    assert((rate.getLong(0), rate.getLong(1), rate.getLong(2),
+      rate.getLong(3), rate.getLong(4)) == ((3L, 1L, 1L, 0L, 2L)),
+      rate.toString)
+    assert(rate.getDouble(5) == 0.666667)
     graft.core.OpCache.releaseAll(blocking = true)
   }
 }

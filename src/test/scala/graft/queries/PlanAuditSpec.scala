@@ -170,7 +170,10 @@ class PlanAuditSpec extends SparkSuite {
       // qs02's broadcast centroid cross join builds the index being
       // split; the split itself is cent_id equi-joins + per-cell
       // windows over member-bounded partitions
-      "qs42_hot_cell_split")
+      "qs42_hot_cell_split",
+      // inherits qt42's bench-side centroid cross join; the rollup
+      // is one hash aggregate
+      "qt43_contamination_rate")
 
   test("no unexpected cartesian/nested-loop joins anywhere in the registry") {
     val dir = "/root/testdata/sf0.001"
