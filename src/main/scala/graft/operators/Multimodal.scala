@@ -26,9 +26,19 @@ import org.apache.spark.sql.types._
   * Byte-level payload statistics (size, entropy, histogram moments,
   * magic-byte sniff) are computed for every payload regardless.
   *
-  * AUDIO/VIDEO decode remains a STUB — the JDK ships no audio/video
-  * codec and this container has no ffmpeg. The integration seam is
-  * specified precisely (see the scaladoc on [[sampleFrames]] /
+  * AUDIO decode is REAL too: `javax.sound.sampled.AudioSystem` (the
+  * same JDK `java.desktop` module) reads WAV / AIFF / AU containers
+  * — linear PCM directly, µ-law/a-law through the JDK's own
+  * converter — at the identical per-partition seam ([[decodePcm]]).
+  * Decoded 16-bit samples are integers, so every derived statistic
+  * (peak, energy, silence runs — [[decodeAudioStats]]) is
+  * bit-replayable by any engine, and [[encodePcmWav]] is the
+  * fixture factory for round-trip oracles (qm15's discipline,
+  * mirroring [[encodeGrayPng]]/qm10 for images).
+  *
+  * VIDEO decode remains a STUB — the JDK ships no video codec and
+  * this container has no ffmpeg. The integration seam is specified
+  * precisely (see the scaladoc on [[sampleFrames]] /
   * [[frameSceneStats]] and the ignored contract spec in
   * MultimodalSpec): a production build binds a demuxer inside the
   * same `mapPartitions` blocks, initialised once per partition,
@@ -55,7 +65,10 @@ object Multimodal {
       height: Int,      // TRUE decoded pixel height; 0 when not decodable
       mean_luma: Double) // integer-exact Rec.601 mean luma; 0.0 when not decodable
 
-  /** Magic-byte format sniff (real logic — headers are just bytes). */
+  /** Magic-byte format sniff (real logic — headers are just bytes).
+    * RIFF refines to "wav" when the form type at bytes 8–11 is WAVE
+    * (other RIFF forms — AVI, WebP — stay "riff"); FORM/AIFF and the
+    * .snd magic cover the other two JDK-decodable audio containers. */
   def sniffFormat(b: Array[Byte]): String =
     if (b.length >= 8 &&
       (b(0) & 0xff) == 0x89 && b(1) == 'P' && b(2) == 'N' && b(3) == 'G') "png"
@@ -63,10 +76,17 @@ object Multimodal {
     else if (b.length >= 6 && b(0) == 'G' && b(1) == 'I' && b(2) == 'F' &&
       b(3) == '8') "gif"
     else if (b.length >= 2 && b(0) == 'B' && b(1) == 'M') "bmp"
-    else if (b.length >= 4 && b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F') "riff"
+    else if (b.length >= 4 && b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F') {
+      if (b.length >= 12 && b(8) == 'W' && b(9) == 'A' && b(10) == 'V' && b(11) == 'E') "wav"
+      else "riff"
+    }
+    else if (b.length >= 12 && b(0) == 'F' && b(1) == 'O' && b(2) == 'R' && b(3) == 'M' &&
+      b(8) == 'A' && b(9) == 'I' && b(10) == 'F') "aiff" // AIFF and AIFC
+    else if (b.length >= 4 && b(0) == '.' && b(1) == 's' && b(2) == 'n' && b(3) == 'd') "au"
     else "unknown"
 
   private val ImageFormats = Set("png", "jpeg", "gif", "bmp")
+  private val AudioFormats = Set("wav", "aiff", "au")
 
   /** Decoded image: true dimensions plus the per-pixel luma stream in
     * row-major order, scaled ×1000 (lumaMilli = 299·R + 587·G + 114·B,
@@ -133,6 +153,186 @@ object Multimodal {
     val out = new java.io.ByteArrayOutputStream()
     javax.imageio.ImageIO.write(img, "png", out)
     out.toByteArray
+  }
+
+  // ---------------------------------------------------------------
+  // Real-codec AUDIO path (javax.sound.sampled) — qm15
+  // ---------------------------------------------------------------
+
+  /** Decoded audio: sample rate, channel count, and CHANNEL-0 samples
+    * as integers on the 16-bit signed scale ([-32768, 32767] for
+    * 16-bit sources; 8-bit sources keep their native [-128, 127]
+    * signed range). Integer samples straight off the PCM frames — no
+    * float anywhere — so every derived statistic is bit-replayable
+    * by any engine (the [[DecodedImage]] discipline for sound). */
+  final case class DecodedAudio(
+      sampleRate: Int, channels: Int, samples: Array[Int])
+
+  /** Real audio decode via `javax.sound.sampled.AudioSystem` (JDK
+    * `java.desktop` — the same module as ImageIO; present in this
+    * runtime). Reads WAV / AIFF / AU containers: linear PCM frames
+    * directly (8/16-bit, signed/unsigned, both endiannesses), µ-law
+    * and a-law through the JDK's own format converter (normalised to
+    * 16-bit signed PCM). Returns None for non-audio payloads or
+    * codec failures — the honest "not decodable", never a guess. */
+  def decodePcm(bytes: Array[Byte]): Option[DecodedAudio] = {
+    if (!AudioFormats.contains(sniffFormat(bytes))) return None
+    import javax.sound.sampled.{AudioFormat, AudioSystem}
+    import AudioFormat.Encoding
+    try {
+      val in = AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      try {
+        val srcFmt = in.getFormat
+        val (pcm, fmt) =
+          if (srcFmt.getEncoding == Encoding.PCM_SIGNED ||
+            srcFmt.getEncoding == Encoding.PCM_UNSIGNED) (in, srcFmt)
+          else { // µ-law / a-law → the JDK converter, 16-bit signed
+            val t = new AudioFormat(Encoding.PCM_SIGNED,
+              srcFmt.getSampleRate, 16, srcFmt.getChannels,
+              2 * srcFmt.getChannels, srcFmt.getSampleRate, false)
+            (AudioSystem.getAudioInputStream(t, in), t)
+          }
+        val raw = pcm.readAllBytes()
+        val frameBytes = fmt.getFrameSize
+        val bytesPerSample = (fmt.getSampleSizeInBits + 7) / 8
+        if (frameBytes <= 0 || bytesPerSample > 2) return None
+        val signed = fmt.getEncoding == Encoding.PCM_SIGNED
+        val big = fmt.isBigEndian
+        val n = raw.length / frameBytes
+        val out = new Array[Int](n)
+        var i = 0
+        while (i < n) {
+          val off = i * frameBytes // channel 0 leads each frame
+          out(i) =
+            if (bytesPerSample == 1) {
+              if (signed) raw(off).toInt else (raw(off) & 0xff) - 128
+            } else {
+              val b0 = raw(off) & 0xff
+              val b1 = raw(off + 1) & 0xff
+              val u = if (big) (b0 << 8) | b1 else (b1 << 8) | b0
+              if (signed) (u << 16) >> 16 else u - 32768
+            }
+          i += 1
+        }
+        Some(DecodedAudio(math.round(fmt.getSampleRate), fmt.getChannels, out))
+      } finally in.close()
+    } catch { case _: Exception => None }
+  }
+
+  /** Deterministic mono 16-bit PCM WAV ENCODER (the audio fixture
+    * factory and the write half of the audio seam — [[encodeGrayPng]]
+    * for sound): sample i = `samples(i)` in [-32768, 32767], written
+    * little-endian through the JDK WAV writer (`AudioSystem.write` —
+    * lossless, timestamp-free, so identical samples yield identical
+    * bytes). */
+  def encodePcmWav(sampleRate: Int, samples: Array[Int]): Array[Byte] = {
+    require(sampleRate >= 1, s"sampleRate must be >= 1, got $sampleRate")
+    require(samples.nonEmpty, "need at least one sample")
+    import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+    val raw = new Array[Byte](2 * samples.length)
+    var i = 0
+    while (i < samples.length) {
+      val s = samples(i)
+      require(s >= -32768 && s <= 32767, s"sample out of 16-bit range: $s")
+      raw(2 * i) = (s & 0xff).toByte
+      raw(2 * i + 1) = ((s >> 8) & 0xff).toByte
+      i += 1
+    }
+    val fmt = new AudioFormat(AudioFormat.Encoding.PCM_SIGNED,
+      sampleRate.toFloat, 16, 1, 2, sampleRate.toFloat, false)
+    val stream = new AudioInputStream(
+      new java.io.ByteArrayInputStream(raw), fmt, samples.length.toLong)
+    val out = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(stream, AudioFileFormat.Type.WAVE, out)
+    out.toByteArray
+  }
+
+  /** Deterministic synthetic audio table from a text corpus — the
+    * audio round-trip fixture (qm15), [[syntheticImages]]' discipline
+    * for sound: doc id becomes a mono WAV at sample rate
+    * 8000 + 4000·(id mod 3) with n = 64 + 4·(id mod 97) samples;
+    * sample i is 0 when (i div 16) mod 4 = 0 (formula-injected
+    * silence windows, so silence-run statistics have real structure)
+    * and (code(i mod len) − 128) · 255 otherwise (byte char codes →
+    * [-32640, 32385], always 16-bit-safe). All of (rate, n, samples)
+    * are pure formulas over (doc_id, text) an oracle replays WITHOUT
+    * seeing bytes, while the engine runs text → [[encodePcmWav]]
+    * (real JDK WAV writer) → binary column → [[decodePcm]] (real
+    * AudioSystem read): a lie anywhere in the codec path breaks
+    * formula parity. ASCII contract as [[syntheticImages]]. */
+  def syntheticAudio(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.filter(length(col(textCol)) >= 1)
+      .select(col(idCol).cast("long").as("media_id"), col(textCol).as("txt"))
+      .as[(Long, String)]
+      .mapPartitions { rows =>
+        rows.map { case (id, txt) =>
+          val sr = (8000 + 4000 * (id % 3)).toInt
+          val n = (64 + 4 * (id % 97)).toInt
+          val len = txt.length
+          val samples = Array.tabulate(n) { i =>
+            if ((i / 16) % 4 == 0) 0
+            else {
+              val c = txt.charAt(i % len).toInt
+              if (c > 255) throw new IllegalArgumentException(
+                s"syntheticAudio: non-byte char in doc $id")
+              (c - 128) * 255
+            }
+          }
+          (id, encodePcmWav(sr, samples))
+        }
+      }
+      .toDF("media_id", "bytes")
+      .select(col("media_id"), col("bytes"), lit("audio/wav").as("mime"),
+        map(lit("origin"), lit("synthetic-wav")).as("meta"))
+  }
+
+  /** One REAL audio decode pass per payload → integer-exact signal
+    * statistics: (media_id, sample_rate, n_samples, peak_abs,
+    * sum_sq, mean_abs_milli, max_silence_run) — peak amplitude,
+    * total energy (Σ s², exact in 64 bits), floor-millis mean
+    * absolute level, and the longest consecutive run of samples with
+    * |s| ≤ `silenceThr` (the silence detector a speech-data curation
+    * pass gates on). All integer arithmetic over decoded channel-0
+    * samples, so every column replays exactly in SQL. Undecodable
+    * payloads are EXCLUDED (the [[decodedSignatures]] contract);
+    * decode batched per partition at the codec seam. */
+  def decodeAudioStats(media: DataFrame, silenceThr: Int = 256): DataFrame = {
+    require(silenceThr >= 0, "silenceThr must be >= 0")
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id"), col("bytes"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.flatMap { case (id, b) =>
+          decodePcm(if (b == null) Array.emptyByteArray else b).map { d =>
+            var peak = 0L
+            var sumSq = 0L
+            var sumAbs = 0L
+            var run = 0L
+            var maxRun = 0L
+            var i = 0
+            while (i < d.samples.length) {
+              val v = d.samples(i).toLong
+              val a = math.abs(v)
+              if (a > peak) peak = a
+              sumSq += v * v
+              sumAbs += a
+              if (a <= silenceThr) {
+                run += 1; if (run > maxRun) maxRun = run
+              } else run = 0
+              i += 1
+            }
+            val n = d.samples.length.toLong
+            (id, d.sampleRate, n, peak, sumSq,
+              if (n > 0) 1000L * sumAbs / n else 0L, maxRun)
+          }
+        }
+      }
+      .toDF("media_id", "sample_rate", "n_samples", "peak_abs",
+        "sum_sq", "mean_abs_milli", "max_silence_run")
   }
 
   /** Decode + feature-extract one media payload: byte-stream stats

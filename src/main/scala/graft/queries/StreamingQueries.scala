@@ -1833,7 +1833,13 @@ object StreamingQueries {
         |    sum(code*(c/n.n)) AS mb
         |  FROM h JOIN n ON h.doc_id = n.doc_id GROUP BY 1)
         |SELECT d.doc_id AS media_id,
-        |  CASE WHEN substring(d.text,1,4)='RIFF' THEN 'riff' ELSE 'unknown' END AS format,
+        |  CASE WHEN substring(d.text,1,4)='RIFF' AND substring(d.text,9,4)='WAVE'
+        |         AND length(d.text) >= 12 THEN 'wav'
+        |       WHEN substring(d.text,1,4)='RIFF' THEN 'riff'
+        |       WHEN substring(d.text,1,4)='FORM' AND substring(d.text,9,3)='AIF'
+        |         AND length(d.text) >= 12 THEN 'aiff'
+        |       WHEN substring(d.text,1,4)='.snd' THEN 'au'
+        |       ELSE 'unknown' END AS format,
         |  CAST(length(d.text) AS BIGINT) AS n_bytes,
         |  round(e.ent, 6) AS entropy,
         |  round(e.mb, 6) AS mean_byte,
@@ -2025,6 +2031,59 @@ object StreamingQueries {
         |  CAST(count(*) AS BIGINT) AS n_media,
         |  CAST(sum(n_px) AS BIGINT) AS shard_px
         |FROM cm GROUP BY 1""".stripMargin)),
+
+    Q(
+      "qm15_audio_decode",
+      "REAL audio decode round-trip (Multimodal.syntheticAudio -> " +
+        "encodePcmWav -> javax.sound.sampled decodePcm): each doc " +
+        "becomes a mono 16-bit WAV (rate = 8000 + 4000*(id%3), " +
+        "n = 64 + 4*(id%97) samples, sample i = 0 in formula-injected " +
+        "silence windows ((i div 16)%4 = 0) else (code(i mod len) - " +
+        "128)*255 - pure formulas), the engine encodes with the JDK " +
+        "WAV writer and decodes with AudioSystem, reporting the " +
+        "decoded rate plus integer-exact signal stats: peak " +
+        "amplitude, total energy (sum of squares), floor-millis mean " +
+        "absolute level, longest silence run at |s| <= 256. The " +
+        "oracle replays the construction formulas without ever " +
+        "seeing the bytes (qm10's discipline for sound) - a lie " +
+        "anywhere in the codec path breaks parity. Decode batched " +
+        "per partition (the codec seam).",
+      (s, dir) =>
+        Multimodal.decodeAudioStats(
+          Multimodal.syntheticAudio(
+            graft.core.Tables.load(s, dir, "documents"), "doc_id", "text"),
+          silenceThr = 256),
+      Some("""WITH d AS (
+        |  SELECT doc_id, text, length(text) AS len,
+        |    CAST(8000 + 4000 * (doc_id % 3) AS INT) AS sr,
+        |    64 + 4 * (doc_id % 97) AS n
+        |  FROM documents WHERE length(text) >= 1),
+        |s AS (
+        |  SELECT doc_id, t.i AS i,
+        |    CASE WHEN ((t.i // 16) % 4) = 0 THEN 0
+        |         ELSE (unicode(substring(text,
+        |           CAST((t.i % len) + 1 AS INT), 1)) - 128) * 255
+        |    END AS v
+        |  FROM d, unnest(range(0, n)) t(i)),
+        |a AS (
+        |  SELECT doc_id,
+        |    CAST(count(*) AS BIGINT) AS n_samples,
+        |    CAST(max(abs(v)) AS BIGINT) AS peak_abs,
+        |    CAST(sum(CAST(v AS BIGINT) * v) AS BIGINT) AS sum_sq,
+        |    CAST((1000 * sum(CAST(abs(v) AS BIGINT))) // count(*) AS BIGINT)
+        |      AS mean_abs_milli
+        |  FROM s GROUP BY 1),
+        |sil AS (
+        |  SELECT doc_id, i,
+        |    i - row_number() OVER (PARTITION BY doc_id ORDER BY i) AS g
+        |  FROM s WHERE abs(v) <= 256),
+        |runs AS (SELECT doc_id, count(*) AS run FROM sil GROUP BY doc_id, g),
+        |mr AS (SELECT doc_id, max(run) AS msr FROM runs GROUP BY 1)
+        |SELECT d.doc_id AS media_id, d.sr AS sample_rate,
+        |  a.n_samples, a.peak_abs, a.sum_sq, a.mean_abs_milli,
+        |  CAST(coalesce(mr.msr, 0) AS BIGINT) AS max_silence_run
+        |FROM d JOIN a ON d.doc_id = a.doc_id
+        |LEFT JOIN mr ON d.doc_id = mr.doc_id""".stripMargin)),
 
     Q(
       "qm12_image_curation",

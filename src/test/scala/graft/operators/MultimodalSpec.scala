@@ -414,18 +414,114 @@ class MultimodalSpec extends SparkSuite {
     graft.core.OpCache.releaseAll(blocking = true)
   }
 
-  /** AUDIO/VIDEO integration contract — ignored until a demuxer is
-    * available (the JDK ships none; this container has no ffmpeg).
-    * The seam is fully specified so a production build only binds the
-    * codec:
+  test("audio: sniff recognizes wav/aiff/au magics; RIFF non-WAVE stays riff") {
+    val wav = Multimodal.encodePcmWav(8000, Array(0, 100, -100, 32767, -32768))
+    assert(Multimodal.sniffFormat(wav) == "wav")
+    assert(Multimodal.sniffFormat("RIFF....AVI LIST".getBytes) == "riff")
+    assert(Multimodal.sniffFormat("FORM....AIFF....".getBytes) == "aiff")
+    assert(Multimodal.sniffFormat(".snd....".getBytes) == "au")
+  }
+
+  test("audio round-trip: encodePcmWav -> decodePcm is sample-exact") {
+    val samples = Array(0, 1, -1, 255, -256, 12345, -12345, 32767, -32768, 0)
+    val d = Multimodal.decodePcm(Multimodal.encodePcmWav(11025, samples))
+      .getOrElse(fail("real WAV payload must decode"))
+    assert(d.sampleRate == 11025)
+    assert(d.channels == 1)
+    assert(d.samples.toSeq == samples.toSeq)
+  }
+
+  test("audio: AIFF (big-endian) and AU (mu-law, JDK converter) decode") {
+    import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+    val samples = Array(0, 1000, -1000, 16384, -16384)
+    // AIFF: 16-bit signed BIG-endian mono — the endianness twin of WAV
+    val fmt = new AudioFormat(AudioFormat.Encoding.PCM_SIGNED,
+      8000f, 16, 1, 2, 8000f, true)
+    val raw = new Array[Byte](2 * samples.length)
+    samples.zipWithIndex.foreach { case (s, i) =>
+      raw(2 * i) = ((s >> 8) & 0xff).toByte; raw(2 * i + 1) = (s & 0xff).toByte
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(new AudioInputStream(
+      new java.io.ByteArrayInputStream(raw), fmt, samples.length.toLong),
+      AudioFileFormat.Type.AIFF, out)
+    val aiff = Multimodal.decodePcm(out.toByteArray)
+      .getOrElse(fail("AIFF payload must decode"))
+    assert(aiff.samples.toSeq == samples.toSeq)
+    // AU µ-law: lossy companding — decode must succeed via the JDK
+    // converter and preserve sample COUNT and rate; values are
+    // µ-law-quantized so only sign/magnitude ordering is asserted
+    val ulawFmt = new AudioFormat(AudioFormat.Encoding.ULAW,
+      8000f, 8, 1, 1, 8000f, false)
+    val pcmIn = new AudioInputStream(
+      new java.io.ByteArrayInputStream(raw), fmt, samples.length.toLong)
+    val ulawIn = AudioSystem.getAudioInputStream(ulawFmt, pcmIn)
+    val out2 = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(ulawIn, AudioFileFormat.Type.AU, out2)
+    val au = Multimodal.decodePcm(out2.toByteArray)
+      .getOrElse(fail("AU mu-law payload must decode"))
+    assert(au.sampleRate == 8000 && au.samples.length == samples.length)
+    assert(au.samples(1) > 0 && au.samples(2) < 0 && au.samples(0).abs <= 8)
+    assert(math.abs(au.samples(3) - 16384) < 1024) // µ-law ~μ=255 error bound
+  }
+
+  test("audio: non-audio payloads and truncated WAV return None") {
+    assert(Multimodal.decodePcm("plain text".getBytes).isEmpty)
+    assert(Multimodal.decodePcm(Array.emptyByteArray).isEmpty)
+    val wav = Multimodal.encodePcmWav(8000, Array(1, 2, 3, 4))
+    assert(Multimodal.decodePcm(wav.take(16)).isEmpty) // header cut mid-fmt
+  }
+
+  test("decodeAudioStats: integer-exact stats over decoded samples") {
+    // hand-built: peak 300, silence runs of 2 (|s|<=5) then 3
+    val samples = Array(0, 5, 300, -300, 100, 0, -5, 3, 200)
+    val rows = Seq(
+      (1L, Multimodal.encodePcmWav(8000, samples)),
+      (2L, "junk".getBytes) // undecodable — excluded
+    ).toDF("media_id", "bytes")
+    val got = Multimodal.decodeAudioStats(rows, silenceThr = 5).collect()
+    assert(got.length == 1)
+    val r = got.head
+    assert(r.getLong(0) == 1L)
+    assert(r.getInt(1) == 8000)
+    assert(r.getLong(2) == 9L)                               // n_samples
+    assert(r.getLong(3) == 300L)                             // peak_abs
+    assert(r.getLong(4) == samples.map(s => s.toLong * s).sum) // sum_sq
+    assert(r.getLong(5) == 1000L * samples.map(math.abs(_).toLong).sum / 9)
+    assert(r.getLong(6) == 3L)                               // max_silence_run
+  }
+
+  test("syntheticAudio: formula payloads decode to formula stats") {
+    val docs = Seq((3L, "abcdef"), (97L, "Hello, world")).toDF("doc_id", "text")
+    val media = Multimodal.syntheticAudio(docs, "doc_id", "text")
+    val stats = Multimodal.decodeAudioStats(media, silenceThr = 256)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    def formula(id: Long, txt: String): (Int, Int, Array[Int]) = {
+      val sr = (8000 + 4000 * (id % 3)).toInt
+      val n = (64 + 4 * (id % 97)).toInt
+      (sr, n, Array.tabulate(n)(i =>
+        if ((i / 16) % 4 == 0) 0 else (txt.charAt(i % txt.length).toInt - 128) * 255))
+    }
+    Seq((3L, "abcdef"), (97L, "Hello, world")).foreach { case (id, txt) =>
+      val (sr, n, s) = formula(id, txt)
+      val r = stats(id)
+      assert(r.getInt(1) == sr && r.getLong(2) == n.toLong)
+      assert(r.getLong(3) == s.map(math.abs).max.toLong)
+      assert(r.getLong(4) == s.map(v => v.toLong * v).sum)
+    }
+  }
+
+  /** VIDEO integration contract — ignored until a demuxer is
+    * available (the JDK ships no VIDEO codec — audio now decodes for
+    * real via javax.sound.sampled, see the round-trip specs above —
+    * and this container has no ffmpeg). The seam is fully specified
+    * so a production build only binds the codec:
     *  - demux replaces frameSceneStats' byte-slice stage: a
     *    per-partition ffmpeg/JNI context (initialised ONCE at the
-    *    mapPartitions seam, exactly where ImageIO now runs for
-    *    stills) emits (media_id, frame_no, frame_bytes) at the
+    *    mapPartitions seam, exactly where ImageIO and AudioSystem
+    *    now run) emits (media_id, frame_no, frame_bytes) at the
     *    requested stride — the SAME rows the windowed scene-cut and
     *    level aggregation already consume unchanged;
-    *  - audio analogously emits (media_id, window_no, pcm_bytes)
-    *    windows feeding the identical lag-window/aggregate shapes;
     *  - decoded frame features then flow through decodeLuma/
     *    lumaAHash60 verbatim (a decoded frame IS an image).
     * The assertions below document the expected schema/cardinality
