@@ -95,6 +95,13 @@ object Multimodal {
     * Samples read straight off the raster (no ColorModel conversion):
     * a 1-band (grayscale) image uses its single band as R = G = B —
     * lumaMilli = 1000·v — and ≥3-band images use bands 0/1/2 as RGB.
+    * EXCEPTION: indexed-color images (GIF always; palette PNG/BMP),
+    * whose single band stores palette INDICES, not gray values —
+    * those resolve each index through the IndexColorModel's RGB
+    * palette before the Rec.601 weights, so identical images with
+    * permuted palettes hash identically and different images sharing
+    * an index raster do not collide (a gray palette entry r=g=b=v
+    * yields exactly 1000·v, consistent with the grayscale rule).
     * Conversion-free reads keep the decoded values exactly the
     * samples the file stores (lossless for PNG/BMP/GIF), which is
     * what makes an encode→decode round-trip oracle-checkable. */
@@ -113,13 +120,26 @@ object Multimodal {
       val h = img.getHeight
       val r = img.getRaster
       val bands = r.getNumBands
+      // indexed color: the single band holds palette indices —
+      // precompute index → Rec.601 lumaMilli once per image
+      val lut: Array[Int] = img.getColorModel match {
+        case icm: java.awt.image.IndexColorModel =>
+          val n = icm.getMapSize
+          val rs = new Array[Byte](n); icm.getReds(rs)
+          val gs = new Array[Byte](n); icm.getGreens(gs)
+          val bs = new Array[Byte](n); icm.getBlues(bs)
+          Array.tabulate(n)(k =>
+            299 * (rs(k) & 0xff) + 587 * (gs(k) & 0xff) + 114 * (bs(k) & 0xff))
+        case _ => null
+      }
       val luma = new Array[Int](w * h)
       var y = 0
       while (y < h) {
         var x = 0
         while (x < w) {
           val l =
-            if (bands == 1) 1000 * r.getSample(x, y, 0)
+            if (lut != null) lut(r.getSample(x, y, 0))
+            else if (bands == 1) 1000 * r.getSample(x, y, 0)
             else if (bands == 2) 1000 * r.getSample(x, y, 0) // gray+alpha
             else 299 * r.getSample(x, y, 0) + 587 * r.getSample(x, y, 1) +
               114 * r.getSample(x, y, 2)

@@ -414,6 +414,50 @@ class MultimodalSpec extends SparkSuite {
     graft.core.OpCache.releaseAll(blocking = true)
   }
 
+  test("decodeLuma: indexed-color images resolve palette, not raw indices") {
+    import java.awt.image.{BufferedImage, IndexColorModel}
+    // 8×8 images: the JDK GIF writer corrupts rasters below 8 px a
+    // side (verified in-container: 2×2/4×4 round-trips lose pixels;
+    // 8×8+ are exact) — the fixture stays above that line
+    val w = 8; val h = 8
+    def gifBytes(icm: IndexColorModel, idx: Array[Int]): Array[Byte] = {
+      val im = new BufferedImage(w, h, BufferedImage.TYPE_BYTE_INDEXED, icm)
+      for (y <- 0 until h; x <- 0 until w)
+        im.getRaster.setSample(x, y, 0, idx(y * w + x))
+      val out = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(im, "gif", out)
+      out.toByteArray
+    }
+    // the SAME visual image under two permuted 256-gray palettes
+    // (identity vs reversed) — raw-index reads would hash them
+    // differently; palette-resolved luma must be identical = 1000·gray
+    val grays = Array.tabulate(w * h)(i => (i * 53 + 11) % 256)
+    val idP = Array.tabulate(256)(identity)
+    val revP = Array.tabulate(256)(i => 255 - i)
+    def icmOf(p: Array[Int]): IndexColorModel = {
+      val b = p.map(_.toByte)
+      new IndexColorModel(8, 256, b, b, b)
+    }
+    val a = gifBytes(icmOf(idP), grays)
+    val b = gifBytes(icmOf(revP), grays.map(v => 255 - v))
+    val da = Multimodal.decodeLuma(a).getOrElse(fail("gif A must decode"))
+    val db = Multimodal.decodeLuma(b).getOrElse(fail("gif B must decode"))
+    assert(Multimodal.sniffFormat(a) == "gif")
+    assert(da.lumaMilli.toSeq == grays.map(_ * 1000).toSeq)
+    assert(db.lumaMilli.toSeq == da.lumaMilli.toSeq)
+    // a COLOR palette applies the Rec.601 weights to the palette RGB:
+    // entry i = (r=i, g=0, b=255−i) → luma = 299·i + 114·(255−i)
+    val rp = Array.tabulate(256)(i => i.toByte)
+    val gp = Array.fill(256)(0.toByte)
+    val bp = Array.tabulate(256)(i => (255 - i).toByte)
+    val c = gifBytes(new IndexColorModel(8, 256, rp, gp, bp), grays)
+    val dc = Multimodal.decodeLuma(c).getOrElse(fail("gif C must decode"))
+    assert(dc.lumaMilli.toSeq ==
+      grays.map(i => 299 * i + 114 * (255 - i)).toSeq)
+    // different visuals sharing an index raster must NOT collide
+    assert(dc.lumaMilli.toSeq != da.lumaMilli.toSeq)
+  }
+
   test("audio: sniff recognizes wav/aiff/au magics; RIFF non-WAVE stays riff") {
     val wav = Multimodal.encodePcmWav(8000, Array(0, 100, -100, 32767, -32768))
     assert(Multimodal.sniffFormat(wav) == "wav")
