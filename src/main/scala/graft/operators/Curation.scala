@@ -192,6 +192,12 @@ object Curation {
     *    builds once, the corpus makes ONE probing pass (per-doc cost
     *    = nProbe cells of a small index, never corpus × bench).
     *
+    * Corpus and benchmark ids live in INDEPENDENT id spaces (separate
+    * tables): a numeric collision between a doc_id and a bench id is a
+    * coincidence and is scored like any other pair — the probe runs
+    * with `excludeSelf = false` so a true semantic leak is never
+    * suppressed by a surrogate-key accident.
+    *
     * `kept` = clears BOTH channels (n_shared_fp ≤ maxSharedFp AND
     * max_cos below threshold or no candidate). Zero-hit docs stay in
     * the output — this is the audit table a release review reads;

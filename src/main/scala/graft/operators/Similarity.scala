@@ -1947,18 +1947,30 @@ object Similarity {
     * nProbe is the recall dial ([[probeSweepRecall]] prices it).
     *
     * Same output and tie discipline as [[semanticLeakageReport]];
-    * bench items with no candidate in any probed cell emit no row. */
+    * bench items with no candidate in any probed cell emit no row.
+    *
+    * `excludeSelf` (default FALSE) drops candidate pairs whose ids
+    * are equal. Leave it off for decontamination: bench and corpus
+    * come from SEPARATE tables with independent id spaces, so an id
+    * collision is a coincidence, and excluding it would silently
+    * suppress a true semantic leak ([[semanticLeakageReport]] scores
+    * all pairs — parity requires scoring them here too). Turn it on
+    * ONLY when the query set is drawn from the index's own members
+    * (recall audits probing their own corpus), where the id equality
+    * genuinely identifies the same stored vector. */
   def semanticLeakageReportIndexed(
       index: IvfIndex, bench: DataFrame,
       idCol: String, vecCol: String,
-      threshold: Double = 0.5, nProbe: Int = 4): DataFrame = {
+      threshold: Double = 0.5, nProbe: Int = 4,
+      excludeSelf: Boolean = false): DataFrame = {
     val q = withNorm(bench, idCol, vecCol)
     val probes = centroidRanks(q, broadcast(index.centroids), maxRank = nProbe)
       .select(col("vec_id"), col("cent_id"))
     val probe = q.join(probes, Seq("vec_id"))
+    val cellCond = col("p.cent_id") === col("c.cent_id")
     probe.as("p").join(index.cells.as("c"),
-        col("p.cent_id") === col("c.cent_id") &&
-          col("p.vec_id") =!= col("c.vec_id"))
+        if (excludeSelf) cellCond && col("p.vec_id") =!= col("c.vec_id")
+        else cellCond)
       .select(col("p.vec_id").as("qid"), col("c.vec_id").as("nbr"),
         cosineWithNorms(col("p.embedding"), col("c.embedding"),
           col("p.nrm"), col("c.nrm")).as("cos"))

@@ -481,7 +481,10 @@ object EventStreams {
     * pure function of (batch, frozen index), so at-least-once
     * re-delivery re-emits identical rows (consumer distinct).
     * Semantic verdicts inherit IVF's approximation contract — nProbe
-    * is the recall dial. */
+    * is the recall dial. Ingest ids and benchmark ids live in
+    * INDEPENDENT id spaces: the probe scores id-colliding pairs like
+    * any other (`excludeSelf = false`), so a surrogate-key accident
+    * never admits contaminated content. */
   def semanticGateFeed(
       vecs: DataFrame,
       index: graft.operators.Similarity.IvfIndex,

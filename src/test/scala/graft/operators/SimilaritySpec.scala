@@ -606,4 +606,34 @@ class SimilaritySpec extends SparkSuite {
     assert(one.count() == 4)
     graft.core.OpCache.releaseAll(blocking = true)
   }
+
+  test("semanticLeakageReportIndexed: colliding ids across independent id spaces") {
+    // Decontamination orientation: bench and corpus come from SEPARATE
+    // tables, so an id collision is a coincidence — the leak must still
+    // be reported. Corpus doc 7 is (1,0,0,0); bench item 7 is the SAME
+    // direction (a paraphrase that landed on the same surrogate key).
+    val corpus = Seq(
+      (7L, Array(1f, 0f, 0f, 0f)),
+      (8L, Array(0f, 1f, 0f, 0f)),
+      (9L, Array(0f, 0f, 1f, 0f))
+    ).toDF("vec_id", "embedding")
+    val bench = Seq((7L, Array(1f, 0f, 0f, 0f))).toDF("vec_id", "embedding")
+    val idx = Similarity.buildIvfIndex(corpus, "vec_id", "embedding",
+      centroidStride = 1)
+    val all = Similarity.semanticLeakageReportIndexed(idx, bench,
+      "vec_id", "embedding", threshold = 0.9, nProbe = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(3)))
+    assert(all.toSeq == Seq((7L, 7L, true)),
+      s"colliding id must still surface the leak (default excludeSelf=false): ${all.toSeq}")
+    // Recall-audit orientation: the query set IS drawn from the index's
+    // members — there id equality identifies the same stored vector and
+    // excludeSelf=true must suppress the trivial self-match.
+    val self = Similarity.semanticLeakageReportIndexed(idx, bench,
+      "vec_id", "embedding", threshold = 0.9, nProbe = 3,
+      excludeSelf = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(!self.contains((7L, 7L)),
+      s"excludeSelf=true must drop the id-equal pair: ${self.toSeq}")
+    graft.core.OpCache.releaseAll(blocking = true)
+  }
 }
