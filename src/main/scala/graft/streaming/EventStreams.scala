@@ -592,11 +592,19 @@ object EventStreams {
     * retrain (qs41) becomes worth running. State = the grown cell
     * table as lazy unions of persisted per-batch deltas (the
     * componentMaintenance discipline — nothing corpus-sized copied
-    * per batch). `grp` identifies the batch in the output (min()
-    * reduced). Stats are pure metadata aggregation per batch;
-    * at-least-once re-delivery of a batch double-counts its vectors
-    * (consumption deltas are not idempotent) → exactly-once feed
-    * contract, as the budget gate. */
+    * per batch), LINEAGE-CUT every `cutEvery` batches: between cuts
+    * only the batch delta materializes, and at a cut boundary the
+    * union collapses to one cached LogicalRDD and the superseded
+    * children are released — so a LIFETIME canary's per-batch
+    * `ivfIndexStats` re-analysis stays bounded by `cutEvery` instead
+    * of growing one Union node per batch, at an amortized
+    * O(corpus / cutEvery) re-materialization cost per batch. `grp`
+    * identifies the batch in the output (min() reduced). Stats are
+    * pure metadata aggregation per batch; at-least-once re-delivery
+    * of a batch double-counts its vectors (consumption deltas are not
+    * idempotent) → exactly-once feed contract, as the budget gate.
+    * `probe` (test/observability seam) sees the live index after each
+    * batch. */
   def indexHealthFeed(
       vecs: DataFrame,
       index0: graft.operators.Similarity.IvfIndex,
@@ -604,9 +612,16 @@ object EventStreams {
       vecCol: String,
       grp: org.apache.spark.sql.Column,
       outDir: String,
-      queryName: String = "graft_index_health"): Unit = {
+      cutEvery: Int = 8,
+      queryName: String = "graft_index_health",
+      probe: graft.operators.Similarity.IvfIndex => Unit = _ => ()): Unit = {
+    val spark = vecs.sparkSession
     var cur = index0
     val noCells = index0.cells.limit(0)
+    // union children this feed persisted since the last cut (never the
+    // caller's index0 frames)
+    val children = scala.collection.mutable.ListBuffer.empty[DataFrame]
+    var sinceCut = 0
     val q = vecs.writeStream
       .queryName(queryName)
       .outputMode(OutputMode.Append())
@@ -622,8 +637,23 @@ object EventStreams {
             graft.operators.Similarity.IvfIndex(cur.centroids, noCells),
             b.select(col(idCol), col(vecCol)), idCol, vecCol).cells)
         delta.count()
+        children += delta
         cur = graft.operators.Similarity.IvfIndex(
           cur.centroids, cur.cells.unionByName(delta))
+        sinceCut += 1
+        if (sinceCut >= cutEvery) {
+          val cells = cur.cells
+          val cut = graft.core.OpCache.persist(
+            spark.createDataFrame(cells.rdd, cells.schema))
+          cut.count() // materialize before releasing the children it reads
+          children.foreach { f =>
+            f.unpersist(false); graft.core.OpCache.untrack(f)
+          }
+          children.clear()
+          children += cut
+          cur = graft.operators.Similarity.IvfIndex(cur.centroids, cut)
+          sinceCut = 0
+        }
         val g = b.agg(min(grp).as("grp"))
         graft.operators.Similarity.ivfIndexStats(cur)
           .crossJoin(broadcast(g))
@@ -631,6 +661,7 @@ object EventStreams {
             col("min_cell"), col("max_cell"), col("empty_cells"),
             col("mean_cell"), col("skew"))
           .write.mode("append").parquet(outDir)
+        probe(cur)
         ()
       }
       .start()

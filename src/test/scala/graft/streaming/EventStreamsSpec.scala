@@ -170,6 +170,64 @@ class EventStreamsSpec extends SparkSuite {
     assert(out(0).getLong(2) == 2L)
   }
 
+  test("indexHealthFeed: periodic cut bounds plan depth across batches") {
+    import org.apache.spark.sql.functions.{col, lit, pmod}
+    // 40 vectors; base index = ids % 4 == 0 (stride-8 quantizer), the
+    // remaining 30 arrive in 5 file-batches of 6. cutEvery = 2 must
+    // collapse the cells union to one LogicalRDD every second batch —
+    // a lifetime canary's per-batch re-analysis stays O(cutEvery), not
+    // O(batches).
+    val em = (0 until 40).map { i =>
+      val a = 2 * math.Pi * i / 40
+      (i.toLong, Array(math.cos(a).toFloat, math.sin(a).toFloat,
+        (i % 3).toFloat, 1f))
+    }.toDF("vec_id", "embedding")
+    val idx = graft.operators.Similarity.buildIvfIndex(
+      em.filter(pmod(col("vec_id"), lit(4)) === 0),
+      "vec_id", "embedding", centroidStride = 8)
+    val in = java.nio.file.Files.createTempDirectory("graft_ihspec_in")
+    val rest = (0 until 40).filter(_ % 4 != 0)
+    rest.grouped(6).zipWithIndex.foreach { case (ids, k) =>
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_ihspec_w").toString
+      em.filter(col("vec_id").isin(ids.map(_.toLong): _*))
+        .coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(f => f.getName.startsWith("part-") &&
+          f.getName.endsWith(".parquet")).get
+      java.nio.file.Files.copy(part.toPath, in.resolve(s"b$k.parquet"))
+    }
+    val stream = spark.readStream.schema(em.schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(in.toString + "/*.parquet")
+    val out = java.nio.file.Files
+      .createTempDirectory("graft_ihspec_out").toString
+    def unions(df: org.apache.spark.sql.DataFrame): Int =
+      df.queryExecution.analyzed.collect {
+        case u: org.apache.spark.sql.catalyst.plans.logical.Union => u
+      }.size
+    val depth = scala.collection.mutable.ListBuffer.empty[Int]
+    EventStreams.indexHealthFeed(stream, idx, "vec_id", "embedding",
+      lit(1L), out, cutEvery = 2,
+      probe = ix => depth += unions(ix.cells))
+    val stats = spark.read.parquet(out)
+      .select("n_vectors").collect().map(_.getLong(0)).sorted
+    assert(stats.toSeq == Seq(16L, 22L, 28L, 34L, 40L),
+      s"each batch appends 6 vectors to the base 10: ${stats.toSeq}")
+    // batch trace: append, cut→0, append, cut→0, append. The cut
+    // batches collapse to one LogicalRDD (zero Union nodes) and the
+    // append depth is a CONSTANT (the delta plan's own unions + 1),
+    // never batch-linear — without the cut this trace would be
+    // strictly increasing.
+    assert(depth(1) == 0 && depth(3) == 0,
+      s"cut batches must collapse to a LogicalRDD: ${depth.toList}")
+    assert(depth(2) == depth(4) && depth(2) > 0,
+      s"append depth must be a batch-independent constant: ${depth.toList}")
+    assert(depth(0) <= unions(idx.cells) + depth(2),
+      s"first append bounded by base + one delta: ${depth.toList}")
+    graft.core.OpCache.releaseAll(blocking = true)
+  }
+
   test("attribution join matches views to clicks within the horizon only") {
     implicit val sqlCtx = spark.sqlContext
     val views = MemoryStream[Event]
