@@ -40,27 +40,51 @@ object OpCache {
     * rely on materialization side effects. */
   def persist(df: DataFrame): DataFrame =
     if (level == StorageLevel.NONE) df
-    else { df.persist(level); live.add(df); df }
+    else { df.persist(level); live.add(df); noteScoped(df); df }
 
   /** Track an already-persisted frame (iterative algorithms persist
     * their final state directly — lineage truncation needs the
     * materialized RDD regardless of the cache policy). */
-  def track(df: DataFrame): DataFrame = { live.add(df); df }
+  def track(df: DataFrame): DataFrame = { live.add(df); noteScoped(df); df }
+
+  private val scope = new ThreadLocal[java.util.ArrayList[DataFrame]]()
+
+  private def noteScoped(df: DataFrame): Unit = {
+    val buf = scope.get()
+    if (buf ne null) { buf.add(df); () }
+  }
+
+  /** Run `body` and return its result together with every frame
+    * persisted (or tracked) ON THIS THREAD while it ran — including
+    * frames persisted inside called operators the caller has no handle
+    * to. This is the scoped-release primitive for streaming
+    * micro-batches: release exactly the frames the batch created,
+    * WITHOUT diffing the process-global registry (a global snapshot
+    * diff would strip the live cache of any concurrent query that
+    * persisted frames on the same SparkSession during the batch).
+    * Scopes nest: an inner scope's frames also belong to the enclosing
+    * scope, so an outer release still covers everything its block
+    * made. The returned list may hold a frame the body already
+    * released itself — `unpersist`/`untrack` are idempotent, so
+    * releasing it again is a no-op. */
+  def collectScoped[A](body: => A): (A, Seq[DataFrame]) = {
+    val outer = scope.get()
+    val buf = new java.util.ArrayList[DataFrame]()
+    scope.set(buf)
+    try {
+      val r = body
+      val made = List.newBuilder[DataFrame]
+      buf.forEach(f => made += f)
+      (r, made.result())
+    } finally {
+      if (outer ne null) { outer.addAll(buf); scope.set(outer) }
+      else scope.remove()
+    }
+  }
 
   /** Drop a frame from tracking without touching its storage — for
     * callers that released it themselves (index-scoped unpersist). */
   def untrack(df: DataFrame): Unit = live.remove(df)
-
-  /** Identity snapshot of the currently tracked frames — the scoped
-    * release pattern for long-running loops (streaming foreachBatch):
-    * snapshot before the batch work, then release exactly the frames
-    * the batch persisted (snapshot delta minus anything carried
-    * forward) so a lifetime stream never accumulates per-batch cache. */
-  def trackedSnapshot: Set[DataFrame] = {
-    val b = Set.newBuilder[DataFrame]
-    live.forEach(f => b += f)
-    b.result()
-  }
 
   /** Unpersist every tracked frame; returns how many were released. */
   def releaseAll(blocking: Boolean = false): Int = {

@@ -542,32 +542,36 @@ object EventStreams {
       .outputMode(OutputMode.Append())
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
-        val trackedBefore = graft.core.OpCache.trackedSnapshot
-        val sig = graft.operators.Multimodal.decodedSignatures(
-          batch.toDF().dropDuplicates(Seq("media_id")))
-        val firstInBatch = sig
-          .groupBy(col("width"), col("height"), col("luma_md5"))
-          .agg(min(col("media_id")).as("media_id"))
-        val fresh = graft.core.OpCache.persist(state match {
-          case Some(st) => firstInBatch.join(st,
-            Seq("width", "height", "luma_md5"), "left_anti")
-          case None => firstInBatch
-        })
-        fresh.select(col("media_id"), col("width"), col("height"))
-          .write.mode("append").parquet(outDir)
-        val merged = state match {
-          case Some(st) => st.unionByName(
-            fresh.select(col("width"), col("height"), col("luma_md5")))
-          case None => fresh.select(col("width"), col("height"),
-            col("luma_md5"))
-        }
-        val next = graft.core.OpCache.persist(
-          spark.createDataFrame(merged.rdd, merged.schema))
-        next.count() // materialize before releasing its inputs
-        (graft.core.OpCache.trackedSnapshot -- trackedBefore - next)
-          .foreach { f =>
-            f.unpersist(false); graft.core.OpCache.untrack(f)
+        // collect the frames THIS batch persists (including inside
+        // decodedSignatures) so the scoped release below touches only
+        // them — never a concurrent query's cache on the same session
+        val (next, made) = graft.core.OpCache.collectScoped {
+          val sig = graft.operators.Multimodal.decodedSignatures(
+            batch.toDF().dropDuplicates(Seq("media_id")))
+          val firstInBatch = sig
+            .groupBy(col("width"), col("height"), col("luma_md5"))
+            .agg(min(col("media_id")).as("media_id"))
+          val fresh = graft.core.OpCache.persist(state match {
+            case Some(st) => firstInBatch.join(st,
+              Seq("width", "height", "luma_md5"), "left_anti")
+            case None => firstInBatch
+          })
+          fresh.select(col("media_id"), col("width"), col("height"))
+            .write.mode("append").parquet(outDir)
+          val merged = state match {
+            case Some(st) => st.unionByName(
+              fresh.select(col("width"), col("height"), col("luma_md5")))
+            case None => fresh.select(col("width"), col("height"),
+              col("luma_md5"))
           }
+          val n = graft.core.OpCache.persist(
+            spark.createDataFrame(merged.rdd, merged.schema))
+          n.count() // materialize before releasing its inputs
+          n
+        }
+        made.filter(_ ne next).foreach { f =>
+          f.unpersist(false); graft.core.OpCache.untrack(f)
+        }
         state.foreach { prev =>
           prev.unpersist(false); graft.core.OpCache.untrack(prev)
         }
@@ -1037,49 +1041,51 @@ object EventStreams {
       .outputMode(OutputMode.Append())
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
-        val trackedBefore = graft.core.OpCache.trackedSnapshot
-        val pre = graft.operators.Sharding.groupedTokenPrefix(
-          batch.toDF(), sourceCol, idCol, tokensCol)
-        val withC = state match {
-          case Some(cs) => pre.join(broadcast(cs), Seq("grp"), "left")
-            .withColumn("consumed", coalesce(col("consumed"), lit(0L)))
-          case None => pre.withColumn("consumed", lit(0L))
-        }
-        val verdicts = graft.core.OpCache.persist(
-          withC.join(broadcast(a), Seq("grp"), "left")
-            .withColumn("admitted",
-              col("alloc_tokens").isNotNull &&
-                col("before") + col("tokens") <=
-                  col("alloc_tokens") - col("consumed"))
-            .select(col("doc_id"), col("grp").as("source"),
-              col("tokens"), col("admitted")))
-        verdicts.write.mode("append").parquet(outDir)
-        val delta = verdicts.filter(col("admitted"))
-          .groupBy(col("source"))
-          .agg(sum(col("tokens")).as("d"))
-          .select(col("source").as("grp"), col("d"))
-        val merged = state match {
-          case Some(cs) => cs.join(delta, Seq("grp"), "full_outer")
-            .select(col("grp"),
-              (coalesce(col("consumed"), lit(0L)) +
-                coalesce(col("d"), lit(0L))).as("consumed"))
-          case None => delta.select(col("grp"), col("d").as("consumed"))
-        }
-        // cut: an un-cut state would re-analyze the whole merge
-        // history every batch (the qt33 model discipline)
-        val next = graft.core.OpCache.persist(
-          spark.createDataFrame(merged.rdd, merged.schema))
-        next.count() // materialize before releasing the frames it reads
         // Release every frame this batch persisted except the new
         // state (the superseded state, the verdicts, and
         // groupedTokenPrefix's keyed table) — the prev-release
         // discipline of componentMaintenance, applied scope-wide: a
         // LIFETIME stream must not accumulate one cached frame per
-        // micro-batch.
-        (graft.core.OpCache.trackedSnapshot -- trackedBefore - next)
-          .foreach { f =>
-            f.unpersist(false); graft.core.OpCache.untrack(f)
+        // micro-batch. collectScoped records exactly this batch's
+        // persists, so a concurrent query's cache is never touched.
+        val (next, made) = graft.core.OpCache.collectScoped {
+          val pre = graft.operators.Sharding.groupedTokenPrefix(
+            batch.toDF(), sourceCol, idCol, tokensCol)
+          val withC = state match {
+            case Some(cs) => pre.join(broadcast(cs), Seq("grp"), "left")
+              .withColumn("consumed", coalesce(col("consumed"), lit(0L)))
+            case None => pre.withColumn("consumed", lit(0L))
           }
+          val verdicts = graft.core.OpCache.persist(
+            withC.join(broadcast(a), Seq("grp"), "left")
+              .withColumn("admitted",
+                col("alloc_tokens").isNotNull &&
+                  col("before") + col("tokens") <=
+                    col("alloc_tokens") - col("consumed"))
+              .select(col("doc_id"), col("grp").as("source"),
+                col("tokens"), col("admitted")))
+          verdicts.write.mode("append").parquet(outDir)
+          val delta = verdicts.filter(col("admitted"))
+            .groupBy(col("source"))
+            .agg(sum(col("tokens")).as("d"))
+            .select(col("source").as("grp"), col("d"))
+          val merged = state match {
+            case Some(cs) => cs.join(delta, Seq("grp"), "full_outer")
+              .select(col("grp"),
+                (coalesce(col("consumed"), lit(0L)) +
+                  coalesce(col("d"), lit(0L))).as("consumed"))
+            case None => delta.select(col("grp"), col("d").as("consumed"))
+          }
+          // cut: an un-cut state would re-analyze the whole merge
+          // history every batch (the qt33 model discipline)
+          val n = graft.core.OpCache.persist(
+            spark.createDataFrame(merged.rdd, merged.schema))
+          n.count() // materialize before releasing the frames it reads
+          n
+        }
+        made.filter(_ ne next).foreach { f =>
+          f.unpersist(false); graft.core.OpCache.untrack(f)
+        }
         state.foreach { prev =>
           prev.unpersist(false); graft.core.OpCache.untrack(prev)
         }

@@ -44,6 +44,58 @@ class OpCacheSpec extends SparkSuite {
       "CC final label/edge frames must be released, not leaked")
   }
 
+  test("collectScoped sees this thread's persists, never a concurrent thread's") {
+    import spark.implicits._
+    OpCache.releaseAll(blocking = true)
+    // a "concurrent query" persisting on the same session while the
+    // scope runs — its cache must survive the scoped release untouched
+    val otherReady = new java.util.concurrent.CountDownLatch(1)
+    val scopeDone = new java.util.concurrent.CountDownLatch(1)
+    var otherFrame: org.apache.spark.sql.DataFrame = null
+    val other = new Thread(() => {
+      otherFrame = OpCache.persist(Seq((1L, "x")).toDF("id", "v"))
+      otherFrame.count()
+      otherReady.countDown()
+      scopeDone.await()
+    })
+    other.start()
+    otherReady.await()
+    val (result, made) = OpCache.collectScoped {
+      // operator-internal persist (no caller handle) + a direct one
+      val pairs = Dedup.blockedJaccardPairs(
+        docs.withColumn("lang", lit("en"))
+          .withColumn("n_chars", length(col("text"))),
+        "doc_id", "text", "lang", "n_chars")
+      val mine = OpCache.persist(docs.limit(3))
+      mine.count(); pairs.count()
+      mine
+    }
+    scopeDone.countDown(); other.join()
+    assert(made.exists(_ eq result), "directly persisted frame collected")
+    assert(made.size >= 2, "operator-internal persists collected too")
+    assert(!made.exists(_ eq otherFrame),
+      "a concurrent thread's persist must NOT leak into the scope")
+    made.foreach { f => f.unpersist(true); OpCache.untrack(f) }
+    assert(otherFrame.storageLevel != StorageLevel.NONE,
+      "scoped release left the concurrent query's cache intact")
+    OpCache.releaseAll(blocking = true)
+  }
+
+  test("collectScoped nests: inner frames belong to the outer scope too") {
+    import spark.implicits._
+    OpCache.releaseAll(blocking = true)
+    val (_, outer) = OpCache.collectScoped {
+      val (inner, innerMade) = OpCache.collectScoped {
+        OpCache.persist(Seq(1L).toDF("a"))
+      }
+      assert(innerMade.size == 1 && (innerMade.head eq inner))
+      OpCache.persist(Seq(2L).toDF("b"))
+    }
+    assert(outer.size == 2,
+      "outer scope must cover the inner block's persists as well")
+    OpCache.releaseAll(blocking = true)
+  }
+
   test("StorageLevel.NONE disables operator caching entirely") {
     OpCache.releaseAll(blocking = true)
     val before = sc.getPersistentRDDs.size
