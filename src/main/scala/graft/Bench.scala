@@ -77,14 +77,25 @@ object Bench {
     // round (max existing BENCH_r{N}.json + 1) so round-over-round
     // regressions are diffable without a judge re-run.
     try {
+      // Tag = max round seen in EITHER artifact family + 1: the driver's
+      // BENCH_r{N}.json when present, else our own bench_queries_r{N}.json
+      // — so a directory without driver artifacts still gets a fresh
+      // tagged file (starting at r01) instead of silently overwriting an
+      // untagged bench_queries.json.
+      val roundOf = Seq("^BENCH_r(\\d+)\\.json$".r,
+        "^bench_queries_r(\\d+)\\.json$".r)
       val rounds = Option(new java.io.File(".").listFiles()).getOrElse(Array())
-        .flatMap(f => "^BENCH_r(\\d+)\\.json$".r
-          .findFirstMatchIn(f.getName).map(_.group(1).toInt))
-      val tag = if (rounds.nonEmpty) s"_r${"%02d".format(rounds.max + 1)}" else ""
+        .flatMap(f => roundOf.flatMap(
+          _.findFirstMatchIn(f.getName).map(_.group(1).toInt)))
+      val next = if (rounds.nonEmpty) rounds.max + 1 else 1
       java.nio.file.Files.writeString(
-        java.nio.file.Paths.get(s"bench_queries$tag.json"),
+        java.nio.file.Paths.get(s"bench_queries_r${"%02d".format(next)}.json"),
         s"""{"sf":"$sfDir","total":${r3(total)},"queries":$qs,"errors":$errs}""")
-    } catch { case _: Throwable => () } // diagnostics only — never fail the bench
+    } catch { case e: Throwable =>
+      // diagnostics only — never fail the bench, but say what was lost
+      System.err.println(s"[bench] per-query artifact write failed: " +
+        s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}")
+    }
     println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","n":${timed.size},"errors":${timed.count(_._3.isDefined)},"sf":"$sfDir"}""")
     spark.stop()
   }
