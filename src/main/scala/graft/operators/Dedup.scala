@@ -725,6 +725,20 @@ object Dedup {
       maxBucketSize: Int = DefaultMaxBucketSize): DataFrame =
     pairsFromBandTable(index.shingles, index.bands, threshold, maxBucketSize)
 
+  /** Persist a (node, component) label table — the [[corpusClusters]]
+    * output as a first-class stored artifact, the [[writeCorpusIndex]]
+    * pattern applied to clustering. A production corpus clusters ONCE
+    * per snapshot; every diagnostic that follows (histogram,
+    * representative selection, span rewrites) should read the stored
+    * label table instead of re-running the corpus-scale collapse +
+    * LSH + closure. */
+  def writeLabels(labels: DataFrame, dir: String): Unit =
+    labels.write.mode("overwrite").parquet(s"$dir/labels.parquet")
+
+  def readLabels(spark: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame =
+    spark.read.parquet(s"$dir/labels.parquet")
+
   def writeCorpusIndex(index: CorpusIndex, dir: String): Unit = {
     index.hashes.write.mode("overwrite").parquet(s"$dir/hashes.parquet")
     index.shingles.write.mode("overwrite").parquet(s"$dir/shingles.parquet")
@@ -1066,17 +1080,26 @@ object Dedup {
       k: Int = 16,
       bands: Int = 4,
       threshold: Double = 0.5,
-      maxBucketSize: Int = DefaultMaxBucketSize): DataFrame = {
-    val labels = corpusClusters(docs, idCol, textCol,
-      nShingle, k, bands, threshold, maxBucketSize)
-    val scored = docs.select(col(idCol).as("node"), scoreCol.as("score"))
+      maxBucketSize: Int = DefaultMaxBucketSize): DataFrame =
+    bestRepresentativesFromLabels(
+      corpusClusters(docs, idCol, textCol,
+        nShingle, k, bands, threshold, maxBucketSize),
+      docs.select(col(idCol).as("node"), scoreCol.as("score")))
+
+  /** [[bestRepresentatives]] over an ALREADY-COMPUTED (node, component)
+    * label table (stored via [[writeLabels]] or fresh from
+    * [[corpusClusters]]) — the composed-setting entry point: when the
+    * clustering run already happened, representative selection is one
+    * narrow join + one struct-max hash aggregate, label-table-sized,
+    * never corpus-scale. `scored` = (node, score), score non-null. */
+  def bestRepresentativesFromLabels(
+      labels: DataFrame, scored: DataFrame): DataFrame =
     labels.join(scored, Seq("node"))
       .groupBy(col("component"))
       .agg(count(lit(1)).cast("long").as("cluster_size"),
         max(struct(col("score"), (-col("node")).as("nn"))).as("m"))
       .select(col("component"), (-col("m.nn")).as("keep_id"),
         col("cluster_size"), round(col("m.score"), 6).as("score"))
-  }
 
   /** Cluster-size HISTOGRAM over a label table — the one-page
     * diagnostic every dedup run prints before anyone trusts its

@@ -2333,10 +2333,12 @@ object TextQueries {
         "groups enter the graph as diameter-2 stars (not O(m²) " +
         "cliques), LSH pairs run over unique content only, then the " +
         "connected-component closure labels every document. The " +
-        "linear-edge version of qd10.",
+        "linear-edge version of qd10. This is the clustering RUN: its " +
+        "labels persist as a stored artifact (Dedup.writeLabels via " +
+        "Stores.corpusLabels) that qd29/qd38 read back instead of " +
+        "re-clustering — the composed production lifecycle.",
       (s, dir) =>
-        Dedup.corpusClusters(Tables.load(s, dir, "documents"),
-          "doc_id", "text")
+        Stores.corpusLabels(s, dir)
           .select(col("node").as("doc_id"), col("component")),
       Some(s"""WITH RECURSIVE
         |$clusterLabelCtes
@@ -2350,15 +2352,20 @@ object TextQueries {
         "this keeps the HIGHEST-QUALITY copy (qt02's type-token " +
         "ratio, ties to the smallest id) — the 'keep the clean " +
         "mirror, drop the boilerplate-wrapped scrape' rule. Labels " +
-        "from qd11's collapse-first clustering; the per-cluster " +
-        "argmax is a map-side struct-max aggregate, no window. " +
-        "Output (component, keep_id, cluster_size, score).",
+        "come from the STORED label table qd11's clustering run " +
+        "maintains (Stores.corpusLabels — built once per corpus, " +
+        "parquet read-back after), so this query is one narrow join " +
+        "+ a map-side struct-max aggregate over labels, never " +
+        "corpus-scale. Output (component, keep_id, cluster_size, " +
+        "score).",
       (s, dir) => {
         val t = split(coalesce(col("text"), lit("")), " ")
-        Dedup.bestRepresentatives(
-          Tables.load(s, dir, "documents"), "doc_id", "text",
-          size(array_distinct(t)).cast("double") /
-            size(t).cast("double"))
+        Dedup.bestRepresentativesFromLabels(
+          Stores.corpusLabels(s, dir),
+          Tables.load(s, dir, "documents").select(
+            col("doc_id").as("node"),
+            (size(array_distinct(t)).cast("double") /
+              size(t).cast("double")).as("score")))
       },
       Some(s"""WITH RECURSIVE
         |$clusterLabelCtes,
@@ -2389,12 +2396,11 @@ object TextQueries {
         "size-1-dominated with a thin tail; a GIANT component " +
         "(threshold too low, stop-phrase percolation) surfaces here " +
         "as one huge bucket before it derails the keep-one rewrite. " +
-        "Two map-side hash aggregates over the LABEL table - never " +
-        "corpus-scale.",
+        "Two map-side hash aggregates over the STORED label table " +
+        "(Stores.corpusLabels - qd11's clustering run persists it, " +
+        "this query only reads it) - never corpus-scale.",
       (s, dir) =>
-        Dedup.clusterSizeHistogram(
-          Dedup.corpusClusters(Tables.load(s, dir, "documents"),
-            "doc_id", "text")),
+        Dedup.clusterSizeHistogram(Stores.corpusLabels(s, dir)),
       Some(s"""WITH RECURSIVE
         |$clusterLabelCtes,
         |cs AS (SELECT component, CAST(count(*) AS BIGINT) AS cluster_size

@@ -588,4 +588,38 @@ class DedupSpec extends SparkSuite {
     assert(got.values.toSet == Set((3L, 3L), (9L, 1L)),
       got.mkString(","))
   }
+
+  test("label store round-trips and feeds the diagnostics unchanged") {
+    import org.apache.spark.sql.functions.{coalesce => cl, _}
+    val dup = "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 w10"
+    val clean = "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 w11"
+    val df = Seq(
+      (1L, dup), (2L, dup), (3L, clean),
+      (9L, "u1 u2 u3 u4 u5 u6 u7 u8 u9 u10 u11")
+    ).toDF("doc_id", "text")
+    val labels = Dedup.corpusClusters(df, "doc_id", "text")
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_labels_spec").toString
+    Dedup.writeLabels(labels, dir)
+    val back = Dedup.readLabels(spark, dir)
+    val asSet = (d: org.apache.spark.sql.DataFrame) =>
+      d.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(asSet(back) == asSet(labels),
+      "stored labels must round-trip bit-exactly")
+    // diagnostics over the READ-BACK labels equal the inline pipeline
+    val t = split(cl(col("text"), lit("")), " ")
+    val score = size(array_distinct(t)).cast("double") / size(t).cast("double")
+    val viaStore = Dedup.bestRepresentativesFromLabels(back,
+        df.select(col("doc_id").as("node"), score.as("score")))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val inline = Dedup.bestRepresentatives(df, "doc_id", "text", score)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(viaStore == inline,
+      "representatives from stored labels must equal the inline run")
+    val hist = Dedup.clusterSizeHistogram(back)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(hist == Set((3L, 1L), (1L, 1L)),
+      s"histogram over stored labels: $hist")
+    graft.core.OpCache.releaseAll(blocking = true)
+  }
 }
