@@ -62,9 +62,21 @@ object Eval {
       col(scoreCol).cast("double").as("score"),
       col(labelCol).cast("int").cast("long").as("y"))
       .filter(col("score").isNotNull && col("y").isNotNull)
-    val g = s.groupBy(col("score")).agg(
-      sum(col("y")).as("pos"),
-      (count(lit(1)) - sum(col("y"))).as("neg"))
+    aucFromScoreGroups(
+      s.groupBy(col("score")).agg(
+        sum(col("y")).as("pos"),
+        (count(lit(1)) - sum(col("y"))).as("neg")),
+      buckets)
+  }
+
+  /** [[aucReport]]'s aggregation subplan over PRE-AGGREGATED
+    * (score, pos, neg) groups — exposed package-private so the
+    * DECIMAL overflow discipline is testable at full-corpus counts
+    * (P·N > 2⁶³) without materializing billions of rows: the subplan
+    * is count-driven from here on, so synthetic group counts exercise
+    * exactly the arithmetic a 4B-row corpus would. */
+  private[graft] def aucFromScoreGroups(
+      g: DataFrame, buckets: Int): DataFrame = {
     val b = g.withColumn("bucket",
       greatest(lit(0L), least(floor(col("score") * buckets), lit(buckets - 1L))))
     val wb = Window.partitionBy(col("bucket")).orderBy(col("score"))

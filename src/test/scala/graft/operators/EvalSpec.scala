@@ -55,6 +55,36 @@ class EvalSpec extends SparkSuite {
     assert(Eval.aucReport(df, "label", "score").collect()(0).getDouble(2) == 1.0)
   }
 
+  test("aucFromScoreGroups: exact past long overflow (P·N > 2⁶³)") {
+    // Synthetic score-group counts at full-corpus scale — the subplan
+    // from here on is count-driven, so these groups exercise exactly
+    // the arithmetic 4B real rows would, without materializing them.
+    // All-tied case: P = N = 3.2e9 → 2·AUC·P·N = P·N = 1.024e19 >
+    // Long.MaxValue (9.22e18); a long u2 would wrap negative and the
+    // reported AUC would be garbage. DECIMAL must give exactly 0.5.
+    val big = 3200000000L
+    val tied = Seq((0.5, big, big)).toDF("score", "pos", "neg")
+    val t = Eval.aucFromScoreGroups(tied, 16).collect()(0)
+    assert((t.getLong(0), t.getLong(1), t.getDouble(2)) ==
+      ((big, big, 0.5)), s"tied full-corpus AUC: $t")
+    // Perfect separation at the same scale: u2 = 2·P·N = 2.048e19,
+    // more than 2× past the long edge. Must be exactly 1.0.
+    val perfect = Seq((0.9, big, 0L), (0.1, 0L, big))
+      .toDF("score", "pos", "neg")
+    val p = Eval.aucFromScoreGroups(perfect, 16).collect()(0)
+    assert((p.getLong(0), p.getLong(1), p.getDouble(2)) ==
+      ((big, big, 1.0)), s"perfect full-corpus AUC: $p")
+    // Interleaved case with an exactly-representable expectation:
+    // pos {0.8: n, 0.4: n}, neg {0.6: n, 0.2: n} → u2 = n·4n + n·2n =
+    // 6n² = 1.536e19 (past the long edge), AUC = 6n²/(2·2n·2n) = 0.75.
+    val n = big / 2
+    val mixed = Seq((0.8, n, 0L), (0.6, 0L, n), (0.4, n, 0L),
+      (0.2, 0L, n)).toDF("score", "pos", "neg")
+    val m = Eval.aucFromScoreGroups(mixed, 16).collect()(0)
+    assert((m.getLong(0), m.getLong(1), m.getDouble(2)) ==
+      ((big, big, 0.75)), s"interleaved full-corpus AUC: $m")
+  }
+
   test("aucReportBy: per-group AUC matches per-group global runs") {
     val df = Seq(
       ("a", 0.9, 1), ("a", 0.8, 1), ("a", 0.2, 0), ("a", 0.1, 0), // perfect
