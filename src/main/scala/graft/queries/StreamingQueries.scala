@@ -2086,6 +2086,50 @@ object StreamingQueries {
         |LEFT JOIN mr ON d.doc_id = mr.doc_id""".stripMargin)),
 
     Q(
+      "qm16_video_scenes",
+      "REAL video decode round-trip (Multimodal.syntheticVideos -> " +
+        "encodeMjpegAvi -> demuxAvi + ImageIO decodeLuma -> " +
+        "videoSceneStats): each doc becomes a 16x16 MJPEG AVI with " +
+        "n = 2 + (id%4) solid-gray frames at gray 8 + 16*((id + " +
+        "k div 2) % 16) - MID-BUCKET values, so the lossy JPEG " +
+        "round-trip can never move a frame across its 16-level luma " +
+        "bucket. The engine assembles a structurally complete RIFF " +
+        "(hdrl/strl-MJPG/movi/idx1) with real JDK JPEG frames, walks " +
+        "it back with the pure-JVM demuxer, decodes every frame " +
+        "through the SAME ImageIO path as still images, and reports " +
+        "per-video frame count, scene cuts (bucket changes between " +
+        "consecutive frames) and mean bucket. The oracle replays the " +
+        "construction formulas without seeing bytes (qm10/qm15's " +
+        "discipline one container up) - a lie anywhere in the RIFF " +
+        "walk or codec path breaks parity.",
+      (s, dir) =>
+        Multimodal.videoSceneStats(
+          Multimodal.syntheticVideos(
+            graft.core.Tables.load(s, dir, "documents"), "doc_id")),
+      Some("""WITH d AS (
+        |  SELECT doc_id, 2 + (doc_id % 4) AS n FROM documents),
+        |f AS (
+        |  SELECT doc_id, n, t.k AS k,
+        |    (doc_id + (t.k // 2)) % 16 AS b
+        |  FROM d, unnest(range(0, n)) t(k)),
+        |c AS (
+        |  SELECT doc_id, k, b,
+        |    lag(b) OVER (PARTITION BY doc_id ORDER BY k) AS pb
+        |  FROM f),
+        |a AS (
+        |  SELECT doc_id,
+        |    CAST(count(*) AS BIGINT) AS n_frames,
+        |    CAST(sum(CASE WHEN pb IS NOT NULL AND b <> pb
+        |             THEN 1 ELSE 0 END) AS BIGINT) AS n_cuts,
+        |    round(CAST(sum(b) AS DOUBLE) / count(*), 6) AS mean_bucket
+        |  FROM c GROUP BY 1)
+        |SELECT doc_id AS media_id, CAST(16 AS INT) AS width,
+        |  CAST(16 AS INT) AS height,
+        |  CAST(40000 AS BIGINT) AS usec_per_frame,
+        |  n_frames, n_frames AS n_decoded, n_cuts, mean_bucket
+        |FROM a""".stripMargin)),
+
+    Q(
       "qm12_image_curation",
       "Composed curation on REAL DECODED PIXELS " +
         "(Multimodal.curateMediaDecoded - qm09 upgraded to the codec " +

@@ -571,10 +571,120 @@ class MultimodalSpec extends SparkSuite {
     * The assertions below document the expected schema/cardinality
     * contract against a hypothetical demuxFrames(media, stride). */
   ignore("video demux contract: (media_id, frame_no, frame_bytes) at stride") {
+    // NOTE: the MJPEG/AVI slice is REAL now (demuxAvi + ImageIO, specs
+    // below); this contract remains for MODERN codecs (H.264/VP9/AV1),
+    // which the JDK cannot decode — such frames demux fine and report
+    // undecodable per frame.
     // val frames = Multimodal.demuxFrames(media, stride = 24)
     // assert(frames.columns.toSeq == Seq("media_id", "frame_no", "frame_bytes"))
     // assert(frames.filter($"media_id" === 1L).count() ==
     //   expectedFrameCount(duration = ..., stride = 24))
     // Multimodal.frameSceneStats consumes these rows unchanged.
+  }
+
+  test("video: encodeMjpegAvi -> demuxAvi round-trips structure and frames") {
+    val frames = Seq(
+      Array.fill(16 * 16)(24), Array.fill(16 * 16)(24),
+      Array.fill(16 * 16)(200))
+    val avi = Multimodal.encodeMjpegAvi(16, 16, frames, usecPerFrame = 33333L)
+    assert(Multimodal.sniffFormat(avi) == "riff",
+      "AVI is RIFF but not WAVE — must not sniff as wav")
+    val v = Multimodal.demuxAvi(avi).get
+    assert(v.width == 16 && v.height == 16 && v.usecPerFrame == 33333L)
+    assert(v.frames.length == 3)
+    v.frames.foreach { f =>
+      assert(Multimodal.sniffFormat(f) == "jpeg",
+        "MJPEG frame payloads are plain JPEGs")
+      val d = Multimodal.decodeLuma(f).get
+      assert(d.width == 16 && d.height == 16)
+    }
+  }
+
+  test("video: mid-bucket grays survive the lossy JPEG round-trip in-bucket") {
+    // the discipline qm16's formula oracle rests on: for every bucket
+    // center 8 + 16k, encode -> decode mean luma must stay inside
+    // bucket k (JPEG error is a few counts, the bucket is 16 wide)
+    (0 until 16).foreach { k =>
+      val g = 8 + 16 * k
+      val d = Multimodal.decodeLuma(
+        Multimodal.encodeGrayJpeg(16, 16, Array.fill(16 * 16)(g))).get
+      val mean = d.lumaMilli.map(_.toLong).sum / d.lumaMilli.length
+      assert(mean / 16000 == k.toLong,
+        s"gray $g decoded to mean-milli $mean — left bucket $k")
+    }
+  }
+
+  test("video: demux rejects garbage, salvages truncation, skips foreign codecs") {
+    assert(Multimodal.demuxAvi("not an avi at all".getBytes).isEmpty)
+    assert(Multimodal.demuxAvi(Array.emptyByteArray).isEmpty)
+    val avi = Multimodal.encodeMjpegAvi(16, 16,
+      Seq(Array.fill(256)(40), Array.fill(256)(40), Array.fill(256)(72)))
+    // truncate inside the last FRAME chunk (idx1 trails movi and is
+    // 8 + 16·3 = 56 bytes — cut past it into the frame data): the
+    // walk salvages the prefix
+    val cut = java.util.Arrays.copyOfRange(avi, 0, avi.length - 56 - 40)
+    val t = Multimodal.demuxAvi(cut).get
+    assert(t.width == 16 && t.frames.length < 3,
+      s"truncated file must demux a frame prefix, got ${t.frames.length}")
+    // a valid AVI whose last frame payload is a FOREIGN codec (JPEG
+    // magic overwritten in place — chunk structure intact): it still
+    // demuxes, but videoSceneStats counts it undecoded and the cut
+    // series runs over the decoded frames only
+    val foreign = avi.clone()
+    val lastSoi = {
+      var p = -1
+      var i = 12
+      while (i < foreign.length - 1) {
+        if ((foreign(i) & 0xff) == 0xff && (foreign(i + 1) & 0xff) == 0xd8)
+          p = i
+        i += 1
+      }
+      p
+    }
+    assert(lastSoi > 0, "fixture must contain a JPEG SOI marker")
+    foreign(lastSoi) = 'X'.toByte; foreign(lastSoi + 1) = 'X'.toByte
+    val full = Multimodal.videoSceneStats(
+      Seq((1L, foreign)).toDF("media_id", "bytes")).collect()(0)
+    assert(full.getLong(4) == 3L && full.getLong(5) == 2L,
+      s"3 demuxed, 2 decoded: $full")
+    assert(full.getLong(6) == 0L,
+      "both decoded frames share bucket 2 — no cut across the dead frame")
+  }
+
+  test("videoSceneStats: cuts are bucket changes between decoded frames") {
+    // buckets 1,1,12 → one cut; singleton bucket series → zero cuts
+    val a = Multimodal.encodeMjpegAvi(16, 16, Seq(
+      Array.fill(256)(24), Array.fill(256)(24), Array.fill(256)(200)))
+    val b = Multimodal.encodeMjpegAvi(16, 16, Seq(Array.fill(256)(88)))
+    val got = Multimodal.videoSceneStats(
+        Seq((1L, a), (2L, b)).toDF("media_id", "bytes"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(4), r.getLong(6), r.getDouble(7)))).toMap
+    assert(got(1L) == ((3L, 1L, BigDecimal(1 + 1 + 12)./(BigDecimal(3))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)))
+    assert(got(2L) == ((1L, 0L, 5.0)))
+    // non-AVI payloads are excluded entirely
+    assert(Multimodal.videoSceneStats(
+      Seq((3L, "plain text".getBytes)).toDF("media_id", "bytes"))
+      .count() == 0L)
+  }
+
+  test("syntheticVideos: formula frame counts, real RIFF bytes") {
+    val docs = Seq((0L, "x"), (1L, "y"), (3L, "z"), (17L, "w"))
+      .toDF("doc_id", "text")
+    val vids = Multimodal.syntheticVideos(docs, "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getAs[Array[Byte]](1)).toMap
+    vids.foreach { case (id, bytes) =>
+      val v = Multimodal.demuxAvi(bytes).get
+      assert(v.frames.length == (2 + id % 4).toInt,
+        s"doc $id frame count")
+      assert(v.width == 16 && v.height == 16 && v.usecPerFrame == 40000L)
+    }
+    // doc 17, frame 2: gray 8 + 16*((17 + 1) % 16) = 8 + 32 = 40 →
+    // bucket 2 — spot-check the decoded bucket against the formula
+    val f2 = Multimodal.demuxAvi(vids(17L)).get.frames(2)
+    val d = Multimodal.decodeLuma(f2).get
+    val mean = d.lumaMilli.map(_.toLong).sum / d.lumaMilli.length
+    assert(mean / 16000 == 2L, s"doc 17 frame 2 bucket: mean-milli $mean")
   }
 }
