@@ -46,6 +46,12 @@ object Bench {
       if (args.nonEmpty) Some(args(0).split(",").toSet) else None
     val names = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
+    // MEASUREMENT CONTRACT (round-10 variance study, SCALING.md):
+    // ~258 queries share one JVM heap, so per-query times ride the
+    // session's GC/JIT state — identical code re-runs show median 12%
+    // / p90 40% per-row deltas while TOTALS stay within ±3%. Compare
+    // totals round-over-round; treat single-round per-query deltas
+    // under the p90 band as noise unless re-measured in isolation.
     val timed = names.map { case (name, fn) =>
       graft.core.OpCache.releaseAll() // release AND untrack operator persists
       spark.catalog.clearCache()      // then any remaining cached frames
