@@ -1261,4 +1261,96 @@ object Multimodal {
       .select(col("media_id"),
         (col("width").cast("long") * col("height").cast("long")).as("n_px"))
   }
+
+  /** [[lumaAHash60]] for SOUND — the 60-segment amplitude-ENVELOPE
+    * hash over decoded channel-0 samples: bit j set iff segment j's
+    * mean ABSOLUTE amplitude beats the track's global mean (integer
+    * cross-multiplies, no division anywhere). GAIN-INVARIANT the way
+    * the image hash is brightness-scale-invariant (segSum·n >
+    * total·segCnt holds for |s| and g·|s| alike), so a re-leveled
+    * copy of a recording still pairs with its original. */
+  def envelopeHash60(samples: Array[Int]): Long = {
+    val n = samples.length
+    if (n == 0) return 0L
+    val segSum = new Array[Long](60)
+    val segCnt = new Array[Long](60)
+    var total = 0L
+    var p = 0
+    while (p < n) {
+      val v = math.abs(samples(p).toLong)
+      val j = (p.toLong * 60L / n).toInt
+      segSum(j) += v
+      segCnt(j) += 1
+      total += v
+      p += 1
+    }
+    var h = 0L
+    var j = 0
+    while (j < 60) {
+      if (segSum(j) * n > total * segCnt(j)) h |= (1L << j)
+      j += 1
+    }
+    h
+  }
+
+  /** One REAL audio decode pass per payload → the two curation
+    * signals ([[decodedSignatures]] for sound): (media_id,
+    * sample_rate, n_samples, pcm_md5, env_hash) — exact SAMPLE-STREAM
+    * identity (md5 over the big-endian channel-0 ints, keyed with
+    * rate and length: container and header details — WAV vs AIFF,
+    * junk chunks — can no longer split identical recordings) plus the
+    * perceptual [[envelopeHash60]], both from ONE [[decodePcm]] call.
+    * Undecodable payloads are EXCLUDED (an upstream quality gate owns
+    * them); digest initialised once per partition — the codec-seam
+    * discipline. */
+  def decodedAudioSignatures(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id"), col("bytes"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        rows.flatMap { case (id, b) =>
+          decodePcm(if (b == null) Array.emptyByteArray else b).map { d =>
+            md.reset()
+            val bb = java.nio.ByteBuffer.allocate(4 * d.samples.length)
+            d.samples.foreach(bb.putInt)
+            val key = md.digest(bb.array()).map("%02x".format(_)).mkString
+            (id, d.sampleRate, d.samples.length.toLong, key,
+              envelopeHash60(d.samples))
+          }
+        }
+      }
+      .toDF("media_id", "sample_rate", "n_samples", "pcm_md5", "env_hash")
+  }
+
+  /** [[curateMediaDecoded]] for AUDIO — the composed curation the real
+    * audio codec unlocks: exact dedup keys on the decoded
+    * sample-stream identity (sample_rate, n_samples, pcm md5 — a
+    * re-containered or junk-padded copy of the same recording
+    * collapses), then envelope-hamming near-dedup among survivors
+    * ([[envelopeHash60]] through the same banded pigeonhole join as
+    * the pixel path; drop any id with a smaller-id neighbor within
+    * `maxDist` — qd07's greedy keep). One decode pass feeds both
+    * stages; collapse-first ordering is the same 100 TB argument as
+    * qm09/qm12.
+    *
+    * @return surviving (media_id, sample_rate, n_samples) */
+  def curateAudioDecoded(media: DataFrame, maxDist: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sig = graft.core.OpCache.persist(decodedAudioSignatures(media))
+    val keepW = Window
+      .partitionBy(col("sample_rate"), col("n_samples"), col("pcm_md5"))
+      .orderBy(col("media_id"))
+    val s1 = graft.core.OpCache.persist(
+      sig.withColumn("__rn", row_number().over(keepW))
+        .filter(col("__rn") === 1)
+        .select(col("media_id"), col("sample_rate"), col("n_samples"),
+          col("env_hash")))
+    val dropped = hammingPairs(
+      s1.select(col("media_id"), col("env_hash").as("ahash")), maxDist)
+      .select(col("b_id").as("media_id")).distinct()
+    s1.join(dropped, Seq("media_id"), "left_anti")
+      .select(col("media_id"), col("sample_rate"), col("n_samples"))
+  }
 }

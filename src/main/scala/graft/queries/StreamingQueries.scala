@@ -2086,6 +2086,71 @@ object StreamingQueries {
         |LEFT JOIN mr ON d.doc_id = mr.doc_id""".stripMargin)),
 
     Q(
+      "qm17_audio_curation",
+      "Composed AUDIO curation on REAL DECODED SAMPLES " +
+        "(Multimodal.curateAudioDecoded - qm12's lifecycle for sound): " +
+        "exact dedup keys on the decoded sample-stream identity " +
+        "(sample_rate, n_samples, pcm md5 - a re-containered copy of " +
+        "the same recording collapses), then envelopeHash60 " +
+        "banded-hamming near-dedup among survivors at maxDist=10 " +
+        "(qd07's greedy keep). The envelope hash is GAIN-invariant " +
+        "(integer cross-multiply over |s|), the audio analogue of the " +
+        "image hash's brightness invariance. ONE AudioSystem decode " +
+        "pass feeds both stages; oracle replays stream identity and " +
+        "the envelope bits on the qm15 construction formulas without " +
+        "seeing bytes.",
+      (s, dir) =>
+        Multimodal.curateAudioDecoded(
+          Multimodal.syntheticAudio(
+            graft.core.Tables.load(s, dir, "documents"), "doc_id", "text"),
+          maxDist = 10),
+      Some("""WITH d AS (
+        |  SELECT doc_id, text, length(text) AS len,
+        |    CAST(8000 + 4000 * (doc_id % 3) AS INT) AS sr,
+        |    64 + 4 * (doc_id % 97) AS n
+        |  FROM documents WHERE length(text) >= 1),
+        |s AS (
+        |  SELECT doc_id, t.i AS i,
+        |    CASE WHEN ((t.i // 16) % 4) = 0 THEN 0
+        |         ELSE (unicode(substring(text,
+        |           CAST((t.i % len) + 1 AS INT), 1)) - 128) * 255
+        |    END AS v
+        |  FROM d, unnest(range(0, n)) t(i)),
+        |ky AS (
+        |  SELECT doc_id,
+        |    string_agg(CAST(v AS VARCHAR), ',' ORDER BY i) AS stream
+        |  FROM s GROUP BY 1),
+        |s1 AS (
+        |  SELECT d.doc_id, d.sr, d.n
+        |  FROM d JOIN ky USING (doc_id)
+        |  WHERE NOT EXISTS (
+        |    SELECT 1 FROM d d2 JOIN ky k2 ON d2.doc_id = k2.doc_id
+        |    WHERE d2.sr = d.sr AND d2.n = d.n
+        |      AND k2.stream = ky.stream AND d2.doc_id < d.doc_id)),
+        |b AS (
+        |  SELECT s.doc_id, abs(s.v) AS a, (s.i * 60) // d.n AS j, d.n
+        |  FROM s JOIN d USING (doc_id)
+        |  JOIN s1 ON s1.doc_id = s.doc_id),
+        |seg AS (
+        |  SELECT doc_id, j, sum(a) AS ss, count(*) AS c,
+        |    any_value(n) AS n
+        |  FROM b GROUP BY 1, 2),
+        |tot AS (SELECT doc_id, sum(a) AS ts FROM b GROUP BY 1),
+        |bits AS (
+        |  SELECT seg.doc_id, seg.j,
+        |    CASE WHEN seg.ss * seg.n > tot.ts * seg.c
+        |         THEN 1 ELSE 0 END AS bit
+        |  FROM seg JOIN tot USING (doc_id)),
+        |eh AS (SELECT doc_id, sum(bit << j) AS ehash FROM bits GROUP BY 1),
+        |drop0 AS (
+        |  SELECT DISTINCT b2.doc_id FROM eh a JOIN eh b2
+        |  ON a.doc_id < b2.doc_id
+        |    AND bit_count(xor(a.ehash, b2.ehash)) <= 10)
+        |SELECT s1.doc_id AS media_id, s1.sr AS sample_rate,
+        |  CAST(s1.n AS BIGINT) AS n_samples
+        |FROM s1 WHERE s1.doc_id NOT IN (SELECT doc_id FROM drop0)""".stripMargin)),
+
+    Q(
       "qm16_video_scenes",
       "REAL video decode round-trip (Multimodal.syntheticVideos -> " +
         "encodeMjpegAvi -> demuxAvi + ImageIO decodeLuma -> " +

@@ -2255,11 +2255,13 @@ object TextQueries {
         "depth-1 star node->component-min, so the closure converges " +
         "in O(1) rounds); every untouched label passes through with " +
         "zero recompute. Edge discovery probes the STORED band index " +
-        "(batchNearDupPairs - batch vs corpus + batch internal, " +
-        "nothing corpus-sized rebuilt). Components only merge under " +
-        "edge addition, so the result is bit-identical to full " +
-        "re-clustering - the oracle IS qd10's full recursive-CTE " +
-        "closure over the complete pair set.",
+        "COLLAPSE-FIRST (batchNearDupStarEdges - batch exact dups " +
+        "fold to reps before shingling, stars replace the quadratic " +
+        "identical-content pair fan-out; connectivity is provably " +
+        "unchanged, and labels are what this query emits). Components " +
+        "only merge under edge addition, so the result is " +
+        "bit-identical to full re-clustering - the oracle IS qd10's " +
+        "full recursive-CTE closure over the complete pair set.",
       (s, dir) => {
         val docs = Tables.load(s, dir, "documents")
         val corpus = docs.filter(pmod(col("doc_id"), lit(50)) =!= 0)
@@ -2281,8 +2283,8 @@ object TextQueries {
         val labels = graft.core.OpCache.persist(
           Dedup.connectedComponents(
             pairsC.unionByName(selfC), "a_id", "b_id"))
-        val newEdges = Dedup.batchNearDupPairs(idx, batch, "doc_id", "text",
-          nShingle = 3, k = 16, bands = 4, threshold = 0.5)
+        val newEdges = Dedup.batchNearDupStarEdges(idx, batch, "doc_id",
+          "text", nShingle = 3, k = 16, bands = 4, threshold = 0.5)
         Dedup.incrementalComponents(labels, newEdges,
           batch.select(col("doc_id").as("node")))
           .select(col("node").as("doc_id"), col("component"))

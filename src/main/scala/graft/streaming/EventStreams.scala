@@ -98,8 +98,12 @@ object EventStreams {
 
   /** Streaming cluster-label maintenance — [[ingestDedup]]'s sibling
     * for the CLUSTERING state: each micro-batch discovers its incident
-    * near-dup edges against the stored band index
-    * ([[graft.operators.Dedup.batchNearDupPairs]]), folds them into
+    * near-dup edges against the stored band index COLLAPSE-FIRST
+    * ([[graft.operators.Dedup.batchNearDupStarEdges]] — batch exact
+    * duplicates fold to reps before shingling; connectivity, and
+    * therefore every label, is identical to the raw pair contract
+    * while a duplicate-heavy batch costs linear, not quadratic,
+    * edges), folds them into
     * the stored labels via
     * [[graft.operators.Dedup.incrementalComponents]] (touched
     * components re-solved on star subgraphs, untouched labels pass
@@ -129,7 +133,7 @@ object EventStreams {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
         val b = graft.core.OpCache.persist(batch.toDF())
-        val edges = graft.operators.Dedup.batchNearDupPairs(
+        val edges = graft.operators.Dedup.batchNearDupStarEdges(
           cur, b, idCol, textCol)
         val next = graft.operators.Dedup.incrementalComponents(
           labels, edges, b.select(col(idCol).as("node")))

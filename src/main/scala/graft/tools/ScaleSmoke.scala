@@ -195,8 +195,14 @@ object ScaleSmoke {
             l.count(); l
           }
           val t = time("incremental_components") {
-            val e = Dedup.batchNearDupPairs(idxC, batchC, "doc_id", "text",
-              threshold = 0.7)
+            // collapse-first edge discovery (batchNearDupStarEdges):
+            // the duplicated fixture's batch carries `factor` exact
+            // copies of each sampled original — the raw pair contract
+            // emitted factor²/2 identical-content pairs per original
+            // (measured 5.3 → 43 s ×10→×30, quadratic); stars are
+            // linear and label-identical
+            val e = Dedup.batchNearDupStarEdges(idxC, batchC, "doc_id",
+              "text", threshold = 0.7)
             Dedup.incrementalComponents(labelsC, e,
               batchC.select($"doc_id".as("node"))).count()
           }
@@ -507,6 +513,15 @@ object ScaleSmoke {
         graft.operators.Multimodal.extractFeatures(
           graft.operators.Multimodal.syntheticImages(docs, "doc_id", "text"))
           .toDF().agg(sum($"width".cast("long"))).head().getLong(0)
+      },
+      time("video_scenes") {
+        // REAL container + codec pass: per doc, assemble an MJPEG AVI
+        // (2–5 solid 16×16 JPEG frames) and demux + decode it back —
+        // map-only like image_decode, slope = RIFF walk + JPEG codec
+        // throughput. The cut sum forces the decode.
+        graft.operators.Multimodal.videoSceneStats(
+          graft.operators.Multimodal.syntheticVideos(docs, "doc_id"))
+          .agg(sum(col("n_cuts") + col("n_decoded"))).head().getLong(0)
       },
       time("lsh_recall_sampled") {
         // qd40: truth side runs on a FIXED 250-doc hash-order sample —

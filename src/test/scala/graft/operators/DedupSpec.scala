@@ -589,6 +589,56 @@ class DedupSpec extends SparkSuite {
       got.mkString(","))
   }
 
+  test("batchNearDupStarEdges: label-identical to raw pairs, linear edges") {
+    // corpus of two near-dup families; the ingest batch is
+    // DUPLICATE-HEAVY: 4 exact copies of a doc near family A, 3 copies
+    // of a brand-new text, plus one doc near family B — the shape that
+    // makes the raw pair contract quadratic in copy count
+    val corpus = Seq(
+      (10L, "a1 a2 a3 a4 a5 a6 a7 a8 a9 a10 a11"),
+      (11L, "a1 a2 a3 a4 a5 a6 a7 a8 a9 a10 a12"),
+      (20L, "b1 b2 b3 b4 b5 b6 b7 b8 b9 b10 b11")
+    ).toDF("doc_id", "text")
+    val nearA = "a1 a2 a3 a4 a5 a6 a7 a8 a9 a10 a13"
+    val fresh = "c1 c2 c3 c4 c5 c6 c7 c8 c9 c10 c11"
+    val nearB = "b1 b2 b3 b4 b5 b6 b7 b8 b9 b10 b12"
+    val batch = Seq(
+      (30L, nearA), (31L, nearA), (32L, nearA), (33L, nearA),
+      (40L, fresh), (41L, fresh), (42L, fresh),
+      (50L, nearB)
+    ).toDF("doc_id", "text")
+    val built = Dedup.buildCorpusIndex(corpus, "doc_id", "text")
+    val labels0 = Dedup.connectedComponents(
+      Dedup.pairsFromIndex(built).select($"a_id", $"b_id")
+        .unionByName(corpus.select($"doc_id".as("a_id"), $"doc_id".as("b_id"))),
+      "a_id", "b_id")
+    def solve(edges: org.apache.spark.sql.DataFrame) =
+      Dedup.incrementalComponents(labels0, edges,
+        batch.select($"doc_id".as("node")))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val viaRaw = solve(
+      Dedup.batchNearDupPairs(built, batch, "doc_id", "text"))
+    val viaStars = solve(
+      Dedup.batchNearDupStarEdges(built, batch, "doc_id", "text"))
+    assert(viaStars == viaRaw,
+      s"star edges must be label-identical to the raw pair contract:\n$viaStars\n$viaRaw")
+    // the fresh 3-copy group must be ONE component keyed by min id 40,
+    // and the nearA copies must fold into family A's component (10)
+    val m = viaStars.toMap
+    assert(m(41L) == 40L && m(42L) == 40L && m(40L) == 40L)
+    assert(Seq(30L, 31L, 32L, 33L).forall(m(_) == 10L))
+    assert(m(50L) == 20L)
+    // edge volume: the raw contract pairs every copy with every other
+    // (4-clique + 3-clique fan-out); stars carry one edge per member
+    val starEdges = Dedup.batchNearDupStarEdges(
+      built, batch, "doc_id", "text").count()
+    val rawEdges = Dedup.batchNearDupPairs(
+      built, batch, "doc_id", "text").count()
+    assert(starEdges < rawEdges,
+      s"stars ($starEdges) must undercut the clique fan-out ($rawEdges)")
+    graft.core.OpCache.releaseAll(blocking = true)
+  }
+
   test("label store round-trips and feeds the diagnostics unchanged") {
     import org.apache.spark.sql.functions.{coalesce => cl, _}
     val dup = "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 w10"

@@ -582,6 +582,60 @@ class MultimodalSpec extends SparkSuite {
     // Multimodal.frameSceneStats consumes these rows unchanged.
   }
 
+  test("envelopeHash60 is gain-invariant and sign-insensitive") {
+    val s = Array.tabulate(240)(i => (math.sin(i / 7.0) * 1000).toInt)
+    val h = Multimodal.envelopeHash60(s)
+    assert(h == Multimodal.envelopeHash60(s.map(_ * 3)),
+      "re-leveled copy (3x gain) must hash identically")
+    assert(h == Multimodal.envelopeHash60(s.map(v => -v)),
+      "polarity flip preserves |s| — same envelope")
+    assert(Multimodal.envelopeHash60(Array.emptyByteArray.map(_.toInt)) == 0L)
+    // a structurally different envelope must differ
+    val loudTail = s.zipWithIndex.map { case (v, i) =>
+      if (i > 120) v * 20 else v / 20 }
+    assert(h != Multimodal.envelopeHash60(loudTail))
+  }
+
+  test("curateAudioDecoded: container-invariant collapse, envelope near-drop") {
+    // track A as WAV twice (byte-identical) AND as AIFF (different
+    // container, same PCM) — all three must collapse to the lowest id;
+    // track B = A with tiny perturbations (same envelope → dropped as
+    // near-dup); track C structurally different (kept)
+    val a = Array.tabulate(200)(i =>
+      if ((i / 16) % 4 == 0) 0 else ((i % 40) - 20) * 800)
+    val wavA = Multimodal.encodePcmWav(8000, a)
+    val aiffA = {
+      import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+      val raw = new Array[Byte](2 * a.length)
+      a.indices.foreach { i => // AIFF is big-endian
+        raw(2 * i) = ((a(i) >> 8) & 0xff).toByte
+        raw(2 * i + 1) = (a(i) & 0xff).toByte
+      }
+      val fmt = new AudioFormat(AudioFormat.Encoding.PCM_SIGNED,
+        8000f, 16, 1, 2, 8000f, true)
+      val out = new java.io.ByteArrayOutputStream()
+      AudioSystem.write(new AudioInputStream(
+        new java.io.ByteArrayInputStream(raw), fmt, a.length.toLong),
+        AudioFileFormat.Type.AIFF, out)
+      out.toByteArray
+    }
+    val b = a.clone(); b(50) += 1; b(150) -= 1
+    val c = a.map(v => -v).zipWithIndex.map { case (v, i) =>
+      if (i < 100) 0 else 16000 }
+    val media = Seq(
+      (1L, wavA), (2L, wavA.clone()), (3L, aiffA),
+      (7L, Multimodal.encodePcmWav(8000, b)),
+      (9L, Multimodal.encodePcmWav(8000, c)),
+      (11L, "not audio".getBytes)
+    ).toDF("media_id", "bytes")
+    val kept = Multimodal.curateAudioDecoded(media, maxDist = 10)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    graft.core.OpCache.releaseAll(blocking = true)
+    assert(kept == Set((1L, 8000, 200L), (9L, 8000, 200L)),
+      s"1 survives (2=bytes, 3=container, 7=envelope near-dup all fold " +
+        s"in; 9 distinct; 11 undecodable excluded): $kept")
+  }
+
   test("video: encodeMjpegAvi -> demuxAvi round-trips structure and frames") {
     val frames = Seq(
       Array.fill(16 * 16)(24), Array.fill(16 * 16)(24),
