@@ -921,9 +921,12 @@ object Dedup {
     * @param labels   stored (node, component) state, component = min
     *                 node id of the component (the contract
     *                 [[connectedComponents]] emits)
-    * @param newEdges (a_id, b_id) edges discovered for the batch
-    *                 ([[batchNearDupPairs]] — batch↔corpus and
-    *                 batch↔batch)
+    * @param newEdges (a_id, b_id) edges discovered for the batch —
+    *                 [[batchNearDupStarEdges]] (collapse-first, the
+    *                 production default: linear in batch duplicate
+    *                 mass) or [[batchNearDupPairs]] (the raw per-pair
+    *                 contract); both yield identical labels, only the
+    *                 edge volume differs
     * @param newNodes (node) the batch's node ids (kept as singletons
     *                 when no edge touches them)
     */
