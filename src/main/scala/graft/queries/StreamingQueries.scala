@@ -1443,6 +1443,70 @@ object StreamingQueries {
         |                    AND k2.doc_id < k.doc_id)""".stripMargin)),
 
     Q(
+      "qst32_stream_audio_ingest",
+      "Streaming AUDIO-ingest dedup with REAL decode " +
+        "(EventStreams.audioIngestFeed - qst30's gate keyed on " +
+        "DECODED SAMPLE-STREAM IDENTITY, qm17's exact stage at the " +
+        "door): synthetic WAVs arrive TWICE via two staged files; " +
+        "each batch AudioSystem-decodes once, collapses to the " +
+        "lowest media_id per (sample_rate, n_samples, pcm md5), " +
+        "anti-joins the stored identity set, emits only first " +
+        "occurrences and grows the store - a re-containered copy of " +
+        "the same recording never enters twice however its FILE " +
+        "bytes differ. Re-delivery emits nothing new. Oracle = the " +
+        "formula-stream first-occurrence replay (no bytes needed).",
+      (s, dir) => {
+        s.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+        val media = Multimodal.syntheticAudio(
+          graft.core.Tables.load(s, dir, "documents"), "doc_id", "text")
+          .select(col("media_id"), col("bytes"))
+        val in = java.nio.file.Files.createTempDirectory("graft_ai_in")
+        def stage(name: String): Unit = {
+          val tmp = java.nio.file.Files
+            .createTempDirectory("graft_ai_w").toString
+          media.coalesce(1).write.mode("overwrite").parquet(tmp)
+          val part = new java.io.File(tmp).listFiles()
+            .find(f => f.getName.startsWith("part-") &&
+              f.getName.endsWith(".parquet")).get
+          java.nio.file.Files.copy(part.toPath, in.resolve(name))
+          ()
+        }
+        stage("a1.parquet")
+        stage("a2.parquet")
+        val stream = s.readStream
+          .schema("media_id LONG, bytes BINARY")
+          .option("maxFilesPerTrigger", 1)
+          .parquet(in.toString + "/*.parquet")
+        val out = java.nio.file.Files
+          .createTempDirectory("graft_ai_out").toString
+        EventStreams.audioIngestFeed(stream, out)
+        s.read.parquet(out).distinct()
+      },
+      Some("""WITH d AS (
+        |  SELECT doc_id, text, length(text) AS len,
+        |    CAST(8000 + 4000 * (doc_id % 3) AS INT) AS sr,
+        |    64 + 4 * (doc_id % 97) AS n
+        |  FROM documents WHERE length(text) >= 1),
+        |s AS (
+        |  SELECT doc_id, t.i AS i,
+        |    CASE WHEN ((t.i // 16) % 4) = 0 THEN 0
+        |         ELSE (unicode(substring(text,
+        |           CAST((t.i % len) + 1 AS INT), 1)) - 128) * 255
+        |    END AS v
+        |  FROM d, unnest(range(0, n)) t(i)),
+        |ky AS (
+        |  SELECT doc_id,
+        |    string_agg(CAST(v AS VARCHAR), ',' ORDER BY i) AS stream
+        |  FROM s GROUP BY 1)
+        |SELECT d.doc_id AS media_id, d.sr AS sample_rate,
+        |  CAST(d.n AS BIGINT) AS n_samples
+        |FROM d JOIN ky USING (doc_id)
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM d d2 JOIN ky k2 ON d2.doc_id = k2.doc_id
+        |  WHERE d2.sr = d.sr AND d2.n = d.n
+        |    AND k2.stream = ky.stream AND d2.doc_id < d.doc_id)""".stripMargin)),
+
+    Q(
       "qst31_stream_index_health",
       "Streaming INDEX-HEALTH canary (EventStreams.indexHealthFeed " +
         "- qs40's datasheet over a LIVE ingest): the base index " +

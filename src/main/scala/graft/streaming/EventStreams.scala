@@ -538,7 +538,48 @@ object EventStreams {
   def mediaIngestFeed(
       media: DataFrame,
       outDir: String,
-      queryName: String = "graft_media_ingest"): Unit = {
+      queryName: String = "graft_media_ingest"): Unit =
+    signatureIngestFeed(media, outDir, queryName,
+      graft.operators.Multimodal.decodedSignatures,
+      keyCols = Seq("width", "height", "luma_md5"),
+      emitCols = Seq("media_id", "width", "height"))
+
+  /** [[mediaIngestFeed]] for AUDIO — the same first-occurrence gate
+    * keyed on DECODED SAMPLE-STREAM IDENTITY
+    * ([[graft.operators.Multimodal.decodedAudioSignatures]] —
+    * qm17's exact stage at the ingest door): a re-containered or
+    * re-uploaded copy of the same recording never enters the corpus
+    * twice, however its FILE bytes differ (WAV vs AIFF, junk
+    * chunks). Same state/delivery/release contract as the image
+    * feed. */
+  def audioIngestFeed(
+      media: DataFrame,
+      outDir: String,
+      queryName: String = "graft_audio_ingest"): Unit =
+    signatureIngestFeed(media, outDir, queryName,
+      graft.operators.Multimodal.decodedAudioSignatures,
+      keyCols = Seq("sample_rate", "n_samples", "pcm_md5"),
+      emitCols = Seq("media_id", "sample_rate", "n_samples"))
+
+  /** Shared first-occurrence ingest gate over any decoded-signature
+    * function: each batch decodes ONCE (`signatures` — the codec runs
+    * at its mapPartitions seam), collapses batch-internal duplicates
+    * to the lowest media_id per identity key, anti-joins the stored
+    * identity set, emits only first occurrences (`emitCols`), and
+    * grows the store. Output rows are first occurrences, so
+    * at-least-once re-delivery emits nothing new (consumer distinct);
+    * undecodable payloads are excluded (the upstream quality gate
+    * owns them). State = one key row per distinct stored identity —
+    * cut and re-persisted per batch with the thread-scoped release
+    * ([[graft.core.OpCache.collectScoped]]), KB-sized keys, never
+    * payload bytes. */
+  private def signatureIngestFeed(
+      media: DataFrame,
+      outDir: String,
+      queryName: String,
+      signatures: DataFrame => DataFrame,
+      keyCols: Seq[String],
+      emitCols: Seq[String]): Unit = {
     val spark = media.sparkSession
     var state: Option[DataFrame] = None
     val q = media.writeStream
@@ -546,27 +587,23 @@ object EventStreams {
       .outputMode(OutputMode.Append())
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
-        // collect the frames THIS batch persists (including inside
-        // decodedSignatures) so the scoped release below touches only
-        // them — never a concurrent query's cache on the same session
+        // collect the frames THIS batch persists (including inside the
+        // signature op) so the scoped release below touches only them —
+        // never a concurrent query's cache on the same session
         val (next, made) = graft.core.OpCache.collectScoped {
-          val sig = graft.operators.Multimodal.decodedSignatures(
-            batch.toDF().dropDuplicates(Seq("media_id")))
+          val sig = signatures(batch.toDF().dropDuplicates(Seq("media_id")))
           val firstInBatch = sig
-            .groupBy(col("width"), col("height"), col("luma_md5"))
+            .groupBy(keyCols.map(col): _*)
             .agg(min(col("media_id")).as("media_id"))
           val fresh = graft.core.OpCache.persist(state match {
-            case Some(st) => firstInBatch.join(st,
-              Seq("width", "height", "luma_md5"), "left_anti")
+            case Some(st) => firstInBatch.join(st, keyCols, "left_anti")
             case None => firstInBatch
           })
-          fresh.select(col("media_id"), col("width"), col("height"))
+          fresh.select(emitCols.map(col): _*)
             .write.mode("append").parquet(outDir)
           val merged = state match {
-            case Some(st) => st.unionByName(
-              fresh.select(col("width"), col("height"), col("luma_md5")))
-            case None => fresh.select(col("width"), col("height"),
-              col("luma_md5"))
+            case Some(st) => st.unionByName(fresh.select(keyCols.map(col): _*))
+            case None => fresh.select(keyCols.map(col): _*)
           }
           val n = graft.core.OpCache.persist(
             spark.createDataFrame(merged.rdd, merged.schema))
