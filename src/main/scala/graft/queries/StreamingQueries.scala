@@ -2097,6 +2097,141 @@ object StreamingQueries {
         |FROM cm GROUP BY 1""".stripMargin)),
 
     Q(
+      "qm18_multimodal_manifest",
+      "MULTIMODAL export manifest - the capstone composition: the " +
+        "image ladder (qm12: ImageIO decode -> pixel-identity " +
+        "collapse -> luma-hamming near-dedup) and the audio ladder " +
+        "(qm17: AudioSystem decode -> sample-stream collapse -> " +
+        "envelope near-dedup) each curate their modality, survivors " +
+        "union into ONE cost-carrying stream (n_px for images, " +
+        "n_samples for audio; uid = 2*id + modality keeps the key " +
+        "space disjoint), and qt35's two-phase bucketed cumsum packs " +
+        "the MIXED stream into budgeted shards - the handoff a " +
+        "multimodal training run ships: (shard, n_items, shard_cost, " +
+        "n_image, n_audio). Two real codecs, two curation ladders, " +
+        "one deterministic pack, one oracle replaying the whole " +
+        "chain from construction formulas.",
+      (s, dir) => {
+        val docs = graft.core.Tables.load(s, dir, "documents")
+        val img = Multimodal.curateMediaDecoded(
+          Multimodal.syntheticImages(docs, "doc_id", "text"), maxDist = 10)
+          .select((col("media_id") * 2).as("uid"), col("n_px").as("cost"))
+        val aud = Multimodal.curateAudioDecoded(
+          Multimodal.syntheticAudio(docs, "doc_id", "text"), maxDist = 10)
+          .select((col("media_id") * 2 + 1).as("uid"),
+            col("n_samples").as("cost"))
+        graft.operators.Sharding.tokenShardAssignments(
+          img.unionByName(aud), "uid", col("cost"), budget = 30000L)
+          .groupBy(col("shard"))
+          .agg(count(lit(1)).cast("long").as("n_items"),
+            sum(col("tokens")).cast("long").as("shard_cost"),
+            sum(when(pmod(col("doc_id"), lit(2)) === 0, 1L).otherwise(0L))
+              .cast("long").as("n_image"),
+            sum(when(pmod(col("doc_id"), lit(2)) === 1, 1L).otherwise(0L))
+              .cast("long").as("n_audio"))
+      },
+      Some("""WITH d AS (
+        |  SELECT doc_id, text, length(text) AS len,
+        |    CAST(8 + doc_id % 25 AS INT) AS w,
+        |    CAST(8 + (doc_id // 3) % 25 AS INT) AS h,
+        |    64 + 4 * (doc_id % 97) AS an
+        |  FROM documents WHERE length(text) >= 1),
+        |ky AS (
+        |  SELECT doc_id, w, h,
+        |    substring(repeat(text, CAST((w * h) // len + 1 AS INT)),
+        |      1, w * h) AS stream
+        |  FROM d),
+        |s1 AS (
+        |  SELECT doc_id, w, h FROM ky k
+        |  WHERE NOT EXISTS (SELECT 1 FROM ky k2
+        |                    WHERE k2.w = k.w AND k2.h = k.h
+        |                      AND k2.stream = k.stream
+        |                      AND k2.doc_id < k.doc_id)),
+        |b AS (
+        |  SELECT d.doc_id, t.p AS p,
+        |    unicode(substring(d.text, CAST((t.p % d.len) + 1 AS INT), 1)) AS v,
+        |    d.w * d.h AS n
+        |  FROM d JOIN s1 ON d.doc_id = s1.doc_id,
+        |    unnest(range(0, d.w * d.h)) t(p)),
+        |seg AS (
+        |  SELECT doc_id, (p * 60) // n AS j, sum(v) AS s, count(*) AS c
+        |  FROM b GROUP BY 1, 2),
+        |tot AS (SELECT doc_id, sum(v) AS ts, count(*) AS tn FROM b GROUP BY 1),
+        |bits AS (
+        |  SELECT g.doc_id, g.j,
+        |    CASE WHEN coalesce(s.s, 0) * t.tn > t.ts * coalesce(s.c, 0)
+        |         THEN 1 ELSE 0 END AS bit
+        |  FROM (SELECT doc_id, unnest(range(0, 60)) AS j FROM s1) g
+        |  LEFT JOIN seg s ON s.doc_id = g.doc_id AND s.j = g.j
+        |  JOIN tot t ON t.doc_id = g.doc_id),
+        |ah AS (SELECT doc_id, sum(bit << j) AS ahash FROM bits GROUP BY 1),
+        |idrop AS (
+        |  SELECT DISTINCT b2.doc_id FROM ah a JOIN ah b2
+        |  ON a.doc_id < b2.doc_id
+        |    AND bit_count(xor(a.ahash, b2.ahash)) <= 10),
+        |isurv AS (
+        |  SELECT s1.doc_id * 2 AS uid, CAST(s1.w * s1.h AS BIGINT) AS cost
+        |  FROM s1 WHERE s1.doc_id NOT IN (SELECT doc_id FROM idrop)),
+        |asmp AS (
+        |  SELECT doc_id, t.i AS i,
+        |    CASE WHEN ((t.i // 16) % 4) = 0 THEN 0
+        |         ELSE (unicode(substring(text,
+        |           CAST((t.i % len) + 1 AS INT), 1)) - 128) * 255
+        |    END AS v
+        |  FROM d, unnest(range(0, an)) t(i)),
+        |aky AS (
+        |  SELECT doc_id,
+        |    string_agg(CAST(v AS VARCHAR), ',' ORDER BY i) AS stream
+        |  FROM asmp GROUP BY 1),
+        |as1 AS (
+        |  SELECT d.doc_id, d.sr, d.an
+        |  FROM (SELECT doc_id, an,
+        |          CAST(8000 + 4000 * (doc_id % 3) AS INT) AS sr
+        |        FROM d) d JOIN aky ON d.doc_id = aky.doc_id
+        |  WHERE NOT EXISTS (
+        |    SELECT 1 FROM (SELECT doc_id, an,
+        |        CAST(8000 + 4000 * (doc_id % 3) AS INT) AS sr FROM d) d2
+        |      JOIN aky k2 ON d2.doc_id = k2.doc_id
+        |    WHERE d2.sr = d.sr AND d2.an = d.an
+        |      AND k2.stream = aky.stream AND d2.doc_id < d.doc_id)),
+        |ab AS (
+        |  SELECT a.doc_id, abs(a.v) AS amp, (a.i * 60) // d.an AS j, d.an
+        |  FROM asmp a JOIN d USING (doc_id)
+        |  JOIN as1 ON as1.doc_id = a.doc_id),
+        |aseg AS (
+        |  SELECT doc_id, j, sum(amp) AS ss, count(*) AS c,
+        |    any_value(an) AS an
+        |  FROM ab GROUP BY 1, 2),
+        |atot AS (SELECT doc_id, sum(amp) AS ts FROM ab GROUP BY 1),
+        |abits AS (
+        |  SELECT aseg.doc_id, aseg.j,
+        |    CASE WHEN aseg.ss * aseg.an > atot.ts * aseg.c
+        |         THEN 1 ELSE 0 END AS bit
+        |  FROM aseg JOIN atot USING (doc_id)),
+        |aeh AS (SELECT doc_id, sum(bit << j) AS ehash FROM abits GROUP BY 1),
+        |adrop AS (
+        |  SELECT DISTINCT b2.doc_id FROM aeh a JOIN aeh b2
+        |  ON a.doc_id < b2.doc_id
+        |    AND bit_count(xor(a.ehash, b2.ehash)) <= 10),
+        |asurv AS (
+        |  SELECT as1.doc_id * 2 + 1 AS uid, CAST(as1.an AS BIGINT) AS cost
+        |  FROM as1 WHERE as1.doc_id NOT IN (SELECT doc_id FROM adrop)),
+        |mixed AS (SELECT * FROM isurv UNION ALL SELECT * FROM asurv),
+        |cm AS (
+        |  SELECT uid, cost,
+        |    sum(cost) OVER (ORDER BY md5(CAST(uid AS VARCHAR))
+        |      ROWS UNBOUNDED PRECEDING) - cost AS bef
+        |  FROM mixed)
+        |SELECT CAST(bef // 30000 AS BIGINT) AS shard,
+        |  CAST(count(*) AS BIGINT) AS n_items,
+        |  CAST(sum(cost) AS BIGINT) AS shard_cost,
+        |  CAST(sum(CASE WHEN uid % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_image,
+        |  CAST(sum(CASE WHEN uid % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_audio
+        |FROM cm GROUP BY 1""".stripMargin)),
+
+    Q(
       "qm15_audio_decode",
       "REAL audio decode round-trip (Multimodal.syntheticAudio -> " +
         "encodePcmWav -> javax.sound.sampled decodePcm): each doc " +
