@@ -1262,6 +1262,42 @@ object Multimodal {
         (col("width").cast("long") * col("height").cast("long")).as("n_px"))
   }
 
+  /** One REAL demux + decode pass per payload → the video identity
+    * signal ([[decodedSignatures]] one container up): (media_id,
+    * width, height, n_frames, frames_md5) — frames_md5 digests the
+    * CONCATENATED decoded per-frame luma streams in frame order, so
+    * two AVIs whose frames decode to the same pixels share an
+    * identity however their container bytes differ (chunk padding,
+    * index layout, interleaving). Payloads that fail demux or whose
+    * ANY frame fails decode are EXCLUDED — a partial identity would
+    * let two different videos collide on their decodable prefix. */
+  def decodedVideoSignatures(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id"), col("bytes"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        rows.flatMap { case (id, b) =>
+          demuxAvi(if (b == null) Array.emptyByteArray else b).flatMap { v =>
+            val decoded = v.frames.map(decodeLuma)
+            if (decoded.exists(_.isEmpty)) None
+            else {
+              md.reset()
+              decoded.flatten.foreach { d =>
+                val bb = java.nio.ByteBuffer.allocate(4 * d.lumaMilli.length)
+                d.lumaMilli.foreach(bb.putInt)
+                md.update(bb.array())
+              }
+              val key = md.digest().map("%02x".format(_)).mkString
+              Some((id, v.width, v.height, v.frames.length.toLong, key))
+            }
+          }
+        }
+      }
+      .toDF("media_id", "width", "height", "n_frames", "frames_md5")
+  }
+
   /** [[lumaAHash60]] for SOUND — the 60-segment amplitude-ENVELOPE
     * hash over decoded channel-0 samples: bit j set iff segment j's
     * mean ABSOLUTE amplitude beats the track's global mean (integer

@@ -1507,6 +1507,64 @@ object StreamingQueries {
         |    AND k2.stream = ky.stream AND d2.doc_id < d.doc_id)""".stripMargin)),
 
     Q(
+      "qst33_stream_video_ingest",
+      "Streaming VIDEO-ingest dedup with REAL demux + decode " +
+        "(EventStreams.videoIngestFeed - the qst30/qst32 gate keyed " +
+        "on DECODED FRAME-STREAM IDENTITY): synthetic MJPEG AVIs " +
+        "arrive TWICE via two staged files; each batch RIFF-demuxes " +
+        "and ImageIO-decodes every frame once, collapses to the " +
+        "lowest media_id per (width, height, n_frames, frame-stream " +
+        "md5), anti-joins the stored identity set, and emits only " +
+        "first occurrences - a re-muxed copy of the same footage " +
+        "never enters twice. JPEG decode is deterministic within a " +
+        "JVM, so equality classes follow the construction formulas " +
+        "exactly even though absolute pixel values are codec-owned: " +
+        "the oracle replays first occurrence per (n_frames, " +
+        "frame-gray sequence) without seeing bytes.",
+      (s, dir) => {
+        s.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+        val media = Multimodal.syntheticVideos(
+          graft.core.Tables.load(s, dir, "documents"), "doc_id")
+          .select(col("media_id"), col("bytes"))
+        val in = java.nio.file.Files.createTempDirectory("graft_vi_in")
+        def stage(name: String): Unit = {
+          val tmp = java.nio.file.Files
+            .createTempDirectory("graft_vi_w").toString
+          media.coalesce(1).write.mode("overwrite").parquet(tmp)
+          val part = new java.io.File(tmp).listFiles()
+            .find(f => f.getName.startsWith("part-") &&
+              f.getName.endsWith(".parquet")).get
+          java.nio.file.Files.copy(part.toPath, in.resolve(name))
+          ()
+        }
+        stage("v1.parquet")
+        stage("v2.parquet")
+        val stream = s.readStream
+          .schema("media_id LONG, bytes BINARY")
+          .option("maxFilesPerTrigger", 1)
+          .parquet(in.toString + "/*.parquet")
+        val out = java.nio.file.Files
+          .createTempDirectory("graft_vi_out").toString
+        EventStreams.videoIngestFeed(stream, out)
+        s.read.parquet(out).distinct()
+      },
+      Some("""WITH d AS (
+        |  SELECT doc_id, 2 + (doc_id % 4) AS n FROM documents),
+        |f AS (
+        |  SELECT doc_id, n,
+        |    string_agg(CAST((doc_id + (t.k // 2)) % 16 AS VARCHAR),
+        |      ',' ORDER BY t.k) AS grays
+        |  FROM d, unnest(range(0, n)) t(k)
+        |  GROUP BY doc_id, n)
+        |SELECT f.doc_id AS media_id, CAST(16 AS INT) AS width,
+        |  CAST(16 AS INT) AS height, CAST(f.n AS BIGINT) AS n_frames
+        |FROM f
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM f f2
+        |  WHERE f2.n = f.n AND f2.grays = f.grays
+        |    AND f2.doc_id < f.doc_id)""".stripMargin)),
+
+    Q(
       "qst31_stream_index_health",
       "Streaming INDEX-HEALTH canary (EventStreams.indexHealthFeed " +
         "- qs40's datasheet over a LIVE ingest): the base index " +

@@ -561,6 +561,22 @@ object EventStreams {
       keyCols = Seq("sample_rate", "n_samples", "pcm_md5"),
       emitCols = Seq("media_id", "sample_rate", "n_samples"))
 
+  /** [[mediaIngestFeed]] for VIDEO — the first-occurrence gate keyed
+    * on DECODED FRAME-STREAM IDENTITY
+    * ([[graft.operators.Multimodal.decodedVideoSignatures]] — RIFF
+    * demux + per-frame ImageIO decode at the codec seam): a
+    * re-muxed or re-padded copy of the same footage never enters the
+    * corpus twice, however its container bytes differ. Same
+    * state/delivery/release contract as the image and audio feeds. */
+  def videoIngestFeed(
+      media: DataFrame,
+      outDir: String,
+      queryName: String = "graft_video_ingest"): Unit =
+    signatureIngestFeed(media, outDir, queryName,
+      graft.operators.Multimodal.decodedVideoSignatures,
+      keyCols = Seq("width", "height", "n_frames", "frames_md5"),
+      emitCols = Seq("media_id", "width", "height", "n_frames"))
+
   /** Shared first-occurrence ingest gate over any decoded-signature
     * function: each batch decodes ONCE (`signatures` — the codec runs
     * at its mapPartitions seam), collapses batch-internal duplicates

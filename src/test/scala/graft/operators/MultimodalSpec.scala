@@ -705,6 +705,25 @@ class MultimodalSpec extends SparkSuite {
       "both decoded frames share bucket 2 — no cut across the dead frame")
   }
 
+  test("decodedVideoSignatures: container-invariant identity, strict exclusion") {
+    val frames = Seq(Array.fill(256)(40), Array.fill(256)(72))
+    val a = Multimodal.encodeMjpegAvi(16, 16, frames)
+    val b = Multimodal.encodeMjpegAvi(16, 16, frames, usecPerFrame = 25000L)
+    // corrupt one frame's JPEG magic: whole payload must be EXCLUDED
+    val broken = a.clone()
+    val soi = (12 until broken.length - 1).find(i =>
+      (broken(i) & 0xff) == 0xff && (broken(i + 1) & 0xff) == 0xd8).get
+    broken(soi) = 'X'.toByte
+    val got = Multimodal.decodedVideoSignatures(
+        Seq((1L, a), (2L, b), (3L, broken),
+          (4L, "not avi".getBytes)).toDF("media_id", "bytes"))
+      .collect().map(r => r.getLong(0) -> r.getString(4)).toMap
+    assert(got.keySet == Set(1L, 2L),
+      s"broken frame and non-AVI must be excluded: ${got.keySet}")
+    assert(got(1L) == got(2L),
+      "same frames in differently-timed containers share an identity")
+  }
+
   test("videoSceneStats: cuts are bucket changes between decoded frames") {
     // buckets 1,1,12 → one cut; singleton bucket series → zero cuts
     val a = Multimodal.encodeMjpegAvi(16, 16, Seq(
