@@ -1053,12 +1053,28 @@ object Multimodal {
 
   /** Banded hamming-distance pair search over any (media_id, ahash)
     * table — the candidate-complete (pigeonhole) banding shared by
-    * the byte-stream ([[phashNearDupPairs]]) and decoded-pixel
-    * ([[curateMediaDecoded]]) perceptual families. */
-  private def hammingPairs(h: DataFrame, maxDist: Int): DataFrame = {
+    * the byte-stream ([[phashNearDupPairs]]), decoded-pixel
+    * ([[curateMediaDecoded]]) and audio-envelope
+    * ([[curateAudioDecoded]]) perceptual families.
+    *
+    * Bucket discipline: at maxDist = 10 the 60-bit hash splits into
+    * 11 bands of 5–6 bits — a 704-key total space, so band buckets
+    * GROW with the survivor count (measured: max 222 at sf0.01, 2.1k
+    * at sf0.1 on the audio envelopes, superlinear join cost on the
+    * ×30 duplicated corpus). `maxBucketSize` caps each (band, bkey)
+    * bucket at the lowest media_ids — far above every bucket at the
+    * oracle scales (so outputs equal uncapped semantics there), a
+    * hard bound on the candidate volume a pathological hash cluster
+    * can emit at corpus scale. Two members trimmed from the same
+    * mega-bucket can still pair through any of their other 10 bands.
+    * The real next rung for corpus-scale perceptual dedup is a WIDER
+    * hash (two complementary 60-bit segmentations → 10–11-bit band
+    * keys); the cap keeps the current one honest until then. */
+  private def hammingPairs(h: DataFrame, maxDist: Int,
+      maxBucketSize: Int = 4096): DataFrame = {
     require(maxDist >= 0 && maxDist < 60, "maxDist in 0..59")
     val nBands = maxDist + 1
-    val banded = h.select(col("media_id"), col("ahash"),
+    val raw = h.select(col("media_id"), col("ahash"),
       explode(array((0 until nBands).map { b =>
         val lo = b * 60 / nBands
         val hi = (b + 1) * 60 / nBands
@@ -1068,6 +1084,12 @@ object Multimodal {
       }: _*)).as("bs"))
       .select(col("media_id"), col("ahash"),
         col("bs.band").as("band"), col("bs.bkey").as("bkey"))
+    val banded = raw
+      .withColumn("__rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("band"), col("bkey")).orderBy(col("media_id"))))
+      .filter(col("__rn") <= maxBucketSize)
+      .drop("__rn")
     banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
           col("a.media_id") < col("b.media_id"))

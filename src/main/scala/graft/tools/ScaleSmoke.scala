@@ -514,6 +514,17 @@ object ScaleSmoke {
           graft.operators.Multimodal.syntheticImages(docs, "doc_id", "text"))
           .toDF().agg(sum($"width".cast("long"))).head().getLong(0)
       },
+      time("audio_curation") {
+        // real WAV encode + decode + exact collapse + envelope
+        // near-dedup. The duplicated corpus is the ADVERSARIAL case:
+        // copies share text but differ in formula length (id-derived),
+        // so the exact stage can't fold them and the envelope stage's
+        // banded hamming join carries the near-dup mass — the cap-less
+        // bucket pathology probe for the audio path.
+        graft.operators.Multimodal.curateAudioDecoded(
+          graft.operators.Multimodal.syntheticAudio(docs, "doc_id", "text"),
+          maxDist = 10).count()
+      },
       time("video_scenes") {
         // REAL container + codec pass: per doc, assemble an MJPEG AVI
         // (2–5 solid 16×16 JPEG frames) and demux + decode it back —
