@@ -83,19 +83,25 @@ object Bench {
     // round (max existing BENCH_r{N}.json + 1) so round-over-round
     // regressions are diffable without a judge re-run.
     try {
-      // Tag = max round seen in EITHER artifact family + 1: the driver's
-      // BENCH_r{N}.json when present, else our own bench_queries_r{N}.json
-      // — so a directory without driver artifacts still gets a fresh
-      // tagged file (starting at r01) instead of silently overwriting an
-      // untagged bench_queries.json.
-      val roundOf = Seq("^BENCH_r(\\d+)\\.json$".r,
-        "^bench_queries_r(\\d+)\\.json$".r)
-      val rounds = Option(new java.io.File(".").listFiles()).getOrElse(Array())
-        .flatMap(f => roundOf.flatMap(
-          _.findFirstMatchIn(f.getName).map(_.group(1).toInt)))
-      val next = if (rounds.nonEmpty) rounds.max + 1 else 1
+      // Tag: SPARK_GRAFT_BENCH_TAG when set (e.g. "r11" — explicit runs
+      // name themselves), else max round in the DRIVER's BENCH_r{N}.json
+      // family + 1. The fallback deliberately ignores our own
+      // bench_queries_r{N}.json files: tagging from max(both)+1 made the
+      // builder's run claim the upcoming round's tag, so the driver's
+      // same-round artifact landed one round later (r10's verdict found
+      // bench_queries_r11.json actually holding the DRIVER's r10 run).
+      // Keying on driver artifacts only, an untagged run — the driver's
+      // own end-of-round invocation — always lands on the round tag its
+      // BENCH_r{N}.json is about to get, so the two families align 1:1.
+      val tag = sys.env.get("SPARK_GRAFT_BENCH_TAG").getOrElse {
+        val roundOf = "^BENCH_r(\\d+)\\.json$".r
+        val rounds = Option(new java.io.File(".").listFiles()).getOrElse(Array())
+          .flatMap(f => roundOf.findFirstMatchIn(f.getName).map(_.group(1).toInt))
+        val next = if (rounds.nonEmpty) rounds.max + 1 else 1
+        s"r${"%02d".format(next)}"
+      }
       java.nio.file.Files.writeString(
-        java.nio.file.Paths.get(s"bench_queries_r${"%02d".format(next)}.json"),
+        java.nio.file.Paths.get(s"bench_queries_$tag.json"),
         s"""{"sf":"$sfDir","total":${r3(total)},"queries":$qs,"errors":$errs}""")
     } catch { case e: Throwable =>
       // diagnostics only — never fail the bench, but say what was lost

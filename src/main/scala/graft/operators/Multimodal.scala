@@ -109,14 +109,88 @@ object Multimodal {
     * what makes an encode→decode round-trip oracle-checkable. */
   final case class DecodedImage(width: Int, height: Int, lumaMilli: Array[Int])
 
+  // ---- pooled codec instances (the per-partition init-once seam) ----
+  // ImageIO.read(InputStream)/write(..., OutputStream) allocate a NEW
+  // reader/writer per call AND (with useCache on, the JDK default) back
+  // each call's Image{Input,Output}Stream with a TEMP FILE — per-payload
+  // file churn that dominates tiny-payload corpora (the round-10 ×100
+  // video_scenes finding: 500k 2–5-frame AVIs spent the run in
+  // allocator/stream setup, 396.7 s). Spark reuses task threads, so a
+  // ThreadLocal pool IS the per-partition instance pool, shared across
+  // every mapPartitions codec seam without threading a handle through
+  // call sites; readers/writers are not thread-safe but never cross
+  // threads here. Streams are memory-cached — payloads are row-sized
+  // by contract (a row's bytes already sit on the heap).
+  private val readerPool =
+    new ThreadLocal[java.util.HashMap[String, javax.imageio.ImageReader]] {
+      override def initialValue() = new java.util.HashMap()
+    }
+  private val writerPool =
+    new ThreadLocal[java.util.HashMap[String, javax.imageio.ImageWriter]] {
+      override def initialValue() = new java.util.HashMap()
+    }
+
+  private def pooledReader(fmt: String): javax.imageio.ImageReader = {
+    val m = readerPool.get()
+    var r = m.get(fmt)
+    if (r == null) {
+      val it = javax.imageio.ImageIO.getImageReadersByFormatName(fmt)
+      if (it.hasNext) { r = it.next(); m.put(fmt, r) }
+    }
+    r
+  }
+
+  private def pooledWriter(fmt: String): javax.imageio.ImageWriter = {
+    val m = writerPool.get()
+    var w = m.get(fmt)
+    if (w == null) {
+      val it = javax.imageio.ImageIO.getImageWritersByFormatName(fmt)
+      if (it.hasNext) { w = it.next(); m.put(fmt, w) }
+    }
+    w
+  }
+
+  /** Encode through the pooled per-thread writer — the JDK encoder
+    * with default params (exactly what `ImageIO.write` runs), minus
+    * the per-call writer allocation and temp-file-backed stream. */
+  private def encodePooled(
+      img: java.awt.image.BufferedImage, fmt: String): Array[Byte] = {
+    val w = pooledWriter(fmt)
+    val bo = new java.io.ByteArrayOutputStream()
+    val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(bo)
+    try {
+      w.setOutput(ios)
+      w.write(img)
+      ios.flush()
+    } finally {
+      w.setOutput(null)
+      ios.close()
+    }
+    bo.toByteArray
+  }
+
   /** Real image decode via `javax.imageio.ImageIO` (JDK `java.desktop`
     * — present in this runtime; verified `java --list-modules`).
     * Returns None for non-image payloads or codec failures. */
   def decodeLuma(bytes: Array[Byte]): Option[DecodedImage] = {
-    if (!ImageFormats.contains(sniffFormat(bytes))) return None
+    val fmt = sniffFormat(bytes)
+    if (!ImageFormats.contains(fmt)) return None
     try {
-      val img = javax.imageio.ImageIO.read(
-        new java.io.ByteArrayInputStream(bytes))
+      val reader = pooledReader(fmt)
+      val img =
+        if (reader == null) // no registered reader: the ImageIO.read path
+          javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+        else {
+          val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
+            new java.io.ByteArrayInputStream(bytes))
+          try {
+            reader.setInput(iis, true, true)
+            reader.read(0)
+          } finally {
+            reader.setInput(null)
+            iis.close()
+          }
+        }
       if (img == null) return None
       val w = img.getWidth
       val h = img.getHeight
@@ -172,9 +246,7 @@ object Multimodal {
       while (x < w) { r.setSample(x, y, 0, pixels(y * w + x) & 0xff); x += 1 }
       y += 1
     }
-    val out = new java.io.ByteArrayOutputStream()
-    javax.imageio.ImageIO.write(img, "png", out)
-    out.toByteArray
+    encodePooled(img, "png")
   }
 
   // ---------------------------------------------------------------
@@ -527,27 +599,50 @@ object Multimodal {
       fourCc(bytes, 8) != "AVI ") return None
     var width = 0; var height = 0; var usec = 0L
     val frames = Vector.newBuilder[Array[Byte]]
-    def walk(from: Int, to: Int): Unit = {
-      var o = from
-      while (o + 8 <= to) {
-        val id = fourCc(bytes, o)
-        val sz = leU32(bytes, o + 4)
-        val dataStart = o + 8
-        val dataEnd = dataStart + sz.toInt
-        if (sz > Int.MaxValue - 8L || dataEnd > to) return
-        if (id == "LIST" && sz >= 4) walk(dataStart + 4, dataEnd)
-        else if (id == "avih" && sz >= 40) {
-          usec = leU32(bytes, dataStart)
-          width = leU32(bytes, dataStart + 32).toInt
-          height = leU32(bytes, dataStart + 36).toInt
-        } else if (id.startsWith("00") &&
-          (id.endsWith("dc") || id.endsWith("db"))) {
-          frames += java.util.Arrays.copyOfRange(bytes, dataStart, dataEnd)
+    // Iterative walk over an explicit segment stack — crawled media is
+    // adversarial input, so (a) chunk ends are computed in LONG (a
+    // declared u32 size near Int.MaxValue must not wrap negative and
+    // dodge the bounds check), (b) LIST nesting depth is heap-bounded,
+    // never JVM-stack-bounded, and (c) a defensive catch turns ANY
+    // malformed-structure surprise into the documented salvage: the
+    // walk ends with the frames seen so far (truncated files demux
+    // their prefix). A malformed chunk ends its ENCLOSING segment's
+    // walk (the parent resumes after the bad LIST — the recursive
+    // original's early-return scope, preserved exactly).
+    try {
+      var segs: List[(Int, Int)] = List((12, bytes.length))
+      while (segs.nonEmpty) {
+        var (o, to) = segs.head
+        segs = segs.tail
+        var descend = false
+        while (!descend && o + 8 <= to) {
+          val id = fourCc(bytes, o)
+          val sz = leU32(bytes, o + 4)
+          val dataStart = o + 8
+          val dataEndL = dataStart.toLong + sz // Long: no Int wrap
+          if (dataEndL > to) o = to // malformed: end THIS segment only
+          else {
+            val dataEnd = dataEndL.toInt
+            val next = dataEnd + (sz.toInt & 1) // chunks pad to even
+            if (id == "LIST" && sz >= 4) {
+              // walk the LIST body first (file order), then resume here
+              segs = (dataStart + 4, dataEnd) :: (next, to) :: segs
+              descend = true
+            } else {
+              if (id == "avih" && sz >= 40) {
+                usec = leU32(bytes, dataStart)
+                width = leU32(bytes, dataStart + 32).toInt
+                height = leU32(bytes, dataStart + 36).toInt
+              } else if (id.startsWith("00") &&
+                (id.endsWith("dc") || id.endsWith("db"))) {
+                frames += java.util.Arrays.copyOfRange(bytes, dataStart, dataEnd)
+              }
+              o = next
+            }
+          }
         }
-        o = dataEnd + (sz.toInt & 1) // chunks pad to even
       }
-    }
-    walk(12, bytes.length)
+    } catch { case _: RuntimeException => () /* salvage frames seen */ }
     if (width <= 0 || height <= 0) None
     else Some(AviVideo(width, height, usec, frames.result()))
   }
@@ -569,9 +664,7 @@ object Multimodal {
       while (x < w) { r.setSample(x, y, 0, pixels(y * w + x) & 0xff); x += 1 }
       y += 1
     }
-    val out = new java.io.ByteArrayOutputStream()
-    javax.imageio.ImageIO.write(img, "jpg", out)
-    out.toByteArray
+    encodePooled(img, "jpg")
   }
 
   /** MJPEG-in-AVI ENCODER — the video fixture factory
@@ -964,43 +1057,81 @@ object Multimodal {
       .agg(count(lit(1)).cast("long").as("n_refs"))
   }
 
+  /** Shared kernel for the perceptual-hash family: ONE pass over a
+    * length-`n` stream (`v(p)` = the non-negative signal at position
+    * p) accumulating BOTH complementary 60-segment averages:
+    *
+    *  - CONTIGUOUS — segment j = ⌊p·60/n⌋ (blocks in stream order,
+    *    the classic aHash layout);
+    *  - INTERLEAVED — segment j = p mod 60 (stride-60 combs), whose
+    *    segment membership is structurally independent of the block
+    *    layout, so the two 60-bit words together form a 120-bit
+    *    signature with far higher band-key entropy than either alone
+    *    (the round-10 finding: a lone 60-bit hash bands into only
+    *    704 keys at maxDist=10, so hamming-join buckets GROW with
+    *    the corpus; the 120-bit signature bands into 10–11-bit keys
+    *    — see [[hammingPairs]]).
+    *
+    * Bit j of each word is 1 iff segment j's mean beats the global
+    * mean; both compares are integer CROSS-MULTIPLIES
+    * (segSum·n > total·segCnt) — no doubles, no rounding,
+    * bit-reproducible on any engine with 64-bit ints, and invariant
+    * under any uniform scale of v (gain / brightness). Segments an
+    * interleaved comb leaves empty at n < 60 compare 0 > 0 = false →
+    * bit 0, matching the SQL oracles' coalesce convention. 60 bits
+    * keep each word a positive BIGINT everywhere (the
+    * hash60/simhash60 convention). */
+  private def segHashPair(n: Int, v: Int => Long): (Long, Long) = {
+    if (n == 0) return (0L, 0L)
+    val cSum = new Array[Long](60)
+    val cCnt = new Array[Long](60)
+    val iSum = new Array[Long](60)
+    val iCnt = new Array[Long](60)
+    var total = 0L
+    var p = 0
+    while (p < n) {
+      val x = v(p)
+      val jc = (p.toLong * 60L / n).toInt
+      cSum(jc) += x
+      cCnt(jc) += 1
+      val ji = p % 60
+      iSum(ji) += x
+      iCnt(ji) += 1
+      total += x
+      p += 1
+    }
+    var h1 = 0L
+    var h2 = 0L
+    var j = 0
+    while (j < 60) {
+      if (cSum(j) * n > total * cCnt(j)) h1 |= (1L << j)
+      if (iSum(j) * n > total * iCnt(j)) h2 |= (1L << j)
+      j += 1
+    }
+    (h1, h2)
+  }
+
   /** 60-bit average-hash (aHash) over a media payload — the
     * perceptual-hash family's simplest member, on the stub decode:
     * the byte stream stands in for the pixel stream (a real build
     * decodes + downsamples first; the hash/threshold/banding below is
-    * the real aHash logic). The payload splits into 60 segments
-    * (byte p → segment p·60/n), bit j = 1 iff segment j's mean byte
-    * exceeds the global mean. Both compares are integer
-    * CROSS-MULTIPLIES (segSum·n > totalSum·segLen) — no doubles, no
-    * rounding, bit-reproducible on any engine with 64-bit ints.
-    * 60 bits keep the value a positive BIGINT everywhere (the
-    * hash60/simhash60 convention). */
-  def aHash60(mediaId: Long, bytes: Array[Byte]): Long = {
-    val n = bytes.length
-    if (n == 0) return 0L
-    val segSum = new Array[Long](60)
-    val segCnt = new Array[Long](60)
-    var total = 0L
-    var p = 0
-    while (p < n) {
-      val v = (bytes(p) & 0xff).toLong
-      val j = (p.toLong * 60L / n).toInt
-      segSum(j) += v
-      segCnt(j) += 1
-      total += v
-      p += 1
-    }
-    var h = 0L
-    var j = 0
-    while (j < 60) {
-      if (segSum(j) * n > total * segCnt(j)) h |= (1L << j)
-      j += 1
-    }
-    h
-  }
+    * the real aHash logic). The payload splits into 60 CONTIGUOUS
+    * segments (byte p → segment ⌊p·60/n⌋), bit j = 1 iff segment j's
+    * mean byte exceeds the global mean ([[segHashPair]]'s first
+    * word). Pair search uses the full 120-bit signature —
+    * [[aHash120]]. */
+  def aHash60(mediaId: Long, bytes: Array[Byte]): Long =
+    aHash120(bytes)._1
 
-  /** Per-media aHash table: (media_id, ahash). Runs in the decode
-    * seam ([[extractFeatures]]' mapPartitions discipline). */
+  /** The full 120-bit byte-stream signature: (contiguous,
+    * interleaved) 60-bit words from one pass ([[segHashPair]]). */
+  def aHash120(bytes: Array[Byte]): (Long, Long) =
+    segHashPair(bytes.length, p => (bytes(p) & 0xff).toLong)
+
+  /** Per-media perceptual-signature table: (media_id, ahash, ahash2)
+    * — the two complementary 60-bit words of [[aHash120]], one pass
+    * per payload. Runs in the decode seam ([[extractFeatures]]'
+    * mapPartitions discipline). */
   def perceptualHashes(media: DataFrame): DataFrame = {
     val spark = media.sparkSession
     import spark.implicits._
@@ -1008,10 +1139,11 @@ object Multimodal {
       .as[(Long, Array[Byte])]
       .mapPartitions { rows =>
         rows.map { case (id, b) =>
-          (id, aHash60(id, if (b == null) Array.emptyByteArray else b))
+          val (h1, h2) = aHash120(if (b == null) Array.emptyByteArray else b)
+          (id, h1, h2)
         }
       }
-      .toDF("media_id", "ahash")
+      .toDF("media_id", "ahash", "ahash2")
   }
 
   /** Composed MEDIA curation — qt13's lifecycle for binary payloads:
@@ -1042,47 +1174,80 @@ object Multimodal {
         length(col("bytes")).cast("long").as("n_bytes"))
   }
 
-  /** Near-duplicate media pairs by hamming distance on the aHash:
-    * banded equi-join (maxDist+1 bands over the 60 bits — pigeonhole
-    * guarantees any pair within maxDist matches on ≥1 band, so
-    * candidate generation is COMPLETE), exact popcount verify. The
-    * simhash60 discipline applied to media payloads; same linear
-    * shuffle, no all-pairs. */
+  /** Near-duplicate media pairs by hamming distance on the 120-bit
+    * perceptual signature: banded equi-join (maxDist+1 bands over
+    * the 120 bits — pigeonhole guarantees any pair within maxDist
+    * matches on ≥1 band, so candidate generation is COMPLETE), exact
+    * popcount verify. The simhash60 discipline applied to media
+    * payloads; same linear shuffle, no all-pairs. */
   def phashNearDupPairs(media: DataFrame, maxDist: Int = 3): DataFrame =
     hammingPairs(perceptualHashes(media), maxDist)
 
-  /** Banded hamming-distance pair search over any (media_id, ahash)
-    * table — the candidate-complete (pigeonhole) banding shared by
-    * the byte-stream ([[phashNearDupPairs]]), decoded-pixel
-    * ([[curateMediaDecoded]]) and audio-envelope
-    * ([[curateAudioDecoded]]) perceptual families.
+  /** The (band, bkey) extraction for [[hammingPairs]]' 120-bit
+    * signature: band b of nBands covers the CONCATENATED bit range
+    * [⌊b·120/nBands⌋, ⌊(b+1)·120/nBands⌋) — bits 0–59 from `h1`,
+    * 60–119 from `h2`; a band spanning the word boundary ORs the two
+    * word fragments into one key. All shift/mask constants are
+    * compile-time per band — the whole extraction stays inside
+    * whole-stage codegen. */
+  private[graft] def bandKey120(h1: Column, h2: Column, b: Int, nBands: Int): Column = {
+    val lo = b * 120 / nBands
+    val hi = (b + 1) * 120 / nBands
+    val p1 =
+      if (lo < 60) {
+        val w1 = math.min(hi, 60) - lo
+        Some(shiftright(h1, lo).bitwiseAND(lit((1L << w1) - 1)))
+      } else None
+    val p2 =
+      if (hi > 60) {
+        val lo2 = math.max(lo, 60) - 60
+        val w2 = hi - math.max(lo, 60)
+        val base = shiftright(h2, lo2).bitwiseAND(lit((1L << w2) - 1))
+        Some(if (lo < 60) shiftleft(base, 60 - lo) else base)
+      } else None
+    (p1, p2) match {
+      case (Some(a), Some(c)) => a.bitwiseOR(c)
+      case (Some(a), None)    => a
+      case (None, Some(c))    => c
+      case _                  => lit(0L)
+    }
+  }
+
+  /** Banded hamming-distance pair search over any (media_id, ahash,
+    * ahash2) signature table — the candidate-complete (pigeonhole)
+    * banding shared by the byte-stream ([[phashNearDupPairs]]),
+    * decoded-pixel ([[curateMediaDecoded]]) and audio-envelope
+    * ([[curateAudioDecoded]]) perceptual families. Distance = summed
+    * popcount over both 60-bit words (the 120-bit signature
+    * [[segHashPair]] emits in one pass).
     *
-    * Bucket discipline: at maxDist = 10 the 60-bit hash splits into
-    * 11 bands of 5–6 bits — a 704-key total space, so band buckets
-    * GROW with the survivor count (measured: max 222 at sf0.01, 2.1k
-    * at sf0.1 on the audio envelopes, superlinear join cost on the
-    * ×30 duplicated corpus). `maxBucketSize` caps each (band, bkey)
-    * bucket at the lowest media_ids — far above every bucket at the
-    * oracle scales (so outputs equal uncapped semantics there), a
-    * hard bound on the candidate volume a pathological hash cluster
-    * can emit at corpus scale. Two members trimmed from the same
-    * mega-bucket can still pair through any of their other 10 bands.
-    * The real next rung for corpus-scale perceptual dedup is a WIDER
-    * hash (two complementary 60-bit segmentations → 10–11-bit band
-    * keys); the cap keeps the current one honest until then. */
+    * Band-key entropy is WHY the signature is 120 bits wide (the
+    * round-10 fix): at maxDist = 10 a lone 60-bit hash bands into
+    * 11 × 5–6-bit keys — a 704-key total space whose buckets GROW
+    * with the survivor count (measured: max 222 at sf0.01 → 2.1k at
+    * sf0.1 on the audio envelopes; superlinear join cost on the ×30
+    * duplicated corpus). The 120-bit signature bands into 11 keys of
+    * 10–11 bits (21 504-key space, ~30× wider), so candidate volume
+    * thins as the corpus grows instead of riding Σ bucket².
+    * `maxBucketSize` remains as a BACKSTOP, capping each (band,
+    * bkey) bucket at the lowest media_ids: far above every bucket at
+    * the oracle scales (outputs equal uncapped semantics there —
+    * asserted per round), it bounds the candidate volume a
+    * pathological hash cluster (e.g. a near-constant-signal flood
+    * whose signature is all zeros) can emit at corpus scale. A
+    * trimmed pair is only found through its other bands, so the cap
+    * is a recall trade beyond oracle scales — kept observable via
+    * the BucketProbe tool rather than advertised away. */
   private def hammingPairs(h: DataFrame, maxDist: Int,
       maxBucketSize: Int = 4096): DataFrame = {
     require(maxDist >= 0 && maxDist < 60, "maxDist in 0..59")
     val nBands = maxDist + 1
-    val raw = h.select(col("media_id"), col("ahash"),
+    val raw = h.select(col("media_id"), col("ahash"), col("ahash2"),
       explode(array((0 until nBands).map { b =>
-        val lo = b * 60 / nBands
-        val hi = (b + 1) * 60 / nBands
         struct(lit(b).as("band"),
-          shiftright(col("ahash"), lo)
-            .bitwiseAND(lit((1L << (hi - lo)) - 1)).as("bkey"))
+          bandKey120(col("ahash"), col("ahash2"), b, nBands).as("bkey"))
       }: _*)).as("bs"))
-      .select(col("media_id"), col("ahash"),
+      .select(col("media_id"), col("ahash"), col("ahash2"),
         col("bs.band").as("band"), col("bs.bkey").as("bkey"))
     val banded = raw
       .withColumn("__rn", row_number().over(
@@ -1094,7 +1259,9 @@ object Multimodal {
         col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
           col("a.media_id") < col("b.media_id"))
       .select(col("a.media_id").as("a_id"), col("b.media_id").as("b_id"),
-        bit_count(col("a.ahash").bitwiseXOR(col("b.ahash"))).as("hamming"))
+        (bit_count(col("a.ahash").bitwiseXOR(col("b.ahash"))) +
+          bit_count(col("a.ahash2").bitwiseXOR(col("b.ahash2"))))
+          .as("hamming"))
       .distinct()
       .filter(col("hamming") <= maxDist)
       .select(col("a_id"), col("b_id"), col("hamming").cast("long").as("hamming"))
@@ -1141,44 +1308,58 @@ object Multimodal {
         map(lit("origin"), lit("synthetic-png")).as("meta"))
   }
 
-  /** [[aHash60]] over a decoded luma stream (lumaMilli ints): 60
-    * segments over the row-major pixel order, bit j set iff segment
-    * j's mean beats the global mean — integer cross-multiplies, no
-    * division, and SCALE-INVARIANT (segSum·n > total·segCnt holds for
-    * v and 1000·v alike), so an oracle may replay it on raw 0–255
-    * values while the engine hashes Rec.601 thousandths. */
-  def lumaAHash60(luma: Array[Int]): Long = {
-    val n = luma.length
-    if (n == 0) return 0L
-    val segSum = new Array[Long](60)
-    val segCnt = new Array[Long](60)
-    var total = 0L
-    var p = 0
-    while (p < n) {
-      val v = luma(p).toLong
-      val j = (p.toLong * 60L / n).toInt
-      segSum(j) += v
-      segCnt(j) += 1
-      total += v
-      p += 1
+  /** [[aHash60]] over a decoded luma stream (lumaMilli ints): the
+    * contiguous word of [[lumaAHash120]] — integer cross-multiplies,
+    * no division, and SCALE-INVARIANT (segSum·n > total·segCnt holds
+    * for v and 1000·v alike), so an oracle may replay it on raw
+    * 0–255 values while the engine hashes Rec.601 thousandths. */
+  def lumaAHash60(luma: Array[Int]): Long =
+    lumaAHash120(luma)._1
+
+  /** The full 120-bit decoded-pixel signature: (contiguous,
+    * interleaved) 60-bit words over the row-major luma stream, one
+    * pass ([[segHashPair]]; both words scale-invariant). */
+  def lumaAHash120(luma: Array[Int]): (Long, Long) =
+    segHashPair(luma.length, p => luma(p).toLong)
+
+  /** Feed a big-endian int stream into a digest through one FIXED
+    * per-partition 64 KiB block — never a whole-stream buffer. A
+    * multi-hour decodable recording (hundreds of millions of
+    * samples) must not allocate 4·n bytes per row, and 4·n in Int
+    * arithmetic overflows negative past ~536 M samples — the chunked
+    * update has neither failure mode. `buf` is the partition-scoped
+    * scratch block (codec-seam init-once discipline). */
+  private def digestIntsBE(
+      md: java.security.MessageDigest, buf: Array[Byte],
+      vs: Array[Int]): Unit = {
+    var i = 0
+    var o = 0
+    while (i < vs.length) {
+      val v = vs(i)
+      buf(o) = (v >>> 24).toByte
+      buf(o + 1) = (v >>> 16).toByte
+      buf(o + 2) = (v >>> 8).toByte
+      buf(o + 3) = v.toByte
+      o += 4
+      if (o == buf.length) { md.update(buf, 0, o); o = 0 }
+      i += 1
     }
-    var h = 0L
-    var j = 0
-    while (j < 60) {
-      if (segSum(j) * n > total * segCnt(j)) h |= (1L << j)
-      j += 1
-    }
-    h
+    if (o > 0) md.update(buf, 0, o)
   }
 
+  private def hex(digest: Array[Byte]): String =
+    digest.map("%02x".format(_)).mkString
+
   /** One REAL decode pass per payload → the two curation signals:
-    * (media_id, width, height, luma_md5, ahash) — exact pixel
-    * identity (md5 over the big-endian lumaMilli stream) and the
-    * perceptual [[lumaAHash60]], both from the same [[decodeLuma]]
+    * (media_id, width, height, luma_md5, ahash, ahash2) — exact
+    * pixel identity (md5 over the big-endian lumaMilli stream,
+    * chunk-fed: no whole-image buffer) and the perceptual
+    * [[lumaAHash120]] signature, all from the same [[decodeLuma]]
     * call so the payload is decoded exactly once. Undecodable
     * payloads are EXCLUDED: a row the codec cannot read has no pixel
-    * identity (an upstream quality gate owns it). Digest instance
-    * initialised once per partition — the codec-seam discipline. */
+    * identity (an upstream quality gate owns it). Digest instance and
+    * scratch block initialised once per partition — the codec-seam
+    * discipline. */
   def decodedSignatures(media: DataFrame): DataFrame = {
     val spark = media.sparkSession
     import spark.implicits._
@@ -1186,17 +1367,18 @@ object Multimodal {
       .as[(Long, Array[Byte])]
       .mapPartitions { rows =>
         val md = java.security.MessageDigest.getInstance("MD5")
+        val buf = new Array[Byte](65536)
         rows.flatMap { case (id, b) =>
           decodeLuma(if (b == null) Array.emptyByteArray else b).map { d =>
             md.reset()
-            val bb = java.nio.ByteBuffer.allocate(4 * d.lumaMilli.length)
-            d.lumaMilli.foreach(bb.putInt)
-            val key = md.digest(bb.array()).map("%02x".format(_)).mkString
-            (id, d.width, d.height, key, lumaAHash60(d.lumaMilli))
+            digestIntsBE(md, buf, d.lumaMilli)
+            val key = hex(md.digest())
+            val (h1, h2) = lumaAHash120(d.lumaMilli)
+            (id, d.width, d.height, key, h1, h2)
           }
         }
       }
-      .toDF("media_id", "width", "height", "luma_md5", "ahash")
+      .toDF("media_id", "width", "height", "luma_md5", "ahash", "ahash2")
   }
 
   /** REAL pixel-resize EXECUTION (the work [[resizePlan]] plans):
@@ -1275,9 +1457,10 @@ object Multimodal {
     val s1 = graft.core.OpCache.persist(
       sig.withColumn("__rn", row_number().over(keepW))
         .filter(col("__rn") === 1)
-        .select(col("media_id"), col("width"), col("height"), col("ahash")))
+        .select(col("media_id"), col("width"), col("height"),
+          col("ahash"), col("ahash2")))
     val dropped = hammingPairs(
-      s1.select(col("media_id"), col("ahash")), maxDist)
+      s1.select(col("media_id"), col("ahash"), col("ahash2")), maxDist)
       .select(col("b_id").as("media_id")).distinct()
     s1.join(dropped, Seq("media_id"), "left_anti")
       .select(col("media_id"),
@@ -1300,18 +1483,15 @@ object Multimodal {
       .as[(Long, Array[Byte])]
       .mapPartitions { rows =>
         val md = java.security.MessageDigest.getInstance("MD5")
+        val buf = new Array[Byte](65536)
         rows.flatMap { case (id, b) =>
           demuxAvi(if (b == null) Array.emptyByteArray else b).flatMap { v =>
             val decoded = v.frames.map(decodeLuma)
             if (decoded.exists(_.isEmpty)) None
             else {
               md.reset()
-              decoded.flatten.foreach { d =>
-                val bb = java.nio.ByteBuffer.allocate(4 * d.lumaMilli.length)
-                d.lumaMilli.foreach(bb.putInt)
-                md.update(bb.array())
-              }
-              val key = md.digest().map("%02x".format(_)).mkString
+              decoded.flatten.foreach(d => digestIntsBE(md, buf, d.lumaMilli))
+              val key = hex(md.digest())
               Some((id, v.width, v.height, v.frames.length.toLong, key))
             }
           }
@@ -1327,40 +1507,27 @@ object Multimodal {
     * the image hash is brightness-scale-invariant (segSum·n >
     * total·segCnt holds for |s| and g·|s| alike), so a re-leveled
     * copy of a recording still pairs with its original. */
-  def envelopeHash60(samples: Array[Int]): Long = {
-    val n = samples.length
-    if (n == 0) return 0L
-    val segSum = new Array[Long](60)
-    val segCnt = new Array[Long](60)
-    var total = 0L
-    var p = 0
-    while (p < n) {
-      val v = math.abs(samples(p).toLong)
-      val j = (p.toLong * 60L / n).toInt
-      segSum(j) += v
-      segCnt(j) += 1
-      total += v
-      p += 1
-    }
-    var h = 0L
-    var j = 0
-    while (j < 60) {
-      if (segSum(j) * n > total * segCnt(j)) h |= (1L << j)
-      j += 1
-    }
-    h
-  }
+  def envelopeHash60(samples: Array[Int]): Long =
+    envelopeHash120(samples)._1
+
+  /** The full 120-bit audio-envelope signature: (contiguous,
+    * interleaved) 60-bit words over |channel-0 samples|, one pass
+    * ([[segHashPair]]; both words gain-invariant). */
+  def envelopeHash120(samples: Array[Int]): (Long, Long) =
+    segHashPair(samples.length, p => math.abs(samples(p).toLong))
 
   /** One REAL audio decode pass per payload → the two curation
     * signals ([[decodedSignatures]] for sound): (media_id,
-    * sample_rate, n_samples, pcm_md5, env_hash) — exact SAMPLE-STREAM
-    * identity (md5 over the big-endian channel-0 ints, keyed with
-    * rate and length: container and header details — WAV vs AIFF,
-    * junk chunks — can no longer split identical recordings) plus the
-    * perceptual [[envelopeHash60]], both from ONE [[decodePcm]] call.
-    * Undecodable payloads are EXCLUDED (an upstream quality gate owns
-    * them); digest initialised once per partition — the codec-seam
-    * discipline. */
+    * sample_rate, n_samples, pcm_md5, env_hash, env_hash2) — exact
+    * SAMPLE-STREAM identity (md5 over the big-endian channel-0 ints,
+    * chunk-fed: a multi-hour recording never materialises a whole-
+    * track buffer, and 4·n can't overflow Int; keyed with rate and
+    * length so container and header details — WAV vs AIFF, junk
+    * chunks — can no longer split identical recordings) plus the
+    * perceptual [[envelopeHash120]] signature, all from ONE
+    * [[decodePcm]] call. Undecodable payloads are EXCLUDED (an
+    * upstream quality gate owns them); digest and scratch block
+    * initialised once per partition — the codec-seam discipline. */
   def decodedAudioSignatures(media: DataFrame): DataFrame = {
     val spark = media.sparkSession
     import spark.implicits._
@@ -1368,18 +1535,19 @@ object Multimodal {
       .as[(Long, Array[Byte])]
       .mapPartitions { rows =>
         val md = java.security.MessageDigest.getInstance("MD5")
+        val buf = new Array[Byte](65536)
         rows.flatMap { case (id, b) =>
           decodePcm(if (b == null) Array.emptyByteArray else b).map { d =>
             md.reset()
-            val bb = java.nio.ByteBuffer.allocate(4 * d.samples.length)
-            d.samples.foreach(bb.putInt)
-            val key = md.digest(bb.array()).map("%02x".format(_)).mkString
-            (id, d.sampleRate, d.samples.length.toLong, key,
-              envelopeHash60(d.samples))
+            digestIntsBE(md, buf, d.samples)
+            val key = hex(md.digest())
+            val (h1, h2) = envelopeHash120(d.samples)
+            (id, d.sampleRate, d.samples.length.toLong, key, h1, h2)
           }
         }
       }
-      .toDF("media_id", "sample_rate", "n_samples", "pcm_md5", "env_hash")
+      .toDF("media_id", "sample_rate", "n_samples", "pcm_md5",
+        "env_hash", "env_hash2")
   }
 
   /** [[curateMediaDecoded]] for AUDIO — the composed curation the real
@@ -1404,9 +1572,10 @@ object Multimodal {
       sig.withColumn("__rn", row_number().over(keepW))
         .filter(col("__rn") === 1)
         .select(col("media_id"), col("sample_rate"), col("n_samples"),
-          col("env_hash")))
+          col("env_hash"), col("env_hash2")))
     val dropped = hammingPairs(
-      s1.select(col("media_id"), col("env_hash").as("ahash")), maxDist)
+      s1.select(col("media_id"), col("env_hash").as("ahash"),
+        col("env_hash2").as("ahash2")), maxDist)
       .select(col("b_id").as("media_id")).distinct()
     s1.join(dropped, Seq("media_id"), "left_anti")
       .select(col("media_id"), col("sample_rate"), col("n_samples"))

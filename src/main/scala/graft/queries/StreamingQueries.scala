@@ -1840,17 +1840,23 @@ object StreamingQueries {
 
     Q(
       "qm06_perceptual_hash",
-      "60-bit average-hash (aHash) per media payload " +
-        "(Multimodal.aHash60 in the mapPartitions decode seam): the " +
+      "120-bit perceptual signature per media payload " +
+        "(Multimodal.aHash120 in the mapPartitions decode seam): the " +
         "format-agnostic BYTE-stream variant for arbitrary payloads " +
         "(the decoded-PIXEL variant over real ImageIO output is " +
-        "qm11) — 60 segments, bit j set iff segment j's mean " +
-        "beats the global mean, both compares integer CROSS-MULTIPLIES " +
-        "so the hash is bit-reproducible with zero float risk. Pair " +
-        "search (banded hamming join, pigeonhole-complete) is " +
-        "spec-tested on planted byte-twins; this corpus' near-dups " +
-        "differ in byte layout (min hamming 8), so the oracle checks " +
-        "the HASH table. ASCII contract as qm04.",
+        "qm11) — TWO complementary 60-segment average-hashes from one " +
+        "pass, CONTIGUOUS (segment = p*60 div n, the classic aHash " +
+        "layout) and INTERLEAVED (segment = p mod 60, stride combs), " +
+        "bit j set iff segment j's mean beats the global mean, every " +
+        "compare an integer CROSS-MULTIPLY so both words are " +
+        "bit-reproducible with zero float risk. The second word is " +
+        "the round-11 band-entropy fix: pair search bands the 120 " +
+        "bits into 10-11-bit keys (21504-key space vs the lone " +
+        "60-bit hash's 704), so hamming-join buckets THIN as the " +
+        "corpus grows. Pair search (banded join, pigeonhole-complete " +
+        "over the summed popcount) is spec-tested on planted " +
+        "byte-twins; the oracle checks the SIGNATURE table. ASCII " +
+        "contract as qm04.",
       (s, dir) =>
         graft.operators.Multimodal.perceptualHashes(
           graft.operators.Multimodal.asMedia(
@@ -1864,6 +1870,9 @@ object StreamingQueries {
         |seg AS (
         |  SELECT doc_id, (p * 60) // n AS j, sum(v) AS s, count(*) AS c
         |  FROM b GROUP BY 1, 2),
+        |seg2 AS (
+        |  SELECT doc_id, p % 60 AS j, sum(v) AS s, count(*) AS c
+        |  FROM b GROUP BY 1, 2),
         |tot AS (SELECT doc_id, sum(v) AS ts, count(*) AS tn FROM b GROUP BY 1),
         |bits AS (
         |  SELECT g.doc_id, g.j,
@@ -1871,10 +1880,20 @@ object StreamingQueries {
         |         THEN 1 ELSE 0 END AS bit
         |  FROM (SELECT doc_id, unnest(range(0, 60)) AS j FROM documents) g
         |  LEFT JOIN seg s ON s.doc_id = g.doc_id AND s.j = g.j
-        |  JOIN tot t ON t.doc_id = g.doc_id)
-        |SELECT doc_id AS media_id,
-        |  CAST(sum(bit << j) AS BIGINT) AS ahash
-        |FROM bits GROUP BY 1""".stripMargin)),
+        |  JOIN tot t ON t.doc_id = g.doc_id),
+        |bits2 AS (
+        |  SELECT g.doc_id, g.j,
+        |    CASE WHEN coalesce(s.s, 0) * t.tn > t.ts * coalesce(s.c, 0)
+        |         THEN 1 ELSE 0 END AS bit
+        |  FROM (SELECT doc_id, unnest(range(0, 60)) AS j FROM documents) g
+        |  LEFT JOIN seg2 s ON s.doc_id = g.doc_id AND s.j = g.j
+        |  JOIN tot t ON t.doc_id = g.doc_id),
+        |h1 AS (SELECT doc_id, CAST(sum(bit << j) AS BIGINT) AS ahash
+        |       FROM bits GROUP BY 1),
+        |h2 AS (SELECT doc_id, CAST(sum(bit << j) AS BIGINT) AS ahash2
+        |       FROM bits2 GROUP BY 1)
+        |SELECT h1.doc_id AS media_id, h1.ahash, h2.ahash2
+        |FROM h1 JOIN h2 ON h1.doc_id = h2.doc_id""".stripMargin)),
 
     Q(
       "qm09_media_curation",
@@ -1883,12 +1902,13 @@ object StreamingQueries {
         "variant over real ImageIO output is qm12): exact byte dedup " +
         "(md5, keep " +
         "lowest id - the qd01 collapse) THEN perceptual near-dedup " +
-        "among survivors (qm06's banded hamming join at maxDist=10, " +
+        "among survivors (qm06's 120-bit banded hamming join at " +
+        "maxDist=10 over the summed popcount of both signature words, " +
         "pigeonhole-complete; drop ids with a smaller-id neighbor - " +
         "qd07's greedy rule). Collapse-first ordering is the same " +
         "100 TB argument as text: duplicate mass dies before it can " +
-        "explode the perceptual buckets. Oracle replays md5 + aHash " +
-        "+ all-pairs popcount + the keep rule.",
+        "explode the perceptual buckets. Oracle replays md5 + both " +
+        "aHash words + all-pairs summed popcount + the keep rule.",
       (s, dir) =>
         Multimodal.curateMedia(
           Multimodal.asMedia(
@@ -1909,6 +1929,9 @@ object StreamingQueries {
         |seg AS (
         |  SELECT doc_id, (p * 60) // n AS j, sum(v) AS s, count(*) AS c
         |  FROM b GROUP BY 1, 2),
+        |seg2 AS (
+        |  SELECT doc_id, p % 60 AS j, sum(v) AS s, count(*) AS c
+        |  FROM b GROUP BY 1, 2),
         |tot AS (SELECT doc_id, sum(v) AS ts, count(*) AS tn FROM b GROUP BY 1),
         |bits AS (
         |  SELECT g.doc_id, g.j,
@@ -1917,11 +1940,24 @@ object StreamingQueries {
         |  FROM (SELECT doc_id, unnest(range(0, 60)) AS j FROM s1) g
         |  LEFT JOIN seg s ON s.doc_id = g.doc_id AND s.j = g.j
         |  JOIN tot t ON t.doc_id = g.doc_id),
-        |ah AS (SELECT doc_id, sum(bit << j) AS ahash FROM bits GROUP BY 1),
+        |bits2 AS (
+        |  SELECT g.doc_id, g.j,
+        |    CASE WHEN coalesce(s.s, 0) * t.tn > t.ts * coalesce(s.c, 0)
+        |         THEN 1 ELSE 0 END AS bit
+        |  FROM (SELECT doc_id, unnest(range(0, 60)) AS j FROM s1) g
+        |  LEFT JOIN seg2 s ON s.doc_id = g.doc_id AND s.j = g.j
+        |  JOIN tot t ON t.doc_id = g.doc_id),
+        |ah AS (
+        |  SELECT h1.doc_id, h1.ahash, h2.ahash2 FROM
+        |    (SELECT doc_id, sum(bit << j) AS ahash FROM bits GROUP BY 1) h1
+        |  JOIN
+        |    (SELECT doc_id, sum(bit << j) AS ahash2 FROM bits2 GROUP BY 1) h2
+        |  ON h1.doc_id = h2.doc_id),
         |drop0 AS (
         |  SELECT DISTINCT b2.doc_id FROM ah a JOIN ah b2
         |  ON a.doc_id < b2.doc_id
-        |    AND bit_count(xor(a.ahash, b2.ahash)) <= 10)
+        |    AND bit_count(xor(a.ahash, b2.ahash))
+        |      + bit_count(xor(a.ahash2, b2.ahash2)) <= 10)
         |SELECT doc_id AS media_id, CAST(length(text) AS BIGINT) AS n_bytes
         |FROM s1 WHERE doc_id NOT IN (SELECT doc_id FROM drop0)""".stripMargin)),
 
@@ -2006,19 +2042,21 @@ object StreamingQueries {
 
     Q(
       "qm11_luma_phash",
-      "Perceptual aHash over REAL DECODED PIXELS " +
-        "(Multimodal.decodedSignatures -> lumaAHash60): the synthetic " +
-        "PNGs decode through ImageIO and the 60-bit average-hash runs " +
-        "on the row-major luma stream - qm06's hash arithmetic, now " +
-        "fed by a real codec. The integer cross-multiply compare is " +
-        "SCALE-INVARIANT, so the oracle replays it on raw 0-255 " +
-        "pixel formulas while the engine hashes Rec.601 thousandths; " +
-        "any decode disagreement flips bits and fails the compare.",
+      "Perceptual signature over REAL DECODED PIXELS " +
+        "(Multimodal.decodedSignatures -> lumaAHash120): the synthetic " +
+        "PNGs decode through ImageIO and BOTH 60-bit average-hash " +
+        "words (contiguous + interleaved segmentations - qm06's " +
+        "arithmetic) run on the row-major luma stream in one pass, " +
+        "now fed by a real codec. The integer cross-multiply compare " +
+        "is SCALE-INVARIANT, so the oracle replays both words on raw " +
+        "0-255 pixel formulas while the engine hashes Rec.601 " +
+        "thousandths; any decode disagreement flips bits and fails " +
+        "the compare.",
       (s, dir) =>
         Multimodal.decodedSignatures(
           Multimodal.syntheticImages(
             graft.core.Tables.load(s, dir, "documents"), "doc_id", "text"))
-          .select(col("media_id"), col("ahash")),
+          .select(col("media_id"), col("ahash"), col("ahash2")),
       Some("""WITH d AS (
         |  SELECT doc_id, text, length(text) AS len,
         |    CAST(8 + doc_id % 25 AS INT) AS w,
@@ -2032,6 +2070,9 @@ object StreamingQueries {
         |seg AS (
         |  SELECT doc_id, (p * 60) // n AS j, sum(v) AS s, count(*) AS c
         |  FROM b GROUP BY 1, 2),
+        |seg2 AS (
+        |  SELECT doc_id, p % 60 AS j, sum(v) AS s, count(*) AS c
+        |  FROM b GROUP BY 1, 2),
         |tot AS (SELECT doc_id, sum(v) AS ts, count(*) AS tn FROM b GROUP BY 1),
         |bits AS (
         |  SELECT g.doc_id, g.j,
@@ -2039,10 +2080,20 @@ object StreamingQueries {
         |         THEN 1 ELSE 0 END AS bit
         |  FROM (SELECT doc_id, unnest(range(0, 60)) AS j FROM d) g
         |  LEFT JOIN seg s ON s.doc_id = g.doc_id AND s.j = g.j
-        |  JOIN tot t ON t.doc_id = g.doc_id)
-        |SELECT doc_id AS media_id,
-        |  CAST(sum(bit << j) AS BIGINT) AS ahash
-        |FROM bits GROUP BY 1""".stripMargin)),
+        |  JOIN tot t ON t.doc_id = g.doc_id),
+        |bits2 AS (
+        |  SELECT g.doc_id, g.j,
+        |    CASE WHEN coalesce(s.s, 0) * t.tn > t.ts * coalesce(s.c, 0)
+        |         THEN 1 ELSE 0 END AS bit
+        |  FROM (SELECT doc_id, unnest(range(0, 60)) AS j FROM d) g
+        |  LEFT JOIN seg2 s ON s.doc_id = g.doc_id AND s.j = g.j
+        |  JOIN tot t ON t.doc_id = g.doc_id),
+        |h1 AS (SELECT doc_id, CAST(sum(bit << j) AS BIGINT) AS ahash
+        |       FROM bits GROUP BY 1),
+        |h2 AS (SELECT doc_id, CAST(sum(bit << j) AS BIGINT) AS ahash2
+        |       FROM bits2 GROUP BY 1)
+        |SELECT h1.doc_id AS media_id, h1.ahash, h2.ahash2
+        |FROM h1 JOIN h2 ON h1.doc_id = h2.doc_id""".stripMargin)),
 
     Q(
       "qm13_image_resize",
@@ -2125,6 +2176,9 @@ object StreamingQueries {
         |seg AS (
         |  SELECT doc_id, (p * 60) // n AS j, sum(v) AS s, count(*) AS c
         |  FROM b GROUP BY 1, 2),
+        |seg2 AS (
+        |  SELECT doc_id, p % 60 AS j, sum(v) AS s, count(*) AS c
+        |  FROM b GROUP BY 1, 2),
         |tot AS (SELECT doc_id, sum(v) AS ts, count(*) AS tn FROM b GROUP BY 1),
         |bits AS (
         |  SELECT g.doc_id, g.j,
@@ -2133,11 +2187,24 @@ object StreamingQueries {
         |  FROM (SELECT doc_id, unnest(range(0, 60)) AS j FROM s1) g
         |  LEFT JOIN seg s ON s.doc_id = g.doc_id AND s.j = g.j
         |  JOIN tot t ON t.doc_id = g.doc_id),
-        |ah AS (SELECT doc_id, sum(bit << j) AS ahash FROM bits GROUP BY 1),
+        |bits2 AS (
+        |  SELECT g.doc_id, g.j,
+        |    CASE WHEN coalesce(s.s, 0) * t.tn > t.ts * coalesce(s.c, 0)
+        |         THEN 1 ELSE 0 END AS bit
+        |  FROM (SELECT doc_id, unnest(range(0, 60)) AS j FROM s1) g
+        |  LEFT JOIN seg2 s ON s.doc_id = g.doc_id AND s.j = g.j
+        |  JOIN tot t ON t.doc_id = g.doc_id),
+        |ah AS (
+        |  SELECT h1.doc_id, h1.ahash, h2.ahash2 FROM
+        |    (SELECT doc_id, sum(bit << j) AS ahash FROM bits GROUP BY 1) h1
+        |  JOIN
+        |    (SELECT doc_id, sum(bit << j) AS ahash2 FROM bits2 GROUP BY 1) h2
+        |  ON h1.doc_id = h2.doc_id),
         |drop0 AS (
         |  SELECT DISTINCT b2.doc_id FROM ah a JOIN ah b2
         |  ON a.doc_id < b2.doc_id
-        |    AND bit_count(xor(a.ahash, b2.ahash)) <= 10),
+        |    AND bit_count(xor(a.ahash, b2.ahash))
+        |      + bit_count(xor(a.ahash2, b2.ahash2)) <= 10),
         |surv AS (
         |  SELECT s1.doc_id AS media_id, CAST(s1.w * s1.h AS BIGINT) AS n_px
         |  FROM s1 WHERE s1.doc_id NOT IN (SELECT doc_id FROM drop0)),
@@ -2214,6 +2281,9 @@ object StreamingQueries {
         |seg AS (
         |  SELECT doc_id, (p * 60) // n AS j, sum(v) AS s, count(*) AS c
         |  FROM b GROUP BY 1, 2),
+        |seg2 AS (
+        |  SELECT doc_id, p % 60 AS j, sum(v) AS s, count(*) AS c
+        |  FROM b GROUP BY 1, 2),
         |tot AS (SELECT doc_id, sum(v) AS ts, count(*) AS tn FROM b GROUP BY 1),
         |bits AS (
         |  SELECT g.doc_id, g.j,
@@ -2222,11 +2292,24 @@ object StreamingQueries {
         |  FROM (SELECT doc_id, unnest(range(0, 60)) AS j FROM s1) g
         |  LEFT JOIN seg s ON s.doc_id = g.doc_id AND s.j = g.j
         |  JOIN tot t ON t.doc_id = g.doc_id),
-        |ah AS (SELECT doc_id, sum(bit << j) AS ahash FROM bits GROUP BY 1),
+        |bits2 AS (
+        |  SELECT g.doc_id, g.j,
+        |    CASE WHEN coalesce(s.s, 0) * t.tn > t.ts * coalesce(s.c, 0)
+        |         THEN 1 ELSE 0 END AS bit
+        |  FROM (SELECT doc_id, unnest(range(0, 60)) AS j FROM s1) g
+        |  LEFT JOIN seg2 s ON s.doc_id = g.doc_id AND s.j = g.j
+        |  JOIN tot t ON t.doc_id = g.doc_id),
+        |ah AS (
+        |  SELECT h1.doc_id, h1.ahash, h2.ahash2 FROM
+        |    (SELECT doc_id, sum(bit << j) AS ahash FROM bits GROUP BY 1) h1
+        |  JOIN
+        |    (SELECT doc_id, sum(bit << j) AS ahash2 FROM bits2 GROUP BY 1) h2
+        |  ON h1.doc_id = h2.doc_id),
         |idrop AS (
         |  SELECT DISTINCT b2.doc_id FROM ah a JOIN ah b2
         |  ON a.doc_id < b2.doc_id
-        |    AND bit_count(xor(a.ahash, b2.ahash)) <= 10),
+        |    AND bit_count(xor(a.ahash, b2.ahash))
+        |      + bit_count(xor(a.ahash2, b2.ahash2)) <= 10),
         |isurv AS (
         |  SELECT s1.doc_id * 2 AS uid, CAST(s1.w * s1.h AS BIGINT) AS cost
         |  FROM s1 WHERE s1.doc_id NOT IN (SELECT doc_id FROM idrop)),
@@ -2253,12 +2336,16 @@ object StreamingQueries {
         |    WHERE d2.sr = d.sr AND d2.an = d.an
         |      AND k2.stream = aky.stream AND d2.doc_id < d.doc_id)),
         |ab AS (
-        |  SELECT a.doc_id, abs(a.v) AS amp, (a.i * 60) // d.an AS j, d.an
+        |  SELECT a.doc_id, a.i AS i, abs(a.v) AS amp, d.an
         |  FROM asmp a JOIN d USING (doc_id)
         |  JOIN as1 ON as1.doc_id = a.doc_id),
         |aseg AS (
-        |  SELECT doc_id, j, sum(amp) AS ss, count(*) AS c,
-        |    any_value(an) AS an
+        |  SELECT doc_id, (i * 60) // an AS j, sum(amp) AS ss,
+        |    count(*) AS c, any_value(an) AS an
+        |  FROM ab GROUP BY 1, 2),
+        |aseg2 AS (
+        |  SELECT doc_id, i % 60 AS j, sum(amp) AS ss,
+        |    count(*) AS c, any_value(an) AS an
         |  FROM ab GROUP BY 1, 2),
         |atot AS (SELECT doc_id, sum(amp) AS ts FROM ab GROUP BY 1),
         |abits AS (
@@ -2266,11 +2353,22 @@ object StreamingQueries {
         |    CASE WHEN aseg.ss * aseg.an > atot.ts * aseg.c
         |         THEN 1 ELSE 0 END AS bit
         |  FROM aseg JOIN atot USING (doc_id)),
-        |aeh AS (SELECT doc_id, sum(bit << j) AS ehash FROM abits GROUP BY 1),
+        |abits2 AS (
+        |  SELECT aseg2.doc_id, aseg2.j,
+        |    CASE WHEN aseg2.ss * aseg2.an > atot.ts * aseg2.c
+        |         THEN 1 ELSE 0 END AS bit
+        |  FROM aseg2 JOIN atot USING (doc_id)),
+        |aeh AS (
+        |  SELECT e1.doc_id, e1.ehash, e2.ehash2 FROM
+        |    (SELECT doc_id, sum(bit << j) AS ehash FROM abits GROUP BY 1) e1
+        |  JOIN
+        |    (SELECT doc_id, sum(bit << j) AS ehash2 FROM abits2 GROUP BY 1) e2
+        |  ON e1.doc_id = e2.doc_id),
         |adrop AS (
         |  SELECT DISTINCT b2.doc_id FROM aeh a JOIN aeh b2
         |  ON a.doc_id < b2.doc_id
-        |    AND bit_count(xor(a.ehash, b2.ehash)) <= 10),
+        |    AND bit_count(xor(a.ehash, b2.ehash))
+        |      + bit_count(xor(a.ehash2, b2.ehash2)) <= 10),
         |asurv AS (
         |  SELECT as1.doc_id * 2 + 1 AS uid, CAST(as1.an AS BIGINT) AS cost
         |  FROM as1 WHERE as1.doc_id NOT IN (SELECT doc_id FROM adrop)),
@@ -2348,8 +2446,9 @@ object StreamingQueries {
         "(Multimodal.curateAudioDecoded - qm12's lifecycle for sound): " +
         "exact dedup keys on the decoded sample-stream identity " +
         "(sample_rate, n_samples, pcm md5 - a re-containered copy of " +
-        "the same recording collapses), then envelopeHash60 " +
+        "the same recording collapses), then envelopeHash120 " +
         "banded-hamming near-dedup among survivors at maxDist=10 " +
+        "over the summed popcount of both 60-bit words " +
         "(qd07's greedy keep). The envelope hash is GAIN-invariant " +
         "(integer cross-multiply over |s|), the audio analogue of the " +
         "image hash's brightness invariance. ONE AudioSystem decode " +
@@ -2385,12 +2484,16 @@ object StreamingQueries {
         |    WHERE d2.sr = d.sr AND d2.n = d.n
         |      AND k2.stream = ky.stream AND d2.doc_id < d.doc_id)),
         |b AS (
-        |  SELECT s.doc_id, abs(s.v) AS a, (s.i * 60) // d.n AS j, d.n
+        |  SELECT s.doc_id, s.i AS i, abs(s.v) AS a, d.n
         |  FROM s JOIN d USING (doc_id)
         |  JOIN s1 ON s1.doc_id = s.doc_id),
         |seg AS (
-        |  SELECT doc_id, j, sum(a) AS ss, count(*) AS c,
-        |    any_value(n) AS n
+        |  SELECT doc_id, (i * 60) // n AS j, sum(a) AS ss,
+        |    count(*) AS c, any_value(n) AS n
+        |  FROM b GROUP BY 1, 2),
+        |seg2 AS (
+        |  SELECT doc_id, i % 60 AS j, sum(a) AS ss,
+        |    count(*) AS c, any_value(n) AS n
         |  FROM b GROUP BY 1, 2),
         |tot AS (SELECT doc_id, sum(a) AS ts FROM b GROUP BY 1),
         |bits AS (
@@ -2398,11 +2501,22 @@ object StreamingQueries {
         |    CASE WHEN seg.ss * seg.n > tot.ts * seg.c
         |         THEN 1 ELSE 0 END AS bit
         |  FROM seg JOIN tot USING (doc_id)),
-        |eh AS (SELECT doc_id, sum(bit << j) AS ehash FROM bits GROUP BY 1),
+        |bits2 AS (
+        |  SELECT seg2.doc_id, seg2.j,
+        |    CASE WHEN seg2.ss * seg2.n > tot.ts * seg2.c
+        |         THEN 1 ELSE 0 END AS bit
+        |  FROM seg2 JOIN tot USING (doc_id)),
+        |eh AS (
+        |  SELECT e1.doc_id, e1.ehash, e2.ehash2 FROM
+        |    (SELECT doc_id, sum(bit << j) AS ehash FROM bits GROUP BY 1) e1
+        |  JOIN
+        |    (SELECT doc_id, sum(bit << j) AS ehash2 FROM bits2 GROUP BY 1) e2
+        |  ON e1.doc_id = e2.doc_id),
         |drop0 AS (
         |  SELECT DISTINCT b2.doc_id FROM eh a JOIN eh b2
         |  ON a.doc_id < b2.doc_id
-        |    AND bit_count(xor(a.ehash, b2.ehash)) <= 10)
+        |    AND bit_count(xor(a.ehash, b2.ehash))
+        |      + bit_count(xor(a.ehash2, b2.ehash2)) <= 10)
         |SELECT s1.doc_id AS media_id, s1.sr AS sample_rate,
         |  CAST(s1.n AS BIGINT) AS n_samples
         |FROM s1 WHERE s1.doc_id NOT IN (SELECT doc_id FROM drop0)""".stripMargin)),
@@ -2457,11 +2571,13 @@ object StreamingQueries {
         "(Multimodal.curateMediaDecoded - qm09 upgraded to the codec " +
         "path): exact dedup keys on the decoded luma-stream identity " +
         "(width, height, pixel md5 - encoding details can no longer " +
-        "split identical images), then lumaAHash60 banded-hamming " +
-        "near-dedup among survivors at maxDist=10 (qd07's greedy " +
+        "split identical images), then lumaAHash120 banded-hamming " +
+        "near-dedup among survivors at maxDist=10 over the summed " +
+        "popcount of both 60-bit words (qd07's greedy " +
         "keep). ONE ImageIO decode pass feeds both stages. Oracle " +
-        "replays stream identity as the cyclic text prefix and the " +
-        "aHash + all-pairs popcount + keep rule on pixel formulas.",
+        "replays stream identity as the cyclic text prefix and both " +
+        "aHash words + all-pairs summed popcount + keep rule on " +
+        "pixel formulas.",
       (s, dir) =>
         Multimodal.curateMediaDecoded(
           Multimodal.syntheticImages(
@@ -2492,6 +2608,9 @@ object StreamingQueries {
         |seg AS (
         |  SELECT doc_id, (p * 60) // n AS j, sum(v) AS s, count(*) AS c
         |  FROM b GROUP BY 1, 2),
+        |seg2 AS (
+        |  SELECT doc_id, p % 60 AS j, sum(v) AS s, count(*) AS c
+        |  FROM b GROUP BY 1, 2),
         |tot AS (SELECT doc_id, sum(v) AS ts, count(*) AS tn FROM b GROUP BY 1),
         |bits AS (
         |  SELECT g.doc_id, g.j,
@@ -2500,11 +2619,24 @@ object StreamingQueries {
         |  FROM (SELECT doc_id, unnest(range(0, 60)) AS j FROM s1) g
         |  LEFT JOIN seg s ON s.doc_id = g.doc_id AND s.j = g.j
         |  JOIN tot t ON t.doc_id = g.doc_id),
-        |ah AS (SELECT doc_id, sum(bit << j) AS ahash FROM bits GROUP BY 1),
+        |bits2 AS (
+        |  SELECT g.doc_id, g.j,
+        |    CASE WHEN coalesce(s.s, 0) * t.tn > t.ts * coalesce(s.c, 0)
+        |         THEN 1 ELSE 0 END AS bit
+        |  FROM (SELECT doc_id, unnest(range(0, 60)) AS j FROM s1) g
+        |  LEFT JOIN seg2 s ON s.doc_id = g.doc_id AND s.j = g.j
+        |  JOIN tot t ON t.doc_id = g.doc_id),
+        |ah AS (
+        |  SELECT h1.doc_id, h1.ahash, h2.ahash2 FROM
+        |    (SELECT doc_id, sum(bit << j) AS ahash FROM bits GROUP BY 1) h1
+        |  JOIN
+        |    (SELECT doc_id, sum(bit << j) AS ahash2 FROM bits2 GROUP BY 1) h2
+        |  ON h1.doc_id = h2.doc_id),
         |drop0 AS (
         |  SELECT DISTINCT b2.doc_id FROM ah a JOIN ah b2
         |  ON a.doc_id < b2.doc_id
-        |    AND bit_count(xor(a.ahash, b2.ahash)) <= 10)
+        |    AND bit_count(xor(a.ahash, b2.ahash))
+        |      + bit_count(xor(a.ahash2, b2.ahash2)) <= 10)
         |SELECT s1.doc_id AS media_id, CAST(s1.w * s1.h AS BIGINT) AS n_px
         |FROM s1 WHERE s1.doc_id NOT IN (SELECT doc_id FROM drop0)""".stripMargin)),
 

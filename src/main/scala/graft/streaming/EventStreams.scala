@@ -132,43 +132,55 @@ object EventStreams {
       .outputMode(OutputMode.Append())
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
-        val b = graft.core.OpCache.persist(batch.toDF())
-        val edges = graft.operators.Dedup.batchNearDupStarEdges(
-          cur, b, idCol, textCol)
-        val next = graft.operators.Dedup.incrementalComponents(
-          labels, edges, b.select(col(idCol).as("node")))
-        val prev = labels
-        labels = graft.core.OpCache.persist(
-          spark.createDataFrame(next.rdd, next.schema))
-        labels.count() // materialize before the index mutates
-        // release the superseded label frame (but never the caller's
-        // labels0) — a long-running stream must not accumulate one
-        // cached frame per micro-batch
-        if (prev ne labels0) {
-          prev.unpersist(false)
-          graft.core.OpCache.untrack(prev)
+        // collect every frame THIS batch persists — including inside
+        // batchNearDupStarEdges / incrementalComponents, which the
+        // caller has no handle to — so the scoped release below drops
+        // all of them except the carried-forward state (labels + the
+        // three index deltas). Without the scope, each micro-batch
+        // leaked one cached signature frame (round-10 ADVICE).
+        val (keep, made) = graft.core.OpCache.collectScoped {
+          val b = graft.core.OpCache.persist(batch.toDF())
+          val edges = graft.operators.Dedup.batchNearDupStarEdges(
+            cur, b, idCol, textCol)
+          val next = graft.operators.Dedup.incrementalComponents(
+            labels, edges, b.select(col(idCol).as("node")))
+          val prev = labels
+          labels = graft.core.OpCache.persist(
+            spark.createDataFrame(next.rdd, next.schema))
+          labels.count() // materialize before the index mutates
+          // release the superseded label frame (but never the caller's
+          // labels0) — a long-running stream must not accumulate one
+          // cached frame per micro-batch
+          if (prev ne labels0) {
+            prev.unpersist(false)
+            graft.core.OpCache.untrack(prev)
+          }
+          val grown = graft.operators.Dedup.buildCorpusIndex(b, idCol, textCol)
+          // Persist and materialize ONLY the batch DELTA; the union over
+          // cached children stays LAZY. The next batch's probe scans the
+          // cached bootstrap frames + cached per-batch deltas — nothing
+          // is re-derived (every union child is materialized), and
+          // nothing CORPUS-sized is copied per batch. (The previous
+          // revision persisted+counted the whole union each batch —
+          // re-materializing the full index per micro-batch, O(corpus)
+          // per batch; that copy was the dominant cost of the loop.)
+          // The union tree grows one level per batch — plan depth is
+          // batch-count-linear, fine for a drained AvailableNow stream;
+          // a 24/7 service would instead append the deltas to the
+          // stored parquet index (writeCorpusIndex) and reload.
+          val gh = graft.core.OpCache.persist(grown.hashes)
+          val gs = graft.core.OpCache.persist(grown.shingles)
+          val gb = graft.core.OpCache.persist(grown.bands)
+          gh.count(); gs.count(); gb.count()
+          cur = graft.operators.Dedup.CorpusIndex(
+            cur.hashes.unionByName(gh),
+            cur.shingles.unionByName(gs),
+            cur.bands.unionByName(gb))
+          Set(labels, gh, gs, gb)
         }
-        val grown = graft.operators.Dedup.buildCorpusIndex(b, idCol, textCol)
-        // Persist and materialize ONLY the batch DELTA; the union over
-        // cached children stays LAZY. The next batch's probe scans the
-        // cached bootstrap frames + cached per-batch deltas — nothing
-        // is re-derived (every union child is materialized), and
-        // nothing CORPUS-sized is copied per batch. (The previous
-        // revision persisted+counted the whole union each batch —
-        // re-materializing the full index per micro-batch, O(corpus)
-        // per batch; that copy was the dominant cost of the loop.)
-        // The union tree grows one level per batch — plan depth is
-        // batch-count-linear, fine for a drained AvailableNow stream;
-        // a 24/7 service would instead append the deltas to the
-        // stored parquet index (writeCorpusIndex) and reload.
-        val gh = graft.core.OpCache.persist(grown.hashes)
-        val gs = graft.core.OpCache.persist(grown.shingles)
-        val gb = graft.core.OpCache.persist(grown.bands)
-        gh.count(); gs.count(); gb.count()
-        cur = graft.operators.Dedup.CorpusIndex(
-          cur.hashes.unionByName(gh),
-          cur.shingles.unionByName(gs),
-          cur.bands.unionByName(gb))
+        made.filterNot(keep.contains).foreach { f =>
+          f.unpersist(false); graft.core.OpCache.untrack(f)
+        }
         ()
       }
       .start()

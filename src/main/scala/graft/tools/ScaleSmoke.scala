@@ -44,7 +44,13 @@ object ScaleSmoke {
         d.withColumn(k, col(k) * factor + col("__copy"))).drop("__copy")
     }
 
-    // stage multi-file parquet (the realistic input shape)
+    // stage multi-file parquet (the realistic input shape).
+    // SPARK_GRAFT_REUSE_STAGE=1 skips tables already staged at this
+    // factor — the one-op-per-JVM measurement discipline (round-10
+    // variance study) re-launches a JVM per (op, factor), and the
+    // staging is deterministic (formula remap + hash repartition), so
+    // later launches may reuse the first launch's files.
+    val reuse = sys.env.get("SPARK_GRAFT_REUSE_STAGE").contains("1")
     Seq(
       ("lineitem", Seq("l_orderkey")),
       ("orders", Seq("o_orderkey", "o_custkey")),
@@ -53,8 +59,10 @@ object ScaleSmoke {
       ("embeddings", Seq("vec_id")),
       ("events", Seq("event_id", "user_id"))
     ).foreach { case (n, keys) =>
-      scaled(n, keys).repartition(cpus.toInt)
-        .write.mode("overwrite").parquet(s"$out/$n.parquet")
+      val dest = s"$out/$n.parquet"
+      if (!(reuse && new java.io.File(dest, "_SUCCESS").exists()))
+        scaled(n, keys).repartition(cpus.toInt)
+          .write.mode("overwrite").parquet(dest)
     }
 
     def time(name: String)(thunk: => Long): (String, Double, Long) = {
@@ -92,6 +100,35 @@ object ScaleSmoke {
         built.centroids.persist(lvl), built.cells.persist(lvl))
       idx.centroids.count(); idx.cells.count()
       idx
+    }
+
+    // media ingest-gate fixtures (qst32/qst33's feeds at scale): stage
+    // the encoded payloads OUTSIDE the timed thunk — the timed entry is
+    // the gate (decode + identity collapse + anti-join + store growth)
+    // over 4 micro-batches, not the fixture encode/write
+    def stageMedia(name: String, media: => DataFrame): Option[String] =
+      if (!enabled(name)) None
+      else {
+        val dir = s"$out/${name}_in"
+        if (!(reuse && new java.io.File(dir, "_SUCCESS").exists()))
+          media.select($"media_id", $"bytes")
+            .repartition(8).write.mode("overwrite").parquet(dir)
+        Some(dir)
+      }
+    val audioGateIn = stageMedia("audio_ingest_gate",
+      graft.operators.Multimodal.syntheticAudio(docs, "doc_id", "text"))
+    val videoGateIn = stageMedia("video_ingest_gate",
+      graft.operators.Multimodal.syntheticVideos(docs, "doc_id"))
+    def runGate(in: String,
+        feed: (DataFrame, String) => Unit): Long = {
+      val gateOut = java.nio.file.Files
+        .createTempDirectory("graft_scale_gate_").toString
+      val stream = spark.readStream
+        .schema("media_id LONG, bytes BINARY")
+        .option("maxFilesPerTrigger", 2)
+        .parquet(in + "/*.parquet")
+      feed(stream, gateOut)
+      spark.read.parquet(gateOut).count()
     }
 
     val results = Seq(
@@ -533,6 +570,36 @@ object ScaleSmoke {
         graft.operators.Multimodal.videoSceneStats(
           graft.operators.Multimodal.syntheticVideos(docs, "doc_id"))
           .agg(sum(col("n_cuts") + col("n_decoded"))).head().getLong(0)
+      },
+      time("multimodal_manifest") {
+        // qm18's capstone chain: both real-codec curation ladders →
+        // one cost-carrying stream → budget-packed shards. Slope =
+        // image ladder + audio ladder (each dominated by decode +
+        // banded hamming join) + the two-phase bucketed pack.
+        val img = graft.operators.Multimodal.curateMediaDecoded(
+          graft.operators.Multimodal.syntheticImages(docs, "doc_id", "text"),
+          maxDist = 10)
+          .select(($"media_id" * 2).as("uid"), $"n_px".as("cost"))
+        val aud = graft.operators.Multimodal.curateAudioDecoded(
+          graft.operators.Multimodal.syntheticAudio(docs, "doc_id", "text"),
+          maxDist = 10)
+          .select(($"media_id" * 2 + 1).as("uid"), $"n_samples".as("cost"))
+        graft.operators.Sharding.tokenShardAssignments(
+          img.unionByName(aud), "uid", $"cost", budget = 30000L)
+          .groupBy($"shard").count().count()
+      },
+      time("audio_ingest_gate") {
+        // qst32's feed over the staged corpus in 4 micro-batches: per
+        // batch one AudioSystem decode pass, identity collapse,
+        // anti-join vs the grown store. State = KB identity keys.
+        runGate(audioGateIn.get,
+          graft.streaming.EventStreams.audioIngestFeed(_, _))
+      },
+      time("video_ingest_gate") {
+        // qst33's feed: RIFF demux + per-frame ImageIO decode per
+        // batch, frame-stream identity keys, same gate shape.
+        runGate(videoGateIn.get,
+          graft.streaming.EventStreams.videoIngestFeed(_, _))
       },
       time("lsh_recall_sampled") {
         // qd40: truth side runs on a FIXED 250-doc hash-order sample —

@@ -291,15 +291,42 @@ class MultimodalSpec extends SparkSuite {
         map(lit("k"), lit("v")).as("meta"))
     val got = Multimodal.phashNearDupPairs(media, maxDist = 3)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
-    // brute-force ground truth over the same hashes
-    val hs = rows.map { case (id, b) => id -> Multimodal.aHash60(id, b) }
+    // brute-force ground truth over the full 120-bit signatures
+    val hs = rows.map { case (id, b) => id -> Multimodal.aHash120(b) }
     val expect = (for {
-      (ai, ah) <- hs; (bi, bh) <- hs if ai < bi
-      d = java.lang.Long.bitCount(ah ^ bh) if d <= 3
+      (ai, (ah1, ah2)) <- hs; (bi, (bh1, bh2)) <- hs if ai < bi
+      d = java.lang.Long.bitCount(ah1 ^ bh1) +
+        java.lang.Long.bitCount(ah2 ^ bh2) if d <= 3
     } yield (ai, bi, d.toLong)).toSet
     assert(got.toSet === expect, "banding must be complete for d <= maxDist")
     assert(expect.contains((1L, 2L, got.find(t => t._1 == 1L && t._2 == 2L).map(_._3).getOrElse(-1L))),
       s"planted twin must surface: $expect")
+  }
+
+  test("phashNearDupPairs: complete at maxDist=10 — bands cross the 60-bit word boundary") {
+    // at maxDist=10 the 11 bands split 120 bits at 0,10,21,...,109,120:
+    // band 4 spans bits 43..64, ORing fragments of BOTH words into one
+    // key — this fixture drives that extraction against brute force.
+    // Patterns at graded hamming steps from a base put pair distances
+    // on both sides of the cut.
+    val base = 0x5555555555555L
+    val pats = base +:
+      (1 to 14).map(k => base ^ ((1L << k) - 1)) :+ 0xAAAAAAAAAAAAAL
+    val rows = pats.zipWithIndex.map { case (p, i) => (i + 1L, bimodal(p)) }
+    val media = rows.toDF("media_id", "bytes")
+      .select($"media_id", $"bytes", lit("application/octet-stream").as("mime"),
+        map(lit("k"), lit("v")).as("meta"))
+    val got = Multimodal.phashNearDupPairs(media, maxDist = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val hs = rows.map { case (id, b) => id -> Multimodal.aHash120(b) }
+    val expect = (for {
+      (ai, (ah1, ah2)) <- hs; (bi, (bh1, bh2)) <- hs if ai < bi
+      d = java.lang.Long.bitCount(ah1 ^ bh1) +
+        java.lang.Long.bitCount(ah2 ^ bh2) if d <= 10
+    } yield (ai, bi, d.toLong)).toSet
+    assert(expect.nonEmpty && expect.size < rows.size * (rows.size - 1) / 2,
+      s"fixture must straddle the cut: ${expect.size} pairs")
+    assert(got === expect, "cross-boundary banding must be complete for d <= 10")
   }
 
   test("gearChunkNearDupPairs: edited payload pairs with its original, unrelated does not") {
@@ -315,11 +342,17 @@ class MultimodalSpec extends SparkSuite {
   }
 
   test("curateMedia: exact collapse first, then perceptual drop, lowest id survives") {
-    val base = (0 until 600).map(i => ('a' + (i % 7)).toChar).mkString
-    // a near-twin: one character bumped — byte-identical segments
-    // except one, so hamming is small but md5 differs
-    val twin = base.updated(3, 'z')
-    val far = (0 until 600).map(i => ('A' + (i * 13 % 26)).toChar).mkString
+    // bimodal 10-char blocks aligned with the 60 contiguous segments;
+    // every interleaved comb (p mod 60) also lands single-block, so
+    // both signature words are solidly off-threshold
+    val base = (0 until 600).map(i =>
+      if ((i / 10) % 2 == 0) 'z' else 'a').mkString
+    // a near-twin: one character nudged WITHIN its mode ('z'→'y') —
+    // every segment mean stays on its side of the global mean in BOTH
+    // segmentations (combined hamming 0) but md5 differs
+    val twin = base.updated(0, 'y')
+    val far = (0 until 600).map(i =>
+      if ((i / 10) % 2 == 0) 'a' else 'z').mkString
     val docs = Seq(
       (5L, base), (9L, base),  // exact dups — 9 dies at stage 1
       (7L, twin),              // perceptual near-dup of 5 — dies at stage 2
@@ -340,6 +373,12 @@ class MultimodalSpec extends SparkSuite {
     // on a 0–255 stream the int and byte kernels agree bit for bit
     assert(Multimodal.lumaAHash60(vs) ==
       Multimodal.aHash60(0L, vs.map(_.toByte)))
+    // the full 120-bit signatures agree word-for-word too, and the
+    // interleaved word is scale-invariant like the contiguous one
+    assert(Multimodal.lumaAHash120(vs) ==
+      Multimodal.aHash120(vs.map(_.toByte)))
+    assert(Multimodal.lumaAHash120(vs) ==
+      Multimodal.lumaAHash120(vs.map(_ * 1000)))
   }
 
   test("syntheticImages: formula dims, real PNG bytes, cyclic pixel stream") {
@@ -397,9 +436,11 @@ class MultimodalSpec extends SparkSuite {
   }
 
   test("curateMediaDecoded: pixel-identity collapse, then luma-hamming drop") {
-    val base = Array.tabulate(600)(i => ('a' + (i % 7)).toInt)
-    val twin = base.clone(); twin(3) = 'z'.toInt // near-dup: one pixel bumped
-    val far = Array.tabulate(600)(i => ('A' + (i * 13 % 26)).toInt)
+    // bimodal 10-px blocks (see curateMedia): a one-pixel in-mode nudge
+    // keeps both signature words identical while the pixel md5 differs
+    val base = Array.tabulate(600)(i => if ((i / 10) % 2 == 0) 200 else 40)
+    val twin = base.clone(); twin(0) = 190 // near-dup: one pixel nudged
+    val far = Array.tabulate(600)(i => if ((i / 10) % 2 == 0) 40 else 200)
     val rows = Seq(
       (5L, Multimodal.encodeGrayPng(30, 20, base)),
       (9L, Multimodal.encodeGrayPng(30, 20, base)), // exact pixel dup — dies stage 1
@@ -594,6 +635,10 @@ class MultimodalSpec extends SparkSuite {
     val loudTail = s.zipWithIndex.map { case (v, i) =>
       if (i > 120) v * 20 else v / 20 }
     assert(h != Multimodal.envelopeHash60(loudTail))
+    // both 120-bit words share the gain/polarity invariances
+    assert(Multimodal.envelopeHash120(s) == Multimodal.envelopeHash120(s.map(_ * 3)))
+    assert(Multimodal.envelopeHash120(s) == Multimodal.envelopeHash120(s.map(v => -v)))
+    assert(Multimodal.envelopeHash120(Array.empty[Int]) == ((0L, 0L)))
   }
 
   test("curateAudioDecoded: container-invariant collapse, envelope near-drop") {
