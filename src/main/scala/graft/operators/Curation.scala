@@ -84,7 +84,7 @@ object Curation {
       docs.join(scored.select(col("doc_id").as(idCol), col("score")),
         Seq(idCol))
     val kept = graft.core.OpCache.persist(
-      docs.sparkSession.createDataFrame(keptPlan.rdd, keptPlan.schema))
+      graft.core.Lineage.cut(keptPlan))
     kept.join(
       Dedup.dedupCorpus(kept, idCol, textCol)
         .select(col("keep_id").as(idCol)),
@@ -123,7 +123,7 @@ object Curation {
     val poolPlan =
       docs.join(curated.select(col("doc_id").as(idCol)), Seq(idCol), "left_semi")
     val pool = graft.core.OpCache.persist(
-      docs.sparkSession.createDataFrame(poolPlan.rdd, poolPlan.schema))
+      graft.core.Lineage.cut(poolPlan))
     val kept = Dedup.dedupCorpus(pool, idCol, textCol)
     val surv = pool.join(kept.select(col("keep_id").as(idCol)), Seq(idCol), "left_semi")
     val mixed = weightedMix(surv, idCol, sourceCol, permille, defaultPermille)
@@ -170,7 +170,7 @@ object Curation {
     val poolPlan = pool0.join(cont.filter(col("n_shared_fp") <= maxSharedFp)
       .select(col("doc_id").as(idCol)), Seq(idCol), "left_semi")
     val pool = graft.core.OpCache.persist(
-      docs.sparkSession.createDataFrame(poolPlan.rdd, poolPlan.schema))
+      graft.core.Lineage.cut(poolPlan))
     val kept = Dedup.dedupCorpus(pool, idCol, textCol)
     val surv = pool.join(kept.select(col("keep_id").as(idCol)), Seq(idCol), "left_semi")
     val mixed = weightedMix(surv, idCol, sourceCol, permille, defaultPermille)
@@ -580,7 +580,7 @@ object Curation {
       textCol, langCol, sourceCol, langs, permille, defaultPermille, maxLen,
       nStrata, maxSharedFp)
     val packed = graft.core.OpCache.persist(
-      docs.sparkSession.createDataFrame(packedPlan.rdd, packedPlan.schema))
+      graft.core.Lineage.cut(packedPlan))
     val seqs = packed
       .groupBy(col("stratum"), col("seq_id"))
       .agg(sum(col("n_tokens")).cast("long").as("seq_tokens"))
@@ -649,7 +649,7 @@ object Curation {
           col("sat_n").as("saturated"), col("want_n").as("want"))
       // cut per round: |sources| rows, free, keeps the plan flat
       st = graft.core.OpCache.persist(
-        spark.createDataFrame(next.rdd, next.schema))
+        graft.core.Lineage.cut(next))
     }
     st.select(col("source"), col("avail").as("avail_tokens"),
       when(col("saturated"), col("avail"))

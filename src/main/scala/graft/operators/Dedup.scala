@@ -947,8 +947,7 @@ object Dedup {
     // the fattest in the family)
     val ePlan = newEdges.select(col("a_id").cast("long").as("a_id"),
       col("b_id").cast("long").as("b_id"))
-    val e = graft.core.OpCache.persist(
-      newEdges.sparkSession.createDataFrame(ePlan.rdd, ePlan.schema))
+    val e = graft.core.OpCache.persist(graft.core.Lineage.cut(ePlan))
     val ends = e.select(col("a_id").as("node"))
       .unionByName(e.select(col("b_id").as("node")))
       .distinct()
@@ -1012,7 +1011,7 @@ object Dedup {
     graft.core.OpCache.track(nodes)
 
     def cut(df: DataFrame): DataFrame =
-      spark.createDataFrame(df.rdd, df.schema).persist(MEMORY_AND_DISK)
+      graft.core.Lineage.cut(df).persist(MEMORY_AND_DISK)
 
     def largeStar(e: DataFrame): DataFrame = {
       val sym = e.select(col("a").as("u"), col("b").as("v"))
@@ -1319,12 +1318,26 @@ object Dedup {
       .union(edges.select(col(dstCol).cast("long").as("s"),
         col(srcCol).cast("long").as("t")))
       .distinct()
-    val sym = edges.sparkSession
-      .createDataFrame(symPlan.rdd, symPlan.schema)
-      .persist(MEMORY_AND_DISK)
+    val sym = graft.core.Lineage.cut(symPlan).persist(MEMORY_AND_DISK)
     var labels = sym.select(col("s").as("node")).distinct()
       .select(col("node"), col("node").as("label"))
       .persist(MEMORY_AND_DISK)
+    // Convergence via the MONOTONE label-sum invariant: every round
+    // assigns label' = min(label, neighbor labels, label(label)) —
+    // per-node labels never increase, and the node set is fixed, so
+    // Σlabel strictly decreases until the fixed point and equal
+    // consecutive sums ⟺ no label changed. One narrow single-stage
+    // aggregate over the freshly-persisted round frame replaces the
+    // old join-on-node + filter + count (a full extra shuffle per
+    // round). DECIMAL(38,0) keeps the sum exact for any id range
+    // (10¹² rows of 2⁶³-scale ids stay < 10³²).
+    def labelSum(df: DataFrame): java.math.BigDecimal = {
+      val s = df.agg(sum(col("label").cast(
+        org.apache.spark.sql.types.DataTypes.createDecimalType(38, 0))))
+        .collect()(0).getDecimal(0)
+      if (s == null) java.math.BigDecimal.ZERO else s // empty node set
+    }
+    var prevSum = labelSum(labels)
     var iter = 0
     var done = false
     while (!done && iter < maxIter) {
@@ -1343,22 +1356,19 @@ object Dedup {
       // embeds the previous round's plan twice, so without truncation
       // the logical plan grows O(2^rounds) and the driver dies PLANNING
       // round ~8 even though every round's data is cached. Rebuilding
-      // the frame from its materialized RDD is the iterative-algorithm
-      // contract on Spark (same role as GraphX/GraphFrames checkpoint
-      // intervals; on a cluster with executor-loss tolerance use
-      // checkpoint() to a reliable dir instead).
-      val jumped = labels.sparkSession
-        .createDataFrame(jumpedPlan.rdd, jumpedPlan.schema)
-        .persist(MEMORY_AND_DISK)
-      val changed = jumped.select(col("node"), col("label").as("new_label"))
-        .join(labels, Seq("node"))
-        .filter(col("new_label") =!= col("label"))
-        .count()
+      // the frame over its own InternalRow RDD (Lineage.cut) is the
+      // iterative-algorithm contract on Spark (same role as
+      // GraphX/GraphFrames checkpoint intervals; on a cluster with
+      // executor-loss tolerance use checkpoint() to a reliable dir
+      // instead).
+      val jumped = graft.core.Lineage.cut(jumpedPlan).persist(MEMORY_AND_DISK)
+      val newSum = labelSum(jumped)
       if (sys.env.contains("GRAFT_CC_LOG"))
-        println(s"[cc] round $iter: changed=$changed")
+        println(s"[cc] round $iter: sum=$newSum")
       labels.unpersist()
       labels = jumped
-      done = changed == 0
+      done = newSum.compareTo(prevSum) == 0
+      prevSum = newSum
       iter += 1
     }
     sym.unpersist()

@@ -75,7 +75,7 @@ object GraphRank {
             expr(s"($dampingPct * coalesce(s, CAST(0 AS BIGINT))) div 100"))
             .as("pr"))
       if (cutLineage) {
-        val cutDf = spark.createDataFrame(pr.rdd, pr.schema).persist(MEMORY_AND_DISK)
+        val cutDf = graft.core.Lineage.cut(pr).persist(MEMORY_AND_DISK)
         graft.core.OpCache.track(cutDf)
         pr = cutDf
       }
@@ -127,7 +127,7 @@ object GraphRank {
         .join(surv.select(col("n").as("v")), Seq("v"), "left_semi")
         .select(col("u"), col("v"))
       if (cutLineage) {
-        val cutDf = spark.createDataFrame(e.rdd, e.schema).persist(MEMORY_AND_DISK)
+        val cutDf = graft.core.Lineage.cut(e).persist(MEMORY_AND_DISK)
         graft.core.OpCache.track(cutDf)
         e = cutDf
       }
@@ -178,7 +178,7 @@ object GraphRank {
         .select(col("node_id"),
           coalesce(col("new_label"), col("node_id")).as("label"))
       if (cutLineage) {
-        val cutDf = spark.createDataFrame(lab.rdd, lab.schema).persist(MEMORY_AND_DISK)
+        val cutDf = graft.core.Lineage.cut(lab).persist(MEMORY_AND_DISK)
         graft.core.OpCache.track(cutDf)
         lab = cutDf
       }

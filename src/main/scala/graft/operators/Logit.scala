@@ -114,16 +114,7 @@ object Logit {
       buckets: Int = 256, rounds: Int = 3, lr: Double = 1.0,
       gain: Double = 8.0): DataFrame = {
     require(buckets >= 2, s"buckets must be >= 2, got $buckets")
-    // ONE persisted feature table feeds training AND final scoring —
-    // the feature build (explode + two hash aggs over corpus tokens)
-    // is the costliest single stage, and train-then-score would
-    // otherwise run it twice. CUT as well as persist: every round
-    // constructs margin/gradient frames over x, and an un-cut x makes
-    // each construction re-analyze the feature plan (the pipeline
-    // seam lesson).
-    val xPlan = features(docs, idCol, textCol, buckets)
-    val x = graft.core.OpCache.persist(
-      docs.sparkSession.createDataFrame(xPlan.rdd, xPlan.schema))
+    val x = featureTable(docs, idCol, textCol, buckets)
     val y = graft.core.OpCache.persist(
       docs.select(col(idCol).as("doc_id"),
         col(labelCol).cast("int").cast("double").as("y")))
@@ -144,39 +135,108 @@ object Logit {
       buckets: Int = 256, rounds: Int = 3, lr: Double = 1.0,
       gain: Double = 8.0): LogitModel = {
     require(buckets >= 2, s"buckets must be >= 2, got $buckets")
-    val xPlan = features(docs, idCol, textCol, buckets)
-    val x = graft.core.OpCache.persist(
-      docs.sparkSession.createDataFrame(xPlan.rdd, xPlan.schema))
+    val x = featureTable(docs, idCol, textCol, buckets)
     val y = graft.core.OpCache.persist(
       docs.select(col(idCol).as("doc_id"),
         col(labelCol).cast("int").cast("double").as("y")))
     trainOnFeatures(docs.sparkSession, x, y, rounds, lr, gain)
   }
 
+  /** The persisted, doc_id-PARTITIONED feature table every training
+    * round reads. Three properties, each load-bearing for the
+    * round-loop plan shape (optimization guide §2.4):
+    *  - ONE materialization feeds training and final scoring — the
+    *    feature build (explode + two hash aggs over corpus tokens) is
+    *    the costliest single stage and would otherwise run twice;
+    *  - lineage CUT before the repartition, so every round's
+    *    margin/gradient construction re-analyzes a leaf, not the
+    *    whole feature pipeline (the pipeline seam lesson);
+    *  - explicit `repartition(doc_id)` UNDER the persist: cached plans
+    *    keep their output partitioning, so each round's per-doc margin
+    *    aggregate and the gradient's x⋈residual join cluster on the
+    *    already-partitioned cache — zero x-sized Exchanges per round
+    *    (was two), and at corpus scale the feature table crosses the
+    *    network once per training run instead of 2·rounds times. */
+  private def featureTable(
+      docs: DataFrame, idCol: String, textCol: String,
+      buckets: Int): DataFrame =
+    graft.core.OpCache.persist(
+      graft.core.Lineage.cut(features(docs, idCol, textCol, buckets))
+        .repartition(col("doc_id")))
+
   /** Training rounds over a prebuilt persisted feature table `x` =
-    * (doc_id, bucket, x) and label frame `y` = (doc_id, y). */
+    * (doc_id, bucket, x) and label frame `y` = (doc_id, y).
+    *
+    * ROUND-11 SHAPE: the model lives on the DRIVER between rounds.
+    * The model is ≤ B+1 rows at ANY corpus size (B = `buckets`, a
+    * constructor constant — the same scale-independence argument as
+    * the vocab-sized driver read in VocabTokenizer), so holding it as
+    * a driver map and re-emitting it as a broadcast LocalRelation each
+    * round is corpus-size-independent by construction. What it buys
+    * per round (optimization guide §1.2 step 1 — fewer passes/jobs):
+    *  - ONE Spark action (the combined gradient+bias collect below)
+    *    instead of ~12 jobs (residual persist + materialize, gradient
+    *    agg, full_outer weight join, bias agg, two lineage cuts, two
+    *    persists, per-round nDocs/bias broadcast builds);
+    *  - the weight/bias frames become LocalRelations, whose broadcast
+    *    costs no job at all (driver-side collect of a local plan);
+    *  - zero per-round cached frames (no OpCache churn, nothing for a
+    *    long-lived session to leak).
+    * The gradient and bias aggregates ride ONE query: the bias rows
+    * union in under the reserved bucket −2 (features hash via
+    * pmod ≥ 0; −1 is the empty-model sentinel), so one shuffle
+    * serves both.
+    *
+    * DETERMINISM IS UNCHANGED — bit-for-bit: every per-round Spark
+    * expression (margin, residual, DECIMAL(30,6) quantizations, the
+    * order-invariant decimal sums) is the same plan text as before;
+    * the driver replays the old plan's scalar arithmetic with Spark's
+    * own `Decimal` class (`Decimal(d).toPrecision(30, 6)` is exactly
+    * the Cast-to-DECIMAL(30,6) path) and the identical IEEE
+    * expression shapes: gs = gd / xd, w' = (w − lr·gs) quantized,
+    * b' = (b − (lr·rs)/nd) quantized. LogitSpec's partitioning-
+    * invariance and oracle parity pin this. */
   private def trainOnFeatures(
       spark: org.apache.spark.sql.SparkSession,
       x: DataFrame, y: DataFrame,
       rounds: Int, lr: Double, gain: Double): LogitModel = {
+    import org.apache.spark.sql.types.{Decimal, StructField, StructType, LongType}
     require(rounds >= 1, s"rounds >= 1, got $rounds")
     require(gain > 0, s"gain must be > 0, got $gain")
-    val nDocs = y.groupBy().agg(count(lit(1)).cast("double").as("nd"))
-    // weight table: (bucket, w DECIMAL(30,6)); the -1 sentinel row
-    // stands in for "empty" so round 1 is the same plan as round r
-    // (bucket -1 never matches a real feature)
-    var w: DataFrame = spark.range(1)
-      .select(lit(-1L).as("bucket"),
-        lit(0.0).cast(DecimalType(30, 6)).as("w"))
-    var bias: DataFrame = spark.range(1)
-      .select(lit(0.0).cast(DecimalType(30, 6)).as("b"))
+    val dec6 = DecimalType(30, 6)
+    def quant(d: Double): Decimal = {
+      val v = Decimal(d)
+      if (v.changePrecision(30, 6)) v
+      else throw new ArithmeticException(s"DECIMAL(30,6) overflow: $d")
+    }
+    val wSchema = StructType(Seq(
+      StructField("bucket", LongType, nullable = false),
+      StructField("w", dec6, nullable = true)))
+    val bSchema = StructType(Seq(StructField("b", dec6, nullable = true)))
+    def wFrame(m: scala.collection.Map[Long, Decimal]): DataFrame = {
+      // -1 sentinel keeps round 1 the same plan shape as round r
+      val rows = new java.util.ArrayList[org.apache.spark.sql.Row](m.size + 1)
+      rows.add(org.apache.spark.sql.Row(-1L, quant(0.0).toJavaBigDecimal))
+      m.toSeq.sortBy(_._1).foreach { case (k, v) =>
+        rows.add(org.apache.spark.sql.Row(k, v.toJavaBigDecimal))
+      }
+      spark.createDataFrame(rows, wSchema)
+    }
+    def bFrame(b: Decimal): DataFrame =
+      spark.createDataFrame(
+        java.util.List.of(org.apache.spark.sql.Row(b.toJavaBigDecimal)),
+        bSchema)
+    // nd once for the whole run (exact integer ≤ 2^53 as a double —
+    // identical to the old per-round count(lit(1)).cast("double"))
+    val nd = y.count().toDouble
+    var w = Map.empty[Long, Decimal]
+    var b = quant(0.0)
     (1 to rounds).foreach { _ =>
-      val res = margin(x, w, bias, gain)
+      val res = margin(x, wFrame(w), bFrame(b), gain)
         .join(y, Seq("doc_id"))
         .select(col("doc_id"),
           (fastSigmoid(col("z")) - col("y"))
-            .cast(DecimalType(30, 6)).cast("double").as("r"))
-      val resP = graft.core.OpCache.persist(res)
+            .cast(dec6).cast("double").as("r"))
       // Coordinate-NORMALIZED step: each bucket moves by the
       // feature-mass-weighted MEAN residual of the docs containing it
       // (Σ r·x / Σ x), not the raw gradient / N — a bucket seen in 3
@@ -185,36 +245,32 @@ object Logit {
       // vanishing at the 1/N·1/n_doc scale (where DECIMAL(30,6)
       // quantization would freeze learning entirely). The denominator
       // is strictly positive: a bucket only exists through x rows.
-      val grad = x.join(resP, Seq("doc_id"))
+      // Bias rows ride the same aggregate under bucket −2 with unit
+      // mass: g = r quantized (exactly the old rq), so gd(−2) = rs.
+      val stats = x.join(res, Seq("doc_id"))
         .select(col("bucket"),
-          (col("r") * col("x")).cast(DecimalType(30, 6)).as("g"),
-          col("x").cast(DecimalType(30, 6)).as("xm"))
+          (col("r") * col("x")).cast(dec6).as("g"),
+          col("x").cast(dec6).as("xm"))
+        .unionByName(res.select(lit(-2L).as("bucket"),
+          col("r").cast(dec6).as("g"),
+          lit(1.0).cast(dec6).as("xm")))
         .groupBy(col("bucket"))
-        .agg((sum(col("g")).cast("double") / sum(col("xm")).cast("double"))
-          .as("gs"))
-      val wNext = w.join(grad, Seq("bucket"), "full_outer")
-        .select(col("bucket"),
-          (coalesce(col("w").cast("double"), lit(0.0)) -
-            lit(lr) * coalesce(col("gs"), lit(0.0)))
-            .cast(DecimalType(30, 6)).as("w"))
-      // bias step: lr × plain mean residual (1-row frames join free)
-      val bNext = resP
-        .select(col("r").cast(DecimalType(30, 6)).as("rq"))
-        .groupBy().agg(sum(col("rq")).cast("double").as("rs"))
-        .crossJoin(broadcast(nDocs)).crossJoin(broadcast(bias))
-        .select((col("b").cast("double") - lit(lr) * col("rs") / col("nd"))
-          .cast(DecimalType(30, 6)).as("b"))
-      // Cut EVERY round, not just past a threshold: the model is
-      // ≤ B+1 rows so the cut is free, and an un-cut model frame
-      // carries the whole nested training tree into every consumer —
-      // a streaming serve loop would re-ANALYZE it per micro-batch
-      // (the connectedComponents entry-cut lesson; measured 30 s vs
-      // 10 s on qst18 when a 4-round model skipped the cut).
-      w = graft.core.OpCache.persist(
-        spark.createDataFrame(wNext.rdd, wNext.schema))
-      bias = graft.core.OpCache.persist(
-        spark.createDataFrame(bNext.rdd, bNext.schema))
+        .agg(sum(col("g")).cast("double").as("gd"),
+          sum(col("xm")).cast("double").as("xd"))
+        .collect()
+      var rs = 0.0
+      val gs = scala.collection.mutable.Map.empty[Long, Double]
+      stats.foreach { row =>
+        val k = row.getLong(0)
+        if (k == -2L) rs = row.getDouble(1)
+        else gs(k) = row.getDouble(1) / row.getDouble(2)
+      }
+      w = (w.keySet ++ gs.keySet).iterator.map { k =>
+        val wd = w.get(k).map(_.toDouble).getOrElse(0.0)
+        k -> quant(wd - lr * gs.getOrElse(k, 0.0))
+      }.toMap
+      b = quant(b.toDouble - lr * rs / nd)
     }
-    LogitModel(w, bias)
+    LogitModel(wFrame(w), bFrame(b))
   }
 }

@@ -1282,8 +1282,7 @@ object Similarity {
       var next = topKHeap(scored, "u", col("cos"), col("v"), "v", k)
         .select(col("u"), col("v"))
       if (cutLineage) {
-        val cutDf = spark.createDataFrame(next.rdd, next.schema)
-          .persist(MEMORY_AND_DISK)
+        val cutDf = graft.core.Lineage.cut(next).persist(MEMORY_AND_DISK)
         graft.core.OpCache.track(cutDf)
         next = cutDf
       } else next = graft.core.OpCache.persist(next)
@@ -1395,8 +1394,7 @@ object Similarity {
     // expansion join would re-ANALYZE that tree (the
     // Dedup.connectedComponents entry-cut rationale)
     val gPlan = knn.unionByName(ring)
-    val g = graft.core.OpCache.persist(em.sparkSession
-      .createDataFrame(gPlan.rdd, gPlan.schema))
+    val g = graft.core.OpCache.persist(graft.core.Lineage.cut(gPlan))
     // hash-spread entry ids: top-15-hex-of-md5(j) mod n — the driver-
     // side replica of Dedup.hash60, embedded identically in the oracle
     val md = java.security.MessageDigest.getInstance("MD5")
@@ -1476,8 +1474,7 @@ object Similarity {
     val ring = e.select(col("vec_id").as("gu"),
       ((col("vec_id") + 1) % n).as("gv"))
     val gPlan = knn.unionByName(ring)
-    val g = graft.core.OpCache.persist(em.sparkSession
-      .createDataFrame(gPlan.rdd, gPlan.schema))
+    val g = graft.core.OpCache.persist(graft.core.Lineage.cut(gPlan))
     val cents = e.filter(col("vec_id") % centroidStride === 0)
       .select(col("vec_id").as("cent_id"), col("embedding").as("cemb"),
         col("nrm").as("cnrm"))
@@ -2060,8 +2057,7 @@ object Similarity {
       // cut per round: the model is dim rows, the cut is free, and an
       // un-cut component would nest every prior round's plan (the
       // Logit / connectedComponents lesson)
-      v = graft.core.OpCache.persist(
-        spark.createDataFrame(vNext.rdd, vNext.schema))
+      v = graft.core.OpCache.persist(graft.core.Lineage.cut(vNext))
     }
     (v, mu, dims)
   }

@@ -115,7 +115,7 @@ object EventStreams {
     * twice and still must equal the single-shot full closure.
     *
     * Returns the final label frame (node, component). Per-batch label
-    * lineage is cut (createDataFrame) so a long-running stream's plan
+    * lineage is cut (Lineage.cut) so a long-running stream's plan
     * stays O(1) deep — the same discipline as the CC rounds. */
   def componentMaintenance(
       docs: DataFrame,
@@ -146,7 +146,7 @@ object EventStreams {
             labels, edges, b.select(col(idCol).as("node")))
           val prev = labels
           labels = graft.core.OpCache.persist(
-            spark.createDataFrame(next.rdd, next.schema))
+            graft.core.Lineage.cut(next))
           labels.count() // materialize before the index mutates
           // release the superseded label frame (but never the caller's
           // labels0) — a long-running stream must not accumulate one
@@ -634,7 +634,7 @@ object EventStreams {
             case None => fresh.select(keyCols.map(col): _*)
           }
           val n = graft.core.OpCache.persist(
-            spark.createDataFrame(merged.rdd, merged.schema))
+            graft.core.Lineage.cut(merged))
           n.count() // materialize before releasing its inputs
           n
         }
@@ -717,7 +717,7 @@ object EventStreams {
         if (sinceCut >= cutEvery) {
           val cells = cur.cells
           val cut = graft.core.OpCache.persist(
-            spark.createDataFrame(cells.rdd, cells.schema))
+            graft.core.Lineage.cut(cells))
           cut.count() // materialize before releasing the children it reads
           children.foreach { f =>
             f.unpersist(false); graft.core.OpCache.untrack(f)
@@ -774,7 +774,7 @@ object EventStreams {
           case Some(st) => graft.warehouse.Profile.mergeProfiles(st, bp)
         }
         state = Some(graft.core.OpCache.persist(
-          spark.createDataFrame(merged.rdd, merged.schema)))
+          graft.core.Lineage.cut(merged)))
         ()
       }
       .start()
@@ -1148,7 +1148,7 @@ object EventStreams {
           // cut: an un-cut state would re-analyze the whole merge
           // history every batch (the qt33 model discipline)
           val n = graft.core.OpCache.persist(
-            spark.createDataFrame(merged.rdd, merged.schema))
+            graft.core.Lineage.cut(merged))
           n.count() // materialize before releasing the frames it reads
           n
         }

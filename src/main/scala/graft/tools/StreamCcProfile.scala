@@ -91,7 +91,7 @@ object StreamCcProfile {
           val out = untouched.unionByName(
             solved.select(col("node"), col("component"))
               .join(untouched.select(col("node")), Seq("node"), "left_anti"))
-          spark.createDataFrame(out.rdd, out.schema).count()
+          graft.core.Lineage.cut(out).count()
         }
       }
       t(s"batch$i control: CC on 110 static edges") {
@@ -110,7 +110,7 @@ object StreamCcProfile {
         val selfNew = batch.select(col("doc_id").cast("long").as("a_id"),
           col("doc_id").cast("long").as("b_id"))
         val asm = star.unionByName(e).unionByName(selfNew)
-        val mat = spark.createDataFrame(asm.rdd, asm.schema)
+        val mat = graft.core.Lineage.cut(asm)
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         println("edges=" + mat.count())
         println("solved=" + Dedup.connectedComponents(mat, "a_id", "b_id").count())
