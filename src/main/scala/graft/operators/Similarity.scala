@@ -2012,10 +2012,31 @@ object Similarity {
   }
 
   /** Shared training loop: returns (component v = (dim, v), mean
-    * μ = (dim, mu), and the persisted (vec_id, dim, x) long table). */
+    * μ = (dim, mu), and the persisted (vec_id, dim, x) long table).
+    *
+    * ROUND-11 SHAPE (the Logit driver-model discipline applied to the
+    * power iteration): the axis v and the mean μ are dim-row tables at
+    * ANY corpus size, so the loop holds them on the driver and emits v
+    * as a broadcast LocalRelation per round. Each round runs exactly
+    * ONE distributed action — a union aggregate that returns the
+    * per-dim second-pass sums AND the Σc total under reserved dim −1
+    * (the Logit bias-bucket trick) — instead of the previous ~7 jobs
+    * (muv agg, c materialize, s agg, ct agg, nrm agg, vNext cut +
+    * persist). The corpus-sized frames (`dims`, the per-round
+    * projection c) stay distributed, exactly as before.
+    *
+    * DETERMINISM UNCHANGED, bit-for-bit: the distributed expressions
+    * are the same plan text; the driver replays the scalar folds with
+    * Spark's own `Decimal` (quantize-to-DECIMAL(30,6) = the Cast path,
+    * order-invariant BigDecimal sums = the decimal Sum path, non-finite
+    * terms drop as Cast-to-null does) and Spark's `round` semantics
+    * for doubles (`BigDecimal(d).setScale(6, HALF_UP)`, non-finite
+    * passthrough). PcaSpec (partitioning invariance) + the qs31/qs32
+    * oracles pin it. */
   private def pcaLoop(
       em: DataFrame, idCol: String, vecCol: String,
       iters: Int): (DataFrame, DataFrame, DataFrame) = {
+    import org.apache.spark.sql.types.{Decimal, DecimalType, DoubleType, IntegerType, StructField, StructType}
     require(iters >= 1, s"iters must be >= 1, got $iters")
     val spark = em.sparkSession
     val dims = graft.core.OpCache.persist(
@@ -2028,37 +2049,76 @@ object Similarity {
         .agg(graft.expr.Exprs.exactSum(col("x")).as("sx"))
         .crossJoin(broadcast(nd))
         .select(col("dim"), (col("sx") / col("nd")).as("mu")))
-    val dim = mu.count().toInt
+    // dim-sized driver read (the calibration-read discipline); doubles
+    // as the mu frame computes them
+    val muArr = mu.collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    val dim = muArr.size
+    // exactSum replica: quantize each term like Cast(t AS DECIMAL(30,6))
+    // (HALF_UP; non-finite/overflow → null, dropped by Sum), fold with
+    // exact BigDecimal addition, read back like Cast(dec AS DOUBLE).
+    def q6(d: Double): Option[java.math.BigDecimal] =
+      if (d.isNaN || d.isInfinite) None
+      else {
+        val v = Decimal(d)
+        if (v.changePrecision(30, 6)) Some(v.toJavaBigDecimal) else None
+      }
+    def decSum(ts: Iterator[Double]): Option[Double] = {
+      var acc: java.math.BigDecimal = null
+      ts.foreach(t => q6(t).foreach(b =>
+        acc = if (acc == null) b else acc.add(b)))
+      Option(acc).map(_.doubleValue)
+    }
+    // Spark round(double, 6): HALF_UP via BigDecimal.valueOf semantics,
+    // non-finite passthrough (RoundBase's float/double guard)
+    def r6(d: Double): Double =
+      if (d.isNaN || d.isInfinite) d
+      else scala.math.BigDecimal(d)
+        .setScale(6, scala.math.BigDecimal.RoundingMode.HALF_UP).toDouble
+    val vSchema = StructType(Seq(
+      StructField("dim", IntegerType, nullable = false),
+      StructField("v", DoubleType, nullable = true)))
+    def vFrame(a: Array[Double]): DataFrame = {
+      val rows = new java.util.ArrayList[org.apache.spark.sql.Row](a.length)
+      a.indices.foreach(d =>
+        rows.add(org.apache.spark.sql.Row(d, a(d))))
+      spark.createDataFrame(rows, vSchema)
+    }
     val v0 = 1.0 / math.sqrt(dim.toDouble)
-    var v: DataFrame = spark.range(dim)
-      .select(col("id").cast("int").as("dim"), lit(v0).as("v"))
+    var vArr = Array.fill(dim)(v0)
     (1 to iters).foreach { _ =>
-      val muv = mu.join(v, Seq("dim"))
-        .agg(graft.expr.Exprs.exactSum(col("mu") * col("v")).as("muv"))
+      // muv = exactSum(mu · v) over the dim rows — driver fold
+      val muv = decSum(muArr.iterator.map { case (d, m) => m * vArr(d) })
+        .getOrElse(Double.NaN)
       val c = graft.core.OpCache.persist(
-        dims.join(broadcast(v), Seq("dim"))
+        dims.join(broadcast(vFrame(vArr)), Seq("dim"))
           .groupBy(col("vec_id"))
           .agg(graft.expr.Exprs.exactSum(col("x") * col("v")).as("xv"))
-          .crossJoin(broadcast(muv))
           .select(col("vec_id"),
-            (col("xv") - col("muv"))
-              .cast(org.apache.spark.sql.types.DecimalType(30, 6)).as("cq")))
-      val s = dims.join(c, Seq("vec_id"))
+            (col("xv") - lit(muv)).cast(DecimalType(30, 6)).as("cq")))
+      // ONE distributed action: per-dim s = Σ cq·x rides with the
+      // global Σ cq under reserved dim −1 (posexplode dims are ≥ 0)
+      val stats = dims.join(c, Seq("vec_id"))
+        .select(col("dim"),
+          (col("cq").cast("double") * col("x"))
+            .cast(DecimalType(30, 6)).as("t"))
+        .unionByName(c.select(lit(-1).as("dim"), col("cq").as("t")))
         .groupBy(col("dim"))
-        .agg(graft.expr.Exprs.exactSum(col("cq").cast("double") * col("x"))
-          .as("sd"))
-      val ct = c.agg(sum(col("cq")).cast("double").as("ct"))
-      val u = s.join(mu, Seq("dim")).crossJoin(broadcast(ct))
-        .select(col("dim"), (col("sd") - col("ct") * col("mu")).as("u"))
-      val nrm = u.agg(sqrt(graft.expr.Exprs.exactSum(col("u") * col("u")))
-        .as("nrm"))
-      val vNext = u.crossJoin(broadcast(nrm))
-        .select(col("dim"), round(col("u") / col("nrm"), 6).as("v"))
-      // cut per round: the model is dim rows, the cut is free, and an
-      // un-cut component would nest every prior round's plan (the
-      // Logit / connectedComponents lesson)
-      v = graft.core.OpCache.persist(graft.core.Lineage.cut(vNext))
+        .agg(sum(col("t")).cast("double").as("sd"))
+        .collect()
+      var ct = Double.NaN
+      val sArr = scala.collection.mutable.Map.empty[Int, Double]
+      stats.foreach { row =>
+        val d = row.getInt(0)
+        val sd = if (row.isNullAt(1)) Double.NaN else row.getDouble(1)
+        if (d == -1) ct = sd else sArr(d) = sd
+      }
+      // u = s − ct·μ per dim; nrm = sqrt(exactSum(u²)); v' = round(u/nrm, 6)
+      val u = Array.tabulate(dim)(d =>
+        sArr.getOrElse(d, Double.NaN) - ct * muArr(d))
+      val nrm = math.sqrt(
+        decSum(u.iterator.map(x => x * x)).getOrElse(Double.NaN))
+      vArr = u.map(x => r6(x / nrm))
     }
-    (v, mu, dims)
+    (vFrame(vArr), mu, dims)
   }
 }

@@ -39,7 +39,16 @@ object JobProfile {
       override def onJobEnd(e: SparkListenerJobEnd): Unit = {
         val s = starts.getOrDefault(e.jobId, e.time)
         jobWallMs += (e.time - s)
+        if (sys.env.contains("GRAFT_JOB_LOG"))
+          println(f"[job] ${e.jobId}%4d ${e.time - s}%6d ms")
       }
+      override def onStageSubmitted(e: SparkListenerStageSubmitted): Unit =
+        if (sys.env.contains("GRAFT_JOB_LOG")) {
+          val site = e.stageInfo.details.linesIterator
+            .filterNot(_.contains("org.apache.spark"))
+            .filterNot(_.contains("java.")).take(2).mkString(" | ")
+          println(s"[stage] ${e.stageInfo.stageId} ${e.stageInfo.name} :: $site")
+        }
       override def onStageCompleted(e: SparkListenerStageCompleted): Unit = {
         stages += 1
         tasks += e.stageInfo.numTasks
