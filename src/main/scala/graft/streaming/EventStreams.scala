@@ -171,7 +171,15 @@ object EventStreams {
           val gh = graft.core.OpCache.persist(grown.hashes)
           val gs = graft.core.OpCache.persist(grown.shingles)
           val gb = graft.core.OpCache.persist(grown.bands)
-          gh.count(); gs.count(); gb.count()
+          // materialize the three independent deltas CONCURRENTLY
+          // (optimization guide §2.6 — overlap independent jobs so the
+          // tail of one back-fills the others); same three jobs, one
+          // wall instead of three
+          import scala.concurrent.{Await, Future}
+          import scala.concurrent.ExecutionContext.Implicits.global
+          Seq(gh, gs, gb)
+            .map(f => Future(f.count()))
+            .foreach(Await.result(_, scala.concurrent.duration.Duration.Inf))
           cur = graft.operators.Dedup.CorpusIndex(
             cur.hashes.unionByName(gh),
             cur.shingles.unionByName(gs),
